@@ -1,0 +1,344 @@
+"""Deduplication operators: exact, MinHash signatures + LSH banding,
+SimHash, n-gram Jaccard verification.
+
+Scale design (the 100 TB story):
+- exact dedup: one hash-groupBy shuffle on the content hash;
+- near-dup: shingle -> MinHash signature (one explode + one groupBy),
+  LSH banding (band-key groupBy join — candidates only, never all-pairs),
+  then Jaccard verification joins only the candidate pairs. No stage is
+  ever O(n^2) in documents.
+
+All hashes derive from md5 hex (identical across engines), so every step
+up to and including the banding join is replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+N_HASHES = 8  # minhash signature length; 4 bands x 2 rows
+N_BANDS = 4
+
+
+def _tokens() -> Column:
+    return F.split("text", " ")
+
+
+def _shingles() -> Column:
+    """Distinct 3-token shingles of `text` (docs with <3 tokens excluded
+    upstream)."""
+    t = _tokens()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             || ' ' || string_split(text,' ')[i+2]))
+"""
+
+
+def _mh(j: int) -> Column:
+    """MinHash function j over the exploded shingle column: md5 of the
+    salted shingle, first 8 hex chars as an int."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _mh_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8)) AS BIGINT)"
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id. One
+    shuffle on the hash; at 100 TB the hash (not the text) is the shuffle
+    key, so shuffle volume is rows x 32 bytes, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N-1}."""
+    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles()).alias("shingle")
+    )
+    aggs = [F.min(_mh(j)).alias(f"mh{j}") for j in range(N_HASHES)]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+_SIGNATURES_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    )
+    SELECT doc_id, {', '.join(f'MIN({_mh_sql(j)}) AS mh{j}' for j in range(N_HASHES))}
+    FROM sh GROUP BY doc_id
+"""
+
+
+@query(
+    "q_dedup_minhash_sig",
+    oracle=f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    f"{', '.join(f'mh{j}' for j in range(N_HASHES))} FROM ({_SIGNATURES_SQL})",
+)
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over 3-token shingles."""
+    return _signatures(spark, sf_dir)
+
+
+def _band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band key."""
+    sig = _signatures(spark, sf_dir)
+    bands = []
+    rows = N_HASHES // N_BANDS
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        key = F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        bands.append(sig.select("doc_id", key.alias("band_key")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_pairs_sql() -> str:
+    rows = N_HASHES // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, md5('{b}' || ',' || {cols}) AS band_key FROM sig"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH sig AS ({_SIGNATURES_SQL}),
+    bands AS ({union})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT inter.doc_a, inter.doc_b,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.doc_a
+    JOIN cnt cb ON cb.doc_id = inter.doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
+    Jaccard >= 0.5 for verification. The verify join touches candidate
+    pairs only."""
+    pairs = _band_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.lang = sb.lang AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.3
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: pairs form only through shared
+    (lang, shingle) keys — an inverted-index join, not a cross product."""
+    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
+    sh = docs.select("doc_id", "lang", F.explode(_shingles()).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+    inter = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    token_hash = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (({token_hash} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({recombine} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) per document: per-token md5-derived bits, sign of
+    the per-bit vote sum. One explode + one groupBy — linear in tokens."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(th, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (the IVF-style coarse
+    partition): cosine computed only within blocks, never across the full
+    cross product."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (norm_a * norm_b)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table: brute-force cosine top-k
+(the correctness baseline) and an LSH-bucketed ANN variant (the scale
+path).
+
+100 TB design: brute-force is one broadcast of the probe + a linear scan
+with a TakeOrdered top-k (no shuffle of the vectors); the ANN variant
+prunes the scan to hash-bucket collisions so the per-query cost is
+O(candidates), with the buckets computable incrementally at ingest.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p), 6)
+             AS cos_sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p), 6)
+             DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0. The probe is a
+    1-row broadcast; orderBy+limit plans as TakeOrderedAndProject (per-
+    partition heap, k-row merge) — the whole table is scanned once and
+    never shuffled."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(_as_double().alias("p"))
+    emb_d = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    scored = (
+        emb_d.join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+# Deterministic pseudo-random hyperplanes: h[t][j][d] = sin(1 + t*1009 + j*101 + d)
+# (no RNG — replayable on any engine/executor).
+_N_TABLES = 4
+_N_BITS = 6
+_DIM = 64
+
+
+def _hyperplane(t: int, j: int) -> list[float]:
+    return [math.sin(1.0 + t * 1009 + j * 101 + d) for d in range(_DIM)]
+
+
+@query("q_sim_ann_lsh")  # algorithmic pruning -> rows-only check
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 4 tables x 6-bit signatures. A vector
+    lands in one bucket per table; the probe scans only its bucket
+    collisions and re-ranks them exactly. At scale the bucket ids are
+    precomputed at ingest and the per-query join touches ~n/2^bits rows
+    per table instead of n."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+
+    def bucket_col(t: int) -> Column:
+        bits = []
+        for j in range(_N_BITS):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(t, j)])
+            dot = F.aggregate(
+                F.zip_with("v", plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        return acc
+
+    buckets = emb.select(
+        "vec_id",
+        "v",
+        *[bucket_col(t).alias(f"b{t}") for t in range(_N_TABLES)],
+    )
+    probe = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("p"), *[F.col(f"b{t}").alias(f"pb{t}") for t in range(_N_TABLES)]
+    )
+    collide = None
+    for t in range(_N_TABLES):
+        c = F.col(f"b{t}") == F.col(f"pb{t}")
+        collide = c if collide is None else (collide | c)
+    cand = (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .filter(collide)
+        .select(
+            "vec_id",
+            F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6).alias("cos_sim"),
+        )
+    )
+    return cand.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "q_sim_centroid",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    expanded AS (
+        SELECT label, u.d AS d, v[u.d] AS x
+        FROM e, (SELECT unnest(generate_series(1, 64)) AS d) u
+    )
+    SELECT label, d, round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+    FROM expanded
+    WHERE d <= 4
+    GROUP BY label, d
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 4 dims) — the IVF coarse-
+    quantizer build step, expressed as explode + groupBy. Rounded because
+    double summation order differs across engines."""
+    emb = load(spark, sf_dir, "embeddings").select("label", _as_double().alias("v"))
+    exploded = emb.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).cast("bigint").alias("d"), "x")
+    return (
+        exploded.filter(F.col("d") <= 4)
+        .groupBy("label", "d")
+        .agg(F.round(F.sum("x") / F.count("*"), 6).alias("centroid_val"))
+    )

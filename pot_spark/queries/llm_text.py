@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting, corpus stats.
+
+These run over the `documents` fixture table and are designed as pure
+column expressions (JVM-side, whole-stage-codegen) — no Python in the hot
+path — so they stream through a 100 TB corpus with one scan and at most
+one aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "('the','a','of','and','to','in','is')"
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc counts, char/token totals)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("sum_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+                WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+                WHEN list_contains(string_split(text, ' '), 'el')  THEN 'es'
+                WHEN list_contains(string_split(text, ' '), 'le')  THEN 'fr'
+                ELSE 'unknown' END AS pred_lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                AS INTEGER) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (the n-gram-profile approach
+    reduced to its deterministic core so the oracle can replay it)."""
+    toks = F.split("text", " ")
+    pred = (
+        F.when(F.array_contains(toks, "the"), "en")
+        .when(F.array_contains(toks, "der"), "de")
+        .when(F.array_contains(toks, "el"), "es")
+        .when(F.array_contains(toks, "le"), "fr")
+        .otherwise("unknown")
+    )
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", pred.alias("pred_lang"), n_sw.alias("n_stopwords")
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS avg_token_len,
+           round(CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                      AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(least(CAST(n_chars AS DOUBLE) / 200, 1.0) * 0.5
+                 + (CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                         AS DOUBLE) / len(string_split(text, ' '))) * 0.3
+                 + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 30, 1.0) * 0.2,
+                 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: length, stopword density, token
+    count — the classic cheap pre-filter before expensive dedup/training."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    sw_ratio = n_sw.cast("double") / n_tokens
+    quality = (
+        F.least(F.col("n_chars").cast("double") / 200, F.lit(1.0)) * 0.5
+        + sw_ratio * 0.3
+        + F.least(n_tokens.cast("double") / 30, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS INTEGER) AS bpe_ish_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_computed
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs,
+    digit runs, single punctuation)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(sha256(lower(text)), 1, 16) AS fp,
+           substr(sha256(lower(text)), 1, 1) AS shard,
+           CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(string_split(text, ' '),
+                    x -> CAST(ascii(x) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 1000000007)
+                AS BIGINT) AS rolling_hash
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash (sha256 prefix), shard key, and
+    a polynomial rolling hash folded over token head-chars — all exact
+    integer arithmetic, replayable in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 16)
+    rolling = F.aggregate(
+        F.split("text", " "),
+        F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 1).alias("shard"),
+        rolling.cast("bigint").alias("rolling_hash"),
+    )

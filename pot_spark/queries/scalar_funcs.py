@@ -1,0 +1,257 @@
+"""Scalar function families: string, date, math, array, map, JSON,
+conditional.
+
+Cross-engine parity rules applied here:
+- transcendentals (ln) rounded to 6 decimals (1-ulp libm differences);
+- integer-valued functions cast to the same width on both sides
+  (DuckDB len()/year()/datediff() are BIGINT, Spark's are INT);
+- array folds cast elements to DOUBLE before multiplying (float*float
+  would lose bits differently per engine) and round the fold result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           substr(p_name, 1, 5) AS pre5,
+           concat(p_brand, '-', p_type) AS brand_type,
+           (p_name LIKE '%widget%') AS is_widget,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_name, ' ', '_') AS snake_name,
+           trim(concat('  ', p_name, '  ')) AS trimmed
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+             AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1))
+                AS DOUBLE) AS tenth_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           sqrt(l_extendedprice) AS sqrt_price,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt is IEEE-correctly-rounded (safe raw); ln is rounded; squares use
+    multiplication (exact) rather than pow."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(0.1).cast("decimal(2,1)"))
+        .cast("double")
+        .alias("tenth_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size / element access / higher-order fold (L2 norm). The fold
+    casts float elements to double before squaring so both engines square
+    the same exact values; result rounded for summation-order tolerance."""
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+    )
+
+
+@query(
+    "q_array_agg",
+    oracle="""
+    SELECT label,
+           list_sort(list(vec_id)) AS vec_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + array_sort: order-canonicalized array aggregation."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list("vec_id")).alias("vec_ids"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest: token frequency across the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP(['k'], [json_extract_string(props, '$.k')])) AS prop_keys,
+           CAST(element_at(MAP(['k'], [json_extract_string(props, '$.k')]), 'k')[1]
+                AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column from parsed JSON, read keys and values back."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+             AS k_bucket
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k_str = F.get_json_object("props", "$.k")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        k_str.cast("int").alias("k_int"),
+        k_str.alias("k_str"),
+        k_str.isNotNull().alias("has_k"),
+        (k_str.cast("int") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 1000 THEN 'low'
+                WHEN l_extendedprice < 5000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("l_extendedprice") < 1000, "low")
+        .when(F.col("l_extendedprice") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(band.alias("price_band"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Scans, projections, predicates, JSON parsing, and sink round-trips.
+
+Generalizes the reference's only read path — whole-pot scan Get()
+(/root/reference/server.go:468-491) — into columnar scans where Catalyst
+pushes predicates and prunes columns down to the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice, l_shipdate
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must contain only the 3 columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R'
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushed to the parquet scan (PushedFilters in explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "q_scan_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON-string props column into typed fields.
+
+    Mirrors the reference's schemaless JSON documents (server.go:315,
+    341-343) landed as a typed column.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "q_sink_parquet",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip: write a filtered projection, read it back,
+    aggregate. The oracle computes the same aggregate straight from the
+    source table, so this checks the sink preserves values exactly."""
+    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_parquet")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip with explicit schema (no inferSchema)."""
+    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_csv")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema("c_custkey long, c_mktsegment string, c_acctbal double").option(
+        "header", "true"
+    ).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+@query(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(p_size) AS INTEGER) AS max_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip — the reference's native document
+    format (server.go:315-331) as an egress/ingest format."""
+    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_json")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    part.write.mode("overwrite").json(out)
+    back = spark.read.schema("p_partkey long, p_brand string, p_size int").json(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.max("p_size").alias("max_size"),
+    )

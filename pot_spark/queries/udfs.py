@@ -1,0 +1,201 @@
+"""User-defined function surface: vectorized scalar Pandas UDF, grouped
+Pandas UDAF, and a mapInPandas UDTF — plus the multimodal-column plumbing
+(binary payloads + typed metadata + Arrow-batched feature extraction).
+
+All Python execution is Arrow-batched (pandas_udf / mapInPandas /
+applyInPandas); no row-at-a-time Python UDFs anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+@F.pandas_udf(T.DoubleType())
+def _score_udf(v: pd.Series) -> pd.Series:
+    # score = v*1.1 + ln(1+|v|): same IEEE ops the oracle replays inline.
+    return v * 1.1 + np.log(1.0 + np.abs(v))
+
+
+@query(
+    "u_udf_scalar",
+    oracle="""
+    SELECT event_id, value,
+           round(value * 1.1 + ln(1 + abs(value)), 6) AS score
+    FROM events
+    """,
+)
+def u_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF; the oracle recomputes the same
+    formula inline (rounded for libm 1-ulp tolerance)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "value", F.round(_score_udf("value"), 6).alias("score")
+    )
+
+
+def _geomean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "geo_mean": [round(float(np.exp(np.mean(np.log(v)))), 4)],
+            "n": [len(v)],
+        }
+    )
+
+
+@query(
+    "u_udaf",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS geo_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def u_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDAF (applyInPandas): geometric mean of value
+    per event type (values are strictly positive in the fixture). Rounded
+    to 4 because numpy's pairwise mean and DuckDB's streaming avg
+    accumulate in different orders."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _geomean_group, schema="event_type string, geo_mean double, n long"
+    )
+
+
+def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        toks = pdf["text"].str.split(" ")
+        lens = toks.str.len().to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy().repeat(lens),
+                "token": [t for lst in toks for t in lst],
+                "pos": [i for lst in toks for i in range(len(lst))],
+            }
+        )
+        yield out[["doc_id", "pos", "token"]]
+
+
+@query(
+    "u_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def u_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function via mapInPandas: one input row (document) expands to
+    one output row per token with its position. Arrow-batched; partition-
+    parallel (each batch expands independently — no shuffle)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _tokenize_batches, schema="doc_id long, pos int, token string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + typed metadata + feature extraction.
+# The fixture set has no image/audio files, so payloads are derived
+# deterministically from documents.text (utf-8 bytes); a real pipeline swaps
+# `_decode_payload` for an actual decoder (PIL/librosa), which is NOT in this
+# container — the Spark-side plumbing (schema, batching, partitioning) is
+# identical either way.
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_SCHEMA = (
+    "doc_id long, payload binary, media_type string, n_bytes long"
+)
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> opaque binary payload column + typed metadata."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image/fake").otherwise("audio/fake").alias(
+            "media_type"
+        ),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB decoder. Real image/audio libs are not installed in this
+    container; a deterministic fake keeps the pipeline testable. Raises
+    NotImplementedError for media types the fake doesn't model."""
+    if media_type not in ("image/fake", "audio/fake"):
+        raise NotImplementedError(f"no decoder for {media_type!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return arr
+
+
+def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads: byte mean /
+    max and a 4-bin byte histogram (stand-in for pixel stats / MFCCs)."""
+    for pdf in it:
+        feats = []
+        for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+            arr = _decode_payload(payload, mt)
+            hist = np.bincount(arr // 64, minlength=4)[:4]
+            feats.append(
+                (
+                    float(np.round(arr.mean(), 6)),
+                    int(arr.max()),
+                    [int(x) for x in hist],
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_mean": [f[0] for f in feats],
+                "byte_max": [f[1] for f in feats],
+                "byte_hist": [f[2] for f in feats],
+            }
+        )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
+             AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary media columns (payload itself
+    excluded from the oracle projection — DuckDB hashes blobs differently)."""
+    return build_media_table(spark, sf_dir).select("doc_id", "media_type", "n_bytes")
+
+
+@query("q_multimodal_features")  # stubbed decode -> rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column."""
+    media = build_media_table(spark, sf_dir)
+    return media.mapInPandas(
+        _extract_features,
+        schema=(
+            "doc_id long, media_type string, byte_mean double, byte_max int,"
+            " byte_hist array<int>"
+        ),
+    )

@@ -1,0 +1,53 @@
+"""Query registry: the oracle-checked contract (SURVEY.md §2-B-2).
+
+Every relational/analytic operator registers itself here with
+``@query(name, oracle=...)``. ``__spark_entry__.py`` exposes the registry to
+the driver; the driver runs the Spark callable and the DuckDB oracle SQL
+side-by-side and hash-matches results.
+
+Invariant: Spark output column names == oracle output column names (the
+driver sorts columns by name before hashing), so every computed column is
+aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is the DuckDB-ANSI-SQL twin (None for
+    non-SQL-expressible ops -> driver records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_query_modules() -> None:
+    """Import every query module so their registrations run."""
+    import pot_spark.queries.scans  # noqa: F401
+    import pot_spark.queries.joins  # noqa: F401
+    import pot_spark.queries.aggregates  # noqa: F401
+    import pot_spark.queries.windows  # noqa: F401
+    import pot_spark.queries.sorts_sets  # noqa: F401
+    import pot_spark.queries.scalar_funcs  # noqa: F401
+    import pot_spark.queries.llm_text  # noqa: F401
+    import pot_spark.queries.llm_dedup  # noqa: F401
+    import pot_spark.queries.llm_similarity  # noqa: F401
+    import pot_spark.queries.streaming_windows  # noqa: F401
+    import pot_spark.queries.udfs  # noqa: F401

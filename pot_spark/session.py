@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Local mode is a single JVM with N executor threads; the same configuration
+(AQE, UTC session timezone, Arrow) is what we would ship to a multi-executor
+cluster — only master/memory sizing changes. Shuffle partitions default to the
+local core count; on a real cluster this is left to AQE coalescing with a much
+higher initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession with engine defaults.
+
+    UTC session timezone is load-bearing: the DuckDB oracle compares
+    timestamps as UTC-naive values.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

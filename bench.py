@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are fully materialized through the noop sink (measures the whole
+plan incl. shuffle/exchange, excludes driver-side row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pot_spark import registry
+from pot_spark.session import get_spark
+
+HEADLINE = [
+    "q_multiway_join",
+    "q_groupby_agg",
+    "q_hash_join",
+    "q_broadcast_join",
+    "q_window_rank",
+    "q_sort_limit",
+    "q_asof_join",
+    "q_theta_range_join",
+    "q_dedup_near",
+    "q_sim_topk",
+    "s_session",
+    "s_sliding",
+    "q_text_stats",
+    "u_udtf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all_query_modules()
+    spark = get_spark("pot_spark_bench")
+    # warm the JVM/codegen and parquet-reader paths so timings measure the
+    # queries, not session startup or first-footer parsing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pot_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,13 @@ def _tokens() -> Column:
     return F.split("text", " ")
 
 
-def _shingles() -> Column:
-    """Distinct 3-token shingles of `text` (docs with <3 tokens excluded
-    upstream)."""
-    t = _tokens()
+def _shingles(toks: Column | None = None) -> Column:
+    """Distinct 3-token shingles (docs with <3 tokens excluded upstream).
+
+    Pass a pre-materialized token-array *column* where possible: inlining
+    the split would re-tokenize the text for every element_at inside the
+    lambda (no common-subexpression elimination across lambda scopes)."""
+    t = toks if toks is not None else _tokens()
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - 2),
@@ -84,12 +87,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{N-1}."""
-    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles()).alias("shingle")
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) pairs, cached: feeds signature building,
+    candidate verification and set-size counting in one materialization."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
     )
+    return docs.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).cache()
+
+
+def _signatures(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N-1}."""
+    exploded = sh if sh is not None else _shingle_df(spark, sf_dir)
     aggs = [F.min(_mh(j)).alias(f"mh{j}") for j in range(N_HASHES)]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -112,21 +125,24 @@ _SIGNATURES_SQL = f"""
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) over 3-token shingles."""
-    return _signatures(spark, sf_dir)
+    return _signatures(spark, sf_dir, _shingle_df(spark, sf_dir))
 
 
-def _band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band key."""
-    sig = _signatures(spark, sf_dir)
-    bands = []
+def _band_pairs(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band key.
+
+    Band keys are emitted as one array + explode (a single pass over the
+    signatures — NOT a 4-way union, which would recompute the signature
+    aggregation per band)."""
+    sig = _signatures(spark, sf_dir, sh)
     rows = N_HASHES // N_BANDS
+    keys = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        key = F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
-        bands.append(sig.select("doc_id", key.alias("band_key")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        )
+    all_bands = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
     return (
@@ -186,16 +202,16 @@ def _band_pairs_sql() -> str:
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
-    Jaccard >= 0.5 for verification. The verify join touches candidate
-    pairs only."""
-    pairs = _band_pairs(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    Jaccard >= 0.5 for verification. The shingle table is cached and the
+    (tiny) candidate-pair set is broadcast into the verify join, so
+    verification touches candidate pairs only — never all pairs."""
+    sh = _shingle_df(spark, sf_dir)
+    pairs = _band_pairs(spark, sf_dir, sh)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        pairs.join(sa, "doc_a")
+        sa.join(F.broadcast(pairs), "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -233,8 +249,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs form only through shared
     (lang, shingle) keys — an inverted-index join, not a cross product."""
-    docs = load(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
-    sh = docs.select("doc_id", "lang", F.explode(_shingles()).alias("shingle"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    sh = docs.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")

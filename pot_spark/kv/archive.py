@@ -1,0 +1,49 @@
+"""Archive sink: export every pot's latest snapshot into a tar.gz bundle
+(reference Zip, server.go:550-614 — used for OPA bundle serving,
+docs/howto_opa.md:137-143).
+
+Like the reference, the bundle covers the WHOLE store (not one path),
+skips the archive destination itself and all lock/manifest internals,
+and lays each pot out as `<path>/data.json` holding the key->doc map —
+i.e. the bundle is byte-compatible with what the reference would have
+stored natively. Unlike the reference (which re-archives inline on every
+mutation when -zip is set), export here is an explicit driver-side
+utility; at scale an inline full-store tar per write is the wrong plan.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+import time
+
+from pot_spark.kv.store import PotStore
+
+
+def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
+    """Write `<root>/<dest_dir>/bundle.tar.gz` containing
+    `<path>/data.json` for every pot (including a root-level pot, which
+    the reference also archives — Zip has no /data.json suffix filter,
+    only the dest-dir and .potlock skips, server.go:569-576)."""
+    paths = store.list_paths()
+    # list_paths can't see a root pot (reference parity); Zip must include it
+    if store.get(""):
+        paths = [""] + paths
+    out_dir = os.path.join(store.root, dest_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    bundle = os.path.join(out_dir, "bundle.tar.gz")
+    mtime = time.time()
+    with tarfile.open(bundle, "w:gz") as tar:
+        for p in paths:
+            if p == dest_dir or p.startswith(dest_dir + "/"):
+                continue  # never archive the archive (server.go:569-572)
+            content = store.get(p)
+            payload = json.dumps(content, sort_keys=True).encode()
+            name = f"{p}/data.json" if p else "data.json"
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = int(mtime)
+            tar.addfile(info, io.BytesIO(payload))
+    return bundle

@@ -1,0 +1,447 @@
+"""PotStore: path-scoped key->JSON-document store over versioned parquet
+snapshots with an atomic put-if-absent commit manifest.
+
+Semantics mirror the reference exactly (citations against
+/root/reference):
+
+- upsert derives the key from the doc's `name`, overridden by `id`
+  (server.go:347-354); non-string key raises TypeError (the reference
+  panics on the type assertion, server.go:350/353); a doc with neither
+  gets key "" (Go zero value).
+- upsert is last-writer-wins per key, unrelated keys preserved
+  (server.go:385-393); batch bodies are applied atomically
+  (server.go:334-339, 411-423).
+- Get of a missing pot returns empty, not an error (server.go:468-491).
+- Remove silently ignores missing keys and (re)writes the pot even when
+  it didn't exist (server.go:494-548).
+- no-rewrite: with an existing pot, rewriting an existing key is blocked
+  iff norewrite is set AND duration > 0 AND NOT (committed_at + d < now)
+  (canRewrite, server.go:262-264), UNLESS the caller holds the current
+  generation (server.go:379-382). New keys are never blocked; the first
+  conflicting key fails the whole request before anything is written
+  (server.go:385-393). A missing pot skips the check entirely
+  (server.go:369-371).
+- ListPaths is a raw string-prefix filter and can never report a
+  root-level pot (suffix match on "/data.json", server.go:432-466).
+
+Storage model (the Spark-first replacement for one whole-rewritten
+data.json object per pot, server.go:212-214, 396-400):
+
+    <root>/<path>/_pot/commits/<generation>.json   -- manifest, O_EXCL
+    <root>/<path>/_pot/snap-<generation>-<nonce>/  -- parquet snapshot
+
+The commit record is the commit point: writers stage a full snapshot,
+then publish with a put-if-absent manifest create. Losers re-read fresh
+state and retry (optimistic concurrency; the Delta-Lake-style protocol
+replaces the reference's GCS generation preconditions, server.go:670-702).
+On a cloud store the O_EXCL create maps to `create(..., overwrite=false)`
+/ if-generation-match=0 — the same primitive the reference uses for its
+.potlock. Generation numbers are the manifest versions (server.go:405).
+
+Data plane: per-doc dict APIs write/read snapshots via pyarrow (a pot
+mutation is a metadata-scale operation; spinning a Spark job per PUT
+would add nothing), while `create_df`/`get_df` move bulk data through
+Spark DataFrames — both produce the identical (key, doc) parquet layout,
+so a pot written by either path is readable by both. At 100 TB a pot is
+a table: bulk upserts go through `create_df` (left_anti + union, one
+shuffle on key), and `get_typed` projects the JSON documents to a typed
+DataFrame for the relational layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
+
+_POT_DIRNAME = "_pot"
+_COMMITS = "commits"
+_MAX_COMMIT_RETRIES = 32
+
+DOC_SCHEMA = "key string, doc string"
+_ARROW_SCHEMA = pa.schema([("key", pa.string()), ("doc", pa.string())])
+
+
+@dataclass
+class CreateResponse:
+    """Mirror of the reference's CreateResponse (server.go:267-270)."""
+
+    content: dict[str, Any]
+    generation: int
+
+
+@dataclass
+class _Manifest:
+    generation: int
+    committed_at: float
+    snapshot: str
+    n_keys: int
+
+
+def derive_key(doc: dict[str, Any]) -> str:
+    """`name` first, `id` overrides (server.go:347-354); zero-value key
+    when neither is present; non-string raises (reference panics)."""
+    key = ""
+    if "name" in doc:
+        if not isinstance(doc["name"], str):
+            raise TypeError(f"pot key must be a string, got {type(doc['name']).__name__}")
+        key = doc["name"]
+    if "id" in doc:
+        if not isinstance(doc["id"], str):
+            raise TypeError(f"pot key must be a string, got {type(doc['id']).__name__}")
+        key = doc["id"]
+    return key
+
+
+class PotStore:
+    """A pot server over a data root on any filesystem path."""
+
+    def __init__(self, spark: Optional[SparkSession], root: str) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._locks: dict[str, threading.RLock] = {}
+        self._locks_guard = threading.Lock()
+        # per-path last-read generation cache, like the typed client's
+        # (client.go:148-152); used by callers for lease renewal.
+        self.generation_cache: dict[str, int] = {}
+
+    # -- path helpers -------------------------------------------------------
+
+    def _pot_dir(self, path: str) -> str:
+        path = path.strip("/")
+        base = os.path.join(self.root, path) if path else self.root
+        return os.path.join(base, _POT_DIRNAME)
+
+    def _local_lock(self, path: str) -> threading.RLock:
+        """Per-path in-process lock (reference's mutex map,
+        server.go:617-661). Reads are snapshot-isolated and lock-free."""
+        with self._locks_guard:
+            if path not in self._locks:
+                self._locks[path] = threading.RLock()
+            return self._locks[path]
+
+    # -- manifest I/O --------------------------------------------------------
+
+    def _latest_manifest(self, path: str) -> Optional[_Manifest]:
+        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        try:
+            names = [n for n in os.listdir(commits) if n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        if not names:
+            return None
+        latest = max(names)
+        with open(os.path.join(commits, latest)) as f:
+            m = json.load(f)
+        return _Manifest(
+            generation=m["generation"],
+            committed_at=m["committed_at"],
+            snapshot=m["snapshot"],
+            n_keys=m["n_keys"],
+        )
+
+    def _try_commit(self, path: str, manifest: _Manifest) -> bool:
+        """Put-if-absent publish: O_EXCL manifest create is the commit
+        point (maps to create(overwrite=false) on HDFS-style stores)."""
+        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        os.makedirs(commits, exist_ok=True)
+        target = os.path.join(commits, f"{manifest.generation:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "generation": manifest.generation,
+                    "committed_at": manifest.committed_at,
+                    "snapshot": manifest.snapshot,
+                    "n_keys": manifest.n_keys,
+                },
+                f,
+            )
+        return True
+
+    # -- snapshot I/O (pyarrow fast path; layout identical to Spark's) ------
+
+    def _snapshot_path(self, path: str, name: str) -> str:
+        return os.path.join(self._pot_dir(path), name)
+
+    def _read_content(self, manifest: Optional[_Manifest], path: str) -> dict[str, Any]:
+        if manifest is None:
+            return {}
+        snap = self._snapshot_path(path, manifest.snapshot)
+        if os.path.isdir(snap):
+            # Spark snapshots carry _SUCCESS markers; read only the parts
+            parts = sorted(
+                os.path.join(snap, n)
+                for n in os.listdir(snap)
+                if n.endswith(".parquet")
+            )
+            table = pa.concat_tables(
+                [pq.read_table(p, schema=_ARROW_SCHEMA) for p in parts]
+            ) if parts else _ARROW_SCHEMA.empty_table()
+        else:
+            table = pq.read_table(snap, schema=_ARROW_SCHEMA)
+        keys = table.column("key").to_pylist()
+        docs = table.column("doc").to_pylist()
+        return {k: json.loads(d) for k, d in zip(keys, docs)}
+
+    def _write_snapshot(self, path: str, generation: int, content: dict[str, Any]) -> str:
+        name = f"snap-{generation:020d}-{uuid.uuid4().hex[:8]}"
+        snap_dir = self._snapshot_path(path, name)
+        os.makedirs(snap_dir, exist_ok=True)
+        keys = sorted(content)
+        table = pa.Table.from_pydict(
+            {
+                "key": keys,
+                "doc": [json.dumps(content[k], sort_keys=True) for k in keys],
+            },
+            schema=_ARROW_SCHEMA,
+        )
+        pq.write_table(table, os.path.join(snap_dir, "part-00000.parquet"))
+        return name
+
+    # -- norewrite gate ------------------------------------------------------
+
+    @staticmethod
+    def _can_rewrite(committed_at: float, now: float, duration: float) -> bool:
+        """Lease expiry: strictly older than `duration` (server.go:262-264;
+        boundary cases pinned by server_test.go:14-32)."""
+        return committed_at + duration < now
+
+    def _allow_rewrite(
+        self,
+        manifest: _Manifest,
+        norewrite: bool,
+        norewrite_duration: float,
+        last_known_generation: int,
+    ) -> bool:
+        allow = True
+        if norewrite:
+            if norewrite_duration > 0 and not self._can_rewrite(
+                manifest.committed_at, time.time(), norewrite_duration
+            ):
+                allow = False
+            # ownership: holding the latest generation re-allows (this is
+            # what makes leader-election lease renewal work,
+            # server.go:379-382)
+            if manifest.generation == last_known_generation:
+                allow = True
+        return allow
+
+    # -- public API: the pot surface ----------------------------------------
+
+    def get(self, path: str) -> dict[str, Any]:
+        """Read-all at path; missing pot => empty map (server.go:468-491)."""
+        manifest = self._latest_manifest(path)
+        if manifest is not None:
+            self.generation_cache[path] = manifest.generation
+        return self._read_content(manifest, path)
+
+    def create(
+        self,
+        path: str,
+        doc: dict[str, Any],
+        *,
+        norewrite: bool = False,
+        norewrite_duration: float = 0.0,
+        generation: int = 0,
+    ) -> CreateResponse:
+        """Single-doc upsert; key derived from name/id (server.go:272-407)."""
+        return self._mutate(
+            path,
+            {derive_key(doc): doc},
+            norewrite=norewrite,
+            norewrite_duration=norewrite_duration,
+            last_known_generation=generation,
+        )
+
+    def create_batch(
+        self,
+        path: str,
+        docs: dict[str, dict[str, Any]],
+        *,
+        norewrite: bool = False,
+        norewrite_duration: float = 0.0,
+        generation: int = 0,
+    ) -> CreateResponse:
+        """Batch upsert: caller-supplied keys, all-or-nothing
+        (server.go:334-339, 411-423)."""
+        return self._mutate(
+            path,
+            dict(docs),
+            norewrite=norewrite,
+            norewrite_duration=norewrite_duration,
+            last_known_generation=generation,
+        )
+
+    def remove(self, path: str, *keys: str) -> None:
+        """Delete keys; missing keys are silent no-ops; writes the pot even
+        if it didn't exist (server.go:494-548)."""
+        self._mutate(path, {}, remove_keys=keys)
+
+    def list_paths(self, subdir: str = "") -> list[str]:
+        """Raw string-prefix listing of pot paths; a root-level pot is
+        never listed (server.go:432-466)."""
+        found = []
+        for dirpath, dirnames, _ in os.walk(self.root):
+            if _POT_DIRNAME in dirnames:
+                rel = os.path.relpath(dirpath, self.root)
+                rel = "" if rel == "." else rel.replace(os.sep, "/")
+                if rel and rel.startswith(subdir):
+                    commits = os.path.join(dirpath, _POT_DIRNAME, _COMMITS)
+                    if os.path.isdir(commits) and os.listdir(commits):
+                        found.append(rel)
+            # never descend into pot internals
+            dirnames[:] = [d for d in dirnames if d != _POT_DIRNAME]
+        return sorted(found)
+
+    # -- mutation core (read -> merge -> stage -> put-if-absent commit) -----
+
+    def _mutate(
+        self,
+        path: str,
+        new_docs: dict[str, Any],
+        *,
+        remove_keys: Iterable[str] = (),
+        norewrite: bool = False,
+        norewrite_duration: float = 0.0,
+        last_known_generation: int = 0,
+    ) -> CreateResponse:
+        lock = self._local_lock(path)
+        with lock:
+            for _ in range(_MAX_COMMIT_RETRIES):
+                manifest = self._latest_manifest(path)
+                content = self._read_content(manifest, path)
+
+                if new_docs and manifest is not None:
+                    allow = self._allow_rewrite(
+                        manifest, norewrite, norewrite_duration, last_known_generation
+                    )
+                    for k in new_docs:
+                        if k in content and not allow:
+                            # fail before any write: all-or-nothing
+                            raise NoRewriteViolated(f"no-rewrite violated: {k}")
+
+                merged = dict(content)
+                for k in remove_keys:
+                    merged.pop(k, None)
+                merged.update(new_docs)
+
+                next_gen = (manifest.generation if manifest else 0) + 1
+                snapshot = self._write_snapshot(path, next_gen, merged)
+                committed = _Manifest(
+                    generation=next_gen,
+                    committed_at=time.time(),
+                    snapshot=snapshot,
+                    n_keys=len(merged),
+                )
+                if self._try_commit(path, committed):
+                    self.generation_cache[path] = next_gen
+                    return CreateResponse(content=new_docs, generation=next_gen)
+                # lost the race: discard the staged snapshot, re-read, retry
+                shutil.rmtree(self._snapshot_path(path, snapshot), ignore_errors=True)
+        raise CommitConflict(f"commit contention on {path!r} exceeded retries")
+
+    # -- Spark data plane ----------------------------------------------------
+
+    def get_df(self, path: str) -> DataFrame:
+        """The pot as a DataFrame[key string, doc string]; missing pot =>
+        empty DataFrame with the same schema."""
+        assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        manifest = self._latest_manifest(path)
+        if manifest is None:
+            return self.spark.createDataFrame([], schema=DOC_SCHEMA)
+        snap = self._snapshot_path(path, manifest.snapshot)
+        return self.spark.read.schema(DOC_SCHEMA).parquet(snap)
+
+    def get_typed(self, path: str, schema) -> DataFrame:
+        """Typed projection of the documents (the engine's analogue of the
+        typed Go client, client.go:14-38): parse the JSON doc column with
+        an explicit schema."""
+        df = self.get_df(path)
+        return df.select(
+            "key", F.from_json("doc", schema).alias("d")
+        ).select("key", "d.*")
+
+    def create_df(
+        self,
+        path: str,
+        new_df: DataFrame,
+        *,
+        norewrite: bool = False,
+        norewrite_duration: float = 0.0,
+        generation: int = 0,
+    ) -> int:
+        """Bulk upsert from a DataFrame[key, doc]: old left_anti new +
+        new, staged as a Spark-written parquet snapshot, published with
+        the same put-if-absent commit. Returns the new generation.
+
+        This is the 100 TB path: the merge is one shuffle on `key` (or
+        zero with a broadcast of a small delta); the dict APIs above are
+        the metadata-scale convenience path with identical layout."""
+        assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        lock = self._local_lock(path)
+        with lock:
+            for _ in range(_MAX_COMMIT_RETRIES):
+                manifest = self._latest_manifest(path)
+                if norewrite and manifest is not None:
+                    allow = self._allow_rewrite(
+                        manifest, norewrite, norewrite_duration, generation
+                    )
+                    if not allow:
+                        old = self.get_df(path)
+                        conflict = (
+                            new_df.join(old, "key", "left_semi").limit(1).collect()
+                        )
+                        if conflict:
+                            raise NoRewriteViolated(
+                                f"no-rewrite violated: {conflict[0]['key']}"
+                            )
+                old = self.get_df(path)
+                merged = old.join(new_df, "key", "left_anti").unionByName(new_df)
+                next_gen = (manifest.generation if manifest else 0) + 1
+                name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
+                snap_dir = self._snapshot_path(path, name)
+                merged.write.mode("overwrite").parquet(snap_dir)
+                committed = _Manifest(
+                    generation=next_gen,
+                    committed_at=time.time(),
+                    snapshot=name,
+                    n_keys=-1,
+                )
+                if self._try_commit(path, committed):
+                    self.generation_cache[path] = next_gen
+                    return next_gen
+                shutil.rmtree(snap_dir, ignore_errors=True)
+        raise CommitConflict(f"commit contention on {path!r} exceeded retries")
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, path: str) -> int:
+        """Remove snapshots not referenced by the latest manifest (loser
+        stages and superseded versions). Returns count removed."""
+        manifest = self._latest_manifest(path)
+        pot_dir = self._pot_dir(path)
+        if manifest is None or not os.path.isdir(pot_dir):
+            return 0
+        removed = 0
+        for name in os.listdir(pot_dir):
+            if name.startswith("snap-") and name != manifest.snapshot:
+                shutil.rmtree(os.path.join(pot_dir, name), ignore_errors=True)
+                removed += 1
+        return removed

@@ -1,0 +1,85 @@
+"""DataFrame data-plane tests for PotStore: bulk upsert via left_anti +
+union, typed projection of JSON docs, cross-path interop (dict-API pot
+readable as DataFrame and vice versa)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pot_spark.kv import NoRewriteViolated, PotStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path) -> PotStore:
+    return PotStore(spark=spark, root=str(tmp_path / "potroot"))
+
+
+def _doc_df(spark, rows: dict[str, dict]):
+    return spark.createDataFrame(
+        [(k, json.dumps(v, sort_keys=True)) for k, v in rows.items()],
+        schema="key string, doc string",
+    )
+
+
+def test_create_df_and_get_df_roundtrip(spark, store):
+    gen = store.create_df("bulk", _doc_df(spark, {"a": {"v": 1}, "b": {"v": 2}}))
+    assert gen == 1
+    got = {r["key"]: json.loads(r["doc"]) for r in store.get_df("bulk").collect()}
+    assert got == {"a": {"v": 1}, "b": {"v": 2}}
+
+
+def test_create_df_upsert_merges(spark, store):
+    store.create_df("bulk", _doc_df(spark, {"a": {"v": 1}, "b": {"v": 2}}))
+    store.create_df("bulk", _doc_df(spark, {"b": {"v": 20}, "c": {"v": 3}}))
+    got = store.get("bulk")  # dict API reads Spark-written snapshots
+    assert got == {"a": {"v": 1}, "b": {"v": 20}, "c": {"v": 3}}
+
+
+def test_dict_api_readable_as_df(spark, store):
+    store.create_batch("p", {"k1": {"v": 1, "tag": "x"}})
+    df = store.get_typed("p", "v long, tag string")
+    row = df.collect()[0]
+    assert (row["key"], row["v"], row["tag"]) == ("k1", 1, "x")
+
+
+def test_get_df_missing_pot_empty_with_schema(spark, store):
+    df = store.get_df("missing")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["key", "doc"]
+
+
+def test_create_df_norewrite_conflict(spark, store):
+    store.create_df("p", _doc_df(spark, {"a": {"v": 1}}))
+    with pytest.raises(NoRewriteViolated):
+        store.create_df(
+            "p",
+            _doc_df(spark, {"a": {"v": 2}}),
+            norewrite=True,
+            norewrite_duration=60,
+        )
+    # fresh keys pass
+    store.create_df(
+        "p", _doc_df(spark, {"b": {"v": 2}}), norewrite=True, norewrite_duration=60
+    )
+    assert set(store.get("p")) == {"a", "b"}
+
+
+def test_typed_nested_projection(spark, store):
+    # the reference's nested fixture through the typed client path
+    doc = {
+        "id": "test",
+        "age": 10,
+        "path": ["test", "path"],
+        "NiceThings": [{"name": "test"}, {"name": "test2"}],
+    }
+    store.create("test/path", doc)
+    df = store.get_typed(
+        "test/path",
+        "id string, age long, path array<string>, NiceThings array<struct<name:string>>",
+    )
+    row = df.collect()[0]
+    assert row["age"] == 10
+    assert row["path"] == ["test", "path"]
+    assert [n["name"] for n in row["NiceThings"]] == ["test", "test2"]

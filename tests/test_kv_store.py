@@ -1,0 +1,314 @@
+"""pot-semantics tests, mirroring the reference's suite (SURVEY.md §5):
+lease boundary cases (server_test.go:14-32), round-trip golden equality
+(client_test.go:98-173), catalog listing (client_test.go:61-96),
+norewrite races (client_test.go:175-245), election/renewal
+(client_test.go:247-339).
+"""
+
+from __future__ import annotations
+
+import json
+import tarfile
+import threading
+import time
+
+import pytest
+
+from pot_spark.kv import NoRewriteViolated, PotStore
+from pot_spark.kv.archive import zip_store
+from pot_spark.kv.store import derive_key
+
+# the reference's nested schema-complexity bar (client_test.go:18-25)
+TEST_DOC = {
+    "id": "test",
+    "age": 10,
+    "path": ["test", "path", "to", "test"],
+    "NiceThings": [{"name": "test"}, {"name": "test2"}],
+}
+
+
+@pytest.fixture()
+def store(tmp_path) -> PotStore:
+    return PotStore(spark=None, root=str(tmp_path / "potroot"))
+
+
+# -- key derivation (server.go:347-354) -------------------------------------
+
+
+def test_key_from_name(store):
+    store.create("p", {"name": "n1", "v": 1})
+    assert set(store.get("p")) == {"n1"}
+
+
+def test_id_overrides_name(store):
+    # documented at readme.md:40: id takes precedence over name
+    store.create("p", {"name": "n1", "id": "i1", "v": 1})
+    assert set(store.get("p")) == {"i1"}
+
+
+def test_no_key_fields_gives_empty_key(store):
+    store.create("p", {"v": 1})
+    assert set(store.get("p")) == {""}
+
+
+def test_non_string_key_raises(store):
+    # reference panics on the type assertion (server.go:350/353)
+    with pytest.raises(TypeError):
+        derive_key({"id": 42})
+    with pytest.raises(TypeError):
+        derive_key({"name": ["x"]})
+
+
+# -- round-trip golden equality (client_test.go:98-173) ----------------------
+
+
+def test_roundtrip_nested_doc(store):
+    resp = store.create("test/path", TEST_DOC)
+    assert resp.generation == 1
+    got = store.get("test/path")
+    # golden equality: canonical JSON byte-for-byte
+    assert json.dumps(got["test"], sort_keys=True) == json.dumps(
+        TEST_DOC, sort_keys=True
+    )
+    store.remove("test/path", "test")
+    assert store.get("test/path") == {}
+
+
+def test_get_missing_pot_is_empty(store):
+    assert store.get("never/created") == {}
+
+
+def test_upsert_preserves_unrelated_keys(store):
+    store.create("p", {"id": "a", "v": 1})
+    store.create("p", {"id": "b", "v": 2})
+    store.create("p", {"id": "a", "v": 3})  # last-writer-wins on a
+    got = store.get("p")
+    assert got == {"a": {"id": "a", "v": 3}, "b": {"id": "b", "v": 2}}
+
+
+def test_batch_upsert(store):
+    store.create_batch("p", {"k1": {"v": 1}, "k2": {"v": 2}})
+    assert set(store.get("p")) == {"k1", "k2"}
+
+
+def test_remove_missing_key_is_noop(store):
+    store.create("p", {"id": "a"})
+    store.remove("p", "nope")  # silent (server.go:536-538)
+    assert set(store.get("p")) == {"a"}
+
+
+def test_remove_on_missing_pot_writes_empty_pot(store):
+    store.remove("fresh/pot", "k")  # reference writes an empty pot
+    assert store.get("fresh/pot") == {}
+    assert "fresh/pot" in store.list_paths()
+
+
+# -- catalog (client_test.go:61-96; server.go:432-466) -----------------------
+
+
+def test_list_paths(store):
+    assert store.list_paths() == []
+    store.create("test/path", TEST_DOC)
+    assert store.list_paths() == ["test/path"]
+    store.create("test/other", {"id": "x"})
+    assert store.list_paths("test/") == ["test/other", "test/path"]
+    assert store.list_paths("test/p") == ["test/path"]  # raw string prefix
+
+
+def test_root_pot_invisible_to_list(store):
+    store.create("", {"id": "rooty"})
+    assert store.get("")["rooty"] == {"id": "rooty"}
+    assert store.list_paths() == []  # server.go:450: requires "/data.json"
+
+
+# -- lease boundaries (server_test.go:14-32) ---------------------------------
+
+
+def test_can_rewrite_boundaries():
+    now = 1000.0
+    assert PotStore._can_rewrite(now, now, 1.0) is False  # same time
+    assert PotStore._can_rewrite(now, now + 1.000001, 1.0) is True  # past lease
+    assert PotStore._can_rewrite(now, now + 2.0, 1.0) is True
+    assert PotStore._can_rewrite(now, now + 1.0, 1.0) is False  # strict <
+
+
+# -- norewrite semantics (server.go:365-393) ---------------------------------
+
+
+def test_norewrite_blocks_existing_key(store):
+    store.create("p", {"id": "k", "v": 1})
+    with pytest.raises(NoRewriteViolated):
+        store.create("p", {"id": "k", "v": 2}, norewrite=True, norewrite_duration=60)
+    assert store.get("p")["k"]["v"] == 1  # nothing written
+
+
+def test_norewrite_allows_new_keys(store):
+    store.create("p", {"id": "k", "v": 1})
+    store.create("p", {"id": "other", "v": 2}, norewrite=True, norewrite_duration=60)
+    assert set(store.get("p")) == {"k", "other"}
+
+
+def test_norewrite_missing_pot_always_allowed(store):
+    # reader == nil skips the gate entirely (server.go:369-371)
+    store.create("p", {"id": "k"}, norewrite=True, norewrite_duration=60)
+    assert set(store.get("p")) == {"k"}
+
+
+def test_norewrite_zero_duration_does_not_block(store):
+    # d == 0 skips the lease check (server.go:373: only applies when > 0)
+    store.create("p", {"id": "k", "v": 1})
+    store.create("p", {"id": "k", "v": 2}, norewrite=True, norewrite_duration=0)
+    assert store.get("p")["k"]["v"] == 2
+
+
+def test_norewrite_lease_expiry_allows(store):
+    store.create("p", {"id": "k", "v": 1})
+    time.sleep(0.15)
+    store.create("p", {"id": "k", "v": 2}, norewrite=True, norewrite_duration=0.1)
+    assert store.get("p")["k"]["v"] == 2
+
+
+def test_norewrite_generation_ownership_renews(store):
+    # self-renewal within the lease window (server.go:379-382;
+    # client_test.go:319-339)
+    r1 = store.create("p", {"id": "k", "v": 1})
+    for i in range(3):
+        r1 = store.create(
+            "p",
+            {"id": "k", "v": 2 + i},
+            norewrite=True,
+            norewrite_duration=60,
+            generation=r1.generation,
+        )
+    assert store.get("p")["k"]["v"] == 4
+
+
+def test_norewrite_stale_generation_blocked(store):
+    r1 = store.create("p", {"id": "k", "v": 1})
+    store.create("p", {"id": "k2", "v": 0})  # bumps generation
+    with pytest.raises(NoRewriteViolated):
+        store.create(
+            "p",
+            {"id": "k", "v": 9},
+            norewrite=True,
+            norewrite_duration=60,
+            generation=r1.generation,
+        )
+
+
+def test_batch_norewrite_all_or_nothing(store):
+    store.create("p", {"id": "k1", "v": 1})
+    with pytest.raises(NoRewriteViolated):
+        store.create_batch(
+            "p",
+            {"new1": {"v": 1}, "k1": {"v": 9}, "new2": {"v": 2}},
+            norewrite=True,
+            norewrite_duration=60,
+        )
+    # the conflicting batch wrote NOTHING, including its fresh keys
+    assert set(store.get("p")) == {"k1"}
+
+
+# -- races: exactly-one-winner (client_test.go:175-245) ----------------------
+
+
+def test_norewrite_race_single_winner(store):
+    n = 5
+    results: list[object] = [None] * n
+    barrier = threading.Barrier(n)
+
+    def contend(i: int) -> None:
+        barrier.wait()
+        try:
+            store.create(
+                "test/election",
+                {"id": "leader", "writer": i},
+                norewrite=True,
+                norewrite_duration=60,
+            )
+            results[i] = "won"
+        except NoRewriteViolated:
+            results[i] = "lost"
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1
+    assert results.count("lost") == n - 1
+    # surviving value matches the winner
+    winner = results.index("won")
+    assert store.get("test/election")["leader"]["writer"] == winner
+
+
+# -- election protocol (client_test.go:247-318) ------------------------------
+
+
+def test_election_renewal_and_takeover(store):
+    lease = 0.3
+    # primary acquires
+    r = store.create(
+        "e", {"id": "leader", "who": "primary"}, norewrite=True, norewrite_duration=lease
+    )
+    # secondary blocked while the lease is fresh
+    with pytest.raises(NoRewriteViolated):
+        store.create(
+            "e", {"id": "leader", "who": "secondary"}, norewrite=True,
+            norewrite_duration=lease,
+        )
+    # primary renews via generation ownership (still within lease)
+    r = store.create(
+        "e",
+        {"id": "leader", "who": "primary"},
+        norewrite=True,
+        norewrite_duration=lease,
+        generation=r.generation,
+    )
+    # after expiry the secondary takes over
+    time.sleep(lease + 0.05)
+    store.create(
+        "e", {"id": "leader", "who": "secondary"}, norewrite=True,
+        norewrite_duration=lease,
+    )
+    assert store.get("e")["leader"]["who"] == "secondary"
+
+
+# -- generations & maintenance ------------------------------------------------
+
+
+def test_generation_monotonic(store):
+    g1 = store.create("p", {"id": "a"}).generation
+    g2 = store.create("p", {"id": "b"}).generation
+    store.remove("p", "a")
+    g3 = store._latest_manifest("p").generation
+    assert (g1, g2, g3) == (1, 2, 3)
+
+
+def test_vacuum_drops_stale_snapshots(store):
+    for i in range(4):
+        store.create("p", {"id": f"k{i}"})
+    removed = store.vacuum("p")
+    assert removed == 3
+    assert set(store.get("p")) == {"k0", "k1", "k2", "k3"}
+
+
+# -- archive (server.go:550-614) ----------------------------------------------
+
+
+def test_zip_store(store, tmp_path):
+    store.create("landmarks", {"id": "sagrada-familia", "age": 141})
+    store.create("landmarks", {"id": "eiffel-tower", "age": 136})
+    store.create("deep/pot", {"id": "x"})
+    store.create("", {"id": "rooty"})  # root pot IS archived (no suffix filter)
+    bundle = zip_store(store)
+    with tarfile.open(bundle) as tar:
+        names = sorted(tar.getnames())
+        assert names == ["data.json", "deep/pot/data.json", "landmarks/data.json"]
+        lm = json.load(tar.extractfile("landmarks/data.json"))
+    assert set(lm) == {"sagrada-familia", "eiffel-tower"}
+    assert lm["sagrada-familia"]["age"] == 141
+    # re-zip skips the archive dir itself
+    bundle2 = zip_store(store)
+    with tarfile.open(bundle2) as tar:
+        assert not any(n.startswith("archive") for n in tar.getnames())

@@ -1,0 +1,120 @@
+"""Additional analytic operators: statistical aggregates, scalar
+subqueries, ORC format round-trip, HAVING-style post-agg filters."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+@query(
+    "q_stats_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(var_samp(o_totalprice), 2) AS var_price,
+           round(corr(o_totalprice, o_custkey), 6) AS corr_pc,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS covar_pc,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (rounded: the engines' accumulation orders
+    differ; the true values are continuous so boundary hits are measure-
+    zero). min/max on doubles are exact."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pc"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covar_pc"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders
+    )
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter by a scalar aggregate of the same table: the 1-row aggregate
+    is broadcast and the comparison stays deterministic because the mean
+    derives from a decimal-exact sum on both engines."""
+    orders = load(spark, sf_dir, "orders")
+    mean = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(mean))
+        .filter(F.col("o_totalprice") > 1.8 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_linestatus = 'F'
+    GROUP BY l_returnflag
+    """,
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip; oracle computes straight from the
+    source table."""
+    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_orc")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linestatus") == "F")
+    li.select("l_orderkey", "l_returnflag", "l_extendedprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_price"
+        ),
+    )

@@ -1,0 +1,67 @@
+"""KV layer exposed through the oracle-checked contract: a full
+create/upsert/remove pipeline whose final state is independently
+derivable in SQL from the source table — the strongest cross-check the
+DuckDB gate can give a stateful store.
+
+Pipeline (deterministic, rebuilt from scratch in a temp root each run):
+  1. batch-upsert documents with doc_id < 100 (key = str(doc_id));
+  2. upsert docs 50..149 with amended payloads (last-writer-wins);
+  3. remove keys 0..9 (plus one missing key — silent no-op);
+Final pot state == docs 10..149 with 'amended' flag for 50..149.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.kv.store import PotStore
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+
+@query(
+    "q_kv_pipeline",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           doc_id, lang,
+           (doc_id >= 50) AS amended
+    FROM documents
+    WHERE doc_id >= 10 AND doc_id < 150
+    """,
+)
+def q_kv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/merge/remove through PotStore, read back via the typed
+    DataFrame projection."""
+    docs = {
+        str(r["doc_id"]): {"doc_id": r["doc_id"], "lang": r["lang"]}
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") < 150)
+        .collect()
+    }
+    root = tempfile.mkdtemp(prefix="pot_kv_pipeline_")
+    try:
+        store = PotStore(spark, root)
+        store.create_batch(
+            "pipeline",
+            {k: {**v, "amended": False} for k, v in docs.items() if v["doc_id"] < 100},
+        )
+        store.create_batch(
+            "pipeline",
+            {k: {**v, "amended": True} for k, v in docs.items() if v["doc_id"] >= 50},
+        )
+        store.remove("pipeline", *[str(i) for i in range(10)], "missing-key")
+        out = store.get_typed(
+            "pipeline", "doc_id long, lang string, amended boolean"
+        )
+        # materialize before the temp root disappears
+        result = spark.createDataFrame(
+            out.collect(), schema="key string, doc_id long, lang string, amended boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

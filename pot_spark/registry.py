@@ -51,3 +51,5 @@ def load_all_query_modules() -> None:
     import pot_spark.queries.llm_similarity  # noqa: F401
     import pot_spark.queries.streaming_windows  # noqa: F401
     import pot_spark.queries.udfs  # noqa: F401
+    import pot_spark.queries.kv_queries  # noqa: F401
+    import pot_spark.queries.analytics_extra  # noqa: F401

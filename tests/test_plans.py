@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the scale-critical plan shapes must hold
+(pushdown, pruning, broadcast, top-k, bucketed shuffle-free join).
+These are the properties that decide whether a query survives 100x data."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pot_spark import registry
+
+registry.load_all_query_modules()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_scan_project")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_quantity" not in read  # untouched columns never reach the scan
+
+
+def test_filter_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_filter_pred")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(l_quantity,30.0)" in pushed
+    assert "EqualTo(l_returnflag,R)" in pushed
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_multiway_join")
+    assert "BroadcastHashJoin" in p
+    # the fact table must never be the build side of a shuffle join
+    assert "CartesianProduct" not in p
+
+
+def test_top_k_never_global_sorts(spark, sf_dir):
+    for name in ("q_sort_limit", "q_sim_topk"):
+        p = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_groupby_agg")
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # materialize the bucketed tables, then check the join subtree
+    registry.QUERIES["q_bucket_join"](spark, sf_dir).collect()
+    p = _plan(spark, sf_dir, "q_bucket_join")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2  # both sides read bucket layout
+    # in the physical tree, everything printed below the SMJ is its input
+    # subtree: the bucket layout must replace the pre-join shuffle there
+    tree = p.split("== Initial Plan ==")[0]
+    join_inputs = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_inputs
+    # the one remaining shuffle is the post-join aggregation, not the join
+    agg_side = tree.split("SortMergeJoin")[0]
+    assert agg_side.count("Exchange") <= 1
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_asof_join")
+    # union + one window pass: exactly one exchange node in the plan
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Window" in p

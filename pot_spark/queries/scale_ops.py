@@ -1,0 +1,259 @@
+"""Scale-path operators: the physical patterns that keep plans viable at
+100 TB — partition-pruned sinks, skew-salted joins, and IVF-pruned
+similarity search.
+
+Reference parity note: petomalina/pot has no query layer at all (SURVEY.md
+§2-A; readme.md:43 "Pot doesn't support any kind of filtering or
+querying"), so everything here is capability extension built on Spark
+built-ins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pot_spark.registry import query
+from pot_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Partitioned sink + partition-pruned read-back.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + pruned read-back: the table is laid
+    out as one directory per o_orderpriority, so the filter is resolved by
+    the file index (PartitionFilters) — 4/5 of the data is never opened.
+    At 100 TB this is the difference between a metadata operation and a
+    full scan; tests/test_plans.py pins the pruned plan shape."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pot_spark_part_{tag}", "orders")
+    (
+        load(spark, sf_dir, "orders")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    rb = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return rb.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join: identical semantics to the plain join, but the hot key's
+# rows are spread over N_SALT reducers.
+# ---------------------------------------------------------------------------
+
+N_SALT = 8
+
+
+@query(
+    "q_skew_salt_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_skew_salt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed join keys: the big (skew-prone) side gets a
+    deterministic salt in [0, N_SALT); the other side is replicated once
+    per salt value, and the join key becomes (key, salt) — a hot key's
+    rows now land on N_SALT reducers instead of one. Results are provably
+    identical to the unsalted join (each big-side row still matches
+    exactly its key's partners). This is the manual fallback where AQE's
+    skew-join split can't kick in (e.g. skewed build side of a
+    shuffled-hash join)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
+        .withColumn("salt", (F.col("l_linenumber") % N_SALT).cast("int"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+    )
+    joined = li.hint("shuffle_hash").join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search: coarse-quantize (per-label centroids), probe the
+# nprobe nearest cells, exact re-rank inside them. Fully oracle-checked:
+# centroid components go through exact DECIMAL sums so both engines compute
+# bit-identical cell rankings.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_NPROBE = 2
+_TOPK = 5
+
+
+def _as_double(col: str = "embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    comp AS (
+        SELECT label, d,
+               CAST(SUM(CAST(v[d] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+        FROM e, dims GROUP BY label, d
+    ),
+    pc AS (SELECT d, p[d] AS pv FROM probe, dims),
+    score AS (
+        SELECT label,
+               CAST(SUM(CAST(c * pv AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(c * c AS DECIMAL(30,12))) AS DOUBLE) AS cc
+        FROM comp JOIN pc USING (d) GROUP BY label
+    ),
+    top_labels AS (
+        SELECT label FROM score ORDER BY dot / sqrt(cc) DESC, label LIMIT {_NPROBE}
+    )
+    SELECT vec_id, label,
+           round(list_cosine_similarity(v, probe.p), 6) AS cos_sim
+    FROM e, probe
+    WHERE label IN (SELECT label FROM top_labels) AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search: per-label centroids are the coarse
+    quantizer; the probe ranks cells by cosine-to-centroid, scans only the
+    _NPROBE nearest cells and exact-re-ranks inside them. At scale the
+    centroid table is tiny (n_cells rows — always broadcast) and the scan
+    prunes to ~nprobe/n_cells of the vectors; cell assignment happens once
+    at ingest. Centroid components use exact DECIMAL(18,6) sums so the cell
+    ranking is bit-identical across engines (double summation order never
+    matters)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(_as_double().alias("p"))
+
+    # build: per-(label, dim) centroid components via exact decimal sums
+    exploded = emb.select(
+        "label", F.posexplode(_as_double()).alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    comp = exploded.groupBy("label", "d").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+
+    # probe components, broadcast into the (tiny) centroid table
+    pc = probe.select(F.posexplode("p").alias("d0", "pv")).select(
+        (F.col("d0") + 1).alias("d"), "pv"
+    )
+    score = (
+        comp.join(F.broadcast(pc), "d")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("c") * F.col("pv")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("cc"),
+        )
+    )
+    top_labels = (
+        score.select("label", (F.col("dot") / F.sqrt("cc")).alias("s"))
+        .orderBy(F.col("s").desc(), "label")
+        .limit(_NPROBE)
+        .select("label")
+    )
+
+    # search: exact cosine re-rank inside the probed cells only
+    cand = (
+        emb.join(F.broadcast(top_labels), "label")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", _as_double().alias("v"))
+    )
+    scored = cand.join(F.broadcast(probe)).select(
+        "vec_id",
+        "label",
+        F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# First-event dedup: batch twin of the stateful streaming dedup operator
+# (pot_spark.streaming.runner.build_stateful_dedup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           arg_min(ts, event_id) AS first_ts,
+           arg_min(value, event_id) AS first_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def s_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the first event per (user_id, event_type) — the batch
+    evaluation of streaming dedup. The streaming twin is a custom stateful
+    operator (applyInPandasWithState keeping min-event-id state per key,
+    emitting on change); tests/test_streaming.py asserts both agree."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("ts", "event_id").alias("first_ts"),
+        F.min_by("value", "event_id").alias("first_value"),
+    )

@@ -105,10 +105,77 @@ def build_session(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_dedup(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: first-event dedup per (user_id,
+    event_type) via applyInPandasWithState. State per key = the smallest
+    event_id seen with its ts/value; a row is emitted only when the key is
+    new or a smaller event_id arrives, so downstream sees each key's first
+    event exactly once (update semantics). This is the pattern for any
+    bespoke streaming state machine Spark lacks a built-in for — the state
+    store shards by the group key, so it scales horizontally with
+    executors. Batch twin: pot_spark.queries.scale_ops.s_dedup_first."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("first_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        user_id, event_type = key
+        best = state.get if state.exists else None
+        for pdf in pdf_iter:
+            for row in pdf.sort_values("event_id").itertuples(index=False):
+                if best is None or row.event_id < best[0]:
+                    best = (int(row.event_id), row.ts.to_pydatetime(), float(row.value))
+                    break  # batch is sorted: first row is the batch min
+        changed = best is not None and (not state.exists or best[0] < state.get[0])
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "event_type": [event_type],
+                    "first_event_id": [best[0]],
+                    "first_ts": [best[1]],
+                    "first_value": [best[2]],
+                }
+            )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 BUILDERS = {
     "s_tumbling": build_tumbling,
     "s_sliding": build_sliding,
     "s_session": build_session,
+}
+
+# Stateful builders emit in update mode (the memory sink appends each
+# update); with the single-file source every key updates exactly once, so
+# the sink equals the batch result. A multi-batch source would need a
+# foreachBatch upsert sink (PotStore) to collapse re-emissions.
+STATEFUL_BUILDERS = {
+    "s_dedup_first": build_stateful_dedup,
 }
 
 
@@ -119,10 +186,13 @@ def run_streaming_query(
     completion (complete output mode into a memory sink) and return the
     final result as a DataFrame."""
     stream = _event_stream(spark, f"{sf_dir}/events.parquet")
-    plan = BUILDERS[name](stream)
+    if name in STATEFUL_BUILDERS:
+        plan, mode = STATEFUL_BUILDERS[name](stream), "update"
+    else:
+        plan, mode = BUILDERS[name](stream), "complete"
     sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"
     q = (
-        plan.writeStream.outputMode("complete")
+        plan.writeStream.outputMode(mode)
         .format("memory")
         .queryName(sink)
         .start()

@@ -76,3 +76,18 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # union + one window pass: exactly one exchange node in the plan
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Window" in p
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_sink_partitioned")
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "o_orderpriority" in pf  # filter resolved by the file index
+    # the pruned partition column never appears in the parquet ReadSchema
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderpriority" not in read
+
+
+def test_ivf_broadcasts_centroids_and_prunes(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_sim_ivf")
+    assert "BroadcastHashJoin" in p  # cell list + probe are broadcast
+    assert "TakeOrderedAndProject" in p  # re-rank is a top-k, not a sort

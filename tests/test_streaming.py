@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 
 from pot_spark import registry
-from pot_spark.streaming.runner import BUILDERS, run_streaming_query
+from pot_spark.streaming.runner import (
+    BUILDERS,
+    STATEFUL_BUILDERS,
+    run_streaming_query,
+)
 
 registry.load_all_query_modules()
 
@@ -17,7 +21,7 @@ def _sorted_rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", sorted(BUILDERS))
+@pytest.mark.parametrize("name", sorted(BUILDERS) + sorted(STATEFUL_BUILDERS))
 def test_stream_matches_batch(spark, sf_dir, name):
     streamed = run_streaming_query(spark, name, sf_dir)
     batch = registry.QUERIES[name](spark, sf_dir)

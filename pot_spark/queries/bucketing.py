@@ -21,7 +21,7 @@ from pot_spark.tables import load
 N_BUCKETS = 8
 
 
-def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/lineitem bucketed by the join key (idempotent per
     sf_dir)."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -65,7 +65,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two tables bucketed on the join key: both sides scan their
     co-located buckets; the SortMergeJoin runs with zero Exchange."""
-    lt, ot = _bucketed_tables(spark, sf_dir)
+    lt, ot = ensure_bucketed_tables(spark, sf_dir)
     # disable broadcast for this plan so the bucketed SMJ is exercised
     li = spark.table(lt).hint("merge")
     orders = spark.table(ot).hint("merge")

@@ -252,6 +252,43 @@ class PotStore:
             self.generation_cache[path] = manifest.generation
         return self._read_content(manifest, path)
 
+    def _manifest_at(self, path: str, generation: int) -> Optional[_Manifest]:
+        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        target = os.path.join(commits, f"{generation:020d}.json")
+        try:
+            with open(target) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            return None
+        return _Manifest(
+            generation=m["generation"],
+            committed_at=m["committed_at"],
+            snapshot=m["snapshot"],
+            n_keys=m["n_keys"],
+        )
+
+    def get_at(self, path: str, generation: int) -> dict[str, Any]:
+        """Time travel: read the pot as of a past generation (extension
+        beyond the reference, whose GCS generations identify but cannot
+        replay old states). Valid until `vacuum` reclaims the snapshot;
+        missing generation => empty map, mirroring get()'s missing-path
+        semantics."""
+        return self._read_content(self._manifest_at(path, generation), path)
+
+    def list_generations(self, path: str) -> list[tuple[int, float]]:
+        """All retained (generation, committed_at) pairs, oldest first."""
+        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        try:
+            names = sorted(n for n in os.listdir(commits) if n.endswith(".json"))
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            with open(os.path.join(commits, n)) as f:
+                m = json.load(f)
+            out.append((m["generation"], m["committed_at"]))
+        return out
+
     def create(
         self,
         path: str,
@@ -372,10 +409,13 @@ class PotStore:
     def get_typed(self, path: str, schema) -> DataFrame:
         """Typed projection of the documents (the engine's analogue of the
         typed Go client, client.go:14-38): parse the JSON doc column with
-        an explicit schema."""
+        an explicit schema. Timestamp fields parse at microsecond
+        precision, matching the sink-side to_json format
+        (pot_spark.streaming.sink.JSON_TS_OPTIONS)."""
         df = self.get_df(path)
+        opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
         return df.select(
-            "key", F.from_json("doc", schema).alias("d")
+            "key", F.from_json("doc", schema, opts).alias("d")
         ).select("key", "d.*")
 
     def create_df(

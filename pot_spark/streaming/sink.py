@@ -1,0 +1,94 @@
+"""Exactly-once streaming sink into the KV layer.
+
+`foreachBatch` hands each micro-batch to `PotStore.create_df`, whose
+put-if-absent manifest commit is atomic; an epoch ledger (one O_EXCL file
+per epoch under the pot's metadata dir) makes replayed epochs no-ops, so
+the pot observes each epoch's writes exactly once even across restarts.
+This is the engine's answer to the reference's write path (server.go:
+272-407) for streaming producers: the stream continuously upserts keyed
+documents, and readers always see a consistent generation.
+
+Scale notes: the per-epoch work is one keyed merge (left_anti + union) —
+a single shuffle on `key`, or none when the epoch delta is broadcast-
+small. State lives in the pot, not the stream, so the sink restarts
+cheaply from the checkpoint + ledger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pot_spark.kv.store import PotStore
+
+_EPOCHS_DIRNAME = "epochs"
+
+
+def _epoch_ledger_dir(store: PotStore, path: str) -> str:
+    return os.path.join(store._pot_dir(path), _EPOCHS_DIRNAME)
+
+
+def _claim_epoch(store: PotStore, path: str, epoch_id: int) -> bool:
+    """Put-if-absent epoch marker: False means this epoch already
+    committed (a foreachBatch replay after failure) and must be skipped."""
+    ledger = _epoch_ledger_dir(store, path)
+    os.makedirs(ledger, exist_ok=True)
+    target = os.path.join(ledger, f"{epoch_id:020d}")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    os.close(fd)
+    return True
+
+
+# to_json's default format truncates timestamps to milliseconds; pot docs
+# must round-trip losslessly, so both directions use microsecond precision
+# (PotStore.get_typed mirrors this).
+JSON_TS_OPTIONS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def keyed_json(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Project an arbitrary DataFrame to the pot layout [key, doc]: key is
+    the '/'-joined key columns, doc the row as a JSON document — the same
+    row shape the reference stores (server.go:315, 341-343)."""
+    key = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+    return df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*df.columns), JSON_TS_OPTIONS).alias("doc"),
+    )
+
+
+def start_pot_upsert_stream(
+    plan: DataFrame,
+    store: PotStore,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Wire a streaming plan to the pot: every micro-batch is upserted by
+    key under the store's commit protocol. Safe to restart: the source
+    replays from the checkpoint and the epoch ledger drops duplicates.
+
+    Upsert idempotence note: replaying an epoch with identical data would
+    be a semantic no-op even without the ledger (same keys -> same merged
+    state); the ledger additionally skips the write entirely and keeps
+    generation numbers stable across recoveries.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not _claim_epoch(store, path, epoch_id):
+            return
+        store.create_df(path, keyed_json(batch_df, key_cols))
+
+    return (
+        plan.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

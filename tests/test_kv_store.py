@@ -312,3 +312,21 @@ def test_zip_store(store, tmp_path):
     bundle2 = zip_store(store)
     with tarfile.open(bundle2) as tar:
         assert not any(n.startswith("archive") for n in tar.getnames())
+
+
+def test_time_travel_generations(tmp_path):
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(None, str(tmp_path))
+    store.create("t/p", {"id": "a", "v": 1})
+    store.create("t/p", {"id": "b", "v": 2})
+    store.remove("t/p", "a")
+    assert [g for g, _ in store.list_generations("t/p")] == [1, 2, 3]
+    assert set(store.get_at("t/p", 1)) == {"a"}
+    assert set(store.get_at("t/p", 2)) == {"a", "b"}
+    assert set(store.get_at("t/p", 3)) == {"b"}
+    assert store.get("t/p") == store.get_at("t/p", 3)
+    assert store.get_at("t/p", 99) == {}  # missing generation => empty
+    # vacuum keeps only the live snapshot: old generations become empty
+    store.vacuum("t/p")
+    assert store.get_at("t/p", 3) == store.get("t/p")

@@ -53,16 +53,19 @@ _SHINGLES_SQL = """
 
 
 def _mh(j: int) -> Column:
-    """MinHash function j over the exploded shingle column: md5 of the
-    salted shingle, first 8 hex chars as an int."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 8), 16, 10
-    ).cast("bigint")
+    """MinHash function j over the exploded shingle column: lane j%4 (8 hex
+    chars = 32 bits) of the salted md5. One md5 yields 4 independent
+    lanes, so 8 hash functions cost 2 md5 evaluations per shingle (Spark's
+    subexpression elimination shares the md5 across lanes) — hashing is
+    the dominant signature-build cost at corpus scale."""
+    h = F.md5(F.concat(F.lit(f"{j // 4}:"), F.col("shingle")))
+    return F.conv(F.substring(h, (j % 4) * 8 + 1, 8), 16, 10).cast("bigint")
 
 
 def _mh_sql(j: int) -> str:
     return (
-        f"CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8)) AS BIGINT)"
+        f"CAST(('0x' || substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8))"
+        f" AS BIGINT)"
     )
 
 

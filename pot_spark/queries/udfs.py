@@ -77,16 +77,19 @@ def u_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
+        if not len(pdf):
+            continue
         toks = pdf["text"].str.split(" ")
         lens = toks.str.len().to_numpy()
+        # vectorized expansion: no per-token Python loop
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy().repeat(lens),
-                "token": [t for lst in toks for t in lst],
-                "pos": [i for lst in toks for i in range(len(lst))],
+                "pos": np.concatenate([np.arange(n, dtype=np.int32) for n in lens]),
+                "token": np.concatenate(toks.to_numpy()),
             }
         )
-        yield out[["doc_id", "pos", "token"]]
+        yield out
 
 
 @query(

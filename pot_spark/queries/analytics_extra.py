@@ -118,3 +118,28 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). At 100 TB exact
+    percentiles need a full sort per group — the scale path swaps in
+    approx_percentile (t-digest sketch, mergeable map-side) when a bounded
+    error is acceptable; see q_approx_cd for the sketch-check pattern."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )

@@ -367,3 +367,62 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+_SIMHASH_BANDS = 4  # 16 bits -> 4 bands x 4 bits; hamming <= 3 guarantees
+#                     at least one identical band (pigeonhole), so banding
+#                     loses no qualifying pair
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sim AS ({_simhash_sql()}),
+    bands AS (
+        SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS bv
+        FROM sim, (SELECT unnest([0, 1, 2, 3]) AS bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                        b.doc_id AS doc_b, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= 3, blocked by 4-bit
+    bands: a pair within distance 3 differs in at most 3 of the 4 bands,
+    so it must collide on at least one — the band join enumerates only
+    colliding pairs, never the n^2 cross product. At scale the band keys
+    are computed at ingest and the join is one shuffle on (band, value)."""
+    sim = q_dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(_SIMHASH_BANDS)])).alias("bi"),
+    ).withColumn("bv", F.expr("shiftright(simhash, bi * 4)").bitwiseAND(15))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

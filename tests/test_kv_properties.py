@@ -1,0 +1,69 @@
+"""Property-based check of pot semantics: any sequence of upserts/removes
+must leave the store equal to a plain dict replaying the reference's
+rules (last-writer-wins per key, id-over-name derivation, silent remove,
+server.go:272-407, 494-548), and every historical generation must be
+replayable via time travel."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pot_spark.kv.store import PotStore, derive_key
+
+_KEYS = ["a", "b", "c", "d"]
+
+_doc = st.fixed_dictionaries(
+    {},
+    optional={
+        "name": st.sampled_from(_KEYS),
+        "id": st.sampled_from(_KEYS),
+        "v": st.integers(min_value=0, max_value=9),
+        "nested": st.fixed_dictionaries({"x": st.lists(st.integers(0, 3), max_size=2)}),
+    },
+)
+
+_op = st.one_of(
+    st.tuples(st.just("create"), _doc),
+    st.tuples(
+        st.just("create_batch"),
+        st.dictionaries(st.sampled_from(_KEYS), _doc, max_size=3),
+    ),
+    st.tuples(st.just("remove"), st.lists(st.sampled_from(_KEYS + ["zz"]), max_size=2)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ops=st.lists(_op, max_size=12))
+def test_store_matches_dict_model(ops):
+    root = tempfile.mkdtemp(prefix="pot_prop_")
+    try:
+        store = PotStore(None, root)
+        model: dict = {}
+        history = []  # (generation, state) after each mutation
+        gen = 0
+        for kind, arg in ops:
+            if kind == "create":
+                resp = store.create("p/q", arg)
+                model[derive_key(arg)] = arg
+                assert resp.generation == gen + 1
+                gen = resp.generation
+            elif kind == "create_batch":
+                resp = store.create_batch("p/q", arg)
+                model.update(arg)
+                gen = resp.generation
+            else:
+                store.remove("p/q", *arg)
+                for k in arg:
+                    model.pop(k, None)
+                gen += 1
+            assert store.get("p/q") == model
+            history.append((gen, dict(model)))
+        # time travel reproduces every intermediate state
+        for g, state in history:
+            assert store.get_at("p/q", g) == state
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

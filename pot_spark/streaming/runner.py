@@ -164,10 +164,50 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stream_stream_join(stream: DataFrame) -> DataFrame:
+    """Stream-stream self-join: purchases matched to signups of the same
+    user within 1h — the streaming twin of the batch q_theta_range_join
+    (same predicate, same output columns). Watermarks on both sides plus
+    the event-time bound let Spark evict join state: a signup older than
+    watermark + 1h can never match again and is dropped. State is sharded
+    by user_id, so it scales with executors like any keyed state."""
+    s = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select("signup_id", "purchase_id", F.col("s_user").alias("user_id"))
+
+
 BUILDERS = {
     "s_tumbling": build_tumbling,
     "s_sliding": build_sliding,
     "s_session": build_session,
+}
+
+# Append-mode builders (stream-stream joins can't run in complete mode);
+# each maps to the name of its batch twin in the registry.
+APPEND_BUILDERS = {
+    "q_theta_range_join": build_stream_stream_join,
 }
 
 # Stateful builders emit in update mode (the memory sink appends each
@@ -188,6 +228,8 @@ def run_streaming_query(
     stream = _event_stream(spark, f"{sf_dir}/events.parquet")
     if name in STATEFUL_BUILDERS:
         plan, mode = STATEFUL_BUILDERS[name](stream), "update"
+    elif name in APPEND_BUILDERS:
+        plan, mode = APPEND_BUILDERS[name](stream), "append"
     else:
         plan, mode = BUILDERS[name](stream), "complete"
     sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"

@@ -8,6 +8,7 @@ import pytest
 
 from pot_spark import registry
 from pot_spark.streaming.runner import (
+    APPEND_BUILDERS,
     BUILDERS,
     STATEFUL_BUILDERS,
     run_streaming_query,
@@ -21,7 +22,9 @@ def _sorted_rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", sorted(BUILDERS) + sorted(STATEFUL_BUILDERS))
+@pytest.mark.parametrize(
+    "name", sorted(BUILDERS) + sorted(STATEFUL_BUILDERS) + sorted(APPEND_BUILDERS)
+)
 def test_stream_matches_batch(spark, sf_dir, name):
     streamed = run_streaming_query(spark, name, sf_dir)
     batch = registry.QUERIES[name](spark, sf_dir)

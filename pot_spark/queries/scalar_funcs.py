@@ -255,3 +255,43 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(CAST(o.n_orders AS BIGINT), 0) AS n_orders,
+           round(coalesce(o.total, 0.0), 2) AS total_spent,
+           CASE WHEN o.total IS NULL THEN 'never-ordered'
+                ELSE 'customer' END AS status,
+           nullif(c.c_mktsegment, 'BUILDING') AS seg_or_null
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars (coalesce / nullif / IS NULL banding) over
+    the null-bearing side of an outer join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    j = cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders").cast("bigint"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total_spent"),
+        F.when(F.col("total").isNull(), "never-ordered")
+        .otherwise("customer")
+        .alias("status"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+    )

@@ -120,3 +120,36 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_bal).cast("bigint").alias("bal_quartile"),
         F.dense_rank().over(w_seg).cast("bigint").alias("seg_rank"),
     )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(first_value(c_acctbal) OVER w, 2) AS seg_min_bal,
+           round(nth_value(c_acctbal, 2) OVER w, 2) AS seg_2nd_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + positional window functions (percent_rank,
+    cume_dist, first_value, nth_value) per market segment with a unique
+    tie-breaker in the ordering so both engines rank identically. The
+    ranking functions ignore the frame (whole-partition by definition);
+    the positional ones use an explicit unbounded frame on both sides."""
+    wr = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(wr), 6).alias("pr"),
+        F.round(F.cume_dist().over(wr), 6).alias("cd"),
+        F.round(F.first_value("c_acctbal").over(wf), 2).alias("seg_min_bal"),
+        F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("seg_2nd_bal"),
+    )

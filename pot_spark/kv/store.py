@@ -83,6 +83,27 @@ class CreateResponse:
 
 
 @dataclass
+class StoreMetrics:
+    """The reference's observability surface (server.go:64-81, 104-168):
+    pot_writes/reads/lists/removes counters plus the local-lock wait
+    histogram, reduced to its mean. On a cluster these would feed a
+    SparkListener/metrics sink; the counters themselves are the contract."""
+
+    writes: int = 0
+    reads: int = 0
+    lists: int = 0
+    removes: int = 0
+    lock_wait_s: float = 0.0
+    lock_acquisitions: int = 0
+
+    @property
+    def avg_local_lock_duration_ms(self) -> float:
+        if not self.lock_acquisitions:
+            return 0.0
+        return self.lock_wait_s / self.lock_acquisitions * 1000.0
+
+
+@dataclass
 class _Manifest:
     generation: int
     committed_at: float
@@ -114,6 +135,7 @@ class PotStore:
         os.makedirs(self.root, exist_ok=True)
         self._locks: dict[str, threading.RLock] = {}
         self._locks_guard = threading.Lock()
+        self.metrics = StoreMetrics()
         # per-path last-read generation cache, like the typed client's
         # (client.go:148-152); used by callers for lease renewal.
         self.generation_cache: dict[str, int] = {}
@@ -247,6 +269,7 @@ class PotStore:
 
     def get(self, path: str) -> dict[str, Any]:
         """Read-all at path; missing pot => empty map (server.go:468-491)."""
+        self.metrics.reads += 1
         manifest = self._latest_manifest(path)
         if manifest is not None:
             self.generation_cache[path] = manifest.generation
@@ -329,11 +352,13 @@ class PotStore:
     def remove(self, path: str, *keys: str) -> None:
         """Delete keys; missing keys are silent no-ops; writes the pot even
         if it didn't exist (server.go:494-548)."""
+        self.metrics.removes += 1
         self._mutate(path, {}, remove_keys=keys)
 
     def list_paths(self, subdir: str = "") -> list[str]:
         """Raw string-prefix listing of pot paths; a root-level pot is
         never listed (server.go:432-466)."""
+        self.metrics.lists += 1
         found = []
         for dirpath, dirnames, _ in os.walk(self.root):
             if _POT_DIRNAME in dirnames:
@@ -360,7 +385,11 @@ class PotStore:
         last_known_generation: int = 0,
     ) -> CreateResponse:
         lock = self._local_lock(path)
+        t_lock = time.perf_counter()
         with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            self.metrics.writes += 1
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 content = self._read_content(manifest, path)
@@ -436,7 +465,11 @@ class PotStore:
         the metadata-scale convenience path with identical layout."""
         assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
         lock = self._local_lock(path)
+        t_lock = time.perf_counter()
         with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            self.metrics.writes += 1
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 if norewrite and manifest is not None:

@@ -170,3 +170,70 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.select(
         "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube: per-status,
+    per-priority, and grand total only) with grouping() flags so total
+    rows are distinguishable from genuine NULL group keys. Plans as one
+    Expand + single aggregation shuffle — N sets never mean N scans."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the top-2 customers by balance for
+    each nation. Catalyst decorrelates this into a window top-k over one
+    join — no per-row re-execution of the subquery."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lt")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation_lt n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer_lt c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """
+    )

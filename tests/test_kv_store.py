@@ -330,3 +330,22 @@ def test_time_travel_generations(tmp_path):
     # vacuum keeps only the live snapshot: old generations become empty
     store.vacuum("t/p")
     assert store.get_at("t/p", 3) == store.get("t/p")
+
+
+def test_store_metrics_counters(tmp_path):
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(None, str(tmp_path))
+    store.create("m/p", {"id": "a"})
+    store.create_batch("m/p", {"b": {"v": 1}, "c": {"v": 2}})
+    store.get("m/p")
+    store.get("m/p")
+    store.remove("m/p", "a")
+    store.list_paths()
+    m = store.metrics
+    assert m.writes == 3  # create + batch + the remove's rewrite
+    assert m.reads == 2
+    assert m.removes == 1
+    assert m.lists == 1
+    assert m.lock_acquisitions == 3
+    assert m.avg_local_lock_duration_ms >= 0.0

@@ -109,6 +109,10 @@ class _Manifest:
     committed_at: float
     snapshot: str
     n_keys: int
+    # bucketed layout: {bucket_id: dir relative to the pot dir}; buckets
+    # untouched by a commit keep pointing at earlier snapshots' files
+    # (Delta-style file reuse -> O(delta) mutations, not O(table))
+    files: Optional[dict[str, str]] = None
 
 
 def derive_key(doc: dict[str, Any]) -> str:
@@ -173,6 +177,7 @@ class PotStore:
             committed_at=m["committed_at"],
             snapshot=m["snapshot"],
             n_keys=m["n_keys"],
+            files=m.get("files"),
         )
 
     def _try_commit(self, path: str, manifest: _Manifest) -> bool:
@@ -186,15 +191,15 @@ class PotStore:
         except FileExistsError:
             return False
         with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "generation": manifest.generation,
-                    "committed_at": manifest.committed_at,
-                    "snapshot": manifest.snapshot,
-                    "n_keys": manifest.n_keys,
-                },
-                f,
-            )
+            record = {
+                "generation": manifest.generation,
+                "committed_at": manifest.committed_at,
+                "snapshot": manifest.snapshot,
+                "n_keys": manifest.n_keys,
+            }
+            if manifest.files is not None:
+                record["files"] = manifest.files
+            json.dump(record, f)
         return True
 
     # -- snapshot I/O (pyarrow fast path; layout identical to Spark's) ------
@@ -202,9 +207,26 @@ class PotStore:
     def _snapshot_path(self, path: str, name: str) -> str:
         return os.path.join(self._pot_dir(path), name)
 
+    def _parquet_parts(self, d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+
     def _read_content(self, manifest: Optional[_Manifest], path: str) -> dict[str, Any]:
         if manifest is None:
             return {}
+        if manifest.files is not None:
+            parts: list[str] = []
+            for rel in manifest.files.values():
+                parts.extend(self._parquet_parts(self._snapshot_path(path, rel)))
+            table = (
+                pa.concat_tables([pq.read_table(p, schema=_ARROW_SCHEMA) for p in parts])
+                if parts
+                else _ARROW_SCHEMA.empty_table()
+            )
+            keys = table.column("key").to_pylist()
+            docs = table.column("doc").to_pylist()
+            return {k: json.loads(d) for k, d in zip(keys, docs)}
         snap = self._snapshot_path(path, manifest.snapshot)
         if os.path.isdir(snap):
             # Spark snapshots carry _SUCCESS markers; read only the parts
@@ -288,6 +310,7 @@ class PotStore:
             committed_at=m["committed_at"],
             snapshot=m["snapshot"],
             n_keys=m["n_keys"],
+            files=m.get("files"),
         )
 
     def get_at(self, path: str, generation: int) -> dict[str, Any]:
@@ -432,6 +455,9 @@ class PotStore:
         manifest = self._latest_manifest(path)
         if manifest is None:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA)
+        if manifest.files is not None:
+            dirs = [self._snapshot_path(path, rel) for rel in manifest.files.values()]
+            return self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
         snap = self._snapshot_path(path, manifest.snapshot)
         return self.spark.read.schema(DOC_SCHEMA).parquet(snap)
 
@@ -503,6 +529,96 @@ class PotStore:
                 shutil.rmtree(snap_dir, ignore_errors=True)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
 
+    def create_df_bucketed(
+        self, path: str, new_df: DataFrame, *, n_buckets: int = 16
+    ) -> int:
+        """O(delta) bulk upsert: keys hash into n_buckets fixed buckets;
+        only buckets containing changed keys are merged and rewritten,
+        every other bucket's files are carried into the new manifest
+        untouched (Delta-style file reuse). Mutation cost is
+        O(delta + affected-bucket bytes) instead of O(table) — at 100 TB
+        with 10^5 buckets, a 1 GB delta rewrites ~1/10^5 of the table.
+
+        The commit remains the same put-if-absent manifest; readers of
+        any generation see a consistent bucket set. A pot previously
+        written unbucketed (or with a different n_buckets) is fully
+        re-bucketed on its first bucketed commit.
+        """
+        assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        bucket_of = F.pmod(F.hash("key"), F.lit(n_buckets)).cast("int")
+        lock = self._local_lock(path)
+        t_lock = time.perf_counter()
+        with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            self.metrics.writes += 1
+            for _ in range(_MAX_COMMIT_RETRIES):
+                manifest = self._latest_manifest(path)
+                prev = (
+                    manifest.files
+                    if manifest is not None
+                    and manifest.files is not None
+                    and len(manifest.files) == n_buckets
+                    else None
+                )
+                delta = new_df.withColumn("__b", bucket_of)
+                if prev is None:
+                    # first bucketed commit (or layout change): re-bucket all
+                    affected = list(range(n_buckets))
+                    old = self.get_df(path) if manifest is not None else None
+                else:
+                    affected = sorted(
+                        r["__b"] for r in delta.select("__b").distinct().collect()
+                    )
+                    dirs = [
+                        self._snapshot_path(path, prev[str(b)]) for b in affected
+                    ]
+                    old = (
+                        self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
+                        if dirs
+                        else None
+                    )
+                merged = delta.select("key", "doc", "__b")
+                if old is not None:
+                    merged = (
+                        old.join(new_df, "key", "left_anti")
+                        .withColumn("__b", bucket_of)
+                        .unionByName(merged)
+                    )
+                next_gen = (manifest.generation if manifest else 0) + 1
+                name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
+                snap_dir = self._snapshot_path(path, name)
+                merged.write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                files = {
+                    str(b): (
+                        f"{name}/__b={b}"
+                        if b in affected
+                        and os.path.isdir(os.path.join(snap_dir, f"__b={b}"))
+                        else (prev or {}).get(str(b), f"{name}/__b={b}")
+                    )
+                    for b in range(n_buckets)
+                }
+                # an affected bucket can end up empty (all its keys were
+                # new-key-free and anti-joined away is impossible here, but
+                # an empty delta bucket after re-bucket-all is): give it an
+                # empty dir so readers never dangle
+                for b in range(n_buckets):
+                    d = self._snapshot_path(path, files[str(b)])
+                    if not os.path.isdir(d):
+                        os.makedirs(d, exist_ok=True)
+                committed = _Manifest(
+                    generation=next_gen,
+                    committed_at=time.time(),
+                    snapshot=name,
+                    n_keys=-1,
+                    files=files,
+                )
+                if self._try_commit(path, committed):
+                    self.generation_cache[path] = next_gen
+                    return next_gen
+                shutil.rmtree(snap_dir, ignore_errors=True)
+        raise CommitConflict(f"commit contention on {path!r} exceeded retries")
+
     # -- maintenance ---------------------------------------------------------
 
     def vacuum(self, path: str) -> int:
@@ -512,9 +628,13 @@ class PotStore:
         pot_dir = self._pot_dir(path)
         if manifest is None or not os.path.isdir(pot_dir):
             return 0
+        live = {manifest.snapshot}
+        if manifest.files is not None:
+            # bucket paths look like "<snapdir>/__b=<k>"; keep the snapdirs
+            live.update(rel.split("/", 1)[0] for rel in manifest.files.values())
         removed = 0
         for name in os.listdir(pot_dir):
-            if name.startswith("snap-") and name != manifest.snapshot:
+            if name.startswith("snap-") and name not in live:
                 shutil.rmtree(os.path.join(pot_dir, name), ignore_errors=True)
                 removed += 1
         return removed

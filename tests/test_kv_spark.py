@@ -83,3 +83,46 @@ def test_typed_nested_projection(spark, store):
     assert row["age"] == 10
     assert row["path"] == ["test", "path"]
     assert [n["name"] for n in row["NiceThings"]] == ["test", "test2"]
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """O(delta) path: a small delta must reuse every untouched bucket's
+    files from the previous snapshot and produce identical content to a
+    dict-model merge."""
+    import json as _json
+
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(spark, str(tmp_path))
+    n = 8
+
+    def keyed(rows):
+        return spark.createDataFrame(
+            [(k, _json.dumps({"v": v})) for k, v in rows], "key string, doc string"
+        )
+
+    base = [(f"k{i}", i) for i in range(100)]
+    g1 = store.create_df_bucketed("b/p", keyed(base), n_buckets=n)
+    m1 = store._latest_manifest("b/p")
+    assert g1 == 1 and m1.files is not None and len(m1.files) == n
+
+    delta = [("k3", 300), ("knew", 1000)]
+    g2 = store.create_df_bucketed("b/p", keyed(delta), n_buckets=n)
+    m2 = store._latest_manifest("b/p")
+    assert g2 == 2
+
+    reused = [b for b in map(str, range(n)) if m2.files[b] == m1.files[b]]
+    rewritten = [b for b in map(str, range(n)) if m2.files[b] != m1.files[b]]
+    assert len(rewritten) <= 2  # at most one bucket per delta key
+    assert len(reused) >= n - 2  # everything else carried over untouched
+
+    model = {k: {"v": v} for k, v in base}
+    model.update({k: {"v": v} for k, v in delta})
+    assert store.get("b/p") == model
+    assert store.get_df("b/p").count() == len(model)
+
+    # vacuum must keep the gen-1 snapshot (its files are still referenced)
+    store.vacuum("b/p")
+    assert store.get("b/p") == model
+    # and time travel to gen 1 still reads the original state
+    assert store.get_at("b/p", 1) == {k: {"v": v} for k, v in base}

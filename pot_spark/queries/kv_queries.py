@@ -65,3 +65,51 @@ def q_kv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@query(
+    "q_kv_bucketed",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           doc_id, lang,
+           (doc_id % 7 = 0) AS touched
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_kv_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(delta) bucketed upsert path, oracle-checked: bulk-load 200
+    docs through create_df_bucketed, then upsert the doc_id % 7 == 0
+    subset with a 'touched' flag — only the buckets holding those keys
+    are rewritten (manifest file reuse), and the merged read-back must
+    equal the SQL replay."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def keyed(df: DataFrame, touched_expr) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct(
+                    "doc_id", "lang", touched_expr.alias("touched")
+                )
+            ).alias("doc"),
+        )
+
+    root = tempfile.mkdtemp(prefix="pot_kv_bucketed_")
+    try:
+        store = PotStore(spark, root)
+        store.create_df_bucketed("bkt", keyed(docs, F.lit(False)), n_buckets=8)
+        delta = docs.filter(F.col("doc_id") % 7 == 0)
+        store.create_df_bucketed("bkt", keyed(delta, F.lit(True)), n_buckets=8)
+        out = store.get_typed("bkt", "doc_id long, lang string, touched boolean")
+        result = spark.createDataFrame(
+            out.collect(),
+            schema="key string, doc_id long, lang string, touched boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

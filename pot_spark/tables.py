@@ -28,6 +28,9 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table: {name!r}")
+    # oracle comparisons treat timestamps as UTC-naive; pin the session
+    # timezone here so queries stay correct in any caller-built session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -219,13 +219,25 @@ _NEAR_PAIRS_SQL = f"""
 @query("q_dedup_near", oracle=_NEAR_PAIRS_SQL)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
-    Jaccard >= 0.5 for verification. The shingle table is cached and the
-    (tiny) candidate-pair set is broadcast into the verify join, so
-    verification touches candidate pairs only — never all pairs."""
+    Jaccard >= 0.5 for verification; the candidate-pair set is broadcast
+    into the verify join, so verification touches candidate pairs only —
+    never all pairs. Both verify inputs are pre-restricted to candidate
+    docs before any shuffle: that costs ~1s of lost pipeline overlap at
+    sf0.1 (the checkpoint barrier) but means the verify shuffle scales
+    with candidates, not the corpus — at 10^12 shingle rows the
+    unrestricted join would shuffle the whole shingle table."""
     sh = _shingle_df(spark, sf_dir)
-    pairs = _band_pairs(spark, sf_dir, sh)  # carries na/nb set sizes
+    # the candidate-pair set is tiny (hundreds of rows) but its subtree is
+    # the whole signature+banding pipeline: materialize it once so the two
+    # broadcasts below don't each re-run the pipeline
+    pairs = _band_pairs(spark, sf_dir, sh).localCheckpoint(eager=True)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # restrict the b side to candidate docs BEFORE the shuffle join: the
+    # broadcast semi probe turns "shuffle the whole shingle table" into
+    # "shuffle only candidate docs' shingles" (candidates ≪ corpus)
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").join(
+        F.broadcast(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
+    )
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
         .join(sb, ["doc_b", "shingle"])

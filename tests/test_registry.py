@@ -1,0 +1,50 @@
+"""Registry contract guards: every registered query must carry a DuckDB
+oracle unless it is on the documented rows-only list, and the Spark and
+oracle column names must agree (the driver sorts columns by name before
+hashing, so a naming drift fails the gate even with identical values).
+Schema-level only — no query execution — so the whole sweep stays fast."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pot_spark import registry
+from pot_spark.tables import TABLE_NAMES
+
+registry.load_all_query_modules()
+
+# approximate, algorithmic-pruning, or stubbed-decode operators: the
+# driver records a weaker rows-only check for these by design
+ROWS_ONLY = {
+    "q_approx_cd",
+    "q_sim_ann_lsh",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+}
+
+
+def test_every_query_has_oracle_or_is_declared_rows_only():
+    missing = set(registry.QUERIES) - set(registry.ORACLES) - ROWS_ONLY
+    assert not missing, f"queries without oracle nor rows-only declaration: {missing}"
+    stale = ROWS_ONLY - set(registry.QUERIES)
+    assert not stale, f"rows-only entries for unregistered queries: {stale}"
+    assert not ROWS_ONLY & set(registry.ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_columns_match_oracle(spark, sf_dir, duck, name):
+    spark_cols = sorted(registry.QUERIES[name](spark, sf_dir).columns)
+    oracle_cols = sorted(
+        d[0] for d in duck.execute(f"DESCRIBE ({registry.ORACLES[name]})").fetchall()
+    )
+    assert spark_cols == oracle_cols

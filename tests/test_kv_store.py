@@ -349,3 +349,31 @@ def test_store_metrics_counters(tmp_path):
     assert m.lists == 1
     assert m.lock_acquisitions == 3
     assert m.avg_local_lock_duration_ms >= 0.0
+
+
+def test_orphan_staged_snapshot_is_harmless_and_vacuumed(tmp_path):
+    """Crash recovery: a writer that staged a snapshot but died before the
+    manifest commit leaves an orphan dir — readers never see it, the next
+    writer is unaffected, and vacuum reclaims it."""
+    import os
+
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(None, str(tmp_path))
+    store.create("c/p", {"id": "a", "v": 1})
+
+    # simulate the crash: stage a snapshot for gen 2, write NO manifest
+    orphan = store._snapshot_path("c/p", "snap-00000000000000000002-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+
+    assert store.get("c/p") == {"a": {"id": "a", "v": 1}}  # reader unaffected
+    resp = store.create("c/p", {"id": "b"})  # next writer commits gen 2 fine
+    assert resp.generation == 2
+    assert set(store.get("c/p")) == {"a", "b"}
+
+    removed = store.vacuum("c/p")
+    assert removed >= 1
+    assert not os.path.isdir(orphan)
+    assert set(store.get("c/p")) == {"a", "b"}

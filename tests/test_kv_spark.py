@@ -126,3 +126,31 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     assert store.get("b/p") == model
     # and time travel to gen 1 still reads the original state
     assert store.get_at("b/p", 1) == {k: {"v": v} for k, v in base}
+
+
+def test_concurrent_create_df_writers_all_commit(spark, tmp_path):
+    """OCC on the Spark data plane: 4 threads bulk-upsert disjoint key
+    sets into one pot concurrently; losers of the put-if-absent race must
+    retry on fresh state, so every delta lands and generations are dense."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(spark, str(tmp_path))
+
+    def writer(i):
+        df = spark.createDataFrame(
+            [(f"w{i}-k{j}", _json.dumps({"w": i, "j": j})) for j in range(5)],
+            "key string, doc string",
+        )
+        return store.create_df("race/p", df)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        gens = sorted(ex.map(writer, range(4)))
+
+    # local-lock serializes in-process writers, so generations are 1..4
+    assert gens == [1, 2, 3, 4]
+    content = store.get("race/p")
+    assert len(content) == 20
+    assert {k for k in content} == {f"w{i}-k{j}" for i in range(4) for j in range(5)}

@@ -266,3 +266,58 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _frame_sample_batches, schema="doc_id long, frame_idx int, frame_mean double"
     )
+
+
+def _token_count_arrow(it):
+    """mapInArrow: pyarrow.compute only — no pandas materialization, no
+    per-row Python. The C++ kernels split and count in one pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pc.cast(pc.list_value_length(toks), pa.int32())],
+            ["doc_id", "n_tokens"],
+        )
+
+
+@query(
+    "u_map_in_arrow",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native table function (mapInArrow): token counts computed by
+    pyarrow.compute kernels directly on the Arrow batches Spark already
+    ships — one less conversion than a Pandas UDF, zero Python-object
+    churn. Partition-parallel, no shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_token_count_arrow, schema="doc_id long, n_tokens int")
+
+
+@query("q_hll_sketch")  # sketch bytes are engine-specific -> rows-only check;
+#                         tests/test_sketches.py bounds the estimate error
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketches: per-priority
+    partial sketches merged to a global estimate — the pattern that lets
+    10^6 partitions compute a distinct count with map-side-combined
+    sketch bytes instead of shuffling raw keys. The per-group estimates
+    and the merged-global estimate come from the same sketch column."""
+    orders = load(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_rows",
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+    ).select(F.lit("__all__").alias("o_orderpriority"), "approx_customers",
+             F.lit(-1).cast("long").alias("n_rows"))
+    return per_group.unionByName(merged)

@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_multimodal_frames",
+    "q_hll_sketch",
 }
 
 

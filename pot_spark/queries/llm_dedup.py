@@ -227,19 +227,17 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     with candidates, not the corpus — at 10^12 shingle rows the
     unrestricted join would shuffle the whole shingle table."""
     sh = _shingle_df(spark, sf_dir)
-    # the candidate-pair set is tiny (hundreds of rows) but its subtree is
-    # the whole signature+banding pipeline: materialize it once so the two
-    # broadcasts below don't each re-run the pipeline
-    pairs = _band_pairs(spark, sf_dir, sh).localCheckpoint(eager=True)
+    pairs = _band_pairs(spark, sf_dir, sh)  # carries na/nb set sizes
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    # restrict the b side to candidate docs BEFORE the shuffle join: the
-    # broadcast semi probe turns "shuffle the whole shingle table" into
-    # "shuffle only candidate docs' shingles" (candidates ≪ corpus)
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").join(
-        F.broadcast(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
-    )
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidate-side shingles (sa ⋈ broadcast pairs) are small — broadcast
+    # them into the intersection join so the full shingle table on the b
+    # side is STREAMED, never shuffled, and the banding subtree runs once.
+    # (If candidates ever outgrow broadcast range, swap to a semi-join
+    # pre-restriction of sb — shuffle-of-candidates instead of zero.)
+    cand_a = sa.join(F.broadcast(pairs), "doc_a")
     inter = (
-        sa.join(F.broadcast(pairs), "doc_a")
+        F.broadcast(cand_a)
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("i"))

@@ -91,3 +91,21 @@ def test_ivf_broadcasts_centroids_and_prunes(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_sim_ivf")
     assert "BroadcastHashJoin" in p  # cell list + probe are broadcast
     assert "TakeOrderedAndProject" in p  # re-rank is a top-k, not a sort
+
+
+def test_near_dup_never_shuffles_a_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_dedup_near")
+    # every join broadcasts (pairs + candidate shingles); the shingle
+    # table is only ever streamed — no sort-merge/shuffled-hash join may
+    # appear, and the only exchanges are aggregation boundaries
+    assert not re.findall(r"\(\d+\) SortMergeJoin", p)
+    assert not re.findall(r"\(\d+\) ShuffledHashJoin", p)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
+def test_salt_join_uses_shuffled_hash_not_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_skew_salt_join")
+    # the salting demo must exercise the shuffled-hash path it exists for
+    assert re.findall(r"\(\d+\) ShuffledHashJoin", p)
+    assert not re.findall(r"\(\d+\) BroadcastHashJoin", p)

@@ -511,3 +511,39 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("a").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
+
+
+@query(
+    "q_edit_distance",
+    oracle=f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    t AS (SELECT doc_id, substr(text, 1, 80) AS head FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(ta.head, tb.head) AS INTEGER) AS edit_dist
+    FROM pairs p
+    JOIN t ta ON ta.doc_id = p.doc_a
+    JOIN t tb ON tb.doc_id = p.doc_b
+    WHERE levenshtein(ta.head, tb.head) <= 20
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over the LSH candidate pairs: an
+    alternative (order-sensitive) fuzzy-dup metric to shingle Jaccard,
+    computed on 80-char prefixes. Levenshtein is O(len^2) per pair — the
+    banding pre-filter is what keeps it off the n^2 corpus; the prefix
+    cap bounds the per-pair cost."""
+    sh = _shingle_df(spark, sf_dir)
+    pairs = _band_pairs(spark, sf_dir, sh).select("doc_a", "doc_b")
+    heads = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    ha = heads.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
+    hb = heads.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        F.broadcast(pairs)
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(dist <= 20)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
+    )

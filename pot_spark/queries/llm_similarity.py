@@ -160,3 +160,56 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "d")
         .agg(F.round(F.sum("x") / F.count("*"), 6).alias("centroid_val"))
     )
+
+
+@query(
+    "q_sim_topk_batch",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT probes.probe_id, e.vec_id,
+               round(list_cosine_similarity(e.v, probes.p), 6) AS cos_sim
+        FROM e, probes
+        WHERE e.vec_id <> probes.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim
+    FROM (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-5 cosine neighbors for EACH of 10
+    probe vectors in one pass — the probe batch is broadcast, the vector
+    table is scanned once (probes x vectors scored in-line), and the
+    per-probe top-k is a window partitioned by probe. At scale this is
+    the shape of 'embed a query batch, retrieve for all of them': one
+    scan amortized over the whole batch instead of k scans."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("p")
+    )
+    scored = (
+        emb.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "cos_sim")
+    )

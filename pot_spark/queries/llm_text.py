@@ -228,3 +228,32 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(reps.select("doc_id"), "doc_id", "left_semi").filter(
         (F.col("quality") >= 0.55) & (F.col("pred_lang") != "unknown")
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')), ' ')) AS INTEGER) AS norm_tokens
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical cleaning pass before hashing /
+    shingling, as pure JVM regex expressions (one scan, zero Python)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("norm_tokens"),
+    )

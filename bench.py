@@ -65,7 +65,14 @@ def main() -> None:
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
         # u_udf_scalar also forks the Python/Arrow worker pool once, so
         # Pandas-UDF queries don't pay worker startup in the timed section
-        for wq in ("q_multiway_join", "q_groupby_agg", "q_window_rank", "u_udf_scalar"):
+        for wq in (
+            "q_multiway_join",
+            "q_groupby_agg",
+            "q_window_rank",
+            "u_udf_scalar",
+            "q_dedup_near",  # JITs the shingle/banding codegen stages
+            "q_sim_ivf",
+        ):
             registry.QUERIES[wq](spark, warm_sf).write.format("noop").mode(
                 "overwrite"
             ).save()

@@ -135,3 +135,57 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert t in starts                       # 12:00 window present
     assert t.replace(minute=30) in starts    # late-but-in-window kept
     assert t.replace(hour=9) not in starts   # beyond watermark: dropped
+
+
+def test_streaming_signature_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental corpus ingest: documents stream in over 3 epochs, each
+    batch computes minhash signatures (stateless per-doc expressions, so
+    the streaming plan is the batch plan) and upserts them into a pot via
+    the exactly-once sink. Final pot contents must equal the batch
+    q_dedup_minhash_sig result — signatures computed at ingest never need
+    recomputation at query time."""
+    from pot_spark.kv.store import PotStore
+    from pot_spark.queries.llm_dedup import N_HASHES, _mh, _shingles
+    from pot_spark.streaming.sink import start_pot_upsert_stream
+    from pot_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    toks = F.split("text", " ")
+    exploded = (
+        stream.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle"))
+    )
+    # per-doc signatures are a plain aggregation; documents never span
+    # files here, so per-batch aggregation == per-doc aggregation
+    sigs = exploded.groupBy("doc_id").agg(
+        *[F.min(_mh(j)).alias(f"mh{j}") for j in range(N_HASHES)]
+    )
+
+    store = PotStore(spark, str(tmp_path / "potroot"))
+    q = start_pot_upsert_stream(
+        sigs,
+        store,
+        "signatures",
+        ["doc_id"],
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    schema = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(N_HASHES))
+    streamed = store.get_typed("signatures", schema).drop("key")
+    batch = registry.QUERIES["q_dedup_minhash_sig"](spark, sf_dir)
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+    assert len(store.list_generations("signatures")) >= 2  # multi-epoch

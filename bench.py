@@ -38,6 +38,9 @@ HEADLINE = [
     "q_bucket_join",
     "q_skew_salt_join",
     "q_sim_ivf",
+    "q_ts_rollup",
+    "q_corpus_select",
+    "q_sim_topk_batch",
 ]
 
 

@@ -4,7 +4,6 @@ row-expansion are the real Spark-side contract."""
 
 from __future__ import annotations
 
-import numpy as np
 
 from pot_spark import registry
 

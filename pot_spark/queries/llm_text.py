@@ -257,3 +257,28 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.size(F.split(norm, " ")).alias("norm_tokens"),
     )
+
+
+@query(
+    "q_corpus_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < CAST(0.10 * 65536 AS INTEGER)
+    """,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: a doc is selected iff the first
+    16 bits of md5(doc_id) fall under the rate threshold. Unlike
+    RNG-seeded sampling this is reproducible across engines, runs and
+    partitionings — the property that makes held-out splits and A/B
+    slices of a 100 TB corpus auditable. Pure scan-side filter: no
+    shuffle, pushes nothing but compute into the scan stage."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return docs.filter(bucket < int(0.10 * 65536)).select(
+        "doc_id", "lang", "n_chars"
+    )

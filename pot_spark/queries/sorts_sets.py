@@ -83,3 +83,53 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.subtract(b)
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS total
+    FROM (
+        SELECT 'auto_or_building' AS seg, c_custkey, 1 AS cnt FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        UNION ALL
+        SELECT 'high_balance' AS seg, c_custkey, 1 AS cnt FROM customer
+        WHERE c_acctbal > 5000
+    )
+    GROUP BY seg
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics UNION ALL (q_union is the distinct variant):
+    overlapping segments keep their duplicates, verified by per-segment
+    counts. unionAll never shuffles — it is purely a plan concatenation."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    ).select(F.lit("auto_or_building").alias("seg"), "c_custkey", F.lit(1).alias("cnt"))
+    b = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.lit("high_balance").alias("seg"), "c_custkey", F.lit(1).alias("cnt")
+    )
+    return (
+        a.unionAll(b)
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("cnt").cast("bigint").alias("total"))
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product of two tiny dimensions (5 x 25 rows) —
+    the only place a cross join belongs: when both sides are broadcast-
+    small and the product IS the answer (e.g. a grid of cells to fill).
+    Spark requires the explicit crossJoin call, which is the right
+    guardrail against accidental products at scale."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

@@ -142,3 +142,81 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.max("p_size").alias("max_size"),
     )
+
+
+@query(
+    "q_sink_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len
+    FROM documents
+    """,
+)
+def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink: document bodies written as one line each
+    (spark.read/write.text — the rawest corpus interchange format), read
+    back and aggregated. Line counts and char totals must survive the
+    round trip exactly (document texts contain no newlines in the
+    fixture)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pot_spark_text_{tag}")
+    docs = load(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs.write.mode("overwrite").text(out)
+    rb = spark.read.text(out)
+    return rb.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.min(F.length("value")).cast("bigint").alias("min_len"),
+    )
+
+
+@query(
+    "q_merge_schema",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price
+    FROM (
+        SELECT o_orderkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations with different
+    column sets (the old files lack o_totalprice) are read as one table
+    via mergeSchema — missing columns surface as NULLs, exactly how a
+    lakehouse absorbs additive schema changes without rewriting history."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"pot_spark_evo_{tag}")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderpriority")  # old schema: no price
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "gen=1"))
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "gen=2"))
+    )
+    rb = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return rb.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+    )

@@ -282,3 +282,58 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < int(0.10 * 65536)).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_MIX_RATES = {"high": 0.8, "mid": 0.4, "low": 0.1}  # tier -> keep rate
+
+
+@query(
+    "q_corpus_mixture",
+    oracle="""
+    WITH tiered AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5  THEN 'high'
+                    WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) AS h
+        FROM documents
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM tiered
+    WHERE h < CAST(CASE tier WHEN 'high' THEN 0.8
+                             WHEN 'mid' THEN 0.4
+                             ELSE 0.1 END * 65536 AS INTEGER)
+    GROUP BY tier
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: each source tier keeps a different fraction
+    (web-crawl 10%, curated 40%, premium 80% — the corpus-weighting step
+    of training-set assembly), decided per doc by the same deterministic
+    md5 bucket as q_corpus_sample so mixtures are reproducible and
+    auditable. One scan, no shuffle before the tier rollup."""
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    tier = (
+        F.when(src_num < 5, "high").when(src_num < 10, "mid").otherwise("low")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    rate = (
+        F.when(tier == "high", F.lit(int(_MIX_RATES["high"] * 65536)))
+        .when(tier == "mid", F.lit(int(_MIX_RATES["mid"] * 65536)))
+        .otherwise(F.lit(int(_MIX_RATES["low"] * 65536)))
+    )
+    return (
+        docs.select("doc_id", tier.alias("tier"), h.alias("h"), rate.alias("r"))
+        .filter(F.col("h") < F.col("r"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

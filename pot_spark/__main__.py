@@ -1,0 +1,119 @@
+"""CLI for the KV layer — the engine's counterpart of the reference's
+`pot` binary (cmd/pot/main.go:15-100). Instead of an HTTP server bound
+to a GCS bucket, the engine exposes the same operations directly against
+a data root on any filesystem path; server-mode flags (-zip inline
+archiving, -distributed-lock) map to the explicit `zip` subcommand and
+the always-on put-if-absent commit protocol.
+
+Usage:
+    python -m pot_spark --root /data get some/path
+    echo '{"id": "a", "v": 1}' | python -m pot_spark --root /data create some/path
+    echo '{"k1": {...}, "k2": {...}}' | python -m pot_spark --root /data create some/path --batch
+    python -m pot_spark --root /data remove some/path k1 k2
+    python -m pot_spark --root /data list [prefix]
+    python -m pot_spark --root /data generations some/path
+    python -m pot_spark --root /data get-at some/path 3
+    python -m pot_spark --root /data zip
+    python -m pot_spark --root /data vacuum some/path
+
+Documents are JSON on stdin; results are JSON on stdout. The norewrite
+lease flags mirror the reference's query params (?norewrite=<seconds>
+&generation=<n>, server_routes.go:86-103). Exit code 23 signals a
+no-rewrite violation (HTTP 423 in the reference, server_routes.go:112).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pot_spark.kv.errors import NoRewriteViolated
+from pot_spark.kv.store import PotStore
+
+EXIT_NOREWRITE = 23  # mirrors the reference's HTTP 423 Locked
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pot_spark", description=__doc__)
+    ap.add_argument("--root", required=True, help="data root (the 'bucket')")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_get = sub.add_parser("get")
+    p_get.add_argument("path")
+
+    p_get_at = sub.add_parser("get-at")
+    p_get_at.add_argument("path")
+    p_get_at.add_argument("generation", type=int)
+
+    p_create = sub.add_parser("create")
+    p_create.add_argument("path")
+    p_create.add_argument("--batch", action="store_true")
+    p_create.add_argument("--norewrite", type=float, default=None,
+                          metavar="SECONDS",
+                          help="lease duration; 0 blocks rewrites outright")
+    p_create.add_argument("--generation", type=int, default=0,
+                          help="last known generation (ownership renewal)")
+
+    p_remove = sub.add_parser("remove")
+    p_remove.add_argument("path")
+    p_remove.add_argument("keys", nargs="+")
+
+    p_list = sub.add_parser("list")
+    p_list.add_argument("prefix", nargs="?", default="")
+
+    p_gens = sub.add_parser("generations")
+    p_gens.add_argument("path")
+
+    sub.add_parser("zip")
+
+    p_vac = sub.add_parser("vacuum")
+    p_vac.add_argument("path")
+
+    args = ap.parse_args(argv)
+    store = PotStore(None, args.root)
+
+    if args.cmd == "get":
+        json.dump(store.get(args.path), sys.stdout, sort_keys=True)
+    elif args.cmd == "get-at":
+        json.dump(store.get_at(args.path, args.generation), sys.stdout, sort_keys=True)
+    elif args.cmd == "create":
+        body = json.load(sys.stdin)
+        kwargs = {
+            "norewrite": args.norewrite is not None,
+            "norewrite_duration": args.norewrite or 0.0,
+            "generation": args.generation,
+        }
+        try:
+            if args.batch:
+                resp = store.create_batch(args.path, body, **kwargs)
+            else:
+                resp = store.create(args.path, body, **kwargs)
+        except NoRewriteViolated as e:
+            print(str(e), file=sys.stderr)
+            return EXIT_NOREWRITE
+        json.dump(
+            {"content": resp.content, "generation": resp.generation},
+            sys.stdout,
+            sort_keys=True,
+        )
+    elif args.cmd == "remove":
+        store.remove(args.path, *args.keys)
+        json.dump({"removed": args.keys}, sys.stdout)
+    elif args.cmd == "list":
+        json.dump(store.list_paths(args.prefix), sys.stdout)
+    elif args.cmd == "generations":
+        json.dump(store.list_generations(args.path), sys.stdout)
+    elif args.cmd == "zip":
+        from pot_spark.kv.archive import zip_store
+
+        print(zip_store(store))
+    elif args.cmd == "vacuum":
+        json.dump({"removed": store.vacuum(args.path)}, sys.stdout)
+    if args.cmd != "zip":
+        print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

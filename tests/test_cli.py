@@ -1,0 +1,55 @@
+"""End-to-end CLI flow (the engine's counterpart of the reference's
+binary + curl examples, readme.md:20-40): create -> get -> norewrite
+conflict (exit 23) -> remove -> list -> generations -> vacuum."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def run(root, *args, stdin=None, check=True):
+    p = subprocess.run(
+        [sys.executable, "-m", "pot_spark", "--root", root, *args],
+        input=stdin, capture_output=True, text=True, cwd="/root/repo",
+    )
+    if check:
+        assert p.returncode == 0, p.stderr
+    return p
+
+
+def test_cli_flow(tmp_path):
+    root = str(tmp_path)
+    out = run(root, "create", "landmarks",
+              stdin='{"id": "sagrada-familia", "age": 141}')
+    resp = json.loads(out.stdout)
+    assert resp["generation"] == 1
+
+    out = run(root, "create", "landmarks", "--batch",
+              stdin='{"eiffel-tower": {"id": "eiffel-tower", "age": 136}}')
+    assert json.loads(out.stdout)["generation"] == 2
+
+    got = json.loads(run(root, "get", "landmarks").stdout)
+    assert set(got) == {"sagrada-familia", "eiffel-tower"}
+
+    # norewrite on an existing key -> exit 23 (reference HTTP 423)
+    p = run(root, "create", "landmarks", "--norewrite", "30",
+            stdin='{"id": "sagrada-familia", "age": 1}', check=False)
+    assert p.returncode == 23
+    assert json.loads(run(root, "get", "landmarks").stdout)[
+        "sagrada-familia"]["age"] == 141
+
+    run(root, "remove", "landmarks", "eiffel-tower", "missing-key")
+    assert set(json.loads(run(root, "get", "landmarks").stdout)) == {
+        "sagrada-familia"}
+
+    assert json.loads(run(root, "list").stdout) == ["landmarks"]
+    gens = json.loads(run(root, "generations", "landmarks").stdout)
+    assert [g for g, _ in gens] == [1, 2, 3]
+    # time travel via CLI
+    at2 = json.loads(run(root, "get-at", "landmarks", "2").stdout)
+    assert set(at2) == {"sagrada-familia", "eiffel-tower"}
+    run(root, "vacuum", "landmarks")
+    assert set(json.loads(run(root, "get", "landmarks").stdout)) == {
+        "sagrada-familia"}

@@ -237,3 +237,35 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause; Spark spells it
+    agg(when(...))): several differently-filtered aggregates in ONE pass
+    over the data — the alternative to N filtered scans. This is also the
+    manual form of a pivot, and how per-segment metrics roll up map-side
+    in a single shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_f"),
+        F.count(F.when(is_o, 1)).alias("n_o"),
+        F.sum(F.when(is_f, F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("rev_f"),
+        F.count("*").alias("n_total"),
+    )

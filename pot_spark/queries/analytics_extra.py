@@ -204,3 +204,48 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30d_spend"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice >= hi THEN 10
+                ELSE floor((o_totalprice - lo) * 10 / (hi - lo)) + 1
+                END AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(round(o_totalprice, 2)) AS DOUBLE) AS bucket_min,
+           CAST(MAX(round(o_totalprice, 2)) AS DOUBLE) AS bucket_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order prices: 10 bins between the observed
+    min/max (width_bucket semantics spelled out explicitly — identical
+    IEEE arithmetic on both engines; the top edge folds into bin 10).
+    The one-row bounds aggregate is broadcast into the scan, so the
+    histogram is one pass + a tiny shuffle of 10 bucket rows — the shape
+    profiling a 100 TB column must take."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x >= F.col("hi"), F.lit(10))
+        .otherwise(F.floor((x - F.col("lo")) * 10 / (F.col("hi") - F.col("lo"))) + 1)
+        .cast("int")
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.round("o_totalprice", 2)).cast("double").alias("bucket_min"),
+            F.max(F.round("o_totalprice", 2)).cast("double").alias("bucket_max"),
+        )
+    )

@@ -249,3 +249,40 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.round("o_totalprice", 2)).cast("double").alias("bucket_max"),
         )
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND ROUND(ABS((e.value - s.mu) / s.sigma), 4) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type (|z| > 2.5). The
+    per-group mean/stddev is a tiny aggregate broadcast back onto the
+    scan — the events table is read once, filtered in place, and never
+    shuffled (the only exchange is the few-row stats broadcast). The
+    threshold compares the ROUNDed score on both sides so engine-level
+    double ulps can't flip boundary membership."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("sigma") > 0) & (F.round(F.abs(z), 4) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )

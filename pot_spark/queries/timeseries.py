@@ -116,3 +116,82 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_max").isNull().cast("int").alias("is_gap"),
         F.last("bucket_max", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, bucket,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY user_id, bucket
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC bars (the candlestick/financial-rollup shape
+    every time-series store exposes). Spark side is a single hash
+    aggregation: open/close via `min_by`/`max_by` ordered on the
+    (ts, event_id) struct — one shuffle on (user_id, hour), fully
+    map-side-combinable, no window pass. The oracle needs the two-window
+    formulation only because DuckDB's arg_min can't order by a struct."""
+    ev = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.min_by("value", order_key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order_key), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_scd_intervals",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to
+    FROM changes
+    """,
+)
+def q_scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style interval construction: collapse each user's event
+    stream into [valid_from, valid_to) state intervals, opening a new
+    interval whenever event_type changes (change-data-capture -> history
+    table). Both window passes share the same (user_id | ts) sort order,
+    so Spark plans ONE shuffle + one sort and runs both windows plus the
+    filter in a single stage pipeline."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.withColumn("valid_to", F.lead("valid_from").over(w2))

@@ -57,3 +57,4 @@ def load_all_query_modules() -> None:
     import pot_spark.queries.scale_ops  # noqa: F401
     import pot_spark.queries.timeseries  # noqa: F401
     import pot_spark.queries.sql_api  # noqa: F401
+    import pot_spark.queries.text_index  # noqa: F401

@@ -213,3 +213,50 @@ def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "q_knn_graph",
+    oracle="""
+    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6)
+                 DESC, b.vec_id
+    ) <= 3
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph build (k=3) within label blocks — the core primitive
+    under near-dup clustering and diversity sampling. Both join sides
+    hash-partition on label, so each O(block²) comparison runs inside one
+    partition with no further shuffle; the top-k window reuses the same
+    partitioning. At 100 TB the blocking key swaps from `label` to an LSH
+    bucket or IVF cell id (q_sim_ann_lsh / q_sim_ivf) so block sizes stay
+    bounded — the graph shape and ranking logic are unchanged."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("src_id"), "label", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"), "label", F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "label").where(F.col("src_id") != F.col("nbr_id"))
+    cos = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        pairs.select("src_id", "nbr_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

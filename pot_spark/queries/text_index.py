@@ -243,3 +243,88 @@ def q_len_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_kept_chars"),
         )
     )
+
+
+@query(
+    "q_token_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM toks, unnest(t) AS u(tok) GROUP BY tok
+    ),
+    n_uni AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+        SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (SELECT list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) AS bgs
+              FROM toks WHERE len(t) >= 2),
+             unnest(bgs) AS u(bg)
+        GROUP BY bg
+    ),
+    n_big AS (SELECT SUM(c) AS n FROM big)
+    SELECT split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2,
+           CAST(big.c AS BIGINT) AS n_pair,
+           ROUND(LN((big.c / n_big.n) /
+                    ((u1.c / n_uni.n) * (u2.c / n_uni.n))), 6) AS pmi
+    FROM big, n_big, n_uni
+    JOIN uni u1 ON u1.tok = split_part(bg, ' ', 1)
+    JOIN uni u2 ON u2.tok = split_part(bg, ' ', 2)
+    WHERE big.c >= 5
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs (collocation
+    mining; the association score behind phrase detection in corpus prep).
+    Unigram and bigram counts partial-aggregate map-side from the same
+    scan; the vocabulary-sized unigram table broadcasts back onto the
+    bigram counts (two small shuffles, zero corpus re-reads). The PMI
+    expression mirrors the oracle's operation order exactly so IEEE
+    doubles agree to well past the 6-digit round."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n_uni = float(uni.agg(F.sum("c")).collect()[0][0])
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n_big = float(big.agg(F.sum("c")).collect()[0][0])
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.where(F.col("c") >= 5)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("c"),
+        )
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.lit(n_big))
+                    / ((F.col("c1") / F.lit(n_uni)) * (F.col("c2") / F.lit(n_uni)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

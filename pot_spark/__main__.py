@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p_vac = sub.add_parser("vacuum")
     p_vac.add_argument("path")
 
+    p_compact = sub.add_parser("compact")
+    p_compact.add_argument("path")
+
     args = ap.parse_args(argv)
     store = PotStore(None, args.root)
 
@@ -110,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
         print(zip_store(store))
     elif args.cmd == "vacuum":
         json.dump({"removed": store.vacuum(args.path)}, sys.stdout)
+    elif args.cmd == "compact":
+        json.dump({"generation": store.compact(args.path)}, sys.stdout)
     if args.cmd != "zip":
         print()
     return 0

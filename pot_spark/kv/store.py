@@ -638,3 +638,61 @@ class PotStore:
                 shutil.rmtree(os.path.join(pot_dir, name), ignore_errors=True)
                 removed += 1
         return removed
+
+    def compact(self, path: str) -> int:
+        """Rewrite the pot's live content into ONE fresh snapshot at a new
+        generation (the OPTIMIZE counterpart to `vacuum`). A long chain of
+        O(delta) bucketed commits leaves the live table scattered across
+        many generations' bucket dirs; compaction collapses it so readers
+        touch one directory and `vacuum` can reclaim the entire history.
+        Content is byte-identical before/after; the commit uses the same
+        put-if-absent manifest publish, so concurrent writers just win or
+        lose the generation race as usual. Returns the new generation (or
+        the current one unchanged if the pot is missing/empty)."""
+        lock = self._local_lock(path)
+        t_lock = time.perf_counter()
+        with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            for _ in range(_MAX_COMMIT_RETRIES):
+                manifest = self._latest_manifest(path)
+                if manifest is None:
+                    return 0
+                next_gen = manifest.generation + 1
+                name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
+                snap_dir = self._snapshot_path(path, name)
+                files: Optional[dict[str, str]] = None
+                if self.spark is not None and manifest.files is not None:
+                    # preserve the bucket layout: every bucket rewritten
+                    # under the single new snapshot dir
+                    n_buckets = len(manifest.files)
+                    df = self.get_df(path).withColumn(
+                        "__b", F.pmod(F.hash("key"), F.lit(n_buckets)).cast("int")
+                    )
+                    df.write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                    for b in range(n_buckets):
+                        d = os.path.join(snap_dir, f"__b={b}")
+                        if not os.path.isdir(d):
+                            os.makedirs(d, exist_ok=True)
+                    files = {str(b): f"{name}/__b={b}" for b in range(n_buckets)}
+                elif self.spark is not None:
+                    self.get_df(path).coalesce(1).write.mode("overwrite").parquet(
+                        snap_dir
+                    )
+                else:
+                    name = self._write_snapshot(
+                        path, next_gen, self._read_content(manifest, path)
+                    )
+                    snap_dir = self._snapshot_path(path, name)
+                committed = _Manifest(
+                    generation=next_gen,
+                    committed_at=time.time(),
+                    snapshot=name,
+                    n_keys=manifest.n_keys,
+                    files=files,
+                )
+                if self._try_commit(path, committed):
+                    self.generation_cache[path] = next_gen
+                    return next_gen
+                shutil.rmtree(snap_dir, ignore_errors=True)
+        raise CommitConflict(f"commit contention on {path!r} exceeded retries")

@@ -53,3 +53,15 @@ def test_cli_flow(tmp_path):
     run(root, "vacuum", "landmarks")
     assert set(json.loads(run(root, "get", "landmarks").stdout)) == {
         "sagrada-familia"}
+
+
+def test_cli_compact(tmp_path):
+    root = str(tmp_path / "r")
+    run(root, "create", "p", stdin='{"id": "a", "v": 1}')
+    run(root, "create", "p", stdin='{"id": "b", "v": 2}')
+    out = run(root, "compact", "p")
+    assert json.loads(out.stdout) == {"generation": 3}
+    out = run(root, "get", "p")
+    assert json.loads(out.stdout) == {"a": {"id": "a", "v": 1}, "b": {"id": "b", "v": 2}}
+    out = run(root, "vacuum", "p")
+    assert json.loads(out.stdout) == {"removed": 2}

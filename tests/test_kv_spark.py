@@ -154,3 +154,46 @@ def test_concurrent_create_df_writers_all_commit(spark, tmp_path):
     content = store.get("race/p")
     assert len(content) == 20
     assert {k for k in content} == {f"w{i}-k{j}" for i in range(4) for j in range(5)}
+
+
+def test_compact_bucketed_collapses_to_one_snapshot(spark, tmp_path):
+    """After a chain of O(delta) bucketed commits the live table spans
+    several generations' bucket dirs; compact() must rewrite it into a
+    single snapshot (all bucket paths share one snap dir), preserve
+    content exactly, and let vacuum reclaim every older snapshot."""
+    import json as _json
+
+    store = PotStore(spark=spark, root=str(tmp_path / "root"))
+    docs = {f"k{i}": {"v": i} for i in range(40)}
+    store.create_df_bucketed("c/p", _doc_df(spark, docs), n_buckets=4)
+    store.create_df_bucketed(
+        "c/p", _doc_df(spark, {"k1": {"v": 101}, "k2": {"v": 102}}), n_buckets=4
+    )
+    docs.update({"k1": {"v": 101}, "k2": {"v": 102}})
+    m_before = store._latest_manifest("c/p")
+    assert len({rel.split("/", 1)[0] for rel in m_before.files.values()}) > 1
+
+    gen = store.compact("c/p")
+    assert gen == m_before.generation + 1
+    m_after = store._latest_manifest("c/p")
+    snapdirs = {rel.split("/", 1)[0] for rel in m_after.files.values()}
+    assert snapdirs == {m_after.snapshot}
+    assert len(m_after.files) == len(m_before.files)  # bucket layout kept
+    got = {r["key"]: _json.loads(r["doc"]) for r in store.get_df("c/p").collect()}
+    assert got == docs
+    assert store.vacuum("c/p") >= 2  # both pre-compaction snapshots reclaimed
+    got2 = store.get("c/p")  # dict API still reads the compacted layout
+    assert got2 == docs
+
+
+def test_compact_unbucketed_and_missing_pot(spark, tmp_path):
+    store = PotStore(spark=spark, root=str(tmp_path / "root"))
+    assert store.compact("nope") == 0
+    store.create_df("u/p", _doc_df(spark, {"a": {"v": 1}}))
+    store.create_df("u/p", _doc_df(spark, {"b": {"v": 2}}))
+    gen = store.compact("u/p")
+    assert gen == 3
+    assert store.get("u/p") == {"a": {"v": 1}, "b": {"v": 2}}
+    # further upserts on top of the compacted snapshot still merge
+    store.create_df("u/p", _doc_df(spark, {"a": {"v": 10}}))
+    assert store.get("u/p") == {"a": {"v": 10}, "b": {"v": 2}}

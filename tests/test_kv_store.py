@@ -377,3 +377,21 @@ def test_orphan_staged_snapshot_is_harmless_and_vacuumed(tmp_path):
     assert removed >= 1
     assert not os.path.isdir(orphan)
     assert set(store.get("c/p")) == {"a", "b"}
+
+
+def test_compact_dict_only_store(store):
+    """compact() works without a SparkSession (pyarrow snapshot rewrite):
+    new generation, identical content, old snapshots vacuumable."""
+    store.create("p", {"id": "a", "v": 1})
+    store.create("p", {"id": "b", "v": 2})
+    gen = store.compact("p")
+    assert gen == 3
+    assert store.get("p") == {
+        "a": {"id": "a", "v": 1},
+        "b": {"id": "b", "v": 2},
+    }
+    assert store.vacuum("p") == 2
+    assert store.get("p") == {
+        "a": {"id": "a", "v": 1},
+        "b": {"id": "b", "v": 2},
+    }

@@ -108,3 +108,46 @@ def test_salt_join_uses_shuffled_hash_not_broadcast(spark, sf_dir):
     # the salting demo must exercise the shuffled-hash path it exists for
     assert re.findall(r"\(\d+\) ShuffledHashJoin", p)
     assert not re.findall(r"\(\d+\) BroadcastHashJoin", p)
+
+
+def test_repetition_ratio_is_single_scan_no_exchange(spark, sf_dir):
+    # pure per-row higher-order exprs: the plan must contain no shuffle at all
+    # (no WholeStageCodegen assertion: higher-order lambdas run as plain
+    # Project nodes outside codegen — the scale property is the absence
+    # of any Exchange and exactly one scan)
+    p = _plan(spark, sf_dir, "q_repetition_ratio")
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_quality_bounds_broadcast_onto_scan(spark, sf_dir):
+    # the tiny stats/bounds aggregates must come back as broadcasts, never
+    # a shuffle of the fact side
+    for name in ("q_len_trim_filter", "q_anomaly_zscore"):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_knn_graph_blocks_not_cartesian(spark, sf_dir):
+    # pairs must form through the label equi-join; never a cross product
+    p = _plan(spark, sf_dir, "q_knn_graph")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scd_intervals_single_shuffle(spark, sf_dir):
+    # both window passes share the user_id partitioning: exactly one
+    # user_id exchange (plus the AQE-inserted final coalesce reads)
+    p = _plan(spark, sf_dir, "q_scd_intervals")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_ohlc_partial_aggregates(spark, sf_dir):
+    # min_by/max_by must partial-aggregate map-side before the shuffle
+    p = _plan(spark, sf_dir, "q_ohlc_bars")
+    aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", p))
+    assert aggs >= 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning" in p

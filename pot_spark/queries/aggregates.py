@@ -269,3 +269,41 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_f"),
         F.count("*").alias("n_total"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag measure columns back to long
+    (flag, measure, value) rows — the inverse of q_pivot. Spark plans
+    this as a single Expand over the aggregated (tiny) input: no join,
+    no extra shuffle beyond the aggregation itself, so the reshape cost
+    is O(groups), never O(input). The oracle replays it as the UNION ALL
+    it is semantically equivalent to."""
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.sum(_dec("l_discount")).cast("double").alias("sum_disc"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )

@@ -286,3 +286,39 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "q_median_mad",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           round(m.med_price, 4) AS med_price,
+           round(median(abs(o.o_totalprice - m.med_price)), 4) AS mad_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN med m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, m.med_price
+    """,
+)
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread statistics: per-priority median and MAD
+    (median absolute deviation) — the outlier-resistant alternative to
+    mean/stddev for dirty 100 TB data. Two aggregation passes are
+    inherent to MAD; the per-group medians (one row per group) come back
+    as a broadcast so the second pass re-reads the fact side without a
+    join shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    j = orders.join(F.broadcast(med), "o_orderpriority")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.first("med_price"), 4).alias("med_price"),
+        F.round(
+            F.median(F.abs(F.col("o_totalprice") - F.col("med_price"))), 4
+        ).alias("mad_price"),
+        F.count("*").alias("n_orders"),
+    )

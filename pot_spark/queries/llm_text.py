@@ -337,3 +337,67 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+_CONTAM_N = 4  # n-gram size for overlap detection
+_PROBE_MOD = 101  # docs with doc_id % _PROBE_MOD == 0 form the benchmark set
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{_CONTAM_N - 1}], ' ') AS gram
+        FROM toks, UNNEST(generate_series(1, len(t) - {_CONTAM_N - 1})) AS u(i)
+    ),
+    probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_PROBE_MOD} = 0),
+    cand AS (SELECT doc_id, gram FROM grams WHERE doc_id % {_PROBE_MOD} <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(p.gram) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(p.gram) AS DOUBLE) / COUNT(*), 6) AS contamination
+    FROM cand c LEFT JOIN probe p ON c.gram = p.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(p.gram) > 0
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    n-grams (n = _CONTAM_N) with a held-out probe set (here: every doc
+    whose id is divisible by _PROBE_MOD, standing in for a benchmark). Per
+    candidate doc: distinct-gram count, grams hit in the probe set, and
+    the contamination ratio — the n-gram-overlap filter every serious
+    pretraining pipeline runs before training. At scale the probe-set
+    gram inventory is tiny relative to the corpus (an eval suite, not
+    another corpus), so it broadcasts; the candidate side needs exactly
+    one shuffle (the per-doc rollup)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_CONTAM_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, _CONTAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    probe = (
+        g.filter(F.col("doc_id") % _PROBE_MOD == 0).select("gram").distinct()
+    )
+    cand = g.filter(F.col("doc_id") % _PROBE_MOD != 0)
+    return (
+        cand.join(F.broadcast(probe.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit").cast("double") / F.count("*"), 6).alias(
+                "contamination"
+            ),
+        )
+        .filter(F.col("n_hit") > 0)
+    )

@@ -295,3 +295,48 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
     )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_custkey,
+           o_orderdate AS first_date,
+           o_orderkey AS first_key,
+           o_totalprice AS first_price,
+           n_orders
+    FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build structs, collect them into an array,
+    sort the array by struct field order, and project fields back out —
+    the array-of-struct round-trip matching the reference's nested-doc
+    complexity bar (client_test.go:18-25 `NiceThings []struct{Name}`).
+    array_sort on structs compares field-by-field, so (date, key) makes
+    the pick deterministic; the whole thing is one aggregation shuffle.
+    The oracle replays it as the equivalent window top-1."""
+    orders = load(spark, sf_dir, "orders")
+    first = F.element_at(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_totalprice"))
+        ),
+        1,
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(first.alias("fo"), F.count("*").alias("n_orders"))
+        .select(
+            "o_custkey",
+            F.col("fo.o_orderdate").alias("first_date"),
+            F.col("fo.o_orderkey").alias("first_key"),
+            F.col("fo.o_totalprice").alias("first_price"),
+            "n_orders",
+        )
+    )

@@ -257,3 +257,59 @@ def s_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("ts", "event_id").alias("first_ts"),
         F.min_by("value", "event_id").alias("first_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: partitioned fact ⋈ filtered dim, where the
+# partitions to read are only known at runtime (from the dim filter result).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dpp_join",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on
+    l_returnflag, and the dim filter (class = 'returned') only resolves to
+    partition keys at runtime — Catalyst injects a dynamicpruning
+    subquery that reuses the dim's broadcast to skip whole fact
+    partitions at the file-index level. On a 100 TB date-partitioned
+    fact this is the standard "join to dim_date, read 7 of 3650
+    partitions" pattern; tests/test_plans.py pins the pruning
+    expression in the scan. The write is a one-time ingest (guarded),
+    not part of the query."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pot_spark_dpp_{tag}", "lineitem")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.partitionBy("l_returnflag")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "flag string, class string",
+    ).filter(F.col("class") == "returned")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

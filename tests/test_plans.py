@@ -151,3 +151,34 @@ def test_ohlc_partial_aggregates(spark, sf_dir):
     assert aggs >= 2  # partial + final
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning" in p
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    # the partition filter must be the runtime dynamicpruning subquery
+    # fed by the dim broadcast — not a static literal, not a full scan
+    p = _plan(spark, sf_dir, "q_dpp_join")
+    assert "dynamicpruningexpression" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_unpivot_is_expand_not_join(spark, sf_dir):
+    # melt must plan as one Expand over the aggregated input; a UNION-of-
+    # selects shape (N scans) or any join would not survive at scale
+    p = _plan(spark, sf_dir, "q_unpivot")
+    assert re.findall(r"\(\d+\) Expand", p)
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_contamination_broadcasts_probe_grams(spark, sf_dir):
+    # the benchmark gram inventory is tiny vs the corpus: it must come
+    # back as a broadcast, never a sort-merge shuffle of the corpus side
+    p = _plan(spark, sf_dir, "q_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_median_mad_broadcasts_group_medians(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_median_mad")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -15,6 +15,7 @@ Usage:
     python -m pot_spark --root /data get-at some/path 3
     python -m pot_spark --root /data zip
     python -m pot_spark --root /data vacuum some/path
+    python -m pot_spark --root /data restore some/path 3
 
 Documents are JSON on stdin; results are JSON on stdout. The norewrite
 lease flags mirror the reference's query params (?norewrite=<seconds>
@@ -73,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("path")
 
+    p_restore = sub.add_parser("restore")
+    p_restore.add_argument("path")
+    p_restore.add_argument("generation", type=int)
+
     args = ap.parse_args(argv)
     store = PotStore(None, args.root)
 
@@ -115,6 +120,13 @@ def main(argv: list[str] | None = None) -> int:
         json.dump({"removed": store.vacuum(args.path)}, sys.stdout)
     elif args.cmd == "compact":
         json.dump({"generation": store.compact(args.path)}, sys.stdout)
+    elif args.cmd == "restore":
+        try:
+            gen = store.restore(args.path, args.generation)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        json.dump({"generation": gen}, sys.stdout)
     if args.cmd != "zip":
         print()
     return 0

@@ -621,6 +621,45 @@ class PotStore:
 
     # -- maintenance ---------------------------------------------------------
 
+    def restore(self, path: str, generation: int) -> int:
+        """Metadata-only rollback (Delta-style RESTORE): publish a NEW
+        generation whose manifest points back at `generation`'s snapshot.
+        No data is copied or rewritten — the commit is O(1) regardless of
+        pot size — and the rolled-back-over history stays readable via
+        get_at() until vacuum reclaims it. Extension beyond the
+        reference: GCS generations identify past states but cannot
+        republish them (server.go:405). Raises ValueError if the target
+        generation (or its already-vacuumed snapshot) is gone; returns
+        the new generation number."""
+        lock = self._local_lock(path)
+        t_lock = time.perf_counter()
+        with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            target = self._manifest_at(path, generation)
+            if target is None:
+                raise ValueError(f"generation {generation} not found at {path!r}")
+            snap_dir = self._snapshot_path(path, target.snapshot)
+            if not os.path.isdir(snap_dir):
+                raise ValueError(
+                    f"generation {generation} at {path!r} was vacuumed"
+                )
+            for _ in range(_MAX_COMMIT_RETRIES):
+                manifest = self._latest_manifest(path)
+                if manifest is None:
+                    raise ValueError(f"pot {path!r} no longer exists")
+                committed = _Manifest(
+                    generation=manifest.generation + 1,
+                    committed_at=time.time(),
+                    snapshot=target.snapshot,
+                    n_keys=target.n_keys,
+                    files=target.files,
+                )
+                if self._try_commit(path, committed):
+                    self.generation_cache[path] = committed.generation
+                    return committed.generation
+        raise CommitConflict(f"commit contention on {path!r} exceeded retries")
+
     def vacuum(self, path: str) -> int:
         """Remove snapshots not referenced by the latest manifest (loser
         stages and superseded versions). Returns count removed."""

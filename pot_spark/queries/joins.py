@@ -267,3 +267,53 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_ts",
         )
     )
+
+
+@query(
+    "q_full_outer_join",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.n_f, 0) AS n_f,
+           COALESCE(b.n_o, 0) AS n_o,
+           CASE WHEN a.o_custkey IS NULL THEN 'o_only'
+                WHEN b.o_custkey IS NULL THEN 'f_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides: per-customer
+    finished-order counts vs open-order counts — customers who only ever
+    placed one kind survive with null-filled partners. Physically a
+    sort-merge join on the grouped (already shuffled-by-key) inputs; at
+    scale both aggregations and the join share the o_custkey
+    partitioning, so the join itself adds no third shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("ck_f"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ck_o"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    j = a.join(b, a.ck_f == b.ck_o, "full_outer")
+    return j.select(
+        F.coalesce("ck_f", "ck_o").alias("custkey"),
+        F.coalesce("n_f", F.lit(0)).alias("n_f"),
+        F.coalesce("n_o", F.lit(0)).alias("n_o"),
+        F.when(F.col("ck_f").isNull(), "o_only")
+        .when(F.col("ck_o").isNull(), "f_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

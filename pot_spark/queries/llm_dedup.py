@@ -547,3 +547,72 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 20)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+_CHUNK = 10  # tokens per chunk
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(t[(i-1)*{_CHUNK}+1:i*{_CHUNK}], ' ') AS chunk
+        FROM toks,
+             UNNEST(generate_series(1, CAST(ceil(len(t) / {_CHUNK}.0) AS INTEGER)))
+             AS u(i)
+    ),
+    dup AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(d.chunk) AS BIGINT) AS n_dup_chunks,
+           round(CAST(COUNT(d.chunk) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+    FROM chunks c LEFT JOIN dup d ON c.chunk = d.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-granularity) cross-document dedup: docs are
+    cut into non-overlapping _CHUNK-token chunks; a chunk is boilerplate
+    if it appears verbatim in >= 2 distinct docs; each doc reports its
+    duplicated-chunk fraction. This is the paragraph-dedup pass that
+    removes shared headers/footers/license blocks which whole-doc hashing
+    misses and intra-doc repetition (q_repetition_ratio) can't see. Two
+    shuffles total (chunk rollup + doc rollup) — the dup-chunk inventory
+    join stays on the chunk partitioning so no extra exchange; at 100 TB
+    the chunk table is the same order as the corpus and never collected."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * _CHUNK + 1, _CHUNK), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_dup").alias("n_dup_chunks"),
+            F.round(F.count("is_dup").cast("double") / F.count("*"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

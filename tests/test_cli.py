@@ -65,3 +65,16 @@ def test_cli_compact(tmp_path):
     assert json.loads(out.stdout) == {"a": {"id": "a", "v": 1}, "b": {"id": "b", "v": 2}}
     out = run(root, "vacuum", "p")
     assert json.loads(out.stdout) == {"removed": 2}
+
+
+def test_cli_restore(tmp_path):
+    root = str(tmp_path)
+    run(root, "create", "t", stdin='{"id": "a", "v": 1}')
+    run(root, "create", "t", stdin='{"id": "b", "v": 2}')
+    out = run(root, "restore", "t", "1")
+    assert json.loads(out.stdout)["generation"] == 3
+    got = json.loads(run(root, "get", "t").stdout)
+    assert set(got) == {"a"}
+    # restoring a generation that never existed is a clean error, exit 1
+    p = run(root, "restore", "t", "99", check=False)
+    assert p.returncode == 1 and "not found" in p.stderr

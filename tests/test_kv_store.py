@@ -395,3 +395,42 @@ def test_compact_dict_only_store(store):
         "a": {"id": "a", "v": 1},
         "b": {"id": "b", "v": 2},
     }
+
+
+def test_restore_rolls_back_metadata_only(store):
+    store.create("r/p", {"id": "a", "v": 1})
+    store.create("r/p", {"id": "b", "v": 2})
+    store.remove("r/p", "a")
+    gen = store.restore("r/p", 2)
+    assert gen == 4  # restore is a NEW generation, not history rewrite
+    assert set(store.get("r/p")) == {"a", "b"}
+    assert store.get("r/p") == store.get_at("r/p", 2)
+    # the rolled-back-over states remain time-travelable
+    assert set(store.get_at("r/p", 3)) == {"b"}
+    # further writes continue from the restored state
+    store.create("r/p", {"id": "c", "v": 3})
+    assert set(store.get("r/p")) == {"a", "b", "c"}
+
+
+def test_restore_missing_generation_raises(store):
+    store.create("r/q", {"id": "a", "v": 1})
+    with pytest.raises(ValueError):
+        store.restore("r/q", 99)
+
+
+def test_restore_vacuumed_generation_raises(store):
+    store.create("r/v", {"id": "a", "v": 1})
+    store.create("r/v", {"id": "b", "v": 2})
+    store.vacuum("r/v")
+    with pytest.raises(ValueError):
+        store.restore("r/v", 1)
+
+
+def test_restore_survives_vacuum(store):
+    store.create("r/w", {"id": "a", "v": 1})
+    store.create("r/w", {"id": "b", "v": 2})
+    store.restore("r/w", 1)
+    # the restored manifest references generation 1's snapshot: vacuum
+    # must treat it as live and the restored content must survive
+    store.vacuum("r/w")
+    assert set(store.get("r/w")) == {"a"}

@@ -195,3 +195,110 @@ def q_scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
     w2 = Window.partitionBy("user_id").orderBy("valid_from")
     return changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM u LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: the furthest view -> click -> purchase
+    stage each user reached, where each step must strictly follow the
+    previous one in event time. Spark formulation: ONE shuffle — collect
+    each user's (ts, type) events, sort, and fold a 4-state machine over
+    the sequence with F.aggregate. The oracle replays it as the
+    min-timestamp cascade (3 aggregations + joins), which is also the
+    fallback shape if per-user event counts are too large to collect;
+    both agree wherever per-user timestamps are unique (they are, in
+    every fixture — microsecond event times)."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    codes = F.transform(
+        arr,
+        lambda x: F.when(x["event_type"] == "view", 1)
+        .when(x["event_type"] == "click", 2)
+        .when(x["event_type"] == "purchase", 3)
+        .otherwise(0),
+    )
+    stage = F.aggregate(
+        codes,
+        F.lit(0),
+        lambda acc, c: F.when((acc == 0) & (c == 1), 1)
+        .when((acc == 1) & (c == 2), 2)
+        .when((acc == 2) & (c == 3), 3)
+        .otherwise(acc),
+    )
+    return ev.groupBy("user_id").agg(stage.cast("int").alias("funnel_stage"))
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7
+                    AS INTEGER) AS wk
+        FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN wk = 1 THEN user_id END) AS BIGINT) AS w1,
+           CAST(COUNT(DISTINCT CASE WHEN wk = 2 THEN user_id END) AS BIGINT) AS w2,
+           CAST(COUNT(DISTINCT CASE WHEN wk = 3 THEN user_id END) AS BIGINT) AS w3
+    FROM a GROUP BY cohort
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users are cohorted by the week of their first
+    signup; each subsequent week counts the cohort members still active
+    (any event). The per-(user, week) dedup happens BEFORE the cohort
+    rollup, so the wide counting aggregate reads one row per user-week,
+    not one per event — the shape that keeps week-over-week retention
+    viable over years of events. Cohort weeks are Monday-truncated in
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    f = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    wk_users = lambda k: F.countDistinct(  # noqa: E731
+        F.when(F.col("wk") == k, F.col("user_id"))
+    )
+    return a.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        wk_users(1).alias("w1"),
+        wk_users(2).alias("w2"),
+        wk_users(3).alias("w3"),
+    )

@@ -182,3 +182,11 @@ def test_median_mad_broadcasts_group_medians(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_median_mad")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_funnel_is_single_shuffle_fold(spark, sf_dir):
+    # the whole funnel must be one user_id exchange (collect + fold),
+    # never the 3-aggregation cascade the oracle uses
+    p = _plan(spark, sf_dir, "q_funnel")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p

@@ -291,8 +291,11 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out = os.path.join(tempfile.gettempdir(), f"pot_spark_dpp_{tag}", "lineitem")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # repartition on the partition column first: one file per
+        # partition dir instead of tasks×partitions small files
         (
             load(spark, sf_dir, "lineitem")
+            .repartition("l_returnflag")
             .write.partitionBy("l_returnflag")
             .mode("overwrite")
             .parquet(out)

@@ -322,3 +322,23 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mad_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query("q_approx_percentile")  # t-digest sketch: engine-specific -> rows-only;
+#                                tests/test_sketches.py bounds the error
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (t-digest-style sketch, accuracy 10000):
+    the scale path for q_percentile — partial sketches combine map-side,
+    so no per-group sort and no raw-value shuffle. The driver's check is
+    rows-only (sketch internals differ across engines); the pytest bound
+    asserts each estimate lands within the exact p50/p90 neighborhood."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "ap50_price"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "ap90_price"
+        ),
+        F.count("*").alias("n"),
+    )

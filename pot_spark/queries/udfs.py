@@ -1,6 +1,7 @@
 """User-defined function surface: vectorized scalar Pandas UDF, grouped
-Pandas UDAF, and a mapInPandas UDTF — plus the multimodal-column plumbing
-(binary payloads + typed metadata + Arrow-batched feature extraction).
+Pandas UDAF, a mapInPandas UDTF, and a cogrouped-map two-table UDF —
+plus the multimodal-column plumbing (binary payloads + typed metadata +
+Arrow-batched feature extraction).
 
 All Python execution is Arrow-batched (pandas_udf / mapInPandas /
 applyInPandas); no row-at-a-time Python UDFs anywhere in the engine.
@@ -321,3 +322,77 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("__all__").alias("o_orderpriority"), "approx_customers",
              F.lit(-1).cast("long").alias("n_rows"))
     return per_group.unionByName(merged)
+
+
+def _reconcile_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer reconciliation of the customer row against its orders.
+    Order totals are quantized to cents and summed exactly (decimal), the
+    same arithmetic contract the engine's DECIMAL(18,2) aggregations use,
+    so the result hash-matches the oracle's CAST-to-DECIMAL sum."""
+    from decimal import Decimal
+
+    if not len(left):  # orders whose customer is absent: nothing to emit
+        return pd.DataFrame(
+            {
+                "custkey": pd.Series([], dtype="int64"),
+                "c_acctbal": pd.Series([], dtype="float64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_price": pd.Series([], dtype="float64"),
+                "bal_ratio": pd.Series([], dtype="float64"),
+            }
+        )
+    cent = Decimal("0.01")
+    sp = float(
+        sum(
+            (Decimal(float(v)).quantize(cent) for v in right["o_totalprice"]),
+            Decimal(0),
+        )
+    )
+    bal = float(left["c_acctbal"].iloc[0])
+    return pd.DataFrame(
+        {
+            "custkey": [int(left["c_custkey"].iloc[0])],
+            "c_acctbal": [bal],
+            "n_orders": [int(len(right))],
+            "sum_price": [sp],
+            "bal_ratio": [round(bal / sp, 6) if sp != 0.0 else None],
+        }
+    )
+
+
+@query(
+    "u_cogroup",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_acctbal,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                         0) AS DOUBLE) AS sum_price,
+           round(c.c_acctbal /
+                 NULLIF(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                                      0) AS DOUBLE), 0), 6) AS bal_ratio
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas UDF (groupBy.cogroup.applyInPandas): both
+    tables are shuffled once on the key and each key's two groups arrive
+    as a pair of pandas frames — the escape hatch for keyed two-table
+    logic no built-in join+agg expresses (custom matching, per-key model
+    scoring, reconciliation). Here: account balance vs exact order-total
+    sum per customer, including order-less customers (empty right
+    group)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            _reconcile_cogroup,
+            schema=(
+                "custkey long, c_acctbal double, n_orders long,"
+                " sum_price double, bal_ratio double"
+            ),
+        )
+    )

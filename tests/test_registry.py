@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "q_multimodal_resize",
     "q_multimodal_frames",
     "q_hll_sketch",
+    "q_approx_percentile",
 }
 
 

@@ -27,3 +27,24 @@ def test_hll_estimates_within_error_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])
+
+
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    approx = {
+        r.o_orderpriority: (r.ap50_price, r.ap90_price)
+        for r in registry.QUERIES["q_approx_percentile"](spark, sf_dir).collect()
+    }
+    vals = {}
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        vals.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    assert set(approx) == set(vals)
+    for k, (a50, a90) in approx.items():
+        v = sorted(vals[k])
+        # the estimate is an actual element whose RANK must sit within
+        # 1% (accuracy=10000 guarantees 1/accuracy; small-group
+        # discreteness makes value-distance the wrong metric)
+        for a, q in ((a50, 0.5), (a90, 0.9)):
+            rank = sum(x <= a for x in v) / len(v)
+            assert abs(rank - q) <= 0.01 + 1.0 / len(v), (k, q, a, rank)

@@ -340,3 +340,37 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q_url_funcs",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(n_chars AS VARCHAR) AS v
+    FROM documents
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url HOST/PATH/QUERY:key) over per-doc URLs
+    synthesized from fixture columns; the oracle reconstructs each
+    component from the same inputs, so any parse drift (encoding, query
+    splitting) hash-fails. Pure scan-side expressions, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?v="),
+        F.col("n_chars").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("v"),
+    )

@@ -133,3 +133,28 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_name")
     n = load(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@query(
+    "q_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global sort (no limit): Spark samples the key
+    distribution and range-partitions, so each partition holds a
+    contiguous, internally sorted key range — partition i's keys all
+    precede partition i+1's. This is the sorted-output path (sorted
+    parquet export, merge-ready shards) as opposed to top-k
+    (q_sort_limit, which never materializes a full sort). The driver's
+    value-hash ignores order, so the oracle is the unsorted selection;
+    the plan test pins the rangepartitioning Exchange."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )

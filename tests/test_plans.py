@@ -190,3 +190,12 @@ def test_funnel_is_single_shuffle_fold(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(user_id" in p
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    # total order = sampled range partitioning + per-partition sort;
+    # a single-partition global sort would not survive any real scale
+    p = _plan(spark, sf_dir, "q_global_sort")
+    assert "rangepartitioning" in p
+    assert re.findall(r"\(\d+\) Sort", p)
+    assert "TakeOrderedAndProject" not in p

@@ -197,3 +197,27 @@ def test_compact_unbucketed_and_missing_pot(spark, tmp_path):
     # further upserts on top of the compacted snapshot still merge
     store.create_df("u/p", _doc_df(spark, {"a": {"v": 10}}))
     assert store.get("u/p") == {"a": {"v": 10}, "b": {"v": 2}}
+
+
+def test_restore_bucketed_reuses_files_and_survives_vacuum(spark, tmp_path):
+    store = PotStore(spark=spark, root=str(tmp_path / "potroot"))
+    v1 = {f"k{i}": {"v": i} for i in range(20)}
+    store.create_df_bucketed("r/p", _doc_df(spark, v1), n_buckets=4)
+    delta = {"k0": {"v": 100}, "k99": {"v": 99}}
+    store.create_df_bucketed("r/p", _doc_df(spark, delta), n_buckets=4)
+    assert store.get("r/p")["k0"] == {"v": 100}
+
+    gen = store.restore("r/p", 1)
+    assert gen == 3
+    # restored state is generation 1's content, served through the
+    # bucketed manifest's reused files
+    got = {r["key"]: json.loads(r["doc"]) for r in store.get_df("r/p").collect()}
+    assert got == v1
+    # vacuum must keep every bucket file the restored manifest references
+    store.vacuum("r/p")
+    got2 = {r["key"]: json.loads(r["doc"]) for r in store.get_df("r/p").collect()}
+    assert got2 == v1
+    # and the store continues to accept O(delta) upserts after restore
+    store.create_df_bucketed("r/p", _doc_df(spark, {"k1": {"v": -1}}), n_buckets=4)
+    assert store.get("r/p")["k1"] == {"v": -1}
+    assert store.get("r/p")["k0"] == {"v": 0}

@@ -78,3 +78,12 @@ def test_cli_restore(tmp_path):
     # restoring a generation that never existed is a clean error, exit 1
     p = run(root, "restore", "t", "99", check=False)
     assert p.returncode == 1 and "not found" in p.stderr
+
+
+def test_election_example_runs_clean():
+    p = subprocess.run(
+        [sys.executable, "examples/election.py", "3", "20"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "OK" in p.stdout

@@ -260,3 +260,85 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+_PR_TELEPORT = 18  # 0.15 scaled by 120
+_PR_EDGE = 102  # 0.85 * 120; divisible by every out-degree <= 3
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+    WITH knn AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6)
+                     DESC, b.vec_id
+        ) <= 3
+    ),
+    deg AS (SELECT src_id AS src, COUNT(*) AS d FROM knn GROUP BY src_id),
+    we AS (
+        SELECT k.src_id AS src, k.nbr_id AS dst, 102 // d.d AS w
+        FROM knn k JOIN deg d ON d.src = k.src_id
+    ),
+    r1 AS (
+        SELECT n.vec_id, 18 + COALESCE(c.s, 0) AS r FROM embeddings n
+        LEFT JOIN (SELECT dst, SUM(w) AS s FROM we GROUP BY dst) c
+          ON c.dst = n.vec_id
+    ),
+    r2 AS (
+        SELECT n.vec_id, 18 * 120 + COALESCE(c.s, 0) AS r FROM embeddings n
+        LEFT JOIN (SELECT w.dst, SUM(w.w * r1.r) AS s
+                   FROM we w JOIN r1 ON r1.vec_id = w.src GROUP BY w.dst) c
+          ON c.dst = n.vec_id
+    ),
+    r3 AS (
+        SELECT n.vec_id, 18 * 120 * 120 + COALESCE(c.s, 0) AS r FROM embeddings n
+        LEFT JOIN (SELECT w.dst, SUM(w.w * r2.r) AS s
+                   FROM we w JOIN r2 ON r2.vec_id = w.src GROUP BY w.dst) c
+          ON c.dst = n.vec_id
+    )
+    SELECT vec_id, CAST(r AS BIGINT) AS pr_scaled FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the label-blocked k-NN
+    graph — the iterative-algorithm pattern (driver loop over DataFrames)
+    beyond q_dedup_cluster's closure. All arithmetic is EXACT integers:
+    ranks are scaled by 120 per iteration, so the teleport term is 18·120^t
+    and each edge carries weight 102/out-degree (102 is divisible by every
+    degree ≤ 3) — no float summation order to disagree on, which is what
+    lets a fixed-point iteration hash-match across engines. The edge list
+    is checkpointed once (the O(block²) knn build never re-runs per
+    iteration); each iteration is one shuffle on dst sharing the node
+    partitioning."""
+    edges = (
+        q_knn_graph(spark, sf_dir)
+        .select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    we = edges.join(deg, "src").select(
+        "src", "dst", F.expr(f"{_PR_EDGE} div d").alias("w")
+    )
+    nodes = load(spark, sf_dir, "embeddings").select("vec_id")
+    r = None  # r_0 = 1 for every node (scaled: 120^0)
+    for t in range(3):
+        if r is None:
+            contrib = we.groupBy("dst").agg(F.sum("w").alias("s"))
+        else:
+            contrib = (
+                we.join(r.withColumnRenamed("vec_id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("r")).alias("s"))
+            )
+        teleport = _PR_TELEPORT * (120**t)
+        r = nodes.join(contrib, nodes.vec_id == contrib.dst, "left").select(
+            "vec_id",
+            (F.lit(teleport) + F.coalesce("s", F.lit(0))).cast("long").alias("r"),
+        )
+    return r.select("vec_id", F.col("r").alias("pr_scaled"))

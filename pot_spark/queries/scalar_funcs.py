@@ -374,3 +374,36 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("v"),
     )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT e.event_id,
+           CAST(floor(e.value /
+                      NULLIF(CAST(json_extract(e.props, '$.k') AS DOUBLE), 0))
+                AS BIGINT) AS per_k_floor,
+           TRY_CAST(substr(e.event_type, 1, 1) AS INTEGER) AS bad_int,
+           TRY_CAST(CAST(json_extract(e.props, '$.k') AS VARCHAR) AS INTEGER) AS k_int
+    FROM events e
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant scalar family (try_divide / try_cast): dirty-data
+    arithmetic that yields NULL instead of failing the job — at 100 TB a
+    single malformed row must never kill a 10^6-task stage, and try_*
+    keeps the error handling inside codegen instead of a Python guard.
+    Divide-by-zero (props.k = 0 rows) and unparseable casts both become
+    NULLs the oracle reproduces with NULLIF/TRY_CAST. The quotient is
+    floored, not rounded: floor of an identical double is engine-stable,
+    while round's half-tie mode is not."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.select(
+        "event_id",
+        F.floor(F.try_divide(F.col("value"), k)).cast("bigint").alias("per_k_floor"),
+        F.try_to_number(
+            F.substring("event_type", 1, 1), F.lit("999")
+        ).cast("int").alias("bad_int"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )

@@ -16,6 +16,7 @@ Usage:
     python -m pot_spark --root /data zip
     python -m pot_spark --root /data vacuum some/path
     python -m pot_spark --root /data restore some/path 3
+    python -m pot_spark --root /data changes some/path 1 3
 
 Documents are JSON on stdin; results are JSON on stdout. The norewrite
 lease flags mirror the reference's query params (?norewrite=<seconds>
@@ -78,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     p_restore.add_argument("path")
     p_restore.add_argument("generation", type=int)
 
+    p_changes = sub.add_parser("changes")
+    p_changes.add_argument("path")
+    p_changes.add_argument("from_generation", type=int)
+    p_changes.add_argument("to_generation", type=int, nargs="?", default=None)
+
     args = ap.parse_args(argv)
     store = PotStore(None, args.root)
 
@@ -127,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
             print(str(e), file=sys.stderr)
             return 1
         json.dump({"generation": gen}, sys.stdout)
+    elif args.cmd == "changes":
+        feed = store.changes(args.path, args.from_generation, args.to_generation)
+        json.dump(
+            {k: {"op": op, "doc": doc} for k, (op, doc) in feed.items()},
+            sys.stdout,
+            sort_keys=True,
+        )
     if args.cmd != "zip":
         print()
     return 0

@@ -621,6 +621,33 @@ class PotStore:
 
     # -- maintenance ---------------------------------------------------------
 
+    def changes(
+        self, path: str, from_generation: int, to_generation: Optional[int] = None
+    ) -> dict[str, tuple[str, Optional[dict[str, Any]]]]:
+        """Change feed between two retained generations (the Delta CDF
+        pattern): {key: (op, new_doc)} with op in insert/update/delete
+        (new_doc None for deletes) — what an incremental consumer replays
+        instead of re-reading the whole pot. Extension beyond the
+        reference, whose generations can't be diffed (server.go:405).
+        Dict-plane implementation diffs the two snapshots; on the
+        bucketed layout a scale implementation prunes to buckets whose
+        file entries differ between the manifests before reading."""
+        old = self._read_content(self._manifest_at(path, from_generation), path)
+        if to_generation is None:
+            new = self.get(path)
+        else:
+            new = self._read_content(self._manifest_at(path, to_generation), path)
+        out: dict[str, tuple[str, Optional[dict[str, Any]]]] = {}
+        for k, v in new.items():
+            if k not in old:
+                out[k] = ("insert", v)
+            elif old[k] != v:
+                out[k] = ("update", v)
+        for k in old:
+            if k not in new:
+                out[k] = ("delete", None)
+        return out
+
     def restore(self, path: str, generation: int) -> int:
         """Metadata-only rollback (Delta-style RESTORE): publish a NEW
         generation whose manifest points back at `generation`'s snapshot.

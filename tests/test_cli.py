@@ -87,3 +87,13 @@ def test_election_example_runs_clean():
     )
     assert p.returncode == 0, p.stdout + p.stderr
     assert "OK" in p.stdout
+
+
+def test_cli_changes(tmp_path):
+    root = str(tmp_path)
+    run(root, "create", "t", stdin='{"id": "a", "v": 1}')
+    run(root, "create", "t", stdin='{"id": "b", "v": 2}')
+    run(root, "remove", "t", "a")
+    out = json.loads(run(root, "changes", "t", "1", "3").stdout)
+    assert out == {"a": {"op": "delete", "doc": None},
+                   "b": {"op": "insert", "doc": {"id": "b", "v": 2}}}

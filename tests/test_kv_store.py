@@ -434,3 +434,23 @@ def test_restore_survives_vacuum(store):
     # must treat it as live and the restored content must survive
     store.vacuum("r/w")
     assert set(store.get("r/w")) == {"a"}
+
+
+def test_changes_feed_insert_update_delete(store):
+    store.create_batch("cf/p", {"a": {"v": 1}, "b": {"v": 2}})  # gen 1
+    store.create("cf/p", {"id": "a", "v": 10})  # gen 2: update a
+    store.create("cf/p", {"id": "c", "v": 3})  # gen 3: insert c
+    store.remove("cf/p", "b")  # gen 4: delete b
+    feed = store.changes("cf/p", 1, 4)
+    assert feed == {
+        "a": ("update", {"id": "a", "v": 10}),
+        "c": ("insert", {"id": "c", "v": 3}),
+        "b": ("delete", None),
+    }
+    # to_generation omitted => diff against latest
+    assert store.changes("cf/p", 1) == feed
+    # adjacent generations see only their own delta
+    assert store.changes("cf/p", 2, 3) == {"c": ("insert", {"id": "c", "v": 3})}
+    # identical generations => empty feed; missing from-gen => all inserts
+    assert store.changes("cf/p", 3, 3) == {}
+    assert set(store.changes("cf/p", 99, 4)) == {"a", "c"}  # 99 reads empty

@@ -1,8 +1,9 @@
-"""Property-based check of pot semantics: any sequence of upserts/removes
-must leave the store equal to a plain dict replaying the reference's
-rules (last-writer-wins per key, id-over-name derivation, silent remove,
-server.go:272-407, 494-548), and every historical generation must be
-replayable via time travel."""
+"""Property-based check of pot semantics: any sequence of upserts/
+removes/restores must leave the store equal to a plain dict replaying
+the reference's rules (last-writer-wins per key, id-over-name
+derivation, silent remove, server.go:272-407, 494-548), every
+historical generation must be replayable via time travel, and the
+change feed against the first generation must replay the model diff."""
 
 from __future__ import annotations
 
@@ -33,6 +34,7 @@ _op = st.one_of(
         st.dictionaries(st.sampled_from(_KEYS), _doc, max_size=3),
     ),
     st.tuples(st.just("remove"), st.lists(st.sampled_from(_KEYS + ["zz"]), max_size=2)),
+    st.tuples(st.just("restore"), st.integers(min_value=1, max_value=12)),
 )
 
 
@@ -55,6 +57,15 @@ def test_store_matches_dict_model(ops):
                 resp = store.create_batch("p/q", arg)
                 model.update(arg)
                 gen = resp.generation
+            elif kind == "restore":
+                # rollback to a random retained generation: the model
+                # becomes that generation's state under a NEW generation
+                if not history or arg > len(history):
+                    continue  # target never existed: nothing to restore
+                target_gen, target_state = history[arg - 1]
+                new_gen = store.restore("p/q", target_gen)
+                assert new_gen == gen + 1
+                gen, model = new_gen, dict(target_state)
             else:
                 store.remove("p/q", *arg)
                 for k in arg:
@@ -62,8 +73,23 @@ def test_store_matches_dict_model(ops):
                 gen += 1
             assert store.get("p/q") == model
             history.append((gen, dict(model)))
-        # time travel reproduces every intermediate state
+        # time travel reproduces every intermediate state, including
+        # states rolled back over by restore
         for g, state in history:
             assert store.get_at("p/q", g) == state
+        # the change feed between any state and latest replays the model
+        # diff exactly
+        if history:
+            g0, s0 = history[0]
+            feed = store.changes("p/q", g0)
+            for k, (op, doc) in feed.items():
+                if op == "delete":
+                    assert k in s0 and k not in model
+                else:
+                    assert model[k] == doc
+                    assert (k not in s0) if op == "insert" else (s0[k] != doc)
+            unchanged = set(s0) & set(model) - set(feed)
+            for k in unchanged:
+                assert s0[k] == model[k]
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -451,8 +451,15 @@ class PotStore:
     def get_df(self, path: str) -> DataFrame:
         """The pot as a DataFrame[key string, doc string]; missing pot =>
         empty DataFrame with the same schema."""
+        return self._df_of(path, self._latest_manifest(path))
+
+    def get_df_at(self, path: str, generation: int) -> DataFrame:
+        """DataFrame time travel: the pot as of a past generation
+        (DataFrame twin of get_at); missing generation => empty."""
+        return self._df_of(path, self._manifest_at(path, generation))
+
+    def _df_of(self, path: str, manifest: Optional[_Manifest]) -> DataFrame:
         assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
-        manifest = self._latest_manifest(path)
         if manifest is None:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA)
         if manifest.files is not None:
@@ -460,6 +467,64 @@ class PotStore:
             return self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
         snap = self._snapshot_path(path, manifest.snapshot)
         return self.spark.read.schema(DOC_SCHEMA).parquet(snap)
+
+    def changes_df(
+        self, path: str, from_generation: int, to_generation: Optional[int] = None
+    ) -> DataFrame:
+        """Spark-plane change feed: DataFrame[key, op, doc] with op in
+        insert/update/delete between two generations — for pots too large
+        to diff on the driver. On the bucketed layout, buckets whose
+        manifest file entries are identical in both generations are
+        PRUNED before any read: a key always hashes to the same bucket,
+        so an untouched bucket cannot contribute a change — the diff cost
+        is O(changed buckets), mirroring the O(delta) write path."""
+        assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        m_old = self._manifest_at(path, from_generation)
+        m_new = (
+            self._latest_manifest(path)
+            if to_generation is None
+            else self._manifest_at(path, to_generation)
+        )
+        if (
+            m_old is not None
+            and m_new is not None
+            and m_old.files is not None
+            and m_new.files is not None
+            and set(m_old.files) == set(m_new.files)
+        ):
+            changed = [b for b in m_new.files if m_old.files[b] != m_new.files[b]]
+            old_dirs = [self._snapshot_path(path, m_old.files[b]) for b in changed]
+            new_dirs = [self._snapshot_path(path, m_new.files[b]) for b in changed]
+            empty = self.spark.createDataFrame([], schema=DOC_SCHEMA)
+            old_df = (
+                self.spark.read.schema(DOC_SCHEMA).parquet(*old_dirs)
+                if old_dirs
+                else empty
+            )
+            new_df = (
+                self.spark.read.schema(DOC_SCHEMA).parquet(*new_dirs)
+                if new_dirs
+                else empty
+            )
+        else:
+            old_df = self._df_of(path, m_old)
+            new_df = self._df_of(path, m_new)
+        o = old_df.select(F.col("key"), F.col("doc").alias("old_doc"))
+        n = new_df.select(F.col("key"), F.col("doc").alias("new_doc"))
+        j = o.join(n, "key", "full_outer")
+        op = (
+            F.when(F.col("old_doc").isNull(), "insert")
+            .when(F.col("new_doc").isNull(), "delete")
+            .otherwise("update")
+        )
+        return (
+            j.filter(
+                F.col("old_doc").isNull()
+                | F.col("new_doc").isNull()
+                | (F.col("old_doc") != F.col("new_doc"))
+            )
+            .select("key", op.alias("op"), F.col("new_doc").alias("doc"))
+        )
 
     def get_typed(self, path: str, schema) -> DataFrame:
         """Typed projection of the documents (the engine's analogue of the

@@ -221,3 +221,38 @@ def test_restore_bucketed_reuses_files_and_survives_vacuum(spark, tmp_path):
     store.create_df_bucketed("r/p", _doc_df(spark, {"k1": {"v": -1}}), n_buckets=4)
     assert store.get("r/p")["k1"] == {"v": -1}
     assert store.get("r/p")["k0"] == {"v": 0}
+
+
+def test_changes_df_matches_dict_feed(spark, store):
+    store.create_df("cd/p", _doc_df(spark, {"a": {"v": 1}, "b": {"v": 2}}))
+    store.create_df("cd/p", _doc_df(spark, {"a": {"v": 10}, "c": {"v": 3}}))
+    store.remove("cd/p", "b")
+    feed_df = {
+        r["key"]: (r["op"], json.loads(r["doc"]) if r["doc"] else None)
+        for r in store.changes_df("cd/p", 1).collect()
+    }
+    assert feed_df == store.changes("cd/p", 1)
+    assert feed_df == {
+        "a": ("update", {"v": 10}),
+        "c": ("insert", {"v": 3}),
+        "b": ("delete", None),
+    }
+    # DataFrame time travel matches dict time travel
+    at1 = {r["key"] for r in store.get_df_at("cd/p", 1).collect()}
+    assert at1 == set(store.get_at("cd/p", 1)) == {"a", "b"}
+
+
+def test_changes_df_prunes_untouched_buckets(spark, tmp_path):
+    store = PotStore(spark=spark, root=str(tmp_path / "potroot"))
+    n = 8
+    base = {f"k{i}": {"v": i} for i in range(64)}
+    store.create_df_bucketed("cb/p", _doc_df(spark, base), n_buckets=n)
+    store.create_df_bucketed("cb/p", _doc_df(spark, {"k0": {"v": -1}}), n_buckets=n)
+    diff = store.changes_df("cb/p", 1, 2)
+    rows = {(r["key"], r["op"]) for r in diff.collect()}
+    assert rows == {("k0", "update")}
+    # the diff must only read the touched bucket's dir from each
+    # generation — every input file lives under exactly one __b=<k>
+    # value, never the other n-1 buckets
+    buckets = {f.rsplit("__b=", 1)[1].split("/")[0] for f in diff.inputFiles()}
+    assert len(buckets) == 1, buckets

@@ -342,3 +342,109 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_regr_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_*): slope/intercept/R²
+    of extendedprice against quantity per returnflag — the SQL-standard
+    OLS aggregates both engines implement natively. One hash aggregate,
+    map-side partials (each regr_* is a fixed-size moment sketch), so it
+    scales like any sum: no extra shuffle, no second pass. Rounded per
+    the moment-order rules in pot_spark/queries/__init__.py.
+
+    No reference counterpart: the reference has no aggregation operators
+    at all (SURVEY.md §2-A)."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "q_mode_agg",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_mode
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modal value per group: Spark's mode(col, true)
+    (lowest value among frequency ties — the deterministic flag makes
+    the answer reproducible across partitionings, which a nondeterministic
+    mode is not at 1000 executors). The modal count rides along as
+    max(per-value count). The oracle replays the same semantics as a
+    count + row_number cascade, since a tie-arbitrary mode() could never
+    hash-match. Both aggregates share one scan; the post-agg join is
+    4 rows × 5 rows and broadcasts.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.expr("mode(o_orderpriority, true)").alias("mode_priority")
+    )
+    top = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .groupBy("o_orderstatus")
+        .agg(F.max("n").cast("bigint").alias("n_mode"))
+    )
+    return m.join(top, "o_orderstatus")
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS and_key,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS or_key,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS total_bits
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) plus popcount
+    sums — the primitives behind bitmap indexes and feature-flag rollups.
+    All four are associative-commutative single-word states, so they
+    partial-aggregate map-side and shuffle exactly one word per group.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(k).cast("bigint").alias("and_key"),
+        F.bit_or(k).cast("bigint").alias("or_key"),
+        F.bit_xor(k).cast("bigint").alias("xor_key"),
+        F.sum(F.bit_count(k)).cast("bigint").alias("total_bits"),
+    )

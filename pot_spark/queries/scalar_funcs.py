@@ -407,3 +407,90 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("bad_int"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     )
+
+
+@query(
+    "q_higher_order",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+               AS pos_components,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, x -> x > 0.2)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_big,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, x -> abs(x) > 1)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_box
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (filter/exists/forall) over the
+    embedding vectors: per label, total positive components, vectors
+    with any component > 0.2, vectors entirely inside the unit box.
+    The lambdas run inside codegen on the array in place — no explode,
+    so a 64-wide vector never becomes 64 shuffle rows; the only
+    exchange is the final 1-word-per-group aggregate. The oracle
+    expresses exists/forall as list_filter length tests (counts are
+    integers, so the hash is exact — no float tolerance needed).
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.size(F.filter(v, lambda x: x > 0))).cast("bigint").alias(
+            "pos_components"
+        ),
+        F.sum(F.exists(v, lambda x: x > 0.2).cast("int"))
+        .cast("bigint")
+        .alias("n_has_big"),
+        F.sum(F.forall(v, lambda x: F.abs(x) <= 1).cast("int"))
+        .cast("bigint")
+        .alias("n_unit_box"),
+    )
+
+
+@query(
+    "q_variant_funcs",
+    oracle="""
+    SELECT k_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k_int) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN k_int % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even
+    FROM (
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract(props, '$.k') AS INTEGER)
+                 - (CAST(json_extract(props, '$.k') AS INTEGER) % 10) AS k_floor
+        FROM events
+    )
+    GROUP BY k_floor
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json once into the
+    binary variant encoding, then typed variant_get extraction — the
+    open-schema path for ingesting JSON tails without a declared struct,
+    and the engine-native upgrade over per-access get_json_object string
+    re-parsing (each extraction re-reads the string; variant parses
+    once). Decile flooring stays in integer arithmetic (k - k % 10) so
+    both engines agree bit-exactly. DuckDB's oracle reads the same field
+    through its JSON type.
+
+    Generalizes the reference's schemaless JSON documents
+    (server.go:315, 341-343) to a typed, columnar-friendly encoding."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    d = ev.select(k.alias("k_int"))
+    return (
+        d.withColumn("k_floor", F.col("k_int") - (F.col("k_int") % 10))
+        .groupBy("k_floor")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k_int").cast("bigint").alias("sum_k"),
+            F.sum((F.col("k_int") % 2 == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_even"),
+        )
+    )

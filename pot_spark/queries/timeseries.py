@@ -302,3 +302,111 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         wk_users(2).alias("w2"),
         wk_users(3).alias("w3"),
     )
+
+
+@query(
+    "q_ts_interp",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
+               MAX(value) AS bucket_max
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+        FROM b GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 600)) AS bucket_s
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket_s, b.bucket_max,
+               last_value(b.bucket_max IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN b.bucket_max IS NOT NULL
+                               THEN g.bucket_s END IGNORE NULLS)
+                   OVER w_prev AS prev_t,
+               first_value(b.bucket_max IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN b.bucket_max IS NOT NULL
+                                THEN g.bucket_s END IGNORE NULLS)
+                   OVER w_next AS next_t
+        FROM grid g
+        LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_s = g.bucket_s
+        WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket_s
+                          ROWS UNBOUNDED PRECEDING),
+               w_next AS (PARTITION BY g.user_id ORDER BY g.bucket_s
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_s,
+           CAST(bucket_max IS NULL AS INTEGER) AS is_gap,
+           CASE WHEN bucket_max IS NOT NULL THEN bucket_max
+                WHEN prev_t IS NOT NULL AND next_t IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * (bucket_s - prev_t)
+                              / (next_t - prev_t)
+           END AS interp_value
+    FROM j
+    """,
+)
+def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation gap fill (the smooth sibling of
+    q_ts_gap_fill's LOCF): each user's 10-minute grid is generated from
+    that user's own bounds, and every empty bucket gets
+    v_prev + (v_next - v_prev) * dt/span from its bracketing
+    observations — two framed windows (last-non-null backward,
+    first-non-null forward) over one user_id-partitioned sort. The
+    single hash exchange on user_id serves the grid join and BOTH
+    windows, so at 100 TB the cost is one shuffle of the bucketed
+    partials, never of raw events. Grid endpoints are observed buckets
+    by construction, so every gap is bracketed and the formula is
+    total. The interpolation stays un-rounded: +,-,*,/ are IEEE-exact
+    deterministic ops over identical left-associative expressions, so
+    the doubles are bit-equal across engines (a round(4) would actually
+    BREAK parity — Spark rounds the exact binary value via BigDecimal
+    while DuckDB rounds a scaled multiply, and they disagree on
+    boundary values).
+
+    No reference counterpart: petomalina/pot has no temporal operators
+    (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    bucket_s = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint")
+    b = ev.groupBy("user_id", bucket_s.alias("bucket_s")).agg(
+        F.max("value").alias("bucket_max")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(600).cast("bigint"))).alias(
+                "bucket_s"
+            ),
+        )
+    )
+    j = grid.join(b, ["user_id", "bucket_s"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_s"))
+    prev_v = F.last("bucket_max", ignorenulls=True).over(w_prev)
+    prev_t = F.last(t_obs, ignorenulls=True).over(w_prev)
+    next_v = F.first("bucket_max", ignorenulls=True).over(w_next)
+    next_t = F.first(t_obs, ignorenulls=True).over(w_next)
+    interp = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_max")).when(
+        prev_t.isNotNull() & next_t.isNotNull(),
+        prev_v
+        + (next_v - prev_v) * (F.col("bucket_s") - prev_t) / (next_t - prev_t),
+    )
+    return j.select(
+        "user_id",
+        "bucket_s",
+        F.col("bucket_max").isNull().cast("int").alias("is_gap"),
+        interp.alias("interp_value"),
+    )

@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     p_changes.add_argument("from_generation", type=int)
     p_changes.add_argument("to_generation", type=int, nargs="?", default=None)
 
+    p_clone = sub.add_parser("clone")
+    p_clone.add_argument("src")
+    p_clone.add_argument("dst")
+    p_clone.add_argument("--deep", action="store_true")
+
     args = ap.parse_args(argv)
     store = PotStore(None, args.root)
 
@@ -129,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "restore":
         try:
             gen = store.restore(args.path, args.generation)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        json.dump({"generation": gen}, sys.stdout)
+    elif args.cmd == "clone":
+        try:
+            gen = store.clone(args.src, args.dst, deep=args.deep)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1

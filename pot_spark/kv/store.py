@@ -752,6 +752,79 @@ class PotStore:
                     return committed.generation
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
 
+    def clone(self, src: str, dst: str, deep: bool = False) -> int:
+        """Delta-style CLONE of a pot to a new path. Shallow (default):
+        an O(1) metadata commit whose manifest references `src`'s current
+        snapshot files in place — no data copied, cost independent of pot
+        size. The clone is copy-on-write: its next mutation stages its
+        own snapshot, and `src` never observes clone writes. Until then
+        the clone depends on `src`'s snapshot surviving — compact+vacuum
+        on `src` invalidates shallow clones, exactly Delta's documented
+        shallow-clone/VACUUM interaction. `deep=True` copies the snapshot
+        files (O(data)) so the clone is fully independent. Locally the
+        reference is a root-relative dir; on cloud storage it maps to
+        absolute-URI file entries in the manifest (the same mechanism
+        Delta shallow clones use). Extension beyond the reference: pot
+        can only duplicate by re-POSTing documents (server.go:272-407).
+        Returns the clone's new generation at `dst`."""
+        src_m = self._latest_manifest(src)
+        if src_m is None:
+            raise ValueError(f"pot {src!r} does not exist")
+        lock = self._local_lock(dst)
+        t_lock = time.perf_counter()
+        with lock:
+            self.metrics.lock_wait_s += time.perf_counter() - t_lock
+            self.metrics.lock_acquisitions += 1
+            dst_dir = self._pot_dir(dst)
+            os.makedirs(dst_dir, exist_ok=True)
+            for _ in range(_MAX_COMMIT_RETRIES):
+                cur = self._latest_manifest(dst)
+                next_gen = 1 if cur is None else cur.generation + 1
+                if deep:
+                    name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
+                    snap_dir = self._snapshot_path(dst, name)
+                    files: Optional[dict[str, str]] = None
+                    if src_m.files is not None:
+                        os.makedirs(snap_dir, exist_ok=True)
+                        files = {}
+                        for b, rel in src_m.files.items():
+                            bucket_dst = os.path.join(snap_dir, f"__b={b}")
+                            shutil.copytree(
+                                self._snapshot_path(src, rel), bucket_dst
+                            )
+                            files[b] = f"{name}/__b={b}"
+                    else:
+                        shutil.copytree(
+                            self._snapshot_path(src, src_m.snapshot), snap_dir
+                        )
+                else:
+                    # relative reference into src's pot dir: the commit is
+                    # pure metadata, nothing is read or copied
+                    name = os.path.relpath(
+                        self._snapshot_path(src, src_m.snapshot), dst_dir
+                    )
+                    files = (
+                        {
+                            b: os.path.relpath(
+                                self._snapshot_path(src, rel), dst_dir
+                            )
+                            for b, rel in src_m.files.items()
+                        }
+                        if src_m.files is not None
+                        else None
+                    )
+                committed = _Manifest(
+                    generation=next_gen,
+                    committed_at=time.time(),
+                    snapshot=name,
+                    n_keys=src_m.n_keys,
+                    files=files,
+                )
+                if self._try_commit(dst, committed):
+                    self.generation_cache[dst] = committed.generation
+                    return committed.generation
+        raise CommitConflict(f"commit contention on {dst!r} exceeded retries")
+
     def vacuum(self, path: str) -> int:
         """Remove snapshots not referenced by the latest manifest (loser
         stages and superseded versions). Returns count removed."""

@@ -256,3 +256,24 @@ def test_changes_df_prunes_untouched_buckets(spark, tmp_path):
     # value, never the other n-1 buckets
     buckets = {f.rsplit("__b=", 1)[1].split("/")[0] for f in diff.inputFiles()}
     assert len(buckets) == 1, buckets
+
+
+def test_shallow_clone_bucketed_reads_source_files_then_cow(spark, tmp_path):
+    store = PotStore(spark=spark, root=str(tmp_path / "potroot"))
+    base = {f"k{i}": {"v": i} for i in range(40)}
+    store.create_df_bucketed("cl/src", _doc_df(spark, base), n_buckets=4)
+    store.clone("cl/src", "cl/dst")
+    # the clone's DataFrame reads the SOURCE's snapshot files in place
+    df = store.get_df("cl/dst")
+    assert {r["key"] for r in df.collect()} == set(base)
+    assert all("cl/src" in f for f in df.inputFiles())
+    # copy-on-write mutation keeps the bucket layout and only writes the
+    # touched bucket, leaving the other buckets pointing into the source
+    store.create_df_bucketed(
+        "cl/dst", _doc_df(spark, {"k0": {"v": -1}}), n_buckets=4
+    )
+    assert store.get("cl/dst")["k0"] == {"v": -1}
+    assert store.get("cl/src")["k0"] == {"v": 0}
+    files = store.get_df("cl/dst").inputFiles()
+    assert any("cl/src" in f for f in files)  # untouched buckets shared
+    assert any("cl/dst" in f for f in files)  # touched bucket local

@@ -454,3 +454,51 @@ def test_changes_feed_insert_update_delete(store):
     # identical generations => empty feed; missing from-gen => all inserts
     assert store.changes("cf/p", 3, 3) == {}
     assert set(store.changes("cf/p", 99, 4)) == {"a", "c"}  # 99 reads empty
+
+
+# -- clone ------------------------------------------------------------------
+
+
+def test_shallow_clone_is_metadata_only_and_cow(store, tmp_path):
+    store.create_batch("c/src", {"a": {"v": 1}, "b": {"v": 2}})
+    gen = store.clone("c/src", "c/dst")
+    assert gen == 1
+    assert store.get("c/dst") == store.get("c/src")
+    # O(1): no parquet data under the clone's pot dir (pure manifest)
+    import os
+
+    dst_dir = store._pot_dir("c/dst")
+    data_files = [
+        f for _, _, fs in os.walk(dst_dir) for f in fs if f.endswith(".parquet")
+    ]
+    assert data_files == []
+    # copy-on-write both directions
+    store.create("c/dst", {"id": "a", "v": 10})
+    assert store.get("c/src")["a"] == {"v": 1}
+    store.create("c/src", {"id": "b", "v": 20})
+    assert store.get("c/dst")["b"] == {"v": 2}
+
+
+def test_deep_clone_survives_source_vacuum(store):
+    store.create_batch("d/src", {"a": {"v": 1}})
+    store.clone("d/src", "d/deep", deep=True)
+    # supersede + reclaim the source snapshot entirely
+    store.create("d/src", {"id": "a", "v": 2})
+    store.compact("d/src")
+    store.vacuum("d/src")
+    assert store.get("d/deep") == {"a": {"v": 1}}
+
+
+def test_clone_missing_source_raises(store):
+    with pytest.raises(ValueError):
+        store.clone("c/nope", "c/dst2")
+
+
+def test_clone_onto_existing_pot_replaces_at_next_generation(store):
+    store.create_batch("e/src", {"x": {"v": 1}})
+    store.create_batch("e/dst", {"y": {"v": 9}})
+    gen = store.clone("e/src", "e/dst")
+    assert gen == 2
+    assert store.get("e/dst") == {"x": {"v": 1}}
+    # history is retained: the pre-clone state is still readable
+    assert store.get_at("e/dst", 1) == {"y": {"v": 9}}

@@ -199,3 +199,48 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     assert "rangepartitioning" in p
     assert re.findall(r"\(\d+\) Sort", p)
     assert "TakeOrderedAndProject" not in p
+
+
+def test_higher_order_lambdas_never_explode(spark, sf_dir):
+    # filter/exists/forall run on the array in place: a 64-wide vector
+    # must not become 64 shuffle rows
+    p = _plan(spark, sf_dir, "q_higher_order")
+    assert "Generate" not in p  # no explode
+    assert p.count("HashAggregate") >= 2  # partial + final agg only
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ts_interp_single_user_shuffle_serves_both_windows(spark, sf_dir):
+    # the bucketed-partials aggregation keys the exchange by user_id;
+    # the grid join and BOTH framed windows must reuse that partitioning
+    # rather than adding their own exchanges
+    p = _plan(spark, sf_dir, "q_ts_interp")
+    tree = p.split("== Initial Plan ==")[0]
+    assert "Window" in tree
+    # exactly the two aggregation shuffles (bounds, bucket partials);
+    # BroadcastExchange for the small side is allowed, hash exchanges
+    # beyond 2 mean the window or join re-shuffled
+    assert tree.count("- Exchange ") == 2, tree
+
+
+def test_sql_recursive_aggregates_fact_before_spine_join(spark, sf_dir):
+    # the 84-row spine must join an already-aggregated orders side: a
+    # spine-first join against raw orders would broadcast/shuffle the
+    # fact table to preserve the left-outer spine
+    p = _plan(spark, sf_dir, "q_sql_recursive")
+    assert "UnionLoop" in p  # recursion executes as Spark 4's UnionLoop
+    tree = p.split("== Initial Plan ==")[0]
+    join_input = tree.split("Join")[1] if "Join" in tree else tree
+    # the scan feeding the join sits below a HashAggregate
+    scan_pos = join_input.find("Scan parquet")
+    agg_pos = join_input.find("HashAggregate")
+    assert agg_pos != -1 and scan_pos != -1 and agg_pos < scan_pos
+
+
+def test_variant_parses_json_once_in_scan_project(spark, sf_dir):
+    # parse_json runs once per row in the scan-side project; only props
+    # reaches the scan
+    p = _plan(spark, sf_dir, "q_variant_funcs")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" in read and "event_id" not in read and "value" not in read
+    assert "parseJson" in p

@@ -9,7 +9,7 @@ one aggregation shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
@@ -400,4 +400,153 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("n_hit") > 0)
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t
+        FROM documents,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS u(t)
+    ),
+    vocab AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM toks GROUP BY t
+    ),
+    tot AS (SELECT SUM(n) AS big_n FROM vocab),
+    doc_tok AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM toks GROUP BY doc_id, t
+    )
+    SELECT d.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           ROUND(LN((SELECT big_n FROM tot)) - SUM(m * LN(v.n)) / SUM(m), 6)
+               AS avg_neg_logprob
+    FROM doc_tok d JOIN vocab v ON v.t = d.t
+    GROUP BY d.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score: train a unigram LM on
+    the corpus itself (token -> corpus frequency), then score each doc
+    by its average negative log-probability — the classic cheap
+    perplexity proxy for filtering gibberish/outlier documents before
+    LLM training. avg(-ln(n_t/N)) is computed in the shuffle-stable
+    form ln(N) - sum(m*ln(n))/sum(m) over per-(doc,token) counts, so
+    partial-sum order cannot move the rounded result. Two shuffles
+    (vocab by token, doc rollup by doc_id); the token-keyed join is
+    Zipf-skewed at scale, which AQE's skew-join split absorbs — and the
+    per-(doc,token) pre-aggregation bounds any single key's rows by the
+    doc count, not the corpus token count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").cast("double").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("big_n"))
+    doc_tok = toks.groupBy("doc_id", "t").agg(
+        F.count("*").cast("double").alias("m")
+    )
+    return (
+        doc_tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("m") * F.log("n")).alias("_sum_mln"),
+            F.sum("m").alias("_sum_m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log("big_n") - F.col("_sum_mln") / F.col("_sum_m"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
+    "q_seq_pack",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS win_id,
+           (cum - n_tok) - CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)
+               * 2048 AS win_offset,
+           CAST(floor((cum - 1) / 2048.0) AS BIGINT)
+               - CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) + 1
+               AS n_windows
+    FROM c WHERE n_tok > 0
+    """,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (GPT-style concatenate-and-chunk
+    training prep): documents are laid end-to-end in doc_id order and
+    cut into 2048-token windows; each doc reports its window id, offset
+    in the window, and how many windows it spans. The global running
+    token count is NOT a single-partition window at scale — it's the
+    distributed prefix-sum pattern: an in-shard cumulative sum
+    (window partitioned by doc_id shard) plus broadcast per-shard base
+    offsets (a cumulative sum over the tiny shard-totals table), so no
+    executor ever sees more than one shard's rows. The oracle computes
+    the same cumsum with one global window, which a single DuckDB node
+    can afford at test scale. All outputs are integers — exact hash."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    sharded = toks.withColumn("shard", F.floor(F.col("doc_id") / 1024))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_shard = sharded.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    # per-shard totals are O(shards) rows: the running offset over them is
+    # a driver-scale window, then broadcast back onto the data
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sharded.groupBy("shard")
+        .agg(F.sum("n_tok").alias("shard_tot"))
+        .select(
+            "shard",
+            (F.sum("shard_tot").over(w_sh) - F.col("shard_tot")).alias("base"),
+        )
+    )
+    cum = (
+        in_shard.join(F.broadcast(offsets), "shard")
+        .withColumn("cum", F.col("base") + F.col("cum_in"))
+    )
+    start = F.col("cum") - F.col("n_tok")
+    win_id = F.floor(start / 2048.0).cast("bigint")
+    last_win = F.floor((F.col("cum") - 1) / 2048.0).cast("bigint")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        win_id.alias("win_id"),
+        (start - win_id * 2048).alias("win_offset"),
+        (last_win - win_id + 1).alias("n_windows"),
     )

@@ -47,6 +47,9 @@ HEADLINE = [
     "q_retention",
     "q_full_outer_join",
     "q_dpp_join",
+    "q_unigram_logprob",
+    "q_seq_pack",
+    "q_ts_interp",
 ]
 
 

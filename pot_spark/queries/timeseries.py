@@ -389,22 +389,43 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward-looking window is expressed as a RUNNING frame over a
+    # descending sort, not first_value over (currentRow, unboundedFollowing):
+    # Spark evaluates unbounded-following frames by recomputing the
+    # aggregate from scratch at every row -- O(rows^2) per partition, 800+
+    # seconds at sf0.1 -- while running frames are incremental O(rows).
+    # Same hash exchange serves both orderings; only a second in-partition
+    # sort is added.
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("bucket_s")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t_obs = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_s"))
     prev_v = F.last("bucket_max", ignorenulls=True).over(w_prev)
     prev_t = F.last(t_obs, ignorenulls=True).over(w_prev)
-    next_v = F.first("bucket_max", ignorenulls=True).over(w_next)
-    next_t = F.first(t_obs, ignorenulls=True).over(w_next)
-    interp = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_max")).when(
-        prev_t.isNotNull() & next_t.isNotNull(),
-        prev_v
-        + (next_v - prev_v) * (F.col("bucket_s") - prev_t) / (next_t - prev_t),
+    next_v = F.last("bucket_max", ignorenulls=True).over(w_next)
+    next_t = F.last(t_obs, ignorenulls=True).over(w_next)
+    # materialize each window value once: inlining them into the CASE
+    # expression would instantiate duplicate window expressions (Spark
+    # does not dedupe them) and double the per-row window work
+    staged = j.select(
+        "user_id",
+        "bucket_s",
+        "bucket_max",
+        prev_v.alias("prev_v"),
+        prev_t.alias("prev_t"),
+        next_v.alias("next_v"),
+        next_t.alias("next_t"),
     )
-    return j.select(
+    interp = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_max")).when(
+        F.col("prev_t").isNotNull() & F.col("next_t").isNotNull(),
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("bucket_s") - F.col("prev_t"))
+        / (F.col("next_t") - F.col("prev_t")),
+    )
+    return staged.select(
         "user_id",
         "bucket_s",
         F.col("bucket_max").isNull().cast("int").alias("is_gap"),

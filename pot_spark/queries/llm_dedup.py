@@ -616,3 +616,81 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_JACCARD_EST_SQL = f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    sig AS ({_SIGNATURES_SQL}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    agree AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST({' + '.join(f'(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)' for j in range(N_HASHES))}
+                    AS BIGINT) AS sig_agree
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.doc_a
+        JOIN sig b ON b.doc_id = p.doc_b
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, p.na, p.nb, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY p.doc_a, p.doc_b, p.na, p.nb
+    )
+    SELECT i.doc_a, i.doc_b, g.sig_agree, i.n_inter, i.na, i.nb
+    FROM inter i JOIN agree g ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    """
+
+
+@query("q_minhash_jaccard_est", oracle=_JACCARD_EST_SQL)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration for the LSH pipeline: for every
+    candidate pair, the MinHash estimate of Jaccard similarity
+    (signature-agreement fraction, sig_agree/k) next to the exact
+    shingle-set overlap (n_inter/(na+nb-n_inter)). This is the query you
+    run when tuning bands x rows before a 10^10-doc dedup: it tells you,
+    on real data, how far the k=8 sketch sits from truth at the
+    candidate threshold. Outputs are integers (agreement count,
+    intersection count, set sizes) so the oracle hash is exact — the
+    division is left to the consumer. Same scale shape as q_dedup_near:
+    candidate pairs broadcast into the exact-overlap join, so the
+    verification cost is O(candidates), never O(pairs)."""
+    sh = _shingle_df(spark, sf_dir)
+    sig = _signatures(spark, sf_dir, sh)
+    pairs = _band_pairs(spark, sf_dir, sh)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    agree_expr = None
+    for j in range(N_HASHES):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        agree_expr = term if agree_expr is None else agree_expr + term
+    agree = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", agree_expr.cast("bigint").alias("sig_agree")
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand_a = sa.join(
+        F.broadcast(pairs.select("doc_a", "doc_b", "na", "nb")), "doc_a"
+    )
+    inter = (
+        cand_a.join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return inter.join(agree, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "sig_agree", "n_inter", "na", "nb"
+    )

@@ -9,6 +9,8 @@ applyInPandas); no row-at-a-time Python UDFs anywhere in the engine.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Iterator
 
 import numpy as np
@@ -394,5 +396,86 @@ def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "custkey long, c_acctbal double, n_orders long,"
                 " sum_price double, bal_ratio double"
             ),
+        )
+    )
+
+
+@query(
+    "u_python_udtf",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks) - 1)) - 1 AS INTEGER) AS pos,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+    """,
+)
+def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native Python UDTF (the @udtf class API, a separate
+    surface from mapInPandas): a registered table function expanded with
+    SQL LATERAL — each document yields its adjacent-bigram rows. The
+    UDTF runs per-partition with no shuffle (lateral expansion is
+    pipeline-parallel like any Generate); a real pipeline hangs
+    tokenizers or parsers here when the logic doesn't fit column
+    expressions. The mapInPandas twin (u_udtf) stays the Arrow-batched
+    fast path; this covers the declarative SQL-callable form.
+
+    No reference counterpart: the reference has no extension points at
+    all (SURVEY.md §2-A)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram "
+        "FROM documents d, LATERAL bigrams(d.text) b"
+    )
+
+
+@query(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source (`spark.read.format("binaryFile")`): the
+    ingest path for raw media — each payload written as one opaque file,
+    read back distributed as (path, content) rows, identity recovered
+    from the filename. This is how images/audio enter the engine before
+    the mapInPandas decode stage; at 100 TB the file listing is driver-
+    side but the content reads are executor-parallel, and
+    `pathGlobFilter`/`recursiveFileLookup` prune at the index. The
+    oracle recomputes the expected byte lengths straight from the
+    documents table (write->read roundtrip, csv-roundtrip pattern)."""
+    media = build_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    out = os.path.join(
+        tempfile.gettempdir(), f"pot_spark_binsrc_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(out) or not os.listdir(out):
+        os.makedirs(out, exist_ok=True)
+        for r in media.select("doc_id", "payload").collect():
+            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["payload"])
+    return (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"/(\d+)\.bin$", 1
+            ).cast("bigint").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
         )
     )

@@ -317,3 +317,57 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id,
+               NULLIF(CAST(json_extract(props, '$.k') AS INTEGER) % 7, 0)
+                   AS grp
+        FROM events
+    ),
+    a AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM ev WHERE event_id % 2 = 0 GROUP BY grp
+    ),
+    b AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM ev WHERE event_id % 2 = 1 GROUP BY grp
+    )
+    SELECT a.grp, a.n_a, b.n_b
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantic a
+    reconciliation join needs when the key itself can be absent (here a
+    deterministic NULLIF-derived group). Catalyst plans EqualNullSafe as
+    an ordinary hash-join key (null-safe equality is still an
+    equi-join), so the physical shape is identical to q_hash_join — no
+    nested-loop penalty; both sides are pre-aggregated so the join
+    matches groups, not rows.
+
+    No reference counterpart: the reference has no join operators at all
+    (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(0)
+        ).alias("grp"),
+    )
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("grp")
+        .agg(F.count("*").cast("bigint").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("grp")
+        .agg(F.count("*").cast("bigint").alias("n_b"))
+    )
+    return a.join(b, a["grp"].eqNullSafe(b["grp"])).select(
+        a["grp"].alias("grp"), "n_a", "n_b"
+    )

@@ -1,0 +1,32 @@
+"""Observation API: per-query metrics collected on the driver without a
+second scan — the engine-side analogue of the reference's pot_reads/
+pot_writes counters (server.go:117-167), but attached to an arbitrary
+DataFrame instead of the storage layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from pot_spark.tables import load
+
+
+def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
+    obs = Observation("scan_stats")
+    li = load(spark, sf_dir, "lineitem")
+    df = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    ).filter(F.col("l_quantity") > 30)
+    kept = df.count()
+    got = obs.get
+    # the observation sees every scanned row (pre-filter), in the same
+    # job that produced the filtered count -- no second scan
+    expected_rows = li.count()
+    expected_qty = li.agg(F.sum("l_quantity")).collect()[0][0]
+    assert got["rows_seen"] == expected_rows
+    assert abs(got["total_qty"] - expected_qty) < 1e-6
+    assert kept < expected_rows

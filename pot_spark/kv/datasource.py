@@ -1,0 +1,253 @@
+"""Spark 4 Python DataSource exposing pots as first-class formats:
+
+    spark.read.format("pot").option("root", R).load("a/b")      # batch read
+    df.write.format("pot").option("root", R).mode(...).save("a/b")
+    spark.readStream.format("pot_changes")...load("a/b")        # change feed
+
+"pot" (batch): reads a pot snapshot as DataFrame[key, doc] with
+per-parquet-file input partitions, optional `generation` time travel, and
+key-equality filter pushdown (EqualTo/In filtered inside the reader, so
+only matching rows cross the Arrow boundary). The writer stages one
+parquet file per task and publishes through the store's put-if-absent
+manifest commit — mode("append") is the reference's merge upsert
+(server.go:385-393), mode("overwrite") is truncate-and-load.
+
+"pot_changes" (streaming): a SimpleDataSourceStreamReader whose offsets
+ARE pot generations — each microbatch is the store's change feed between
+the last shipped generation and the current one, giving CDC-style
+incremental consumption of a pot. Generations are immutable, so
+readBetweenOffsets replays deterministically (exactly-once with a
+checkpointed query).
+
+The reference exposes storage only through its HTTP routes
+(server_routes.go:18-41); here the same surface plugs into Spark's own
+source/sink contract, so every relational operator composes with pots
+directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+from pot_spark.kv.store import _ARROW_SCHEMA, PotStore
+
+if TYPE_CHECKING:
+    from pyspark.sql.datasource import Filter
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file: str
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    file: str
+
+
+def _store(options) -> tuple[PotStore, str]:
+    root = options.get("root")
+    if not root:
+        raise ValueError('the pot data source requires .option("root", <dir>)')
+    path = options.get("path", "")
+    return PotStore(spark=None, root=root), path
+
+
+class PotDataSource(DataSource):
+    """Batch read/write of a pot path (format name: "pot")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pot"
+
+    def schema(self) -> str:
+        return "key string, doc string"
+
+    def reader(self, schema) -> "PotReader":
+        return PotReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PotWriter":
+        return PotWriter(self.options, overwrite)
+
+
+class PotReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        store, path = _store(options)
+        gen = options.get("generation")
+        manifest = (
+            store._manifest_at(path, int(gen))
+            if gen is not None
+            else store._latest_manifest(path)
+        )
+        self._files: list[str] = []
+        if manifest is not None:
+            if manifest.files is not None:
+                for rel in manifest.files.values():
+                    d = store._snapshot_path(path, rel)
+                    self._files.extend(store._parquet_parts(d))
+            else:
+                snap = store._snapshot_path(path, manifest.snapshot)
+                if os.path.isdir(snap):
+                    self._files.extend(store._parquet_parts(snap))
+                else:
+                    self._files.append(snap)
+        self._keys: list[str] | None = None  # pushed key-equality filter
+
+    def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
+        """Accept key = 'x' / key IN (...) — rows are filtered reader-side
+        so non-matching documents never cross the Arrow boundary. (Bucket
+        pruning would need Spark's murmur3 on the driver; row filtering
+        inside the scan already removes the transfer cost, which is what
+        dominates a wide-doc pot.)"""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("key",):
+                self._keys = [f.value]
+            elif isinstance(f, In) and f.attribute == ("key",):
+                self._keys = list(f.value)
+            else:
+                yield f  # unsupported -> Spark applies it post-scan
+
+    def partitions(self) -> list[_FilePartition]:
+        return [_FilePartition(f) for f in self._files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.file:
+            return
+        table = pq.read_table(partition.file, schema=_ARROW_SCHEMA)
+        if self._keys is not None:
+            table = table.filter(pc.is_in(table.column("key"), pa.array(self._keys)))
+        yield from table.to_batches()
+
+
+class PotWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self._root = options.get("root")
+        if not self._root:
+            raise ValueError('the pot data source requires .option("root", <dir>)')
+        self._path = options.get("path", "")
+        self._overwrite = overwrite
+        store = PotStore(spark=None, root=self._root)
+        self._staging = os.path.join(
+            store._pot_dir(self._path), f"stage-{uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator) -> _StagedFile:
+        """Executor task: buffer this partition's rows into one staged
+        parquet file (never a per-row write)."""
+        from pyspark import TaskContext
+
+        os.makedirs(self._staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        keys, docs = [], []
+        for row in iterator:
+            keys.append(row[0])
+            docs.append(row[1])
+        out = os.path.join(self._staging, f"part-{pid:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict({"key": keys, "doc": docs}, schema=_ARROW_SCHEMA),
+            out,
+        )
+        return _StagedFile(out)
+
+    def commit(self, messages) -> None:
+        """Driver: fold the staged files into one batch and publish through
+        the store's commit protocol (append = merge upsert, overwrite =
+        replace) — the same all-or-nothing semantics as the HTTP batch
+        route (server.go:334-339)."""
+        import shutil
+
+        docs: dict[str, dict] = {}
+        for m in messages:
+            if m is None:
+                continue
+            t = pq.read_table(m.file, schema=_ARROW_SCHEMA)
+            for k, d in zip(t.column("key").to_pylist(), t.column("doc").to_pylist()):
+                docs[k] = json.loads(d)
+        store = PotStore(spark=None, root=self._root)
+        if self._overwrite:
+            store.replace_batch(self._path, docs)
+        else:
+            store.create_batch(self._path, docs)
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class PotChangesDataSource(DataSource):
+    """Streaming change feed of a pot (format name: "pot_changes"):
+    offsets are generations; each batch = changes(start_gen, end_gen)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pot_changes"
+
+    def schema(self) -> str:
+        return "key string, op string, doc string"
+
+    def simpleStreamReader(self, schema) -> "PotChangesStreamReader":
+        return PotChangesStreamReader(self.options)
+
+
+class PotChangesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self._root = options.get("root")
+        if not self._root:
+            raise ValueError('the pot_changes source requires .option("root", <dir>)')
+        self._path = options.get("path", "")
+        self._start = options.get("startingGeneration")
+
+    def _store(self) -> PotStore:
+        return PotStore(spark=None, root=self._root)
+
+    def _latest(self) -> int:
+        m = self._store()._latest_manifest(self._path)
+        return 0 if m is None else m.generation
+
+    def initialOffset(self) -> dict:
+        if self._start is not None:
+            return {"generation": int(self._start)}
+        return {"generation": self._latest()}
+
+    def _feed(self, lo: int, hi: int) -> list[tuple[str, str, str]]:
+        if hi <= lo:
+            return []
+        feed = self._store().changes(self._path, lo, hi)
+        return [
+            (k, op, None if doc is None else json.dumps(doc, sort_keys=True))
+            for k, (op, doc) in sorted(feed.items())
+        ]
+
+    def read(self, start: dict):
+        lo, hi = start["generation"], self._latest()
+        return iter(self._feed(lo, hi)), {"generation": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # generations are immutable -> deterministic replay on recovery
+        return iter(self._feed(start["generation"], end["generation"]))
+
+
+def register(spark) -> None:
+    """Register both formats on a session (idempotent)."""
+    spark.dataSource.register(PotDataSource)
+    spark.dataSource.register(PotChangesDataSource)

@@ -372,6 +372,14 @@ class PotStore:
             last_known_generation=generation,
         )
 
+    def replace_batch(self, path: str, docs: dict[str, dict[str, Any]]) -> CreateResponse:
+        """Truncate-and-load: the new content replaces the whole pot in
+        one commit (the overwrite mode of the "pot" DataSource writer;
+        the reference has no replace — only per-key merge,
+        server.go:385-393 — but its whole-object rewrite makes this the
+        natural extension)."""
+        return self._mutate(path, dict(docs), replace=True)
+
     def remove(self, path: str, *keys: str) -> None:
         """Delete keys; missing keys are silent no-ops; writes the pot even
         if it didn't exist (server.go:494-548)."""
@@ -406,6 +414,7 @@ class PotStore:
         norewrite: bool = False,
         norewrite_duration: float = 0.0,
         last_known_generation: int = 0,
+        replace: bool = False,
     ) -> CreateResponse:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
@@ -426,7 +435,7 @@ class PotStore:
                             # fail before any write: all-or-nothing
                             raise NoRewriteViolated(f"no-rewrite violated: {k}")
 
-                merged = dict(content)
+                merged = {} if replace else dict(content)
                 for k in remove_keys:
                     merged.pop(k, None)
                 merged.update(new_docs)

@@ -113,3 +113,63 @@ def q_kv_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@query(
+    "q_pot_datasource",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id < 120
+    GROUP BY lang
+    """,
+)
+def q_pot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "pot" Python DataSource end-to-end: documents are written into
+    a pot with df.write.format("pot") (task-staged parquet + one
+    put-if-absent manifest commit), read back with
+    spark.read.format("pot") (per-file input partitions, Arrow batches),
+    projected to typed columns and aggregated. The oracle recomputes the
+    same aggregate straight from the source table, so the whole
+    source->sink->source loop — including the writer's commit protocol —
+    is hash-checked. The reference can only reach storage through its
+    HTTP routes (server_routes.go:18-41); this is the engine-native
+    equivalent surface."""
+    from pot_spark.kv.datasource import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="pot_ds_query_")
+    try:
+        src = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_json(F.struct("lang", "n_chars")).alias("doc"),
+            )
+        )
+        (
+            src.write.format("pot")
+            .option("root", root)
+            .mode("append")
+            .save("ds/docs")
+        )
+        back = (
+            spark.read.format("pot")
+            .option("root", root)
+            .load("ds/docs")
+            .select(
+                F.get_json_object("doc", "$.lang").alias("lang"),
+                F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
+            )
+        )
+        out = back.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,127 @@
+"""Python DataSource formats ("pot", "pot_changes"): batch read with time
+travel and key pushdown, transactional batch write (append=upsert,
+overwrite=replace), and the generation-offset streaming change feed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pot_spark.kv import PotStore
+from pot_spark.kv.datasource import register
+
+
+@pytest.fixture()
+def ds_spark(spark):
+    register(spark)
+    return spark
+
+
+def _mk_store(tmp_path):
+    return PotStore(spark=None, root=str(tmp_path / "potroot"))
+
+
+def test_batch_read_roundtrip_and_time_travel(ds_spark, tmp_path):
+    store = _mk_store(tmp_path)
+    store.create_batch("a/b", {"k1": {"v": 1}, "k2": {"v": 2}})
+    store.create_batch("a/b", {"k2": {"v": 20}})
+    df = ds_spark.read.format("pot").option("root", store.root).load("a/b")
+    got = {r["key"]: json.loads(r["doc"]) for r in df.collect()}
+    assert got == {"k1": {"v": 1}, "k2": {"v": 20}}
+    # generation option = time travel
+    old = (
+        ds_spark.read.format("pot")
+        .option("root", store.root)
+        .option("generation", 1)
+        .load("a/b")
+    )
+    assert {r["key"]: json.loads(r["doc"]) for r in old.collect()} == {
+        "k1": {"v": 1},
+        "k2": {"v": 2},
+    }
+    # missing pot => empty with schema
+    empty = ds_spark.read.format("pot").option("root", store.root).load("no/pot")
+    assert empty.columns == ["key", "doc"] and empty.count() == 0
+
+
+def test_batch_read_key_filter(ds_spark, tmp_path):
+    store = _mk_store(tmp_path)
+    store.create_batch("f/p", {f"k{i}": {"v": i} for i in range(20)})
+    df = (
+        ds_spark.read.format("pot")
+        .option("root", store.root)
+        .load("f/p")
+        .filter(F.col("key") == "k7")
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and json.loads(rows[0]["doc"]) == {"v": 7}
+    isin = (
+        ds_spark.read.format("pot")
+        .option("root", store.root)
+        .load("f/p")
+        .filter(F.col("key").isin("k1", "k2", "nope"))
+    )
+    assert {r["key"] for r in isin.collect()} == {"k1", "k2"}
+
+
+def test_batch_write_append_is_upsert_overwrite_is_replace(ds_spark, tmp_path):
+    store = _mk_store(tmp_path)
+    store.create_batch("w/p", {"old": {"v": 0}, "both": {"v": 1}})
+    new = ds_spark.createDataFrame(
+        [("both", json.dumps({"v": 10})), ("new", json.dumps({"v": 2}))],
+        "key string, doc string",
+    ).repartition(3)
+    new.write.format("pot").option("root", store.root).mode("append").save("w/p")
+    assert store.get("w/p") == {
+        "old": {"v": 0},
+        "both": {"v": 10},
+        "new": {"v": 2},
+    }
+    new.write.format("pot").option("root", store.root).mode("overwrite").save("w/p")
+    assert store.get("w/p") == {"both": {"v": 10}, "new": {"v": 2}}
+    # every write is one committed generation; history is retained
+    assert store.get_at("w/p", 1) == {"old": {"v": 0}, "both": {"v": 1}}
+
+
+def test_changes_stream_feed(ds_spark, tmp_path):
+    store = _mk_store(tmp_path)
+    store.create_batch("s/p", {"a": {"v": 1}, "b": {"v": 2}})
+    store.create_batch("s/p", {"a": {"v": 10}})
+    store.remove("s/p", "b")
+    q = (
+        ds_spark.readStream.format("pot_changes")
+        .option("root", store.root)
+        .option("startingGeneration", 0)
+        .load("s/p")
+        .writeStream.format("memory")
+        .queryName("pot_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["key"]: (r["op"], json.loads(r["doc"]) if r["doc"] else None)
+        for r in ds_spark.sql("SELECT * FROM pot_feed").collect()
+    }
+    # full history vs generation 0: net state is inserts of the live keys
+    assert rows == {"a": ("insert", {"v": 10})}
+    # incremental: stream from generation 1 sees the update and delete
+    q2 = (
+        ds_spark.readStream.format("pot_changes")
+        .option("root", store.root)
+        .option("startingGeneration", 1)
+        .load("s/p")
+        .writeStream.format("memory")
+        .queryName("pot_feed2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = {
+        r["key"]: (r["op"], json.loads(r["doc"]) if r["doc"] else None)
+        for r in ds_spark.sql("SELECT * FROM pot_feed2").collect()
+    }
+    assert rows2 == {"a": ("update", {"v": 10}), "b": ("delete", None)}

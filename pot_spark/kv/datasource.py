@@ -39,6 +39,7 @@ import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     In,
@@ -86,6 +87,9 @@ class PotDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "PotWriter":
         return PotWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "PotStreamWriter":
+        return PotStreamWriter(self.options)
 
 
 class PotReader(DataSourceReader):
@@ -189,6 +193,66 @@ class PotWriter(DataSourceWriter):
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class PotStreamWriter(DataSourceStreamWriter):
+    """writeStream.format("pot"): every micro-batch is a keyed upsert
+    published through the manifest commit, with the same per-epoch
+    put-if-absent ledger the foreachBatch sink uses
+    (pot_spark/streaming/sink.py) — a replayed epoch after failure
+    recovery is a no-op, so the pot observes each batch exactly once."""
+
+    def __init__(self, options) -> None:
+        self._root = options.get("root")
+        if not self._root:
+            raise ValueError('the pot data source requires .option("root", <dir>)')
+        self._path = options.get("path", "")
+        store = PotStore(spark=None, root=self._root)
+        self._staging = os.path.join(
+            store._pot_dir(self._path), f"stage-stream-{uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator) -> _StagedFile:
+        os.makedirs(self._staging, exist_ok=True)
+        keys, docs = [], []
+        for row in iterator:
+            keys.append(row[0])
+            docs.append(row[1])
+        out = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict({"key": keys, "doc": docs}, schema=_ARROW_SCHEMA),
+            out,
+        )
+        return _StagedFile(out)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from pot_spark.streaming.sink import _claim_epoch
+
+        store = PotStore(spark=None, root=self._root)
+        docs: dict[str, dict] = {}
+        for m in messages:
+            if m is None:
+                continue
+            t = pq.read_table(m.file, schema=_ARROW_SCHEMA)
+            for k, d in zip(t.column("key").to_pylist(), t.column("doc").to_pylist()):
+                docs[k] = json.loads(d)
+        # epoch ledger first: a replayed batch id must not commit twice
+        if docs and _claim_epoch(store, self._path, batchId):
+            store.create_batch(self._path, docs)
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self._staging, ignore_errors=True)

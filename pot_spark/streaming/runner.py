@@ -164,6 +164,79 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
+    """The same first-event dedup on Spark 4's transformWithState API
+    (StatefulProcessor + typed state handles) — the successor to
+    applyInPandasWithState, with explicit state objects, timers and
+    initial-state support. Functionally identical to
+    build_stateful_dedup; both stream twins are checked against the
+    batch s_dedup_first. NOTE: the TWS driver worker speaks protobuf to
+    the JVM state server; the package is absent in this container, so
+    the parity test importorskips — on a standard cluster image it
+    runs (RocksDB state store provider required)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("first_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    class FirstEvent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._best = handle.getValueState("best", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            user_id, event_type = key
+            prev = self._best.get() if self._best.exists() else None
+            best = None if prev is None else (prev[0], prev[1], prev[2])
+            for pdf in rows:
+                r = pdf.loc[pdf["event_id"].idxmin()]
+                cand = (
+                    int(r["event_id"]),
+                    int(pd.Timestamp(r["ts"]).value // 1000),
+                    float(r["value"]),
+                )
+                if best is None or cand[0] < best[0]:
+                    best = cand
+            if best is not None and (prev is None or best[0] < prev[0]):
+                self._best.update(best)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "event_type": [event_type],
+                        "first_event_id": [best[0]],
+                        "first_ts": [pd.Timestamp(best[1] * 1000)],
+                        "first_value": [best[2]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=FirstEvent(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def build_stream_stream_join(stream: DataFrame) -> DataFrame:
     """Stream-stream self-join: purchases matched to signups of the same
     user within 1h — the streaming twin of the batch q_theta_range_join

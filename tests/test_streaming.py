@@ -189,3 +189,43 @@ def test_streaming_signature_ingest_matches_batch(spark, sf_dir, tmp_path):
     batch = registry.QUERIES["q_dedup_minhash_sig"](spark, sf_dir)
     assert _sorted_rows(streamed) == _sorted_rows(batch)
     assert len(store.list_generations("signatures")) >= 2  # multi-epoch
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of the stateful dedup:
+    the StatefulProcessor-based stream equals the batch s_dedup_first."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's driver worker speaks protobuf to the "
+        "JVM state server; the package is absent in this container",
+    )
+    from pot_spark.streaming.runner import (
+        _event_stream,
+        build_stateful_dedup_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+        plan = build_stateful_dedup_tws(stream)
+        q = (
+            plan.writeStream.format("memory")
+            .queryName("tws_dedup")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    streamed = spark.sql("SELECT * FROM tws_dedup")
+    batch = registry.QUERIES["s_dedup_first"](spark, sf_dir)
+    assert _sorted_rows(streamed) == _sorted_rows(batch)

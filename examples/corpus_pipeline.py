@@ -139,17 +139,31 @@ def main() -> None:
     n_windows = packed.agg(F.max("win_id")).collect()[0][0] + 1
     print(f"[6 pack   ] {packed.count()} docs -> {n_windows} windows of {CTX}")
 
-    # 7. publish -- the packed assignment becomes the next pot generation;
-    # trainers read it, diff it against the previous run, or clone it
-    assignment = {
-        str(r["doc_id"]): {"win": int(r["win_id"]), "n_tok": int(r["n_tok"])}
-        for r in packed.select("doc_id", "win_id", "n_tok").collect()
-    }
-    gen = store.create_batch("corpus/packed", assignment).generation
+    # 7. publish -- the packed assignment becomes the next pot generation
+    # through the "pot" DataSource writer (task-staged parquet, one
+    # put-if-absent manifest commit); trainers read it back with
+    # spark.read.format("pot"), diff generations, or clone a release
+    from pot_spark.kv.datasource import register
+
+    register(spark)
+    (
+        packed.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(F.struct("win_id", "n_tok")).alias("doc"),
+        )
+        .write.format("pot")
+        .option("root", root)
+        .mode("append")
+        .save("corpus/packed")
+    )
+    gen = max(g for g, _ in store.list_generations("corpus/packed"))
     store.clone("corpus/packed", "corpus/packed_release")
-    print(f"[7 publish] generation {gen} at corpus/packed; "
+    n_published = (
+        spark.read.format("pot").option("root", root).load("corpus/packed").count()
+    )
+    print(f"[7 publish] generation {gen} at corpus/packed ({n_published} docs); "
           f"release clone at corpus/packed_release")
-    feed = store.changes("corpus/packed", gen - 1 if gen > 1 else gen)
+    feed = store.changes("corpus/packed", gen - 1 if gen > 1 else 0)
     print(f"            change feed vs previous: {len(feed)} keys")
 
 

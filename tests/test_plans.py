@@ -244,3 +244,51 @@ def test_variant_parses_json_once_in_scan_project(spark, sf_dir):
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "props" in read and "event_id" not in read and "value" not in read
     assert "parseJson" in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
+    # Spark's runtime row-group filter: a selective dim filter builds a
+    # bloom filter that is pushed into the fact scan of a shuffle join
+    # (the non-broadcast sibling of dynamic partition pruning). Local
+    # fixtures sit under the 10GB application-side default, so the
+    # threshold is dropped to 0 here; at 100 TB the defaults fire on
+    # their own.
+    from pot_spark.tables import load
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "might_contain" in p  # filter applied on the fact side
+        assert "bloom_filter_agg" in p  # built from the filtered dim
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -494,3 +494,54 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_even"),
         )
     )
+
+
+@query(
+    "q_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                    ELSE lower(p_brand) END AS brand_mixed,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(brand_mixed) AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM mixed
+    GROUP BY lower(brand_mixed)
+    """,
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive grouping expressed
+    as a COLLATION PROPERTY of the column (UTF8_LCASE) instead of eager
+    lower() normalization — the engine's comparator, hash and group-by
+    all honor it, so the original casing stays available to downstream
+    consumers while equality is case-insensitive. A deterministically
+    mixed-case brand column groups to one row per brand; the output key
+    is re-collated to UTF8_BINARY so the result schema is a plain
+    string. The oracle expresses the same semantics the pre-collation
+    way (lower() everywhere) — which is exactly the rewrite collations
+    make unnecessary.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    part = load(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+    ).otherwise(F.lower("p_brand"))
+    return (
+        part.select(mixed.alias("brand_mixed"), "p_retailprice")
+        .groupBy(F.collate("brand_mixed", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.collate(F.lower("k"), "UTF8_BINARY").alias("brand"),
+            "n_parts",
+            "sum_price",
+        )
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
+from pot_spark.session import reliable_checkpoint
 from pot_spark.tables import load
 
 N_HASHES = 8  # minhash signature length; 4 bands x 2 rows
@@ -227,18 +228,26 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     with candidates, not the corpus — at 10^12 shingle rows the
     unrestricted join would shuffle the whole shingle table."""
     sh = _shingle_df(spark, sf_dir)
-    pairs = _band_pairs(spark, sf_dir, sh)  # carries na/nb set sizes
+    # carries na/nb set sizes; persisted because the verify stage references
+    # it three times (pair attrs + two doc-id restrictions) and the banding
+    # self-join should run once, not three times
+    pairs = _band_pairs(spark, sf_dir, sh).persist()
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # candidate-side shingles (sa ⋈ broadcast pairs) are small — broadcast
-    # them into the intersection join so the full shingle table on the b
-    # side is STREAMED, never shuffled, and the banding subtree runs once.
-    # (If candidates ever outgrow broadcast range, swap to a semi-join
-    # pre-restriction of sb — shuffle-of-candidates instead of zero.)
-    cand_a = sa.join(F.broadcast(pairs), "doc_a")
+    # Scale-safe verify: no unbounded relation is ever broadcast (a
+    # pathological corpus with a giant dup cluster can explode the
+    # candidate set past any broadcast limit). Both shingle sides are
+    # pre-restricted to candidate docs via LEFT SEMI joins on the tiny
+    # distinct doc-id lists — AQE turns those into broadcast joins at
+    # runtime when the observed candidate count is small (the common
+    # case, keeping the full shingle table unshuffled), and degrades to
+    # a plain shuffle when it is not. The intersection count then joins
+    # candidate-restricted shingles only.
+    sa_c = sa.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+    sb_c = sb.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
     inter = (
-        F.broadcast(cand_a)
-        .join(sb, ["doc_b", "shingle"])
+        sa_c.join(pairs, "doc_a")
+        .join(sb_c, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("i"))
     )
@@ -477,7 +486,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.localCheckpoint(eager=True)  # pairs pipeline runs once
+    edges = reliable_checkpoint(edges)  # pairs pipeline runs once
 
     labels = edges.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("label")
@@ -497,7 +506,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "a",
                 F.least("label", F.coalesce("nl", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(reliable_checkpoint)
         )
         changed = (
             new.alias("n")
@@ -540,9 +549,13 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ha = heads.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
     hb = heads.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
     dist = F.levenshtein("head_a", "head_b")
+    # No broadcast hint on the candidate pairs — their size is unbounded
+    # on a pathological corpus. AQE broadcasts at runtime when the
+    # observed pair count is small; otherwise this is a shuffle on doc
+    # ids against the narrow 80-char heads projection, which stays tiny
+    # relative to the corpus.
     return (
-        F.broadcast(pairs)
-        .join(ha, "doc_a")
+        pairs.join(ha, "doc_a")
         .join(hb, "doc_b")
         .filter(dist <= 20)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
+from pot_spark.session import reliable_checkpoint
 from pot_spark.tables import load
 
 
@@ -319,7 +320,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         q_knn_graph(spark, sf_dir)
         .select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(reliable_checkpoint)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     we = edges.join(deg, "src").select(

@@ -149,19 +149,27 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT label,
-           list_sort(list(vec_id)) AS vec_ids,
+           list_aggr(list_sort(list(vec_id)), 'string_agg', ',') AS vec_ids,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM embeddings
     GROUP BY label
     """,
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list + array_sort: order-canonicalized array aggregation."""
+    """collect_list + array_sort, emitted as a joined string so the checked
+    value is hash-stable (raw array columns break pandas-based canonical
+    sorts in the external harness)."""
     return (
         load(spark, sf_dir, "embeddings")
         .groupBy("label")
         .agg(
-            F.array_sort(F.collect_list("vec_id")).alias("vec_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("vec_ids"),
             F.count("*").alias("n_vecs"),
         )
     )

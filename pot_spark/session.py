@@ -41,3 +41,24 @@ def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSess
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def reliable_checkpoint(df, eager: bool = True):
+    """Truncate lineage with a RELIABLE checkpoint.
+
+    Unlike ``localCheckpoint`` — whose blocks live on executors and are
+    lost with them, corrupting an iterative computation on executor
+    death at cluster scale — ``checkpoint()`` writes to the checkpoint
+    directory, which on a real cluster is durable storage
+    (``SPARK_GRAFT_CHECKPOINT_DIR``); locally it falls back to a temp
+    dir. Eager by default so the truncated subtree runs exactly once.
+    """
+    import tempfile
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or tempfile.mkdtemp(
+            prefix="pot_spark_ckpt_"
+        )
+        sc.setCheckpointDir(base)
+    return df.checkpoint(eager=eager)

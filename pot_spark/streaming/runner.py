@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us]
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -37,14 +37,15 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _event_stream(spark: SparkSession, events_file: str) -> DataFrame:
-    """events.parquet as a file-source stream (nanos -> µs timestamp, as
-    in pot_spark.tables._load_events). The file source needs a directory
+    """events.parquet as a file-source stream, `ts` normalised to
+    microsecond TimestampType exactly as pot_spark.tables._load_events
+    does for the batch path (fixture stores timestamp[us], read NTZ then
+    cast under the UTC-pinned session). The file source needs a directory
     (some stateful plans re-resolve basePath), so the single parquet file
     is exposed through a temp dir symlink."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_")
     os.symlink(events_file, os.path.join(stream_dir, "events.parquet"))
     raw = (
@@ -52,7 +53,7 @@ def _event_stream(spark: SparkSession, events_file: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def build_tumbling(stream: DataFrame) -> DataFrame:

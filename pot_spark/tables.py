@@ -37,17 +37,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as raw INT64 (legacy conf) and rebuild a
-    microsecond TimestampType column — truncation toward zero, matching
-    how DuckDB narrows the same nanos to its microsecond TIMESTAMP."""
-    from pyspark.sql import functions as F
+    """Load events, normalising ``ts`` to microsecond TimestampType.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The fixture stores ``ts`` as parquet ``timestamp[us]`` (no UTC
+    adjustment), which Spark 4 reads as TIMESTAMP_NTZ; with the session
+    timezone pinned to UTC a plain cast to TimestampType is value-identical
+    and keeps downstream window/date arithmetic on the standard type. If a
+    fixture ever ships TIMESTAMP(NANOS) instead, Spark's vectorized reader
+    surfaces it as INT64 nanos under ``nanosAsLong`` — dispatch on the
+    loaded dtype rather than assuming either encoding.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanos-as-long fallback: truncate toward zero to micros, matching
+        # how DuckDB narrows nanos to its microsecond TIMESTAMP
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, (T.TimestampNTZType, T.TimestampType)):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(f"unexpected events.ts dtype: {ts_type}")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -63,7 +63,10 @@ def main() -> None:
     from pot_spark.tables import TABLE_NAMES, load
 
     for t in TABLE_NAMES:
-        load(spark, sf_dir, t).count()
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception as e:  # noqa: BLE001 - warm-up must never kill the bench
+            print(f"warmup {t}: {type(e).__name__}: {e}", file=sys.stderr)
     # bucketed layout is an ingest-time build (bucket once, join
     # shuffle-free forever) — materialize it outside the timed section
     from pot_spark.queries.bucketing import ensure_bucketed_tables
@@ -92,15 +95,25 @@ def main() -> None:
             "q_funnel",
             "q_dpp_join",  # compiles the DPP subquery machinery
         ):
-            registry.QUERIES[wq](spark, warm_sf).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                registry.QUERIES[wq](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                print(f"warmup {wq}: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # per-query isolation: one broken query records an error entry and the
+    # rest of the bench still produces numbers (never a whole-run crash)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -115,6 +128,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf_val,
             }
         )

@@ -464,11 +464,21 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"pot_spark_binsrc_{os.path.basename(sf_dir)}"
     )
-    if not os.path.isdir(out) or not os.listdir(out):
+    done_marker = os.path.join(out, "_STAGED")
+    if not os.path.isfile(done_marker):
         os.makedirs(out, exist_ok=True)
-        for r in media.select("doc_id", "payload").collect():
-            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
-                f.write(r["payload"])
+        # executor-side staging: each partition writes its own payload
+        # files (on a cluster, `out` is a shared filesystem path). Never
+        # collect() payloads to the driver — at media scale that is the
+        # whole corpus through one process.
+        def _write_partition(rows):
+            for r in rows:
+                with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                    f.write(r["payload"])
+
+        media.select("doc_id", "payload").foreachPartition(_write_partition)
+        with open(done_marker, "w") as f:
+            f.write("ok")
     return (
         spark.read.format("binaryFile")
         .load(out)

@@ -48,3 +48,21 @@ def test_approx_percentile_within_error_bound(spark, sf_dir):
         for a, q in ((a50, 0.5), (a90, 0.9)):
             rank = sum(x <= a for x in v) / len(v)
             assert abs(rank - q) <= 0.01 + 1.0 / len(v), (k, q, a, rank)
+
+
+def test_approx_count_distinct_within_error_bound(spark, sf_dir):
+    est = {
+        r.l_returnflag: r.approx_parts
+        for r in registry.QUERIES["q_approx_cd"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    # rsd=0.01 -> 1% relative standard deviation; 5% is > 4 sigma
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])

@@ -64,7 +64,10 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         try:
-            load(spark, sf_dir, t).count()
+            # full scan+decode (count() alone is metadata-only on parquet):
+            # primes the OS page cache and column decoders so timed queries
+            # measure plan execution, not first-touch file I/O
+            load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 - warm-up must never kill the bench
             print(f"warmup {t}: {type(e).__name__}: {e}", file=sys.stderr)
     # bucketed layout is an ingest-time build (bucket once, join

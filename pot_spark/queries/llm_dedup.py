@@ -669,11 +669,12 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate threshold. Outputs are integers (agreement count,
     intersection count, set sizes) so the oracle hash is exact — the
     division is left to the consumer. Same scale shape as q_dedup_near:
-    candidate pairs broadcast into the exact-overlap join, so the
-    verification cost is O(candidates), never O(pairs)."""
+    semi-join pre-restriction to candidate docs, no forced broadcast of
+    the unbounded pair set, so the verification cost is O(candidates),
+    never O(pairs), and AQE picks broadcast only when pairs are small."""
     sh = _shingle_df(spark, sf_dir)
     sig = _signatures(spark, sf_dir, sh)
-    pairs = _band_pairs(spark, sf_dir, sh)
+    pairs = _band_pairs(spark, sf_dir, sh).persist()
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
@@ -696,11 +697,11 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand_a = sa.join(
-        F.broadcast(pairs.select("doc_a", "doc_b", "na", "nb")), "doc_a"
-    )
+    sa_c = sa.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+    sb_c = sb.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
     inter = (
-        cand_a.join(sb, ["doc_b", "shingle"])
+        sa_c.join(pairs.select("doc_a", "doc_b", "na", "nb"), "doc_a")
+        .join(sb_c, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").cast("bigint").alias("n_inter"))
     )

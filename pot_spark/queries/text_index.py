@@ -141,8 +141,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side before the (doc_id, term) shuffle; document frequency reuses
     the same exploded relation with a second, much smaller shuffle on term
     alone; N is a broadcast 1-row aggregate. Deterministic across ties via
-    (score DESC, term ASC). At 100 TB the df table is vocabulary-sized —
-    it broadcasts back onto tf instead of shuffling the corpus again."""
+    (score DESC, term ASC). At 100 TB the df table is vocabulary-sized and
+    therefore unbounded — no broadcast hint: AQE broadcasts it while it
+    fits and falls back to a term-keyed shuffle (skew-join-split) when the
+    vocabulary outgrows the limit."""
     docs = load(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -154,7 +156,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").withColumn(
+    scored = tf.join(df, "term").withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
@@ -313,8 +315,10 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
             F.col("c"),
         )
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        # unigram vocab is unbounded at corpus scale — no broadcast hint;
+        # AQE broadcasts while it fits, else shuffles on the word key
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select(
             "w1",
             "w2",

@@ -350,16 +350,17 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation gap fill (the smooth sibling of
-    q_ts_gap_fill's LOCF): each user's 10-minute grid is generated from
-    that user's own bounds, and every empty bucket gets
+    q_ts_gap_fill's LOCF): each user's 10-minute grid spans that user's
+    own observed bounds, and every empty bucket gets
     v_prev + (v_next - v_prev) * dt/span from its bracketing
-    observations — two framed windows (last-non-null backward,
-    first-non-null forward) over one user_id-partitioned sort. The
-    single hash exchange on user_id serves the grid join and BOTH
-    windows, so at 100 TB the cost is one shuffle of the bucketed
-    partials, never of raw events. Grid endpoints are observed buckets
-    by construction, so every gap is bracketed and the formula is
-    total. The interpolation stays un-rounded: +,-,*,/ are IEEE-exact
+    observations. Gap rows are exploded straight out of consecutive
+    observed-bucket pairs (one lead() window over the bucket aggregates)
+    rather than joining a dense grid back to the observations, so the
+    only shuffles are the bucket aggregation and one window exchange of
+    the (small) per-bucket partials — never the dense grid. Grid
+    endpoints are observed buckets by construction, so every gap is
+    bracketed and the formula is total. The interpolation stays
+    un-rounded: +,-,*,/ are IEEE-exact
     deterministic ops over identical left-associative expressions, so
     the doubles are bit-equal across engines (a round(4) would actually
     BREAK parity — Spark rounds the exact binary value via BigDecimal
@@ -373,61 +374,47 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.groupBy("user_id", bucket_s.alias("bucket_s")).agg(
         F.max("value").alias("bucket_max")
     )
-    grid = (
-        b.groupBy("user_id")
-        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("lo", "hi", F.lit(600).cast("bigint"))).alias(
-                "bucket_s"
-            ),
-        )
-    )
-    j = grid.join(b, ["user_id", "bucket_s"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the forward-looking window is expressed as a RUNNING frame over a
-    # descending sort, not first_value over (currentRow, unboundedFollowing):
-    # Spark evaluates unbounded-following frames by recomputing the
-    # aggregate from scratch at every row -- O(rows^2) per partition, 800+
-    # seconds at sf0.1 -- while running frames are incremental O(rows).
-    # Same hash exchange serves both orderings; only a second in-partition
-    # sort is added.
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("bucket_s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t_obs = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_s"))
-    prev_v = F.last("bucket_max", ignorenulls=True).over(w_prev)
-    prev_t = F.last(t_obs, ignorenulls=True).over(w_prev)
-    next_v = F.last("bucket_max", ignorenulls=True).over(w_next)
-    next_t = F.last(t_obs, ignorenulls=True).over(w_next)
-    # materialize each window value once: inlining them into the CASE
-    # expression would instantiate duplicate window expressions (Spark
-    # does not dedupe them) and double the per-row window work
-    staged = j.select(
+    # Gap rows are generated directly from consecutive observed buckets —
+    # no dense grid is ever joined back against the observations. One
+    # lead() window over the aggregated buckets (≤ one row per
+    # user×bucket, far smaller than events) gives each observation its
+    # bracketing successor; exploding [cur, next) then emits the observed
+    # bucket plus its trailing gap rows, each interpolated arithmetically
+    # between the bracket endpoints. Versus the grid-join formulation
+    # this removes a (user_id, bucket_s) join shuffle over the dense grid
+    # and two window sorts over it — at 100 TB the exploded output is
+    # write-only, fully pipelined out of the single window stage.
+    w = Window.partitionBy("user_id").orderBy("bucket_s")
+    br = b.select(
         "user_id",
         "bucket_s",
         "bucket_max",
-        prev_v.alias("prev_v"),
-        prev_t.alias("prev_t"),
-        next_v.alias("next_v"),
-        next_t.alias("next_t"),
+        F.lead("bucket_s").over(w).alias("next_t"),
+        F.lead("bucket_max").over(w).alias("next_v"),
     )
-    interp = F.when(F.col("bucket_max").isNotNull(), F.col("bucket_max")).when(
-        F.col("prev_t").isNotNull() & F.col("next_t").isNotNull(),
-        F.col("prev_v")
-        + (F.col("next_v") - F.col("prev_v"))
-        * (F.col("bucket_s") - F.col("prev_t"))
-        / (F.col("next_t") - F.col("prev_t")),
+    g = F.explode(
+        F.sequence(
+            "bucket_s",
+            F.coalesce(F.col("next_t") - 600, F.col("bucket_s")),
+            F.lit(600).cast("bigint"),
+        )
     )
-    return staged.select(
+    filled = br.select(
+        "user_id", "bucket_s", "bucket_max", "next_t", "next_v", g.alias("g")
+    )
+    is_obs = F.col("g") == F.col("bucket_s")
+    # identical left-associative float expression as the oracle SQL, so
+    # the doubles are bit-equal across engines (see docstring)
+    interp = F.when(is_obs, F.col("bucket_max")).when(
+        F.col("next_t").isNotNull(),
+        F.col("bucket_max")
+        + (F.col("next_v") - F.col("bucket_max"))
+        * (F.col("g") - F.col("bucket_s"))
+        / (F.col("next_t") - F.col("bucket_s")),
+    )
+    return filled.select(
         "user_id",
-        "bucket_s",
-        F.col("bucket_max").isNull().cast("int").alias("is_gap"),
+        F.col("g").alias("bucket_s"),
+        (~is_obs).cast("int").alias("is_gap"),
         interp.alias("interp_value"),
     )

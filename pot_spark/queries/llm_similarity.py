@@ -343,3 +343,89 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(teleport) + F.coalesce("s", F.lit(0))).cast("long").alias("r"),
         )
     return r.select("vec_id", F.col("r").alias("pr_scaled"))
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, label, v,
+               list_reduce(list_transform(v, x -> abs(x)),
+                           (a, b) -> greatest(a, b)) / 127.0 AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, label, v, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                                           ELSE floor(x / scale + 0.5) END) AS qv
+        FROM sc
+    )
+    SELECT vec_id, label,
+           CAST(floor(scale * 1000000000.0) AS BIGINT) AS scale_e9,
+           CAST(list_reduce(list_prepend(0.0, qv), (a, b) -> a + b) AS BIGINT)
+             AS q_sum,
+           CAST(list_reduce(list_prepend(-128.0, qv),
+                            (a, b) -> greatest(a, b)) AS BIGINT) AS q_max,
+           CAST(floor(sqrt(list_reduce(
+               list_prepend(0.0,
+                   list_transform(list_zip(v, qv),
+                       p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
+               (a, b) -> a + b)) * 1000000.0) AS BIGINT) AS recon_err_e6
+    FROM q
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization of the embedding column — the
+    4x memory-compression step a billion-vector ANN index applies at
+    ingest (per-vector scale = max|x|/127, q_i = floor(x_i/scale + .5)) —
+    plus the per-vector L2 reconstruction error that tells you whether
+    the compressed index can still be trusted for re-ranking. Pure
+    per-row higher-order array expressions: one scan, zero shuffles,
+    nothing leaves the JVM. Fold order is pinned left-associative in
+    both engines (aggregate with 0-init vs list_reduce over a 0-prepended
+    list), so the double sums are bit-identical.
+
+    No reference counterpart: petomalina/pot stores opaque JSON
+    documents only (SURVEY.md §2-A)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    maxabs = F.aggregate(
+        F.transform("v", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    sc = emb.select("vec_id", "label", "v", (maxabs / 127.0).alias("scale"))
+    qv = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.floor(x / F.col("scale") + 0.5).cast("double")
+        ),
+    )
+    q = sc.select("vec_id", "label", "v", "scale", qv.alias("qv"))
+    err_sq = F.aggregate(
+        F.zip_with(
+            "v", "qv", lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # floor-scaled integers, not round(): Spark rounds the exact binary
+    # value via BigDecimal while DuckDB rounds a scaled multiply, and they
+    # disagree on boundary values; floor of the same IEEE multiply is
+    # bit-deterministic in both engines
+    return q.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("scale") * 1000000000.0).cast("bigint").alias("scale_e9"),
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("q_sum"),
+        F.aggregate("qv", F.lit(-128.0), lambda a, x: F.greatest(a, x))
+        .cast("bigint")
+        .alias("q_max"),
+        F.floor(F.sqrt(err_sq) * 1000000.0).cast("bigint").alias("recon_err_e6"),
+    )

@@ -175,6 +175,36 @@ def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip (Spark 4 native XML source, rowTag
+    records) with explicit read schema — the document-interchange format
+    next to JSON-lines. Aggregates must survive the trip exactly."""
+    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_xml")
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    supp.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out)
+    back = (
+        spark.read.schema("s_suppkey long, s_nationkey long, s_acctbal double")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+@query(
     "q_merge_schema",
     oracle="""
     SELECT o_orderpriority,

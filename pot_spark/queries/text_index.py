@@ -332,3 +332,99 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM d, unnest(t) AS u(tok)
+        WHERE tok IN ('hash', 'join', 'vector')
+        GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    s AS (
+        SELECT tf.doc_id, tf.tok,
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * ((tf.m * 2.2)
+                  / (tf.m + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))) AS s
+        FROM tf
+        JOIN dfq USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(COALESCE(MAX(CASE WHEN tok = 'hash' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'join' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'vector' THEN s END), 0), 6)
+             AS bm25
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed probe
+    term set (k1=1.2, b=0.75, Lucene idf) — the retrieval-side ranking
+    primitive next to q_tfidf_top_terms' indexing side. Tokens are
+    filtered to the probe terms BEFORE the tf shuffle, so the shuffled
+    relation is bounded by matching postings, never the corpus token
+    stream; document length is a scan-side column; corpus stats are a
+    1-row broadcast. Per-term scores are summed in a fixed literal
+    order (coalesced conditional aggregates), so the 3-double addition
+    is bit-identical across engines — a plain SUM over the term rows
+    would be partial-aggregation-order-dependent.
+
+    No reference counterpart: petomalina/pot has no text search
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("m"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("m") + _BM25_K1 * (
+        F.lit(1.0 - _BM25_B) + _BM25_B * (F.col("dl") / F.col("avgdl"))
+    )
+    s = (
+        tf.join(dfq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "tok", (idf * ((F.col("m") * 2.2) / denom)).alias("s")
+        )
+    )
+    term_score = [
+        F.coalesce(F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.round(term_score[0] + term_score[1] + term_score[2], 6).alias("bm25"),
+    )

@@ -106,18 +106,32 @@ def main() -> None:
                 print(f"warmup {wq}: {type(e).__name__}: {e}", file=sys.stderr)
 
     # per-query isolation: one broken query records an error entry and the
-    # rest of the bench still produces numbers (never a whole-run crash)
+    # rest of the bench still produces numbers (never a whole-run crash).
+    # best-of-N reps per query: single-shot timings on a shared VM carry
+    # 30-50% CPU-steal noise, and this number is the recorded baseline that
+    # later rounds are held within 2x of — the minimum is the stable
+    # estimator of actual plan cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # caches a query populates (e.g. persisted LSH band pairs) must
+            # not leak into its next rep or into later queries' timings —
+            # every rep pays the query's full cost
+            spark.catalog.clearCache()
+        if best is not None and name not in errors:
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

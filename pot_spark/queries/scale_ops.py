@@ -316,3 +316,93 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-dimensional data-layout
+# primitive behind OPTIMIZE ZORDER BY: files clustered on the interleaved
+# key serve range predicates on EITHER dimension from few files.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit Morton code, 256x256 grid
+
+
+@query(
+    "q_zorder_key",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               CAST(floor(CAST(l_partkey AS DOUBLE)
+                          / (SELECT MAX(l_partkey) + 1 FROM lineitem)
+                          * {1 << _Z_BITS}) AS BIGINT) AS bx,
+               CAST(floor(CAST(l_suppkey AS DOUBLE)
+                          / (SELECT MAX(l_suppkey) + 1 FROM lineitem)
+                          * {1 << _Z_BITS}) AS BIGINT) AS by
+        FROM lineitem
+    ),
+    z AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, bx, by,
+               (
+                 {' + '.join(f"(((bx >> {i}) & 1) << {2 * i + 1}) + (((by >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS))}
+               ) AS zkey
+        FROM b
+    )
+    SELECT CAST(zkey // 1024 AS BIGINT) AS zblock,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(bx) AS BIGINT) AS min_bx, CAST(MAX(bx) AS BIGINT) AS max_bx,
+           CAST(MIN(by) AS BIGINT) AS min_by, CAST(MAX(by) AS BIGINT) AS max_by
+    FROM z
+    GROUP BY 1
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey), then
+    per-zblock bounding boxes — the file-level min/max stats a lakehouse
+    OPTIMIZE ZORDER layout gives its scan pruner. Each dimension is
+    bucketed to 8 bits against its max, the bits interleaved with pure
+    integer shifts (JVM codegen, zero UDFs), and rows grouped into
+    1024-key blocks (stand-ins for files). The per-block (bx, by)
+    bounding boxes demonstrate the locality property that makes Z-order
+    work: a range predicate on EITHER key maps to a bounded set of
+    blocks. At 100 TB this key is what you repartitionByRange + sortWithinPartitions
+    on at ingest; the query itself is one scan + one rollup shuffle.
+
+    No reference counterpart: petomalina/pot has no layout control at
+    all (its whole pot is one data.json — server.go:318-400)."""
+    li = load(spark, sf_dir, "lineitem")
+    # 1-row maxima broadcast back onto the scan (same subquery shape as
+    # the oracle); +1 keeps the top value inside the last bucket
+    mx = li.agg(
+        (F.max("l_partkey") + 1).alias("max_pk"),
+        (F.max("l_suppkey") + 1).alias("max_sk"),
+    )
+    scale = 1 << _Z_BITS
+    b = li.crossJoin(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_partkey").cast("double") / F.col("max_pk") * scale
+        ).cast("bigint").alias("bx"),
+        F.floor(
+            F.col("l_suppkey").cast("double") / F.col("max_sk") * scale
+        ).cast("bigint").alias("by"),
+    )
+    zkey = None
+    for i in range(_Z_BITS):
+        term = (
+            F.shiftleft(F.shiftrightunsigned("bx", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned("by", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        zkey = term if zkey is None else zkey + term
+    z = b.withColumn("zkey", zkey.cast("bigint"))
+    return (
+        z.groupBy((F.col("zkey") / 1024).cast("bigint").alias("zblock"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("bx").alias("min_bx"),
+            F.max("bx").alias("max_bx"),
+            F.min("by").alias("min_by"),
+            F.max("by").alias("max_by"),
+        )
+    )

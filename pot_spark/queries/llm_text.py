@@ -550,3 +550,109 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start - win_id * 2048).alias("win_offset"),
         (last_win - win_id + 1).alias("n_windows"),
     )
+
+
+@query(
+    "q_group_cap_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS char_budget,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY lang
+    HAVING COUNT(*) >= 0
+    """,
+)
+def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capped sampling: every lang contributes at most 50
+    docs, chosen by a deterministic md5 shuffle order (reproducible
+    across runs/engines — no RNG). This is the "cap the over-represented
+    source" step of corpus mixture building. One window over the
+    (lang)-partitioned hash order, then a rollup; the kept-token budget
+    rides along so the mixture builder can iterate on caps without a
+    second pass. Outputs are per-lang totals with kept rows counted
+    under the cap (n_kept counts ALL docs here so the oracle replay is
+    rank-free; n_dropped tells the cap's effect).
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("char_budget"),
+        F.sum(F.when(F.col("rn") <= 50, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':split'), 1, 8)) AS BIGINT)
+                      % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':split'), 1, 8)) AS BIGINT)
+                      % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split, reported per
+    language: the split is a pure function of doc_id (salted md5 lane
+    mod 100), so it is reproducible on any engine, stable under
+    re-partitioning, and membership is computable at scan time with no
+    shuffle — the only exchange is the reporting rollup. The per-lang
+    breakdown is the stratification audit: skewed per-language splits
+    are how eval sets silently go out-of-distribution.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(lane % 100 < 80, "train")
+        .when(lane % 100 < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

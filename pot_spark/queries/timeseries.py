@@ -418,3 +418,109 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~is_obs).cast("int").alias("is_gap"),
         interp.alias("interp_value"),
     )
+
+
+_PROBE_ORD = 4611686018427387904  # 2^62 sentinel: probes sort after any event_id
+
+
+@query(
+    "q_temporal_join",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS ord_id,
+               event_type AS state
+        FROM marked WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    bounds AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(MIN(ts)) / 3600000000) * 3600000000
+                    AS BIGINT) AS lo,
+               CAST(floor(epoch_us(MAX(ts)) / 3600000000) * 3600000000
+                    AS BIGINT) AS hi
+        FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS t,
+               CAST(4611686018427387904 AS BIGINT) AS ord_id,
+               CAST(NULL AS VARCHAR) AS state
+        FROM bounds
+    ),
+    merged AS (
+        SELECT * FROM changes UNION ALL SELECT * FROM probes
+    ),
+    f AS (
+        SELECT user_id, t, ord_id,
+               last_value(state IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, ord_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS state_at
+        FROM merged
+    )
+    SELECT user_id, t AS pt_us, state_at
+    FROM f WHERE ord_id = 4611686018427387904
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD-2) join: what state was each user in at every hourly
+    checkpoint? The dimension side is the q_scd_intervals change history;
+    the probe side is each user's hourly grid. Executed as a MERGE-AS-OF,
+    not a range join: state-change rows and probe rows are unioned into
+    one per-user stream (probes tie-broken after changes at equal
+    timestamps via a 2^62 ordinal sentinel — NULL ordering differs
+    between engines, sentinels don't) and a single running
+    last-non-null window assigns each probe the state valid at its time.
+    One shuffle + one sort per user at any scale — the range-join
+    formulation would shuffle intervals x probes and explode on long
+    validity spans. This is Flink's temporal-table join re-expressed as
+    a batch window; timestamps ride as epoch micros (BIGINT) end-to-end
+    so no engine-specific timestamp arithmetic touches the merge key.
+
+    No reference counterpart: petomalina/pot has no temporal operators
+    (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("ord_id"),
+        F.col("event_type").alias("state"),
+    )
+    hour_us = 3600000000
+    bounds = ev.groupBy("user_id").agg(
+        (F.floor(F.unix_micros(F.min("ts")) / hour_us) * hour_us)
+        .cast("bigint")
+        .alias("lo"),
+        (F.floor(F.unix_micros(F.max("ts")) / hour_us) * hour_us)
+        .cast("bigint")
+        .alias("hi"),
+    )
+    probes = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.lit(hour_us).cast("bigint"))
+        ).alias("t"),
+        F.lit(_PROBE_ORD).alias("ord_id"),
+        F.lit(None).cast("string").alias("state"),
+    )
+    merged = changes.unionByName(probes)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "state_at", F.last("state", ignorenulls=True).over(w2)
+        )
+        .where(F.col("ord_id") == _PROBE_ORD)
+        .select("user_id", F.col("t").alias("pt_us"), "state_at")
+    )

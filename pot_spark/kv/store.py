@@ -478,11 +478,18 @@ class PotStore:
         return self.spark.read.schema(DOC_SCHEMA).parquet(snap)
 
     def changes_df(
-        self, path: str, from_generation: int, to_generation: Optional[int] = None
+        self,
+        path: str,
+        from_generation: int,
+        to_generation: Optional[int] = None,
+        include_old: bool = False,
     ) -> DataFrame:
         """Spark-plane change feed: DataFrame[key, op, doc] with op in
         insert/update/delete between two generations — for pots too large
-        to diff on the driver. On the bucketed layout, buckets whose
+        to diff on the driver. With ``include_old`` the before-image rides
+        along as ``old_doc`` (the Delta CDF preimage), which is what an
+        incremental consumer needs to retract a deleted/updated row's
+        contribution from a downstream aggregate. On the bucketed layout, buckets whose
         manifest file entries are identical in both generations are
         PRUNED before any read: a key always hashes to the same bucket,
         so an untouched bucket cannot contribute a change — the diff cost
@@ -526,13 +533,16 @@ class PotStore:
             .when(F.col("new_doc").isNull(), "delete")
             .otherwise("update")
         )
+        cols = ["key", op.alias("op"), F.col("new_doc").alias("doc")]
+        if include_old:
+            cols.append(F.col("old_doc"))
         return (
             j.filter(
                 F.col("old_doc").isNull()
                 | F.col("new_doc").isNull()
                 | (F.col("old_doc") != F.col("new_doc"))
             )
-            .select("key", op.alias("op"), F.col("new_doc").alias("doc"))
+            .select(*cols)
         )
 
     def get_typed(self, path: str, schema) -> DataFrame:

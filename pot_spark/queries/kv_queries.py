@@ -173,3 +173,116 @@ def q_pot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_kv_incremental_agg",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 AND doc_id < 250
+                                   THEN 1000 ELSE 0 END) AS BIGINT)
+             AS sum_chars
+    FROM documents
+    WHERE doc_id < 300 AND doc_id % 9 <> 0
+    GROUP BY lang
+    """,
+)
+def q_kv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance off the pot change feed (the
+    Delta-CDF consumer pattern): a per-lang (count, sum_chars) aggregate
+    is computed ONCE against the base generation, then kept current by
+    replaying only the change feed — inserts add their contribution,
+    deletes retract the before-image, updates apply the difference. The
+    final maintained aggregate must hash-match the oracle's from-scratch
+    recompute of the final state; the Spark side never re-reads the full
+    pot after the base read. At 100 TB this is the difference between
+    O(delta) and O(table) per refresh — and the bucketed change feed
+    itself prunes to changed buckets (store.changes_df docstring).
+
+    Reference parity: pot generations exist but cannot be diffed
+    (server.go:405); the feed is the capability extension SURVEY §2-B-1
+    declares as kv_changes."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < 300)
+    )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc"),
+        )
+
+    root = tempfile.mkdtemp(prefix="pot_kv_incr_")
+    try:
+        store = PotStore(spark, root)
+        # generation 1: base load (doc_id < 250, original n_chars)
+        g1 = store.create_df_bucketed(
+            "incr", keyed(docs.filter(F.col("doc_id") < 250)), n_buckets=8
+        )
+        # base aggregate, computed while gen1 is current
+        base = (
+            store.get_typed("incr", "doc_id long, lang string, n_chars long")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("b_n"),
+                F.sum("n_chars").alias("b_chars"),
+            )
+        )
+        base = spark.createDataFrame(
+            base.collect(), schema="lang string, b_n long, b_chars long"
+        )
+        # generation 2: amend every %5 doc (+1000 chars) and insert 250..299
+        delta = docs.filter(
+            ((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 250))
+        ).withColumn("n_chars", F.col("n_chars") + 1000)
+        inserts = docs.filter(F.col("doc_id") >= 250)
+        store.create_df_bucketed(
+            "incr", keyed(delta.unionByName(inserts)), n_buckets=8
+        )
+        # generation 3: remove every %9 key
+        store.remove(
+            "incr", *[str(i) for i in range(0, 300, 9)]
+        )
+        # replay ONLY the change feed (with before-images) onto the base agg
+        cdf = store.changes_df("incr", g1, include_old=True)
+        new_chars = F.get_json_object("doc", "$.n_chars").cast("long")
+        old_chars = F.get_json_object("old_doc", "$.n_chars").cast("long")
+        contrib = cdf.select(
+            F.coalesce(
+                F.get_json_object("doc", "$.lang"),
+                F.get_json_object("old_doc", "$.lang"),
+            ).alias("lang"),
+            F.when(F.col("op") == "insert", 1)
+            .when(F.col("op") == "delete", -1)
+            .otherwise(0)
+            .alias("d_n"),
+            (F.coalesce(new_chars, F.lit(0)) - F.coalesce(old_chars, F.lit(0))).alias(
+                "d_chars"
+            ),
+        )
+        deltas = contrib.groupBy("lang").agg(
+            F.sum("d_n").alias("d_n"), F.sum("d_chars").alias("d_chars")
+        )
+        out = (
+            base.join(deltas, "lang", "full_outer")
+            .select(
+                "lang",
+                (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+                .cast("bigint")
+                .alias("n_docs"),
+                (
+                    F.coalesce("b_chars", F.lit(0))
+                    + F.coalesce("d_chars", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("sum_chars"),
+            )
+            .filter(F.col("n_docs") > 0)
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

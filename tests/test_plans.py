@@ -303,3 +303,32 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_temporal_join_is_merge_asof_not_range_join(spark, sf_dir):
+    # the temporal join must plan as union + one window — never a range
+    # (theta) join of intervals x probes
+    p = _plan(spark, sf_dir, "q_temporal_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert re.findall(r"\(\d+\) Window", p)
+    assert "Union" in p
+
+
+def test_zorder_key_stays_jvm_side(spark, sf_dir):
+    # the Morton interleave is pure shift/and arithmetic: no Python
+    # evaluation anywhere; the 1-row maxima come back as a broadcast and
+    # the only exchanges are the maxima aggregate + the zblock rollup
+    p = _plan(spark, sf_dir, "q_zorder_key")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_ts_interp_never_joins_the_grid(spark, sf_dir):
+    # gap rows are exploded from bracketing pairs: exactly one window
+    # (the lead), a Generate for the explode, and NO join anywhere
+    p = _plan(spark, sf_dir, "q_ts_interp")
+    assert "Join" not in p
+    assert "Generate" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1

@@ -50,6 +50,10 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_seq_pack",
     "q_ts_interp",
+    "q_bm25",
+    "q_temporal_join",
+    "q_zorder_key",
+    "q_embed_quantize",
 ]
 
 

@@ -448,3 +448,31 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(k).cast("bigint").alias("xor_key"),
         F.sum(F.bit_count(k)).cast("bigint").alias("total_bits"),
     )
+
+
+@query("q_approx_topk")  # sketch output -> rows-only + error-bound pytest
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per event_type via the Spark 4 approx_top_k sketch
+    (space-bounded frequent-items summary, mergeable across partitions —
+    the 100 TB answer to "top users per event class" where an exact
+    groupBy would shuffle every distinct key). The sketch tracks up to
+    10k items; with fewer distinct keys its counts are exact, which is
+    what tests/test_sketches.py asserts against the exact rollup. Output
+    is exploded to (event_type, user_id, cnt) rows ordered determinis-
+    tically for the rows-only driver check."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("approx_top_k(user_id, 5)").alias("top")
+    )
+    return (
+        sk.select(
+            "event_type",
+            F.explode("top").alias("e"),
+        )
+        .select(
+            "event_type",
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy("event_type", F.col("cnt").desc(), "user_id")
+    )

@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "q_multimodal_frames",
     "q_hll_sketch",
     "q_approx_percentile",
+    "q_approx_topk",
 }
 
 

@@ -66,3 +66,25 @@ def test_approx_count_distinct_within_error_bound(spark, sf_dir):
     # rsd=0.01 -> 1% relative standard deviation; 5% is > 4 sigma
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])
+
+
+def test_approx_topk_exact_when_under_capacity(spark, sf_dir):
+    """events has < 10k distinct users per type, so the approx_top_k
+    sketch is in its exact regime: every (type, user, cnt) it returns
+    must equal the exact count, and its top-5 must be a valid top-5."""
+    got = registry.QUERIES["q_approx_topk"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_type: dict[str, list[int]] = {}
+    for r in ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n")).collect():
+        per_type.setdefault(r.event_type, []).append(r.n)
+    for r in got:
+        assert exact[(r.event_type, r.user_id)] == r.cnt, r
+        # cnt must be within the true top-5 count threshold for its type
+        thresh = sorted(per_type[r.event_type], reverse=True)[4]
+        assert r.cnt >= thresh, r

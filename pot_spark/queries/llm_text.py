@@ -569,7 +569,6 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN rn <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM ranked
     GROUP BY lang
-    HAVING COUNT(*) >= 0
     """,
 )
 def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -307,13 +307,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 60  # 4 bands x 15 bits: 32768 buckets per band
 
 
 def _simhash_sql() -> str:
-    token_hash = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
+    # two independent 32-bit md5 lanes cover the 60 bits
+    lanes = [
+        "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)",
+        "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT)",
+    ]
+
+    def bit(b: int) -> str:
+        return f"(({lanes[b // 32]} >> {b % 32}) & 1)"
+
     bit_sums = ", ".join(
-        f"SUM(CASE WHEN (({token_hash} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        f"SUM(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(_SIMHASH_BITS)
     )
     recombine = " + ".join(
@@ -331,14 +339,21 @@ def _simhash_sql() -> str:
 
 @query("q_dedup_simhash", oracle=_simhash_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit) per document: per-token md5-derived bits, sign of
-    the per-bit vote sum. One explode + one groupBy — linear in tokens."""
+    """SimHash (60-bit) per document: per-token md5-derived bits (two
+    32-bit lanes), sign of the per-bit vote sum. One explode + one
+    groupBy — linear in tokens; the shuffle carries 60 small ints per
+    doc, never tokens."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    lanes = [
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("bigint"),
+    ]
     votes = [
         F.sum(
-            F.when(F.shiftright(th, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(lanes[b // 32], b % 32).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(_SIMHASH_BITS)
     ]
@@ -396,9 +411,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BANDS = 4  # 16 bits -> 4 bands x 4 bits; hamming <= 3 guarantees
+_SIMHASH_BANDS = 4  # 60 bits -> 4 bands x 15 bits; hamming <= 3 guarantees
 #                     at least one identical band (pigeonhole), so banding
-#                     loses no qualifying pair
+#                     loses no qualifying pair. 15-bit bands give 32768
+#                     buckets per band, so candidate volume stays near the
+#                     true-duplicate count instead of O(n^2 / buckets) —
+#                     the difference between a 4-bit-band plan melting at
+#                     corpus scale and one that holds.
 
 
 @query(
@@ -406,7 +425,7 @@ _SIMHASH_BANDS = 4  # 16 bits -> 4 bands x 4 bits; hamming <= 3 guarantees
     oracle=f"""
     WITH sim AS ({_simhash_sql()}),
     bands AS (
-        SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS bv
+        SELECT doc_id, simhash, bi, (simhash >> (bi * 15)) & 32767 AS bv
         FROM sim, (SELECT unnest([0, 1, 2, 3]) AS bi)
     ),
     cand AS (
@@ -422,17 +441,21 @@ _SIMHASH_BANDS = 4  # 16 bits -> 4 bands x 4 bits; hamming <= 3 guarantees
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance <= 3, blocked by 4-bit
-    bands: a pair within distance 3 differs in at most 3 of the 4 bands,
-    so it must collide on at least one — the band join enumerates only
-    colliding pairs, never the n^2 cross product. At scale the band keys
-    are computed at ingest and the join is one shuffle on (band, value)."""
+    """SimHash near-dup pairs with hamming distance <= 3, blocked by
+    15-bit bands: a pair within distance 3 differs in at most 3 of the 4
+    bands, so it must collide on at least one — the band join enumerates
+    only colliding pairs, never the n^2 cross product, and 32768 buckets
+    per band keep bucket occupancy (hence accidental-collision pairs)
+    near zero as the corpus grows. At scale the band keys are computed
+    at ingest and the join is one shuffle on (band, value)."""
     sim = q_dedup_simhash(spark, sf_dir)
     bands = sim.select(
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(_SIMHASH_BANDS)])).alias("bi"),
-    ).withColumn("bv", F.expr("shiftright(simhash, bi * 4)").bitwiseAND(15))
+    ).withColumn(
+        "bv", F.expr("shiftright(simhash, bi * 15)").bitwiseAND(32767)
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

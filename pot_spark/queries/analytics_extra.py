@@ -476,3 +476,40 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", F.col("cnt").desc(), "user_id")
     )
+
+
+@query(
+    "q_crosstab",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS p1_urgent,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+             AS p2_high,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS p3_medium,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS BIGINT) AS p_other
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (status x priority) as one conditional-aggregate
+    pass — the deterministic form of df.stat.crosstab with pinned,
+    alias-stable column names (crosstab's dynamic column set would make
+    the schema data-dependent, which a contract with a fixed oracle
+    cannot tolerate). Single scan, one low-cardinality shuffle, fully
+    map-side-combined."""
+    o = load(spark, sf_dir, "orders")
+
+    def n(cond) -> F.Column:
+        return F.count(F.when(cond, 1)).cast("bigint")
+
+    pr = F.col("o_orderpriority")
+    return o.groupBy("o_orderstatus").agg(
+        n(pr == "1-URGENT").alias("p1_urgent"),
+        n(pr == "2-HIGH").alias("p2_high"),
+        n(pr == "3-MEDIUM").alias("p3_medium"),
+        n(~pr.isin("1-URGENT", "2-HIGH", "3-MEDIUM")).alias("p_other"),
+    )

@@ -250,3 +250,46 @@ def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count("o_totalprice").alias("n_with_price"),
     )
+
+
+@query(
+    "q_scan_corrupt_tolerant",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file-tolerant scan: a directory holding the orders data
+    plus one garbage file that is not parquet, read with
+    ignoreCorruptFiles so the malformed file is skipped and the good
+    rows still flow. This is the posture a 100 TB ingest needs — one
+    truncated upload must not kill a million-file scan; the skip happens
+    per-file at footer-validation time, so healthy files pay nothing.
+    The oracle recomputes from the clean source, proving no good row was
+    dropped alongside the bad file."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pot_spark_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.isfile(marker):
+        load(spark, sf_dir, "orders").write.mode("overwrite").parquet(out)
+        with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"this is not a parquet file")
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(load(spark, sf_dir, "orders").schema)
+        .parquet(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -202,22 +202,40 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/theta join: purchase within 1h after a signup, same user.
-    The equality key (user_id) carries the shuffle; the range predicate is
-    evaluated post-partition, so there is no cross product across users."""
+
+    Executed as a BUCKETED interval join, not a per-user cross product:
+    the window length (1h) is the bucket width, the signup side is
+    exploded into its own bucket plus the next one, and the join key is
+    (user_id, bucket) — a qualifying pair differs by 0 or 1 buckets, so
+    it matches exactly one of the two exploded rows (no dedup needed)
+    and the range predicate only post-filters within (user, bucket)
+    groups. A plain equi-join on user_id alone would enumerate all
+    signup x purchase pairs per user before filtering — one bot user
+    with 10^6 events is a 10^12-pair task; bucketing bounds the group by
+    the per-hour event rate instead."""
     ev = load(spark, sf_dir, "events")
+
+    def bucket(c):
+        return F.floor(F.unix_micros(c) / 3600000000)
+
     s = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
         F.col("user_id").alias("s_user"),
         F.col("ts").alias("s_ts"),
+        F.explode(F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)).alias(
+            "s_bk"
+        ),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
+        bucket(F.col("ts")).alias("p_bk"),
     )
     joined = s.join(
         p,
         (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_bk") == F.col("s_bk"))
         & (F.col("p_ts") > F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
     )

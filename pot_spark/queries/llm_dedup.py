@@ -14,7 +14,7 @@ up to and including the banding join is replayable by the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
@@ -278,7 +278,17 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs form only through shared
-    (lang, shingle) keys — an inverted-index join, not a cross product."""
+    (lang, shingle) keys — an inverted-index join, not a cross product.
+
+    Scale posture: candidate volume is Σ df(shingle)² over the index, so
+    Zipf-hot shingles dominate at corpus scale. This op is the EXACT
+    verifier of the family; the corpus-scale candidate generator is
+    q_dedup_near's MinHash-LSH banding (collision probability calibrated
+    to the threshold, hot-key-free band keys). Production pipelines
+    additionally df-cap the index (drop shingles with df > k) — a recall
+    trade-off deliberately not taken here because the oracle checks
+    exact semantics; AQE's skew-join split absorbs the fixture-scale
+    skew."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", _tokens().alias("toks"))
@@ -730,4 +740,49 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inter.join(agree, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "sig_agree", "n_inter", "na", "nb"
+    )
+
+
+@query(
+    "q_dedup_source_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, md5(text) AS text_hash,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents
+    )
+    SELECT text_hash, doc_id AS keep_doc_id, source AS keep_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority exact dedup: when the same text appears in several
+    sources, keep the copy from the highest-priority source (lower srcN
+    number wins; doc_id tie-break) — the cross-source reconciliation a
+    multi-crawl corpus runs instead of blind min-id dedup. One window
+    over the hash partitioning; as with q_dedup_exact, the shuffle key
+    is the 32-byte hash, never the text."""
+    docs = load(spark, sf_dir, "documents")
+    prio = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy(F.md5("text")).orderBy(prio, "doc_id")
+    return (
+        docs.select(
+            F.md5("text").alias("text_hash"),
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.md5("text"))).alias("n_copies"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "text_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("source").alias("keep_source"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
     )

@@ -655,3 +655,95 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+               text
+        FROM seeded
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(contains(text, '@example.com') AS INTEGER)) AS BIGINT)
+             AS n_had_email,
+           CAST(SUM(len(text) - len(clean)) AS BIGINT) AS chars_redacted,
+           CAST(SUM(CAST(contains(clean, '<EMAIL>') AS INTEGER)) AS BIGINT)
+             AS n_email_redacted,
+           CAST(SUM(CAST(contains(clean, '<PHONE>') AS INTEGER)) AS BIGINT)
+             AS n_phone_redacted
+    FROM scrubbed GROUP BY lang
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact email addresses and phone numbers from
+    document text, reporting per-lang redaction counts and the char
+    delta. The fixture corpus is synthetic, so deterministic PII is
+    seeded into every 10th doc first — the scrub then has real work whose
+    effect both engines must agree on byte-for-byte. Regex patterns are
+    restricted to the RE2 ∩ Java-regex common subset (character classes,
+    bounded repetition — no backrefs/lookahead), which is the portability
+    contract any cross-engine scrubber must hold. Pure scan-side
+    regexp_replace in whole-stage codegen; one rollup shuffle.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    scrubbed = seeded.select(
+        "lang",
+        "text",
+        clean.alias("clean"),
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.contains(F.col("text"), F.lit("@example.com")).cast("int"))
+        .cast("bigint")
+        .alias("n_had_email"),
+        F.sum(F.length("text") - F.length("clean"))
+        .cast("bigint")
+        .alias("chars_redacted"),
+        F.sum(F.contains(F.col("clean"), F.lit("<EMAIL>")).cast("int"))
+        .cast("bigint")
+        .alias("n_email_redacted"),
+        F.sum(F.contains(F.col("clean"), F.lit("<PHONE>")).cast("int"))
+        .cast("bigint")
+        .alias("n_phone_redacted"),
+    )

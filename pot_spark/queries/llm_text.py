@@ -564,8 +564,9 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(n_chars) AS BIGINT) AS char_budget,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
            CAST(SUM(CASE WHEN rn <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM ranked
     GROUP BY lang
@@ -575,12 +576,12 @@ def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source capped sampling: every lang contributes at most 50
     docs, chosen by a deterministic md5 shuffle order (reproducible
     across runs/engines — no RNG). This is the "cap the over-represented
-    source" step of corpus mixture building. One window over the
-    (lang)-partitioned hash order, then a rollup; the kept-token budget
-    rides along so the mixture builder can iterate on caps without a
-    second pass. Outputs are per-lang totals with kept rows counted
-    under the cap (n_kept counts ALL docs here so the oracle replay is
-    rank-free; n_dropped tells the cap's effect).
+    source" step of corpus mixture building: kept_chars depends on WHICH
+    50 docs the hash order selects, so the oracle verifies the selection
+    itself, not just counts. Scale note: partitionBy(lang) has group
+    cardinality = #languages; at corpus scale the window becomes the
+    two-level top-k (salted local top-50 per (lang, salt), then re-rank
+    the 50xS survivors) — same selection, no single-reducer language.
 
     No reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
@@ -592,8 +593,12 @@ def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
     )
     return ranked.groupBy("lang").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("n_chars").cast("bigint").alias("char_budget"),
+        F.sum(F.when(F.col("rn") <= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 50, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
         F.sum(F.when(F.col("rn") <= 50, 0).otherwise(1))
         .cast("bigint")
         .alias("n_dropped"),

@@ -88,3 +88,89 @@ def test_approx_topk_exact_when_under_capacity(spark, sf_dir):
         # cnt must be within the true top-5 count threshold for its type
         thresh = sorted(per_type[r.event_type], reverse=True)[4]
         assert r.cnt >= thresh, r
+
+
+def test_ann_lsh_scores_exact_and_candidates_subset(spark, sf_dir):
+    """q_sim_ann_lsh is rows-only; its accuracy story: every returned
+    cosine must EQUAL the brute-force cosine for that vector (the
+    re-rank is exact — LSH only prunes candidates), and the ANN top-10
+    candidates must each share a bucket with the probe (the pruning
+    contract)."""
+    ann = {
+        r.vec_id: r.cos_sim
+        for r in registry.QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in registry.QUERIES["q_sim_topk"](spark, sf_dir)
+        .limit(0)  # placeholder, replaced below
+        .collect()
+    }
+    # brute-force scores for ALL vectors (not just top-10): recompute
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("p")
+    )
+    dots = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "p", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform("v", lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.transform("p", lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    all_exact = {r.vec_id: r.cos for r in dots.collect()}
+    for vid, c in ann.items():
+        assert abs(all_exact[vid] - c) < 1e-9, (vid, c, all_exact[vid])
+    # the fixture embeddings are random (near-orthogonal), so there are
+    # no planted neighbors and recall@k is not a meaningful bound; the
+    # structural guarantee instead: every returned candidate shares at
+    # least one LSH bucket with the probe
+    from pot_spark.queries.llm_similarity import _N_TABLES, _N_BITS, _hyperplane
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def sig(v, t):
+        out = 0
+        for j in range(_N_BITS):
+            plane = _hyperplane(t, j)
+            if sum(a * b for a, b in zip(v, plane)) >= 0:
+                out |= 1 << j
+        return out
+
+    probe_sigs = [sig(vecs[0], t) for t in range(_N_TABLES)]
+    for vid in ann:
+        assert any(
+            sig(vecs[vid], t) == probe_sigs[t] for t in range(_N_TABLES)
+        ), f"vec {vid} returned without a bucket collision"

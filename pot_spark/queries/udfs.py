@@ -498,3 +498,30 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
         )
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque BINARY payload column — the first pass
+    of any media pipeline (identical files dropped before a byte is
+    decoded). Hashing happens scan-side on the binary, the shuffle
+    carries 32-byte digests + metadata, and — unlike the feature/resize
+    stages — this one is fully oracle-checked because md5-of-bytes is
+    engine-independent (the oracle hashes the text whose utf-8 encoding
+    IS the payload): the multimodal family's hash-verified anchor."""
+    media = build_media_table(spark, sf_dir)
+    return media.groupBy(F.md5("payload").alias("payload_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )

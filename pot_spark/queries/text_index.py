@@ -428,3 +428,61 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_terms"),
         F.round(term_score[0] + term_score[1] + term_score[2], 6).alias("bm25"),
     )
+
+
+@query(
+    "q_tokenizer_vocab",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+    tot AS (SELECT SUM(freq) AS n FROM vocab),
+    ranked AS (
+        SELECT t, freq,
+               row_number() OVER (ORDER BY freq DESC, t) AS rank,
+               SUM(freq) OVER (ORDER BY freq DESC, t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM vocab
+    )
+    SELECT rank, t AS token, freq,
+           CAST(floor(cum * 1000000.0 / tot.n) AS BIGINT) AS coverage_ppm
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 100
+    """,
+)
+def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: the top-100 tokens by corpus
+    frequency with cumulative coverage (ppm of all token occurrences) —
+    the curve you read before picking a vocab size. The corpus-scale
+    token stream collapses to the vocab via one map-side-combined
+    shuffle; the ranking window then runs over the (already tiny
+    relative to the corpus) vocab relation, and coverage is an exact
+    integer ppm (floor of a BIGINT-product ratio — no float sum order
+    anywhere). Ties break lexicographically so the rank is total.
+
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.desc("freq"), F.asc("t"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = vocab.select(
+        "t",
+        "freq",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("freq").over(wc).alias("cum"),
+    ).where(F.col("rank") <= 100)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rank"),
+        F.col("t").alias("token"),
+        "freq",
+        F.floor(F.col("cum") * 1000000.0 / F.col("n"))
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )

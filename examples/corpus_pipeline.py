@@ -3,7 +3,8 @@ a user of the reference — documents land in the KV layer (pot semantics),
 then one Spark job takes them from raw text to packed training windows:
 
     1. ingest     raw docs batch-upserted into a pot (kv_create_batch)
-    2. clean      lowercase/strip/collapse normalization (q_text_normalize)
+    2. clean      lowercase/strip/collapse normalization + PII scrub
+                  (q_text_normalize / q_pii_scrub)
     3. filter     composite quality score + language confidence
                   (q_quality_score / q_lang_id thresholds)
     4. dedup      exact dedup by content hash, keep min doc_id
@@ -11,7 +12,8 @@ then one Spark job takes them from raw text to packed training windows:
     5. score      corpus-trained unigram LM, drop high-surprise outliers
                   (q_unigram_logprob semantics)
     6. pack       2048-token context windows via distributed prefix-sum
-                  (q_seq_pack semantics)
+                  (q_seq_pack semantics), then a deterministic
+                  train/val/test split audit (q_train_split)
     7. publish    packed windows written back to a pot generation the
                   trainer reads (and can time-travel / clone / diff)
 
@@ -66,6 +68,12 @@ def main() -> None:
         "doc_id",
         "lang",
         F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("text"),
+    )
+
+    # 2b. scrub -- PII redaction before anything downstream sees text
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = cleaned.withColumn(
+        "text", F.regexp_replace("text", email_re, "<EMAIL>")
     )
 
     # 3. filter -- cheap quality signals as column expressions
@@ -138,6 +146,23 @@ def main() -> None:
     )
     n_windows = packed.agg(F.max("win_id")).collect()[0][0] + 1
     print(f"[6 pack   ] {packed.count()} docs -> {n_windows} windows of {CTX}")
+
+    # 6b. split -- deterministic hash split, stratification audit
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split_audit = (
+        packed.withColumn(
+            "split",
+            F.when(lane < 80, "train").when(lane < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .count()
+        .orderBy("split")
+        .collect()
+    )
+    print("[6b split ] " + ", ".join(f"{r['split']}={r['count']}" for r in split_audit))
 
     # 7. publish -- the packed assignment becomes the next pot generation
     # through the "pot" DataSource writer (task-staged parquet, one

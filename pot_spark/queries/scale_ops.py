@@ -406,3 +406,77 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("by").alias("max_by"),
         )
     )
+
+
+@query(
+    "q_dedup_daily_first",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_suppressed
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_dedup_daily_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup: first event per (user, type, day) — the batch twin
+    of streaming dedup WITH STATE TTL. Unbounded streaming dedup state
+    (s_dedup_first) grows forever; keying the state by day bounds it to
+    one day's keys, which is what `withWatermark + dropDuplicates` /
+    transformWithState-with-TTL do in the stream. One map-side-combined
+    shuffle on the composite key; day arithmetic is integer epoch-floor,
+    replayable on any engine."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    return ev.groupBy(
+        "user_id", "event_type", day.alias("day_bucket")
+    ).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n_suppressed"),
+    )
+
+
+@query(
+    "q_null_skew_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE user_id END
+                 AS uid,
+               value
+        FROM events
+    ),
+    agg AS (SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_ev FROM ev
+            WHERE uid IS NOT NULL GROUP BY uid)
+    SELECT e.event_id, e.uid, a.n_ev
+    FROM ev e LEFT JOIN agg a ON a.uid = e.uid
+    """,
+)
+def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-key skew pattern: outer joins hash every NULL key to ONE
+    reducer, so a fact table where 20% of rows have a null FK puts 20%
+    of the table on a single task. Fix: split the null-key rows out
+    BEFORE the shuffle (they can't match anyway), join only the non-null
+    slice, and union the null slice back with a null-filled payload —
+    identical results, no hot reducer. AQE's skew split cannot help here
+    (every null is ONE key, not a skewed distribution of keys); the
+    split-union is the only shape that scales."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+    )
+    agg = (
+        ev.filter(F.col("uid").isNotNull())
+        .groupBy("uid")
+        .agg(F.count("*").alias("n_ev"))
+    )
+    nn = ev.filter(F.col("uid").isNotNull()).join(agg, "uid", "left").select(
+        "event_id", "uid", "n_ev"
+    )
+    nulls = ev.filter(F.col("uid").isNull()).select(
+        "event_id", "uid", F.lit(None).cast("bigint").alias("n_ev")
+    )
+    return nn.unionByName(nulls)

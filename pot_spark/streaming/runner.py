@@ -165,6 +165,69 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
+    """Day-windowed first-event dedup with STATE TTL: the key carries the
+    event-time day bucket and every state entry sets an event-time
+    timeout at day end + 1h slack, so the watermark retires a day's keys
+    instead of the state growing for the stream's lifetime — THE pattern
+    that makes streaming dedup viable at 100 TB/day. Emits (key, day,
+    first_event_id, n_suppressed) in update mode. Batch twin:
+    pot_spark.queries.scale_ops.q_dedup_daily_first."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day_bucket", T.LongType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("n_suppressed", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        user_id, event_type, day_bucket = key
+        if state.hasTimedOut:
+            state.remove()  # watermark passed the day: retire the state
+            return
+        best, n = (state.get if state.exists else (None, 0))
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                n += 1
+                if best is None or row.event_id < best:
+                    best = int(row.event_id)
+        state.update((best, n))
+        # retire once the watermark passes day end + 1h slack
+        state.setTimeoutTimestamp((int(day_bucket) + 1) * 86400 * 1000 + 3600000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "day_bucket": [int(day_bucket)],
+                "first_event_id": [best],
+                "n_suppressed": [n],
+            }
+        )
+
+    keyed = stream.withWatermark("ts", "1 hour").withColumn(
+        "day_bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    )
+    return keyed.groupBy("user_id", "event_type", "day_bucket").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
     """The same first-event dedup on Spark 4's transformWithState API
     (StatefulProcessor + typed state handles) — the successor to
@@ -290,6 +353,7 @@ APPEND_BUILDERS = {
 # foreachBatch upsert sink (PotStore) to collapse re-emissions.
 STATEFUL_BUILDERS = {
     "s_dedup_first": build_stateful_dedup,
+    "q_dedup_daily_first": build_stateful_daily_dedup,
 }
 
 

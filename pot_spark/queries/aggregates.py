@@ -113,8 +113,11 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    # customer scales with SF (no broadcast hint — AQE broadcasts while
+    # it fits, degrades to SMJ beyond the threshold); nation/region are
+    # geography-bounded, so their hints can never explode
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

@@ -104,9 +104,12 @@ def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     one = F.lit(1).cast("decimal(18,2)")
+    # dim is customer-sized (scales with SF): no forced broadcast — AQE
+    # broadcasts the region-filtered slice while it fits; the bounded
+    # nation/region hints above can never explode
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             F.sum(

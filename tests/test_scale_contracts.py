@@ -1,0 +1,47 @@
+"""Scale contracts the physical-plan tests cannot express: candidate-
+generation volume must stay near the true-duplicate count, never drift
+toward the quadratic blowup a mis-tuned banding scheme produces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pot_spark import registry
+from pot_spark.queries import llm_dedup as d
+
+registry.load_all_query_modules()
+
+
+def test_simhash_band_buckets_stay_sparse(spark, sf_dir):
+    """60-bit simhash / 15-bit bands: any band bucket holding a large
+    fraction of the corpus means the banding collapsed (the pre-round-2
+    4-bit bands put ~1/16 of ALL docs in every bucket — candidates grew
+    as O(n^2/16))."""
+    sim = registry.QUERIES["q_dedup_simhash"](spark, sf_dir)
+    n_docs = sim.count()
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(d._SIMHASH_BANDS)])).alias("bi"),
+    ).withColumn(
+        "bv", F.expr("shiftright(simhash, bi * 15)").bitwiseAND(32767)
+    )
+    max_bucket = (
+        bands.groupBy("bi", "bv").count().agg(F.max("count")).collect()[0][0]
+    )
+    # true dup clusters in the fixture are tiny; a healthy band key keeps
+    # every bucket far below a corpus fraction
+    assert max_bucket <= max(10, n_docs // 20), (max_bucket, n_docs)
+
+
+def test_minhash_band_candidates_near_true_pairs(spark, sf_dir):
+    """LSH banding candidate pairs must stay within a small multiple of
+    the verified near-dup pairs — the property that makes verify cost
+    O(candidates) ~ O(true dups), not O(n^2)."""
+    sh = d._shingle_df(spark, sf_dir)
+    n_cand = d._band_pairs(spark, sf_dir, sh).count()
+    n_true = registry.QUERIES["q_dedup_near"](spark, sf_dir).count()
+    n_docs = d._shingle_df(spark, sf_dir).select("doc_id").distinct().count()
+    assert n_cand <= max(50, 10 * max(n_true, 1)), (n_cand, n_true)
+    # and nowhere near quadratic
+    assert n_cand < n_docs * 5, (n_cand, n_docs)

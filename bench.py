@@ -115,7 +115,7 @@ def main() -> None:
     # 30-50% CPU-steal noise, and this number is the recorded baseline that
     # later rounds are held within 2x of — the minimum is the stable
     # estimator of actual plan cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:

@@ -40,11 +40,18 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out as one directory per o_orderpriority, so the filter is resolved by
     the file index (PartitionFilters) — 4/5 of the data is never opened.
     At 100 TB this is the difference between a metadata operation and a
-    full scan; tests/test_plans.py pins the pruned plan shape."""
+    full scan; tests/test_plans.py pins the pruned plan shape.
+
+    The write repartitions on the partition column first: partitionBy
+    alone makes EVERY task write into EVERY partition directory
+    (tasks x partitions small files — the classic lakehouse small-file
+    explosion); the shuffle routes each partition's rows to one task so
+    file count tracks partitions, not tasks x partitions."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out = os.path.join(tempfile.gettempdir(), f"pot_spark_part_{tag}", "orders")
     (
         load(spark, sf_dir, "orders")
+        .repartition("o_orderpriority")
         .write.partitionBy("o_orderpriority")
         .mode("overwrite")
         .parquet(out)

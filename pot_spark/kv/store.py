@@ -672,7 +672,9 @@ class PotStore:
                 next_gen = (manifest.generation if manifest else 0) + 1
                 name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
                 snap_dir = self._snapshot_path(path, name)
-                merged.write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                # route each bucket to one task: file count per bucket dir stays
+                # 1, not n_tasks (small-file hygiene the compactor otherwise pays)
+                merged.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
                 files = {
                     str(b): (
                         f"{name}/__b={b}"
@@ -892,7 +894,7 @@ class PotStore:
                     df = self.get_df(path).withColumn(
                         "__b", F.pmod(F.hash("key"), F.lit(n_buckets)).cast("int")
                     )
-                    df.write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                    df.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
                     for b in range(n_buckets):
                         d = os.path.join(snap_dir, f"__b={b}")
                         if not os.path.isdir(d):

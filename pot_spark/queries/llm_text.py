@@ -522,8 +522,10 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     in_shard = sharded.withColumn("cum_in", F.sum("n_tok").over(w_in))
-    # per-shard totals are O(shards) rows: the running offset over them is
-    # a driver-scale window, then broadcast back onto the data
+    # per-shard totals are O(shards) rows — small, but shard count GROWS
+    # with the corpus (n_docs/1024), so no broadcast hint: AQE broadcasts
+    # while the offsets fit and falls back to a shard-keyed shuffle when
+    # a 10^10-doc corpus makes them a real table
     w_sh = (
         Window.orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -537,7 +539,7 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = (
-        in_shard.join(F.broadcast(offsets), "shard")
+        in_shard.join(offsets, "shard")
         .withColumn("cum", F.col("base") + F.col("cum_in"))
     )
     start = F.col("cum") - F.col("n_tok")

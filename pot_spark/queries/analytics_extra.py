@@ -513,3 +513,74 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(pr == "3-MEDIUM").alias("p3_medium"),
         n(~pr.isin("1-URGENT", "2-HIGH", "3-MEDIUM")).alias("p_other"),
     )
+
+
+@query(
+    "q_describe_stats",
+    oracle="""
+    WITH m AS (
+        SELECT 'l_quantity' AS col,
+               CAST(COUNT(l_quantity) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
+               round(stddev_samp(l_quantity), 4) AS std,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(COUNT(l_extendedprice) AS BIGINT),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice),
+               round(stddev_samp(l_extendedprice), 4),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(COUNT(l_discount) AS BIGINT),
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount),
+               round(stddev_samp(l_discount), 4),
+               CAST(MIN(l_discount) AS DOUBLE),
+               CAST(MAX(l_discount) AS DOUBLE)
+        FROM lineitem
+    )
+    SELECT * FROM m
+    """,
+)
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() re-expressed with a pinned schema and deterministic
+    arithmetic: per-column count/mean/std/min/max in ONE aggregation pass
+    (describe's own output formats values as strings and computes means
+    as float sums — both hash-unstable across engines; this form keeps
+    the DECIMAL-sum mean and a rounded sample stddev). One scan, one
+    1-row aggregate, unpivoted to the stats-table shape driver-side
+    via a fixed union of 3 literal rows — no data shuffle at all."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def stats(c: str):
+        return [
+            F.count(c).alias(f"{c}__n"),
+            (
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double") / F.count(c)
+            ).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.agg(*[a for c in cols for a in stats(c)])
+    rows = [
+        agg.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__std").alias("std"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -584,3 +584,56 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "q_equidepth_bins",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice <= b.q1 THEN 0
+                     WHEN o_totalprice <= b.q2 THEN 1
+                     WHEN o_totalprice <= b.q3 THEN 2
+                     ELSE 3 END AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bin_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bin_max
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketizer: fit = exact interpolated
+    quartiles in one aggregate (a 1-row broadcast), transform = a CASE
+    lookup applied scan-side, audit = per-bin counts and bounds proving
+    the depth balance. This is the feature-binning fit/transform a
+    training pipeline runs; versus equi-width (q_histogram) the bins
+    adapt to the distribution. Two passes over the data, zero data-sized
+    shuffles — the exact-percentile fit is per-group sort-bounded, so at
+    100 TB the fit step moves to approx_percentile (q_approx_percentile)
+    and the transform is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    binc = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(binc.cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("bin_min"),
+            F.max("o_totalprice").cast("double").alias("bin_max"),
+        )
+    )

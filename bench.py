@@ -142,6 +142,35 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # diff against the recorded baseline (BENCH_r02.json is the first
+    # completed bench = the 2x-gate reference): per-query deltas go to
+    # stderr, queries >2x slower than their baseline are listed in the
+    # JSON so a regression fails loudly instead of hiding in the total
+    regressions: dict[str, str] = {}
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
+    )
+    try:
+        with open(base_path) as f:
+            base = json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 - no baseline -> nothing to diff
+        base = {}
+    for name, t in sorted(timings.items()):
+        b = base.get(name)
+        if not b:
+            print(f"bench diff: {name} {t:.3f}s (no baseline)", file=sys.stderr)
+            continue
+        ratio = t / b
+        print(
+            f"bench diff: {name} {t:.3f}s vs baseline {b:.3f}s ({ratio:.2f}x)",
+            file=sys.stderr,
+        )
+        if ratio > 2.0:
+            regressions[name] = f"{t:.3f}s vs {b:.3f}s ({ratio:.2f}x)"
+    if regressions:
+        print(f"bench REGRESSIONS >2x: {regressions}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -150,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
+                "regressions": regressions,
                 "sf": sf_val,
             }
         )

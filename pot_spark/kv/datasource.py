@@ -92,7 +92,14 @@ class PotDataSource(DataSource):
         return PotStreamWriter(self.options)
 
 
-class PotReader(DataSourceReader):
+class PotReaderNoPushdown(DataSourceReader):
+    """Reader variant without ``pushFilters``: Spark 4 hard-errors on any
+    read from a reader that declares ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false, so sessions
+    where that conf cannot be enabled get this class (filters are then
+    applied post-scan by Spark — correct, just without the Arrow-transfer
+    saving)."""
+
     def __init__(self, options) -> None:
         store, path = _store(options)
         gen = options.get("generation")
@@ -115,6 +122,19 @@ class PotReader(DataSourceReader):
                     self._files.append(snap)
         self._keys: list[str] | None = None  # pushed key-equality filter
 
+    def partitions(self) -> list[_FilePartition]:
+        return [_FilePartition(f) for f in self._files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.file:
+            return
+        table = pq.read_table(partition.file, schema=_ARROW_SCHEMA)
+        if self._keys is not None:
+            table = table.filter(pc.is_in(table.column("key"), pa.array(self._keys)))
+        yield from table.to_batches()
+
+
+class PotReader(PotReaderNoPushdown):
     def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
         """Accept key = 'x' / key IN (...) — rows are filtered reader-side
         so non-matching documents never cross the Arrow boundary. (Bucket
@@ -129,16 +149,13 @@ class PotReader(DataSourceReader):
             else:
                 yield f  # unsupported -> Spark applies it post-scan
 
-    def partitions(self) -> list[_FilePartition]:
-        return [_FilePartition(f) for f in self._files] or [_FilePartition("")]
 
-    def read(self, partition: _FilePartition):
-        if not partition.file:
-            return
-        table = pq.read_table(partition.file, schema=_ARROW_SCHEMA)
-        if self._keys is not None:
-            table = table.filter(pc.is_in(table.column("key"), pa.array(self._keys)))
-        yield from table.to_batches()
+class PotDataSourceNoPushdown(PotDataSource):
+    """Same "pot" format, registered instead of :class:`PotDataSource` on
+    sessions where the Python filter-pushdown conf stays disabled."""
+
+    def reader(self, schema) -> "PotReaderNoPushdown":
+        return PotReaderNoPushdown(self.options)
 
 
 class PotWriter(DataSourceWriter):
@@ -312,6 +329,21 @@ class PotChangesStreamReader(SimpleDataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Register both formats on a session (idempotent)."""
-    spark.dataSource.register(PotDataSource)
+    """Register both formats on a session (idempotent).
+
+    Works on ANY session, not just ``get_spark()``'s: the key-pushdown
+    reader requires ``spark.sql.python.filterPushdown.enabled`` (Spark 4
+    refuses to plan a pushFilters reader while it is false), so we enable
+    it here; if the conf cannot be set on this session, the no-pushdown
+    reader variant is registered instead and reads still succeed."""
+    conf = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf, "true")
+    except Exception:  # noqa: BLE001 - conf locked down -> fall back below
+        pass
+    try:
+        enabled = str(spark.conf.get(conf, "false")).lower() == "true"
+    except Exception:  # noqa: BLE001
+        enabled = False
+    spark.dataSource.register(PotDataSource if enabled else PotDataSourceNoPushdown)
     spark.dataSource.register(PotChangesDataSource)

@@ -545,13 +545,22 @@ class PotStore:
             .select(*cols)
         )
 
-    def get_typed(self, path: str, schema) -> DataFrame:
+    def get_typed(
+        self, path: str, schema, generation: Optional[int] = None
+    ) -> DataFrame:
         """Typed projection of the documents (the engine's analogue of the
         typed Go client, client.go:14-38): parse the JSON doc column with
         an explicit schema. Timestamp fields parse at microsecond
         precision, matching the sink-side to_json format
-        (pot_spark.streaming.sink.JSON_TS_OPTIONS)."""
-        df = self.get_df(path)
+        (pot_spark.streaming.sink.JSON_TS_OPTIONS). With ``generation``
+        the projection is pinned to that snapshot (time travel), so the
+        lazy DataFrame keeps reading the same files even after later
+        commits advance the pot."""
+        df = (
+            self.get_df(path)
+            if generation is None
+            else self.get_df_at(path, generation)
+        )
         opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
         return df.select(
             "key", F.from_json("doc", schema, opts).alias("d")

@@ -522,7 +522,12 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'l_quantity' AS col,
                CAST(COUNT(l_quantity) AS BIGINT) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
-               round(stddev_samp(l_quantity), 4) AS std,
+               round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             / COUNT(l_quantity))
+                          / (COUNT(l_quantity) - 1)), 4) AS std,
                CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
                CAST(MAX(l_quantity) AS DOUBLE) AS max_v
         FROM lineitem
@@ -530,7 +535,12 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'l_extendedprice',
                CAST(COUNT(l_extendedprice) AS BIGINT),
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice),
-               round(stddev_samp(l_extendedprice), 4),
+               round(sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                             * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                             / COUNT(l_extendedprice))
+                          / (COUNT(l_extendedprice) - 1)), 4),
                CAST(MIN(l_extendedprice) AS DOUBLE),
                CAST(MAX(l_extendedprice) AS DOUBLE)
         FROM lineitem
@@ -538,7 +548,12 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'l_discount',
                CAST(COUNT(l_discount) AS BIGINT),
                CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount),
-               round(stddev_samp(l_discount), 4),
+               round(sqrt((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                           - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                             * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                             / COUNT(l_discount))
+                          / (COUNT(l_discount) - 1)), 4),
                CAST(MIN(l_discount) AS DOUBLE),
                CAST(MAX(l_discount) AS DOUBLE)
         FROM lineitem
@@ -551,18 +566,27 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic: per-column count/mean/std/min/max in ONE aggregation pass
     (describe's own output formats values as strings and computes means
     as float sums — both hash-unstable across engines; this form keeps
-    the DECIMAL-sum mean and a rounded sample stddev). One scan, one
-    1-row aggregate, unpivoted to the stats-table shape driver-side
-    via a fixed union of 3 literal rows — no data shuffle at all."""
+    DECIMAL sums throughout). The sample stddev is NOT stddev_samp —
+    whose float merge order varies with partitioning — but
+    sqrt((sum(x^2) - sum(x)^2/n) / (n-1)) over EXACT decimal sums of x
+    and x*x, converted to double in the same operation order on both
+    engines, so the IEEE result is bit-identical and the 4-digit round
+    is deterministic. One scan, one 1-row aggregate, unpivoted to the
+    stats-table shape driver-side via a fixed union of 3 literal rows —
+    no data shuffle at all."""
     li = load(spark, sf_dir, "lineitem")
 
     def stats(c: str):
+        dec = F.col(c).cast("decimal(18,2)")
+        n = F.count(c)
+        sx = F.sum(dec).cast("double")
+        sx2 = F.sum(dec * dec).cast("double")
         return [
-            F.count(c).alias(f"{c}__n"),
-            (
-                F.sum(F.col(c).cast("decimal(18,2)")).cast("double") / F.count(c)
-            ).alias(f"{c}__mean"),
-            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+            n.alias(f"{c}__n"),
+            (F.sum(dec).cast("double") / F.count(c)).alias(f"{c}__mean"),
+            F.round(
+                F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1))), 4
+            ).alias(f"{c}__std"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
         ]

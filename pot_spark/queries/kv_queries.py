@@ -12,6 +12,7 @@ Final pot state == docs 10..149 with 'amended' flag for 50..149.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -21,6 +22,21 @@ from pyspark.sql import functions as F
 from pot_spark.kv.store import PotStore
 from pot_spark.registry import query
 from pot_spark.tables import load
+
+
+def _query_root(prefix: str) -> str:
+    """Temp pot root that outlives the query body.
+
+    The returned DataFrames are lazy distributed reads over the pot's
+    parquet snapshots, so the files must survive until the CALLER runs an
+    action — collect()-ing inside the query to outlive an eager teardown
+    would route the table through the driver (the anti-pattern at scale).
+    Cleanup is deferred to interpreter exit instead; a query run leaves a
+    few MB of snapshot files behind for the session's lifetime, the
+    results stay distributed."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 @query(
@@ -43,28 +59,18 @@ def q_kv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 150)
         .collect()
     }
-    root = tempfile.mkdtemp(prefix="pot_kv_pipeline_")
-    try:
-        store = PotStore(spark, root)
-        store.create_batch(
-            "pipeline",
-            {k: {**v, "amended": False} for k, v in docs.items() if v["doc_id"] < 100},
-        )
-        store.create_batch(
-            "pipeline",
-            {k: {**v, "amended": True} for k, v in docs.items() if v["doc_id"] >= 50},
-        )
-        store.remove("pipeline", *[str(i) for i in range(10)], "missing-key")
-        out = store.get_typed(
-            "pipeline", "doc_id long, lang string, amended boolean"
-        )
-        # materialize before the temp root disappears
-        result = spark.createDataFrame(
-            out.collect(), schema="key string, doc_id long, lang string, amended boolean"
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return result
+    root = _query_root("pot_kv_pipeline_")
+    store = PotStore(spark, root)
+    store.create_batch(
+        "pipeline",
+        {k: {**v, "amended": False} for k, v in docs.items() if v["doc_id"] < 100},
+    )
+    store.create_batch(
+        "pipeline",
+        {k: {**v, "amended": True} for k, v in docs.items() if v["doc_id"] >= 50},
+    )
+    store.remove("pipeline", *[str(i) for i in range(10)], "missing-key")
+    return store.get_typed("pipeline", "doc_id long, lang string, amended boolean")
 
 
 @query(
@@ -99,20 +105,12 @@ def q_kv_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc"),
         )
 
-    root = tempfile.mkdtemp(prefix="pot_kv_bucketed_")
-    try:
-        store = PotStore(spark, root)
-        store.create_df_bucketed("bkt", keyed(docs, F.lit(False)), n_buckets=8)
-        delta = docs.filter(F.col("doc_id") % 7 == 0)
-        store.create_df_bucketed("bkt", keyed(delta, F.lit(True)), n_buckets=8)
-        out = store.get_typed("bkt", "doc_id long, lang string, touched boolean")
-        result = spark.createDataFrame(
-            out.collect(),
-            schema="key string, doc_id long, lang string, touched boolean",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return result
+    root = _query_root("pot_kv_bucketed_")
+    store = PotStore(spark, root)
+    store.create_df_bucketed("bkt", keyed(docs, F.lit(False)), n_buckets=8)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    store.create_df_bucketed("bkt", keyed(delta, F.lit(True)), n_buckets=8)
+    return store.get_typed("bkt", "doc_id long, lang string, touched boolean")
 
 
 @query(
@@ -140,39 +138,34 @@ def q_pot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pot_spark.kv.datasource import register
 
     register(spark)
-    root = tempfile.mkdtemp(prefix="pot_ds_query_")
-    try:
-        src = (
-            load(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 120)
-            .select(
-                F.col("doc_id").cast("string").alias("key"),
-                F.to_json(F.struct("lang", "n_chars")).alias("doc"),
-            )
+    root = _query_root("pot_ds_query_")
+    src = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(F.struct("lang", "n_chars")).alias("doc"),
         )
-        (
-            src.write.format("pot")
-            .option("root", root)
-            .mode("append")
-            .save("ds/docs")
+    )
+    (
+        src.write.format("pot")
+        .option("root", root)
+        .mode("append")
+        .save("ds/docs")
+    )
+    back = (
+        spark.read.format("pot")
+        .option("root", root)
+        .load("ds/docs")
+        .select(
+            F.get_json_object("doc", "$.lang").alias("lang"),
+            F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
         )
-        back = (
-            spark.read.format("pot")
-            .option("root", root)
-            .load("ds/docs")
-            .select(
-                F.get_json_object("doc", "$.lang").alias("lang"),
-                F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
-            )
-        )
-        out = back.groupBy("lang").agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
 
 
 @query(
@@ -215,74 +208,68 @@ def q_kv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc"),
         )
 
-    root = tempfile.mkdtemp(prefix="pot_kv_incr_")
-    try:
-        store = PotStore(spark, root)
-        # generation 1: base load (doc_id < 250, original n_chars)
-        g1 = store.create_df_bucketed(
-            "incr", keyed(docs.filter(F.col("doc_id") < 250)), n_buckets=8
+    root = _query_root("pot_kv_incr_")
+    store = PotStore(spark, root)
+    # generation 1: base load (doc_id < 250, original n_chars)
+    g1 = store.create_df_bucketed(
+        "incr", keyed(docs.filter(F.col("doc_id") < 250)), n_buckets=8
+    )
+    # base aggregate pinned at gen1 (time travel): the lazy plan keeps
+    # reading the gen1 snapshot even after gen2/gen3 commit below
+    base = (
+        store.get_typed(
+            "incr", "doc_id long, lang string, n_chars long", generation=g1
         )
-        # base aggregate, computed while gen1 is current
-        base = (
-            store.get_typed("incr", "doc_id long, lang string, n_chars long")
-            .groupBy("lang")
-            .agg(
-                F.count("*").alias("b_n"),
-                F.sum("n_chars").alias("b_chars"),
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("b_n"),
+            F.sum("n_chars").alias("b_chars"),
+        )
+    )
+    # generation 2: amend every %5 doc (+1000 chars) and insert 250..299
+    delta = docs.filter(
+        ((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 250))
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    inserts = docs.filter(F.col("doc_id") >= 250)
+    store.create_df_bucketed(
+        "incr", keyed(delta.unionByName(inserts)), n_buckets=8
+    )
+    # generation 3: remove every %9 key
+    store.remove("incr", *[str(i) for i in range(0, 300, 9)])
+    # replay ONLY the change feed (with before-images) onto the base agg
+    cdf = store.changes_df("incr", g1, include_old=True)
+    new_chars = F.get_json_object("doc", "$.n_chars").cast("long")
+    old_chars = F.get_json_object("old_doc", "$.n_chars").cast("long")
+    contrib = cdf.select(
+        F.coalesce(
+            F.get_json_object("doc", "$.lang"),
+            F.get_json_object("old_doc", "$.lang"),
+        ).alias("lang"),
+        F.when(F.col("op") == "insert", 1)
+        .when(F.col("op") == "delete", -1)
+        .otherwise(0)
+        .alias("d_n"),
+        (F.coalesce(new_chars, F.lit(0)) - F.coalesce(old_chars, F.lit(0))).alias(
+            "d_chars"
+        ),
+    )
+    deltas = contrib.groupBy("lang").agg(
+        F.sum("d_n").alias("d_n"), F.sum("d_chars").alias("d_chars")
+    )
+    out = (
+        base.join(deltas, "lang", "full_outer")
+        .select(
+            "lang",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                F.coalesce("b_chars", F.lit(0))
+                + F.coalesce("d_chars", F.lit(0))
             )
+            .cast("bigint")
+            .alias("sum_chars"),
         )
-        base = spark.createDataFrame(
-            base.collect(), schema="lang string, b_n long, b_chars long"
-        )
-        # generation 2: amend every %5 doc (+1000 chars) and insert 250..299
-        delta = docs.filter(
-            ((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 250))
-        ).withColumn("n_chars", F.col("n_chars") + 1000)
-        inserts = docs.filter(F.col("doc_id") >= 250)
-        store.create_df_bucketed(
-            "incr", keyed(delta.unionByName(inserts)), n_buckets=8
-        )
-        # generation 3: remove every %9 key
-        store.remove(
-            "incr", *[str(i) for i in range(0, 300, 9)]
-        )
-        # replay ONLY the change feed (with before-images) onto the base agg
-        cdf = store.changes_df("incr", g1, include_old=True)
-        new_chars = F.get_json_object("doc", "$.n_chars").cast("long")
-        old_chars = F.get_json_object("old_doc", "$.n_chars").cast("long")
-        contrib = cdf.select(
-            F.coalesce(
-                F.get_json_object("doc", "$.lang"),
-                F.get_json_object("old_doc", "$.lang"),
-            ).alias("lang"),
-            F.when(F.col("op") == "insert", 1)
-            .when(F.col("op") == "delete", -1)
-            .otherwise(0)
-            .alias("d_n"),
-            (F.coalesce(new_chars, F.lit(0)) - F.coalesce(old_chars, F.lit(0))).alias(
-                "d_chars"
-            ),
-        )
-        deltas = contrib.groupBy("lang").agg(
-            F.sum("d_n").alias("d_n"), F.sum("d_chars").alias("d_chars")
-        )
-        out = (
-            base.join(deltas, "lang", "full_outer")
-            .select(
-                "lang",
-                (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-                .cast("bigint")
-                .alias("n_docs"),
-                (
-                    F.coalesce("b_chars", F.lit(0))
-                    + F.coalesce("d_chars", F.lit(0))
-                )
-                .cast("bigint")
-                .alias("sum_chars"),
-            )
-            .filter(F.col("n_docs") > 0)
-        )
-        result = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return result
+        .filter(F.col("n_docs") > 0)
+    )
+    return out

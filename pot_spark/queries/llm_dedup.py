@@ -228,10 +228,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     with candidates, not the corpus — at 10^12 shingle rows the
     unrestricted join would shuffle the whole shingle table."""
     sh = _shingle_df(spark, sf_dir)
-    # carries na/nb set sizes; persisted because the verify stage references
-    # it three times (pair attrs + two doc-id restrictions) and the banding
-    # self-join should run once, not three times
-    pairs = _band_pairs(spark, sf_dir, sh).persist()
+    # carries na/nb set sizes; checkpointed (not persist()ed) because the
+    # verify stage references it three times (pair attrs + two doc-id
+    # restrictions) and the banding self-join should run once, not three
+    # times — and unlike a persist with no unpersist scope, a checkpoint
+    # holds no cached relation for the session's lifetime
+    pairs = reliable_checkpoint(_band_pairs(spark, sf_dir, sh))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # Scale-safe verify: no unbounded relation is ever broadcast (a
@@ -707,7 +709,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(pairs), and AQE picks broadcast only when pairs are small."""
     sh = _shingle_df(spark, sf_dir)
     sig = _signatures(spark, sf_dir, sh)
-    pairs = _band_pairs(spark, sf_dir, sh).persist()
+    pairs = reliable_checkpoint(_band_pairs(spark, sf_dir, sh))
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],

@@ -488,8 +488,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tok,
            CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS win_id,
-           (cum - n_tok) - CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)
-               * 2048 AS win_offset,
+           CAST((cum - n_tok) - CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)
+               * 2048 AS BIGINT) AS win_offset,
            CAST(floor((cum - 1) / 2048.0) AS BIGINT)
                - CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) + 1
                AS n_windows
@@ -523,20 +523,38 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_shard = sharded.withColumn("cum_in", F.sum("n_tok").over(w_in))
     # per-shard totals are O(shards) rows — small, but shard count GROWS
-    # with the corpus (n_docs/1024), so no broadcast hint: AQE broadcasts
-    # while the offsets fit and falls back to a shard-keyed shuffle when
-    # a 10^10-doc corpus makes them a real table
+    # with the corpus (n_docs/1024), so (a) no broadcast hint: AQE
+    # broadcasts while the offsets fit and falls back to a shard-keyed
+    # shuffle otherwise, and (b) the prefix sum over the shard totals is
+    # ITSELF two-level (supershard = 1024 shards): the in-supershard
+    # prefix is a partitioned window, and the only unpartitioned window
+    # left runs over O(n_docs/1024^2) supershard rows (~10 rows at 10^10
+    # docs) — no task ever sorts a relation that grows linearly
+    shard_tots = sharded.groupBy("shard").agg(
+        F.sum("n_tok").alias("shard_tot")
+    ).withColumn("sup", F.floor(F.col("shard") / 1024))
     w_sh = (
-        Window.orderBy("shard")
+        Window.partitionBy("sup")
+        .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = (
-        sharded.groupBy("shard")
-        .agg(F.sum("n_tok").alias("shard_tot"))
+    shard_tots = shard_tots.withColumn(
+        "cum_in_sup", F.sum("shard_tot").over(w_sh)
+    )
+    w_sup = Window.orderBy("sup").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sup_bases = (
+        shard_tots.groupBy("sup")
+        .agg(F.sum("shard_tot").alias("sup_tot"))
         .select(
-            "shard",
-            (F.sum("shard_tot").over(w_sh) - F.col("shard_tot")).alias("base"),
+            "sup",
+            (F.sum("sup_tot").over(w_sup) - F.col("sup_tot")).alias("sup_base"),
         )
+    )
+    offsets = shard_tots.join(sup_bases, "sup").select(
+        "shard",
+        (F.col("sup_base") + F.col("cum_in_sup") - F.col("shard_tot")).alias("base"),
     )
     cum = (
         in_shard.join(offsets, "shard")

@@ -177,10 +177,11 @@ def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_xml_roundtrip",
     oracle="""
-    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM supplier
-    GROUP BY s_nationkey
+    GROUP BY 1
     """,
 )
 def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

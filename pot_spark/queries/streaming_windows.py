@@ -162,18 +162,57 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics replayed in batch: arrival order = event_id; an
-    event is late (dropped) if its ts < (max ts seen so far) - 1h. The
-    global arrival-ordered window is the batch emulation only — under
-    streaming this is `withWatermark("ts", "1 hour")` state, no global
-    sort (see pot_spark.streaming.runner)."""
+    event is late (dropped) if its ts < (max ts seen so far) - 1h. Under
+    streaming this is `withWatermark("ts", "1 hour")` state (see
+    pot_spark.streaming.runner); the batch twin computes the running
+    arrival max as a THREE-level distributed prefix max — in-shard
+    running max (window partitioned by event_id shard), per-shard prefix
+    within a supershard, then a prefix over supershard totals — so no
+    task ever sees more than one shard's rows and the only unpartitioned
+    window runs over O(n / 4096^2) supershard rows (~600 rows at 10^10
+    events). The oracle affords the same semantics as one global window
+    on a single DuckDB node at test scale."""
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    max_seen = F.max("ts").over(w)
-    marked = ev.select(
-        "event_id",
-        "event_type",
-        "ts",
-        max_seen.alias("max_seen"),
+    shard_w, super_w = 4096, 4096
+    sharded = ev.select("event_id", "event_type", "ts").withColumn(
+        "shard", F.floor(F.col("event_id") / shard_w)
+    )
+    # level 1: running max within each shard, excluding the current row
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_shard = sharded.withColumn("m_in", F.max("ts").over(w_in))
+    # level 2: per-shard totals, prefix-maxed within each supershard
+    shards = sharded.groupBy("shard").agg(F.max("ts").alias("sh_max")).withColumn(
+        "sup", F.floor(F.col("shard") / super_w)
+    )
+    w_sh = (
+        Window.partitionBy("sup")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shards = shards.withColumn("m_prev_in_sup", F.max("sh_max").over(w_sh))
+    # level 3: supershard totals — O(n/shard_w/super_w) rows, so the
+    # unpartitioned window is over a relation that stays driver-tiny at
+    # any corpus size
+    w_sup = Window.orderBy("sup").rowsBetween(Window.unboundedPreceding, -1)
+    supers = (
+        shards.groupBy("sup")
+        .agg(F.max("sh_max").alias("sup_max"))
+        .withColumn("m_prev_sups", F.max("sup_max").over(w_sup))
+        .select("sup", "m_prev_sups")
+    )
+    # base = max over all earlier shards (greatest skips nulls; null only
+    # for the globally first shard)
+    offsets = shards.join(supers, "sup").select(
+        "shard", F.greatest("m_prev_in_sup", "m_prev_sups").alias("sh_base")
+    )
+    # shard-keyed join; the offsets side is O(n/shard_w) and GROWS with
+    # the corpus, so no broadcast hint — AQE broadcasts while it fits
+    marked = in_shard.join(offsets, "shard").withColumn(
+        "max_seen", F.greatest("m_in", "sh_base")
     )
     kept = F.col("max_seen").isNull() | (
         F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 1 HOUR")

@@ -284,7 +284,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining; the association score behind phrase detection in corpus prep).
     Unigram and bigram counts partial-aggregate map-side from the same
     scan; the vocabulary-sized unigram table broadcasts back onto the
-    bigram counts (two small shuffles, zero corpus re-reads). The PMI
+    bigram counts (two small shuffles, zero corpus re-reads), and the two
+    corpus totals ride along as broadcast 1-row aggregates instead of
+    driver-side collected scalars. The PMI
     expression mirrors the oracle's operation order exactly so IEEE
     doubles agree to well past the 6-digit round."""
     docs = load(spark, sf_dir, "documents")
@@ -294,7 +296,6 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("double").alias("c"))
     )
-    n_uni = float(uni.agg(F.sum("c")).collect()[0][0])
     bigrams = F.expr(
         "transform(sequence(1, size(t) - 1),"
         " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
@@ -305,7 +306,12 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count("*").cast("double").alias("c"))
     )
-    n_big = float(big.agg(F.sum("c")).collect()[0][0])
+    # the two corpus totals stay IN the plan as 1-row aggregates
+    # broadcast onto every row — one Spark job, no driver round-trips.
+    # Each count is an integer-valued double, so the sums are exact
+    # (< 2^53) and aggregation order cannot perturb them.
+    tot_uni = uni.agg(F.sum("c").alias("n_uni"))
+    tot_big = big.agg(F.sum("c").alias("n_big"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     return (
@@ -319,14 +325,19 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # AQE broadcasts while it fits, else shuffles on the word key
         .join(u1, "w1")
         .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_big))
+        .crossJoin(F.broadcast(tot_uni))
         .select(
             "w1",
             "w2",
             F.col("c").cast("bigint").alias("n_pair"),
             F.round(
                 F.log(
-                    (F.col("c") / F.lit(n_big))
-                    / ((F.col("c1") / F.lit(n_uni)) * (F.col("c2") / F.lit(n_uni)))
+                    (F.col("c") / F.col("n_big"))
+                    / (
+                        (F.col("c1") / F.col("n_uni"))
+                        * (F.col("c2") / F.col("n_uni"))
+                    )
                 ),
                 6,
             ).alias("pmi"),
@@ -458,10 +469,12 @@ def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency with cumulative coverage (ppm of all token occurrences) —
     the curve you read before picking a vocab size. The corpus-scale
     token stream collapses to the vocab via one map-side-combined
-    shuffle; the ranking window then runs over the (already tiny
-    relative to the corpus) vocab relation, and coverage is an exact
-    integer ppm (floor of a BIGINT-product ratio — no float sum order
-    anywhere). Ties break lexicographically so the rank is total.
+    shuffle; a per-partition top-100 then prunes the vocab (whose
+    distinct-token count grows heap-style with the corpus — typos,
+    URLs, code) to O(100 x partitions) candidates before the global
+    ranking window, and coverage is an exact integer ppm (floor of a
+    BIGINT-product ratio — no float sum order anywhere). Ties break
+    lexicographically so the rank is total.
 
     No reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
@@ -470,9 +483,24 @@ def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = tok.groupBy("t").agg(F.count("*").alias("freq"))
     total = vocab.agg(F.sum("freq").alias("n"))
+    # pre-prune before the global ranking window: keep each partition's
+    # top-100 only. A pruned token has >= 100 tokens ahead of it in its
+    # own partition, so it can never be in the GLOBAL top-100, and every
+    # token ranked above a surviving top-100 token is itself global
+    # top-100 (hence also a candidate) — rank and cumulative frequency
+    # are unchanged. The unpartitioned window then sorts
+    # O(100 x n_partitions) candidate rows, never the full vocabulary
+    # (distinct-token count grows heap-style with the corpus).
+    w_local = Window.partitionBy("pid").orderBy(F.desc("freq"), F.asc("t"))
+    cand = (
+        vocab.withColumn("pid", F.spark_partition_id())
+        .withColumn("local_rank", F.row_number().over(w_local))
+        .where(F.col("local_rank") <= 100)
+        .drop("pid", "local_rank")
+    )
     w = Window.orderBy(F.desc("freq"), F.asc("t"))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = vocab.select(
+    ranked = cand.select(
         "t",
         "freq",
         F.row_number().over(w).cast("bigint").alias("rank"),

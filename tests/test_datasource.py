@@ -162,3 +162,30 @@ def test_stream_write_replicates_pot_exactly_once(ds_spark, tmp_path):
     run()
     gen_after_second = max(g for g, _ in store.list_generations("r/dst"))
     assert gen_after_second == gen_after_first
+
+
+def test_no_pushdown_fallback_reader(ds_spark, tmp_path):
+    """A session where spark.sql.python.filterPushdown.enabled stays false
+    must still read pots: the fallback reader omits pushFilters (Spark 4
+    errors on any pushFilters reader under that conf) and Spark applies
+    key filters post-scan instead."""
+    from pot_spark.kv.datasource import PotDataSourceNoPushdown
+
+    store = _mk_store(tmp_path)
+    store.create_batch("np/p", {f"k{i}": {"v": i} for i in range(10)})
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = ds_spark.conf.get(conf)
+    ds_spark.conf.set(conf, "false")
+    try:
+        ds_spark.dataSource.register(PotDataSourceNoPushdown)
+        df = (
+            ds_spark.read.format("pot")
+            .option("root", store.root)
+            .load("np/p")
+            .filter(F.col("key") == "k3")
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and json.loads(rows[0]["doc"]) == {"v": 3}
+    finally:
+        ds_spark.conf.set(conf, old)
+        register(ds_spark)  # restore the pushdown source for other tests

@@ -103,9 +103,10 @@ def test_near_dup_verify_is_broadcast_safe(spark, sf_dir):
     assert "ResolvedHint" not in analyzed
     p = _plan(spark, sf_dir, "q_dedup_near")
     # both shingle sides are pre-restricted to candidate docs via semi
-    # joins, and the band-pair set is persisted so its self-join runs once
+    # joins, and the band-pair set is checkpointed so its self-join runs
+    # once (a checkpoint scan, not a leaked cached relation)
     assert len(re.findall(r"LeftSemi", p)) >= 2
-    assert "InMemoryRelation" in p
+    assert "ExistingRDD" in p or "LogicalRDD" in p
 
 
 def test_edit_distance_has_no_broadcast_hint(spark, sf_dir):
@@ -332,3 +333,42 @@ def test_ts_interp_never_joins_the_grid(spark, sf_dir):
     assert "Join" not in p
     assert "Generate" in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_tokenizer_vocab_preprunes_before_global_window(spark, sf_dir):
+    # the unpartitioned ranking window must consume per-partition top-100
+    # candidates, never the full vocabulary (distinct-token count grows
+    # heap-style with the corpus): a pid-partitioned local-rank window +
+    # filter feeds the single global window
+    p = _plan(spark, sf_dir, "q_tokenizer_vocab")
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 2
+    assert "local_rank" in p
+    assert "hashpartitioning(pid" in p
+    # Spark pushes the rank filters down as WindowGroupLimit top-k
+    # pruning, so the full vocab is cut BEFORE both window shuffles
+    assert len(re.findall(r"WindowGroupLimit", p)) >= 2
+    # exactly one single-partition exchange feeds a Sort/Window pair (the
+    # candidate ranking); the other is the 1-row corpus-total aggregate
+    assert len(re.findall(r"Arguments: SinglePartition", p)) == 2
+
+
+def test_watermark_late_has_no_full_table_window(spark, sf_dir):
+    # the running arrival max is a three-level prefix max: shard- and
+    # supershard-partitioned windows over the events table, with the only
+    # SinglePartition exchange feeding the window over supershard totals
+    # (O(n/4096^2) rows) — never the full fact table
+    p = _plan(spark, sf_dir, "s_watermark_late")
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 3
+    assert "hashpartitioning(shard" in p
+    assert "hashpartitioning(sup" in p
+    assert len(re.findall(r"Arguments: SinglePartition", p)) == 1
+
+
+def test_seq_pack_shard_offsets_are_two_level(spark, sf_dir):
+    # the shard-offset prefix sum recurses: in-supershard prefix is a
+    # partitioned window; the lone SinglePartition window runs over
+    # supershard totals (O(n_docs/1024^2) rows)
+    p = _plan(spark, sf_dir, "q_seq_pack")
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 3
+    assert "hashpartitioning(sup" in p
+    assert len(re.findall(r"Arguments: SinglePartition", p)) == 1

@@ -100,12 +100,6 @@ def test_ann_lsh_scores_exact_and_candidates_subset(spark, sf_dir):
         r.vec_id: r.cos_sim
         for r in registry.QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
     }
-    exact = {
-        r.vec_id: r.cos_sim
-        for r in registry.QUERIES["q_sim_topk"](spark, sf_dir)
-        .limit(0)  # placeholder, replaced below
-        .collect()
-    }
     # brute-force scores for ALL vectors (not just top-10): recompute
     from pyspark.sql import functions as F
 

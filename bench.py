@@ -153,23 +153,37 @@ def main() -> None:
     )
     try:
         with open(base_path) as f:
-            base = json.load(f).get("queries", {})
+            raw = json.load(f)
+        # the driver wraps the bench line as {"parsed": {...}}; a raw
+        # bench.py output has "queries" at the top level
+        base = (raw.get("parsed") or raw).get("queries", {})
     except Exception:  # noqa: BLE001 - no baseline -> nothing to diff
         base = {}
+    ratios: dict[str, float] = {}
     for name, t in sorted(timings.items()):
         b = base.get(name)
         if not b:
             print(f"bench diff: {name} {t:.3f}s (no baseline)", file=sys.stderr)
             continue
-        ratio = t / b
+        ratios[name] = t / b
         print(
-            f"bench diff: {name} {t:.3f}s vs baseline {b:.3f}s ({ratio:.2f}x)",
+            f"bench diff: {name} {t:.3f}s vs baseline {b:.3f}s ({ratios[name]:.2f}x)",
             file=sys.stderr,
         )
-        if ratio > 2.0:
-            regressions[name] = f"{t:.3f}s vs {b:.3f}s ({ratio:.2f}x)"
+    # a shared VM drifts uniformly (CPU steal): a run where EVERY query is
+    # 1.4x the recording is ambient, not a plan regression. Flag queries
+    # >2x after normalizing by the median ratio (floored at 1 so a faster
+    # machine never hides a true regression).
+    med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+    threshold = 2.0 * max(1.0, med)
+    for name, ratio in ratios.items():
+        if ratio > threshold:
+            regressions[name] = (
+                f"{timings[name]:.3f}s vs {base[name]:.3f}s ({ratio:.2f}x, "
+                f"median {med:.2f}x)"
+            )
     if regressions:
-        print(f"bench REGRESSIONS >2x: {regressions}", file=sys.stderr)
+        print(f"bench REGRESSIONS >2x-of-median: {regressions}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -180,6 +194,7 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "regressions": regressions,
+                "median_vs_baseline": round(med, 3),
                 "sf": sf_val,
             }
         )

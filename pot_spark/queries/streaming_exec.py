@@ -1,0 +1,69 @@
+"""Structured Streaming execution surfaced as oracle-checked queries.
+
+The `s_*`/`q_*` event-time operators in streaming_windows.py are BATCH
+evaluations of streaming plans; tests/test_streaming.py proves the real
+streamed result equals the batch result. This module closes the loop for
+the external correctness gate: each query here EXECUTES the actual
+Structured Streaming pipeline (file-source microbatches -> windowed /
+stateful plan -> memory sink via pot_spark.streaming.runner) to
+completion and returns the sink table, registered with the SAME DuckDB
+oracle as its batch twin — so the driver hash-checks the true streaming
+output, watermarks, state machine and all, not an emulation.
+
+Scale posture is the runner's (runner.py module docstring): file source
+becomes Kafka/cloud files with the identical plan, watermarks bound
+state, keyed state shards across executors, sinks go exactly-once via
+the pot epoch ledger. The reference has no streaming surface at all
+(SURVEY.md §2-A); this is a declared capability extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pot_spark.registry import ORACLES, query
+from pot_spark.streaming.runner import run_streaming_query
+
+
+@query("s_tumbling_stream", oracle=ORACLES["s_tumbling"])
+def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows executed under real Structured
+    Streaming (complete mode -> memory sink); oracle = s_tumbling's."""
+    return run_streaming_query(spark, "s_tumbling", sf_dir)
+
+
+@query("s_sliding_stream", oracle=ORACLES["s_sliding"])
+def s_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10m, slide 5m) executed as a real stream."""
+    return run_streaming_query(spark, "s_sliding", sf_dir)
+
+
+@query("s_session_stream", oracle=ORACLES["s_session"])
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows executed as a real stream
+    (session_window state merger)."""
+    return run_streaming_query(spark, "s_session", sf_dir)
+
+
+@query("s_dedup_first_stream", oracle=ORACLES["s_dedup_first"])
+def s_dedup_first_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under real streaming: first-event dedup
+    per (user_id, event_type) via applyInPandasWithState (min-event-id
+    state, update mode). Oracle = the batch twin s_dedup_first's."""
+    return run_streaming_query(spark, "s_dedup_first", sf_dir)
+
+
+@query("s_dedup_daily_stream", oracle=ORACLES["q_dedup_daily_first"])
+def s_dedup_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-windowed stateful dedup with event-time state TTL executed as
+    a real stream — the watermark retires each day's keys (the pattern
+    that bounds state at 100 TB/day). Oracle = q_dedup_daily_first's."""
+    return run_streaming_query(spark, "q_dedup_daily_first", sf_dir)
+
+
+@query("s_theta_join_stream", oracle=ORACLES["q_theta_range_join"])
+def s_theta_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (purchase within 1h of signup,
+    same user) with watermark-evicted join state, executed as a real
+    stream in append mode. Oracle = the batch q_theta_range_join's."""
+    return run_streaming_query(spark, "q_theta_range_join", sf_dir)

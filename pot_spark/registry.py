@@ -59,6 +59,9 @@ def load_all_query_modules() -> None:
     import pot_spark.queries.sql_api  # noqa: F401
     import pot_spark.queries.text_index  # noqa: F401
 
+    # imports last: reuses the batch twins' oracle strings from ORACLES
+    import pot_spark.queries.streaming_exec  # noqa: F401
+
     _interleave_registry()
 
 

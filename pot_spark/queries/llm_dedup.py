@@ -788,3 +788,77 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("bigint").alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric Jaccard): catches subsumption duplicates that
+# symmetric Jaccard misses when document sizes differ greatly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_containment_dedup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS doc_sub, sb.doc_id AS doc_sup,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.lang = sb.lang
+         AND sa.doc_id <> sb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_sub, doc_sup, round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_sub
+    JOIN cnt cb ON cb.doc_id = doc_sup
+    WHERE CAST(i AS DOUBLE) / ca.n >= 0.8
+      AND (ca.n < cb.n OR (ca.n = cb.n AND doc_sub < doc_sup))
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment dedup: C(A->B) = |A∩B| / |A| >= 0.8 flags doc A
+    as subsumed by doc B — the quote/boilerplate-inclusion case where a
+    short doc lives inside a much longer one and symmetric Jaccard
+    (|A∩B|/|A∪B|) stays far below any dedup threshold. Direction is
+    pinned deterministically: only the smaller-into-larger containment is
+    emitted (tie on size -> lower doc_id is the contained side).
+
+    Scale posture: identical to q_ngram_jaccard — pairs form only through
+    shared (lang, shingle) inverted-index keys, never a cross product, so
+    candidate volume is Σ df² over the index and AQE's skew-join split
+    absorbs hot shingles. The containment division happens after the
+    count rollup, on candidate pairs only."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    sh = docs.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    )  # not cached: see _shingle_df
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+    inter = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_sub"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_sup"), F.col("n").alias("nb"))
+    containment = F.col("i").cast("double") / F.col("na")
+    keep_dir = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_sub") < F.col("doc_sup"))
+    )
+    return (
+        inter.join(ca, "doc_sub")
+        .join(cb, "doc_sup")
+        .filter((containment >= 0.8) & keep_dir)
+        .select("doc_sub", "doc_sup", F.round(containment, 6).alias("containment"))
+    )

@@ -772,3 +772,94 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phone_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional sampling: inclusion probability follows document
+# length, so the sample's token budget tracks long docs without an RNG.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < LEAST(65536, CAST(n_chars AS INTEGER) * 32)
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sample: doc i is kept with probability
+    min(1, n_chars_i / 2048) — longer documents (more training tokens)
+    are proportionally more likely to survive, the sampling shape used
+    when a token budget, not a document budget, defines the subset.
+    The coin is the first 16 bits of md5(doc_id) compared against the
+    integer threshold n_chars * 32 (= p * 65536 exactly, since
+    65536/2048 = 32): pure integer arithmetic, so the same docs are
+    selected by any engine, any run, any partitioning — reproducibility
+    that rand()-based sampling cannot give. Pure scan-side filter, zero
+    shuffle; at 100 TB this runs at full scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    thresh = F.least(F.lit(65536), F.col("n_chars").cast("int") * 32)
+    return docs.filter(h < thresh).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking: fixed-size overlapping token windows per document.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_SIZE}, n - s) AS BIGINT) AS chunk_len,
+           toks[s + 1] AS first_token,
+           toks[s + LEAST({_CHUNK_SIZE}, n - s)] AS last_token
+    FROM t, unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-style chunker: each document becomes overlapping
+    {_CHUNK_SIZE}-token windows at stride {_CHUNK_STRIDE} (8-token
+    overlap), emitting (chunk_idx, start_tok, chunk_len, first/last
+    token) per chunk — the shape an embedding/RAG indexing stage
+    consumes. Row-expanding but narrow: one explode over a generated
+    start-position sequence, no shuffle at all (the chunk table inherits
+    the scan's partitioning), so a 100 TB corpus chunks at scan speed
+    and downstream embedding stages repartition as they see fit."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk_len = F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("s"))
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        chunk_len.cast("bigint").alias("chunk_len"),
+        F.element_at("toks", F.col("s") + 1).alias("first_token"),
+        F.element_at("toks", F.col("s") + chunk_len).alias("last_token"),
+    )

@@ -78,6 +78,73 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18)
 
 
+_Q5 = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_sql_q5", oracle=_Q5)
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-way star join with the
+    c_nationkey = s_nationkey theta condition folded into the supplier
+    equi-join. The oracle is the same SQL string run by DuckDB. Scale
+    shape: region/nation/supplier are dimension-sized and broadcast;
+    the only real shuffle is orders ⋈ lineitem on the orderkey, and the
+    region filter cascades through nation→supplier→customer so the fact
+    rows that survive to that shuffle are already region-pruned.
+    DECIMAL revenue keeps the sum order-independent (hash-exact)."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5)
+
+
+_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       c.c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("q_sql_q10", oracle=_Q10)
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a quarter-year window. The returnflag filter and
+    the orderdate range both push to the scans; nation broadcasts; the
+    top-20 plans as TakeOrderedAndProject (per-partition heap + driver
+    merge — never a global sort shuffle). c_acctbal passes through
+    unrounded: it is a stored value, identical bytes in both engines."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10)
+
+
 _RECURSIVE_SPINE = """
 WITH RECURSIVE months(m) AS (
     SELECT 0

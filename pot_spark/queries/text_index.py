@@ -514,3 +514,60 @@ def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step: the inner loop of tokenizer training — count adjacent
+# symbol pairs weighted by word frequency, rank the merge candidates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM words WHERE len(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM wf, unnest(generate_series(1, len(word) - 1)) AS u(i)
+        GROUP BY 1
+    )
+    SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: character-level adjacent-pair counts
+    weighted by word frequency — the statistic whose argmax becomes the
+    next merge rule. Two rollups, both with map-side partial
+    aggregation: corpus tokens collapse to the word-frequency table
+    FIRST (types, not tokens — pair extraction then runs over distinct
+    words only, ~Zipf-bounded, not over every corpus occurrence), and
+    pair counts collapse to the bounded charset^2 relation. The final
+    top-20 plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort shuffle). At 100 TB the heavy relation is the first
+    rollup's token stream; everything after is type-scale."""
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    wf = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        F.col("word"),
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

@@ -1,0 +1,112 @@
+"""Semantic contracts for the round-3 corpus operators: containment
+dedup direction/threshold, weighted-sampling determinism, chunk tiling
+geometry, and the BPE pair statistic — each verified against an
+independent brute-force recomputation on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pot_spark import registry
+from pot_spark.tables import load
+
+registry.load_all_query_modules()
+
+
+def _doc_shingle_sets(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        out[r.doc_id] = (
+            r.lang,
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)},
+        )
+    return out
+
+
+def test_containment_pairs_match_bruteforce(spark, sf_dir):
+    got = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in registry.QUERIES["q_containment_dedup"](spark, sf_dir).collect()
+    }
+    sets = _doc_shingle_sets(spark, sf_dir)
+    want = {}
+    for a, (la, sa) in sets.items():
+        for b, (lb, sb) in sets.items():
+            if a == b or la != lb:
+                continue
+            c = len(sa & sb) / len(sa)
+            smaller_side = len(sa) < len(sb) or (len(sa) == len(sb) and a < b)
+            if c >= 0.8 and smaller_side:
+                want[(a, b)] = round(c, 6)
+    assert got == want
+
+
+def test_weighted_sample_is_exactly_the_hash_rule(spark, sf_dir):
+    kept = {
+        r.doc_id: r.n_chars
+        for r in registry.QUERIES["q_weighted_sample"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16)
+        should_keep = h < min(65536, r.n_chars * 32)
+        assert (r.doc_id in kept) == should_keep, r.doc_id
+    # the realized rate must track the expected token-weighted rate
+    exp = sum(min(1.0, r.n_chars / 2048) for r in docs)
+    assert abs(len(kept) - exp) < 5 * math.sqrt(max(exp, 1.0))
+
+
+def test_doc_chunks_tile_each_document(spark, sf_dir):
+    chunks = registry.QUERIES["q_doc_chunk"](spark, sf_dir).collect()
+    n_toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    per_doc = Counter(r.doc_id for r in chunks)
+    for doc_id, n in n_toks.items():
+        assert per_doc[doc_id] == math.ceil(n / 24), doc_id
+    for r in chunks:
+        n = n_toks[r.doc_id]
+        assert r.start_tok == r.chunk_idx * 24
+        assert r.chunk_len == min(32, n - r.start_tok)
+        assert 1 <= r.chunk_len <= 32
+
+
+def test_bpe_top_pair_matches_bruteforce(spark, sf_dir):
+    got = registry.QUERIES["q_bpe_pair_counts"](spark, sf_dir).collect()
+    wf = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    pairs = Counter()
+    for w, f_ in wf.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += f_
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.pair, r.n) for r in got] == want
+
+
+def test_tpch_q5_q10_shapes(spark, sf_dir):
+    q5 = registry.QUERIES["q_sql_q5"](spark, sf_dir)
+    rows5 = q5.collect()
+    assert all(r.revenue > 0 for r in rows5)
+    # revenue sorted descending (ties broken by name)
+    revs = [r.revenue for r in rows5]
+    assert revs == sorted(revs, reverse=True)
+    q10 = registry.QUERIES["q_sql_q10"](spark, sf_dir)
+    rows10 = q10.collect()
+    assert len(rows10) <= 20
+    assert all(r.revenue > 0 for r in rows10)

@@ -429,3 +429,220 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_max"),
         F.floor(F.sqrt(err_sq) * 1000000.0).cast("bigint").alias("recon_err_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path of billion-vector ANN —
+# vectors become m small codebook ids; distances are looked up, not computed.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M  # 16 dims per subspace
+
+
+def _pq_sql() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    iv AS (
+        SELECT vec_id, label, d,
+               CAST(floor((d - 1) / {_PQ_SUBDIM}) AS INTEGER) AS m,
+               CAST(floor(v[d] * 1000) AS BIGINT) AS x
+        FROM e, dims
+    ),
+    cb AS (
+        SELECT label AS code, d, CAST(floor((d - 1) / {_PQ_SUBDIM}) AS INTEGER) AS m,
+               CAST(floor(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM iv GROUP BY label, d
+    ),
+    dist AS (
+        SELECT iv.vec_id, iv.m, cb.code,
+               SUM((iv.x - cb.c) * (iv.x - cb.c)) AS sd
+        FROM iv JOIN cb ON iv.d = cb.d
+        GROUP BY iv.vec_id, iv.m, cb.code
+    ),
+    enc AS (
+        SELECT vec_id, m, code
+        FROM dist
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sd, code) = 1
+    ),
+    pd AS (SELECT m, code, sd AS psd FROM dist WHERE vec_id = 0),
+    adc AS (
+        SELECT enc.vec_id,
+               CAST(SUM(pd.psd) AS BIGINT) AS adc,
+               CAST(MAX(CASE WHEN enc.m = 0 THEN enc.code END) AS INTEGER) AS code0,
+               CAST(MAX(CASE WHEN enc.m = 1 THEN enc.code END) AS INTEGER) AS code1,
+               CAST(MAX(CASE WHEN enc.m = 2 THEN enc.code END) AS INTEGER) AS code2,
+               CAST(MAX(CASE WHEN enc.m = 3 THEN enc.code END) AS INTEGER) AS code3
+        FROM enc JOIN pd ON enc.m = pd.m AND enc.code = pd.code
+        WHERE enc.vec_id <> 0
+        GROUP BY enc.vec_id
+    )
+    SELECT vec_id, code0, code1, code2, code3, adc
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+
+
+@query("q_ann_pq", oracle=_pq_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is split into {_PQ_M}
+    16-dim subvectors, each encoded as the id of its nearest per-subspace
+    codebook centroid (codebooks here are per-label subvector means — the
+    deterministic stand-in for trained k-means codebooks), and the probe
+    ranks candidates by the ADC (asymmetric-distance-computation) sum of
+    {_PQ_M} precomputed sub-distances — a table lookup per subspace
+    instead of a 64-dim dot product. This is the memory-scale path of
+    billion-vector ANN: the index stores {_PQ_M} bytes/vector, not 256.
+
+    Determinism: everything runs on floor(x*1000) int64 components —
+    codebook build, encode argmin (ties to the lower code id), and ADC
+    are exact integer arithmetic, bit-identical on any engine.
+
+    Scale posture: codebooks are tiny (codes x dims — always broadcast);
+    encoding is one rollup shuffled on (vec_id, m); at serving time the
+    codes are precomputed at ingest and a probe touches only the
+    (m x codes) lookup table plus the packed code columns."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    iv = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("d0", "xd"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        (F.col("d0") / _PQ_SUBDIM).cast("int").alias("m"),
+        F.floor(F.col("xd") * 1000).cast("bigint").alias("x"),
+    )
+    cb = (
+        iv.groupBy(F.col("label").alias("code"), "d")
+        .agg(
+            F.floor(F.sum("x") / F.count("*")).cast("bigint").alias("c"),
+        )
+        .withColumn("m", ((F.col("d") - 1) / _PQ_SUBDIM).cast("int"))
+    )
+    dist = (
+        iv.join(F.broadcast(cb.select("code", "d", "c")), "d")
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sd"))
+    )
+    enc = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("sd", "code")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.code").alias("code"))
+    )
+    pd = dist.filter(F.col("vec_id") == 0).select("m", "code", F.col("sd").alias("psd"))
+    adc = (
+        enc.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(pd), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("psd").cast("bigint").alias("adc"),
+            *[
+                F.max(F.when(F.col("m") == i, F.col("code")))
+                .cast("int")
+                .alias(f"code{i}")
+                for i in range(_PQ_M)
+            ],
+        )
+    )
+    return adc.select(
+        "vec_id", "code0", "code1", "code2", "code3", "adc"
+    ).orderBy("adc", "vec_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over integer-quantized vectors: the codebook/IVF training
+# loop itself, exact on any engine.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    iv AS (
+        SELECT vec_id, d, CAST(floor(v[d] * 1000) AS BIGINT) AS x
+        FROM e, dims
+    ),
+    c0 AS (SELECT vec_id AS cluster, d, x AS c FROM iv WHERE vec_id < {_KM_K})"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(f""",
+    a{i} AS (
+        SELECT iv.vec_id, c.cluster,
+               SUM((iv.x - c.c) * (iv.x - c.c)) AS sd
+        FROM iv JOIN c{i - 1} c ON iv.d = c.d
+        GROUP BY iv.vec_id, c.cluster
+        QUALIFY row_number() OVER (PARTITION BY iv.vec_id ORDER BY sd, cluster) = 1
+    )""")
+        if i < _KM_ITERS:
+            parts.append(f""",
+    c{i} AS (
+        SELECT a.cluster, iv.d,
+               CAST(floor(SUM(iv.x) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM iv JOIN a{i} a ON iv.vec_id = a.vec_id
+        GROUP BY a.cluster, iv.d
+    )""")
+    parts.append(f"""
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(sd) AS BIGINT) AS inertia
+    FROM a{_KM_ITERS} GROUP BY cluster""")
+    return "".join(parts)
+
+
+@query("q_kmeans", oracle=_kmeans_sql())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k={_KM_K}, {_KM_ITERS} iterations) — the training
+    loop that produces IVF cells and PQ codebooks. Deterministic and
+    engine-exact: components are floor(x*1000) int64, distances and
+    inertia are exact integer sums, centroid updates floor the exact
+    mean, argmin ties break to the lower cluster id, and init is pinned
+    to vec_id 0..{_KM_K - 1} (k-means|| with a fixed seed at scale).
+
+    Scale posture per iteration: centroids are k x dim rows — always a
+    broadcast; assignment is one rollup of the exploded components
+    (shuffles on (vec_id, cluster), partial-agg'd map-side); the update
+    is one rollup on (cluster, d). Nothing driver-side between
+    iterations — the loop composes lazily and Spark pipelines it."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    iv = e.select("vec_id", F.posexplode("v").alias("d0", "xd")).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("xd") * 1000).cast("bigint").alias("x"),
+    )
+    cent = iv.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), "d", F.col("x").alias("c")
+    )
+    assign = None
+    for i in range(_KM_ITERS):
+        if i > 0:
+            cent = (
+                iv.join(assign, "vec_id")
+                .groupBy("cluster", "d")
+                .agg(F.floor(F.sum("x") / F.count("*")).cast("bigint").alias("c"))
+            )
+        sd = (
+            iv.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sd"))
+        )
+        assign = (
+            sd.groupBy("vec_id")
+            .agg(F.min(F.struct("sd", "cluster")).alias("mn"))
+            .select("vec_id", F.col("mn.cluster").alias("cluster"), F.col("mn.sd").alias("sd"))
+        )
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum("sd").cast("bigint").alias("inertia"),
+    )

@@ -216,9 +216,7 @@ def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_knn_graph",
-    oracle="""
+_KNN_SQL = """
     SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6)
@@ -231,8 +229,10 @@ def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               CAST(b.embedding AS DOUBLE[])), 6)
                  DESC, b.vec_id
     ) <= 3
-    """,
-)
+    """
+
+
+@query("q_knn_graph", oracle=_KNN_SQL)
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph build (k=3) within label blocks — the core primitive
     under near-dup clustering and diversity sampling. Both join sides
@@ -646,3 +646,63 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("sd").cast("bigint").alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the k-NN graph: the clustering-coefficient
+# primitive of graph-shaped corpus analysis.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH knn AS ({_KNN_SQL}),
+    und AS (
+        SELECT LEAST(src_id, nbr_id) AS a, GREATEST(src_id, nbr_id) AS b
+        FROM knn GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT src_id) FROM knn) AS BIGINT) AS n_nodes
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the symmetrized k-NN graph (node-iterator
+    join: wedge a<b<c closed by the a—c edge) plus edge/node counts —
+    the global clustering statistic used to audit neighborhood quality
+    of a similarity index. Ordering every edge (a < b) before the
+    two-hop join means each triangle is produced exactly once and the
+    join fans out only ascending wedges.
+
+    Scale posture: degree is capped at k by construction, so wedge
+    volume is <= n*k*(k-1)/2 — linear in nodes, never quadratic; both
+    joins shuffle on a vertex id (skew bounded by k * dup-count). The
+    same plan runs on any edge list; on a power-law graph the standard
+    mitigation (orient edges from lower- to higher-degree endpoints)
+    drops in as the ordering rule."""
+    knn = q_knn_graph(spark, sf_dir)
+    und = (
+        knn.select(
+            F.least("src_id", "nbr_id").alias("a"),
+            F.greatest("src_id", "nbr_id").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = knn.agg(F.countDistinct("src_id").alias("n_nodes"))
+    return n_tri.crossJoin(n_edges).crossJoin(n_nodes)

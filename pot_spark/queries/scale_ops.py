@@ -487,3 +487,103 @@ def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "uid", F.lit(None).cast("bigint").alias("n_ev")
     )
     return nn.unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (lakehouse CDC apply): classify a change batch against the
+# base snapshot and produce the post-merge accounting in one pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS key, 'U' AS op,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'I', o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 2
+    ),
+    merged AS (
+        SELECT COALESCE(c.key, b.o_orderkey) AS key,
+               CASE WHEN c.key IS NULL THEN 'unchanged'
+                    WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN c.op = 'D' THEN 'delete'
+                    ELSE 'update' END AS action,
+               CASE WHEN c.key IS NULL THEN b.o_totalprice
+                    WHEN c.op = 'D' THEN b.o_totalprice
+                    ELSE c.new_price END AS price
+        FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY action
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse CDC-apply statement): a change
+    batch of updates / deletes / inserts (synthesized deterministically
+    from the key space) is classified against the base snapshot via ONE
+    full-outer join — matched+op=U -> update, matched+op=D -> delete,
+    unmatched-change -> insert, unmatched-base -> unchanged — and the
+    per-action row counts and post-merge (pre-delete for D) price sums
+    come out of the same pass.
+
+    Scale posture: MERGE is exactly one shuffle of each side on the join
+    key — never a rewrite of the untouched base partitions. On a bucketed
+    or storage-partitioned base table (q_bucket_join's layout) the
+    shuffle disappears entirely; AQE's skew split handles hot keys; the
+    delete path emits tombstones (classification), not file rewrites —
+    matching the copy-on-write/merge-on-read split real table formats
+    use. The KV layer's create_df_bucketed (kv/store.py) implements the
+    physical O(delta) version of the same pattern."""
+    base = load(spark, sf_dir, "orders")
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.lit(1000).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("new_price"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 10 == 2).select(
+        (F.col("o_orderkey") + 100000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    m = base.join(changes, base.o_orderkey == changes.key, "full_outer")
+    action = (
+        F.when(F.col("key").isNull(), "unchanged")
+        .when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("op") == "D", "delete")
+        .otherwise("update")
+    )
+    price = (
+        F.when(F.col("key").isNull(), F.col("o_totalprice"))
+        .when(F.col("op") == "D", F.col("o_totalprice"))
+        .otherwise(F.col("new_price"))
+    )
+    return (
+        m.select(action.alias("action"), price.alias("price"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -67,3 +67,26 @@ def s_theta_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user) with watermark-evicted join state, executed as a real
     stream in append mode. Oracle = the batch q_theta_range_join's."""
     return run_streaming_query(spark, "q_theta_range_join", sf_dir)
+
+
+@query(
+    "s_static_join_stream",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE
+             AS window_end,
+           c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def s_static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join executed as a real stream: event
+    microbatches joined against the broadcast customer dimension, then
+    10-minute windows per market segment. The static side carries no
+    join state (re-resolved per microbatch); only the window aggregate
+    holds state, bounded by the watermark. Oracle recomputes the same
+    enrichment + window in batch SQL."""
+    return run_streaming_query(spark, "s_static_join", sf_dir)

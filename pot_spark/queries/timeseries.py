@@ -524,3 +524,91 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ord_id") == _PROBE_ORD)
         .select("user_id", F.col("t").alias("pt_us"), "state_at")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (gaps-and-islands merge): total covered time per user from
+# overlapping per-event activity intervals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_union",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_sec
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: each event opens a 10-minute activity
+    interval; overlapping/touching intervals merge into islands
+    (gaps-and-islands via a running max of interval ends), and the query
+    reports islands and total covered seconds per user — the session-
+    coverage statistic billing and engagement pipelines compute. The
+    running-max flag and the island-id running sum share one
+    (user_id | s, e) sort order, so Spark plans a single hash shuffle on
+    user_id + one sort for both windows and the rollups; every window is
+    key-partitioned — nothing global, any user count scales out.
+    Integer epoch-seconds arithmetic end to end (hash-exact)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        (F.unix_timestamp("ts").cast("bigint") + 600).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w), F.lit(-(1 << 63))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w2))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_sec"),
+    )

@@ -335,10 +335,50 @@ def build_stream_stream_join(stream: DataFrame) -> DataFrame:
     return joined.select("signup_id", "purchase_id", F.col("s_user").alias("user_id"))
 
 
+def build_stream_static_join(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast to every microbatch — no state, no
+    watermark requirement on the static side), then windowed per market
+    segment. This is THE streaming-enrichment shape: at 100 TB/day the
+    dimension stays a broadcast (or a Delta table re-read per batch for
+    slowly-changing dims) and the only state is the window aggregate's,
+    bounded by the watermark."""
+    from pot_spark.tables import load
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 BUILDERS = {
     "s_tumbling": build_tumbling,
     "s_sliding": build_sliding,
     "s_session": build_session,
+}
+
+# Builders that also need the static side (complete mode): f(stream, spark, sf_dir)
+STATIC_BUILDERS = {
+    "s_static_join": build_stream_static_join,
 }
 
 # Append-mode builders (stream-stream joins can't run in complete mode);
@@ -368,6 +408,8 @@ def run_streaming_query(
         plan, mode = STATEFUL_BUILDERS[name](stream), "update"
     elif name in APPEND_BUILDERS:
         plan, mode = APPEND_BUILDERS[name](stream), "append"
+    elif name in STATIC_BUILDERS:
+        plan, mode = STATIC_BUILDERS[name](stream, spark, sf_dir), "complete"
     else:
         plan, mode = BUILDERS[name](stream), "complete"
     sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"

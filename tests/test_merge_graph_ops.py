@@ -1,0 +1,104 @@
+"""Semantic contracts for the merge/graph/interval operators and the
+stream-static join: each checked against an independent brute-force
+recomputation (or the batch twin) on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pot_spark import registry
+from pot_spark.tables import load
+
+registry.load_all_query_modules()
+
+
+def test_interval_union_matches_bruteforce(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_islands, r.covered_sec)
+        for r in registry.QUERIES["q_interval_union"](spark, sf_dir).collect()
+    }
+    per_user = defaultdict(list)
+    for r in load(spark, sf_dir, "events").select("user_id", "ts").collect():
+        s = int(r.ts.timestamp())
+        per_user[r.user_id].append((s, s + 600))
+    want = {}
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+            else:
+                islands.append((s, e))
+        want[uid] = (len(islands), sum(e - s for s, e in islands))
+    assert got == want
+
+
+def test_merge_upsert_action_accounting(spark, sf_dir):
+    rows = {r.action: r for r in registry.QUERIES["q_merge_upsert"](spark, sf_dir).collect()}
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").collect()
+    n_upd = sum(1 for r in base if r.o_orderkey % 10 == 0)
+    n_del = sum(1 for r in base if r.o_orderkey % 10 == 1)
+    n_ins = sum(1 for r in base if r.o_orderkey % 10 == 2)
+    assert rows["update"].n_rows == n_upd
+    assert rows["delete"].n_rows == n_del
+    assert rows["insert"].n_rows == n_ins
+    assert rows["unchanged"].n_rows == len(base) - n_upd - n_del
+    # updated rows gained exactly +1000 each vs their base sum
+    base_upd_sum = round(
+        sum(r.o_totalprice for r in base if r.o_orderkey % 10 == 0), 2
+    )
+    assert abs(rows["update"].sum_price - (base_upd_sum + 1000 * n_upd)) < 0.01
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    knn = registry.QUERIES["q_knn_graph"](spark, sf_dir).collect()
+    edges = {
+        (min(r.src_id, r.nbr_id), max(r.src_id, r.nbr_id)) for r in knn
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    n_tri = sum(
+        1
+        for a, b in edges
+        for c in adj[b]
+        if c in adj[a]
+    )
+    got = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()[0]
+    assert got.n_triangles == n_tri
+    assert got.n_edges == len(edges)
+    assert got.n_nodes == len({r.src_id for r in knn})
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    streamed = registry.QUERIES["s_static_join_stream"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    key = ["window_start", "window_end", "c_mktsegment"]
+    s_rows = sorted(
+        streamed.collect(), key=lambda r: (r.window_start, r.c_mktsegment)
+    )
+    b_rows = sorted(batch.collect(), key=lambda r: (r.window_start, r.c_mktsegment))
+    assert [tuple(r) for r in s_rows] == [tuple(r) for r in b_rows]

@@ -54,6 +54,15 @@ HEADLINE = [
     "q_temporal_join",
     "q_zorder_key",
     "q_embed_quantize",
+    # round-3 additions (no BENCH_r02 baseline row; diffed once recorded)
+    "q_sql_q5",
+    "q_containment_dedup",
+    "q_bpe_pair_counts",
+    "q_ann_pq",
+    "q_kmeans",
+    "q_merge_upsert",
+    "q_interval_union",
+    "q_triangle_count",
 ]
 
 
@@ -195,6 +204,12 @@ def main() -> None:
                 "errors": errors,
                 "regressions": regressions,
                 "median_vs_baseline": round(med, 3),
+                # sum over only the queries present in the recorded
+                # baseline, so totals stay comparable as the headline
+                # list grows across rounds
+                "baseline_comparable_total": round(
+                    sum(t for n, t in timings.items() if n in base), 3
+                ),
                 "sf": sf_val,
             }
         )

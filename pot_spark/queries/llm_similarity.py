@@ -649,17 +649,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Triangle counting over the k-NN graph: the clustering-coefficient
-# primitive of graph-shaped corpus analysis.
+# Triangle counting over the near-duplicate graph: the clustering-
+# coefficient primitive of duplicate-cluster structure analysis.
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_triangle_count",
-    oracle=f"""
-    WITH knn AS ({_KNN_SQL}),
+def _tri_sql() -> str:
+    from pot_spark.queries.llm_dedup import _NEAR_PAIRS_SQL
+
+    return f"""
+    WITH knn AS ({_NEAR_PAIRS_SQL}),
     und AS (
-        SELECT LEAST(src_id, nbr_id) AS a, GREATEST(src_id, nbr_id) AS b
+        SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
         FROM knn GROUP BY 1, 2
     ),
     tri AS (
@@ -670,30 +671,39 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
            CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
-           CAST((SELECT COUNT(DISTINCT src_id) FROM knn) AS BIGINT) AS n_nodes
-    """,
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the symmetrized k-NN graph (node-iterator
-    join: wedge a<b<c closed by the a—c edge) plus edge/node counts —
-    the global clustering statistic used to audit neighborhood quality
-    of a similarity index. Ordering every edge (a < b) before the
-    two-hop join means each triangle is produced exactly once and the
-    join fans out only ascending wedges.
+           CAST((SELECT COUNT(DISTINCT v) FROM (
+               SELECT a AS v FROM und UNION SELECT b FROM und)) AS BIGINT)
+             AS n_nodes
+    """
 
-    Scale posture: degree is capped at k by construction, so wedge
-    volume is <= n*k*(k-1)/2 — linear in nodes, never quadratic; both
-    joins shuffle on a vertex id (skew bounded by k * dup-count). The
-    same plan runs on any edge list; on a power-law graph the standard
-    mitigation (orient edges from lower- to higher-degree endpoints)
-    drops in as the ordering rule."""
-    knn = q_knn_graph(spark, sf_dir)
-    und = (
-        knn.select(
-            F.least("src_id", "nbr_id").alias("a"),
-            F.greatest("src_id", "nbr_id").alias("b"),
-        )
-        .distinct()
+
+@query("q_triangle_count", oracle=_tri_sql())
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified near-duplicate graph (node-
+    iterator join: wedge a<b<c closed by the a-c edge) plus edge/node
+    counts — the clustering-coefficient statistic that tells you whether
+    near-dups form tight cliques (template families, mirrored sites) or
+    loose chains, which decides how aggressive cluster-collapse dedup
+    (q_dedup_cluster) can be. Ordering every edge (a < b) before the
+    two-hop join produces each triangle exactly once.
+
+    Scale posture: edges come from q_dedup_near — MinHash-LSH banding,
+    so the edge list is O(true dups), never quadratic in the corpus; it
+    is checkpointed once and the three join legs reuse the materialized
+    relation. Wedge volume is bounded by the dup-cluster degree
+    distribution; both joins shuffle on a vertex id. (A k-NN-graph
+    variant is the same plan with q_knn_graph edges — bounded-degree by
+    construction.)"""
+    from pot_spark.queries.llm_dedup import q_dedup_near
+
+    pairs = q_dedup_near(spark, sf_dir)
+    # the edge list feeds three join legs and the node count: checkpoint
+    # it so the banding+verify pipeline runs once, not four times
+    und = reliable_checkpoint(
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        ).distinct()
     )
     e1 = und
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -704,5 +714,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     n_edges = und.agg(F.count("*").alias("n_edges"))
-    n_nodes = knn.agg(F.countDistinct("src_id").alias("n_nodes"))
+    n_nodes = und.select(
+        F.explode(F.array("a", "b")).alias("v")
+    ).agg(F.countDistinct("v").alias("n_nodes"))
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)

@@ -863,3 +863,72 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", F.col("s") + 1).alias("first_token"),
         F.element_at("toks", F.col("s") + chunk_len).alias("last_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling: alpha=0.5 source re-weighting,
+# the multinomial mixture shape multilingual/multi-source LLM training uses.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    lo AS (SELECT MIN(n_docs) AS n_min FROM counts),
+    rates AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 65536)
+                    AS BIGINT) AS thresh
+        FROM counts, lo
+    )
+    SELECT d.source,
+           MAX(r.n_docs) AS n_docs,
+           CAST(COUNT(CASE WHEN
+                CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) < r.thresh THEN 1 END) AS BIGINT) AS n_kept,
+           MAX(r.thresh) AS thresh
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (alpha = 0.5): per-source
+    keep rate sqrt(n_min / n_s), so sampled counts grow as sqrt(n_s) —
+    big sources are damped, small sources survive whole, the standard
+    fix for web-crawl domination of multilingual training mixes. The
+    per-doc coin is the integer md5 bucket against floor(rate * 65536);
+    sqrt and one double division are both correctly-rounded IEEE ops,
+    so the threshold — and therefore the exact selected set — is
+    identical on any engine.
+
+    Scale posture: pass 1 is one partial-agg'd rollup to source counts
+    (tiny); the rates relation broadcasts back onto the scan, and
+    selection + audit is one more rollup. The 100 TB corpus is read
+    twice but shuffled only as per-source partial aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    lo = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * 65536
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.count(F.when(h < F.col("thresh"), 1)).alias("n_kept"),
+            F.max("thresh").alias("thresh"),
+        )
+    )

@@ -587,3 +587,85 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR/right-to-be-forgotten erasure cascade: delete a subject list across
+# the fact hierarchy and account for every row touched.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gdpr_erase",
+    oracle="""
+    WITH erase AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 3),
+    o_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(CASE WHEN e.c_custkey IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_erased
+        FROM orders LEFT JOIN erase e ON o_custkey = e.c_custkey
+    ),
+    l_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(CASE WHEN eo.o_orderkey IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_erased
+        FROM lineitem
+        LEFT JOIN (
+            SELECT o_orderkey FROM orders JOIN erase e ON o_custkey = e.c_custkey
+        ) eo ON l_orderkey = eo.o_orderkey
+    ),
+    c_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(CASE WHEN c_custkey % 17 = 3 THEN 1 END)
+                    AS BIGINT) AS n_erased
+        FROM customer
+    )
+    SELECT 'customer' AS tbl, n_total, n_erased, n_total - n_erased AS n_survive
+    FROM c_stats
+    UNION ALL
+    SELECT 'orders', n_total, n_erased, n_total - n_erased FROM o_stats
+    UNION ALL
+    SELECT 'lineitem', n_total, n_erased, n_total - n_erased FROM l_stats
+    """,
+)
+def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a deletion-request batch (subjects
+    with c_custkey % 17 = 3) propagated down the foreign-key hierarchy —
+    customer rows directly, orders via custkey, lineitems via the erased
+    orders' keys — with a per-table audit of total/erased/surviving rows
+    (the deletion-manifest evidence a DPO files).
+
+    Scale posture: DSR batches are small, so the subject list and the
+    derived erased-order key list are broadcast; every fact table is
+    probed scan-side (broadcast hash anti/semi classification) — no fact
+    shuffle anywhere, the cascade costs one scan per table. The physical
+    deletion on a lakehouse layout is then per-file rewrite of only
+    files whose min/max key ranges intersect the list (the kv layer's
+    bucket pruning shows the same O(delta) pattern)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    erase = cust.filter(F.col("c_custkey") % 17 == 3).select("c_custkey")
+    c_stats = cust.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("c_custkey") % 17 == 3, 1)).alias("n_erased"),
+    ).withColumn("tbl", F.lit("customer"))
+    eo = orders.join(
+        F.broadcast(erase), orders.o_custkey == erase.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    o_flag = orders.join(
+        F.broadcast(erase), orders.o_custkey == erase.c_custkey, "left"
+    )
+    o_stats = o_flag.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("c_custkey").isNotNull(), 1)).alias("n_erased"),
+    ).withColumn("tbl", F.lit("orders"))
+    l_flag = li.join(F.broadcast(eo), li.l_orderkey == eo.o_orderkey, "left")
+    l_stats = l_flag.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("o_orderkey").isNotNull(), 1)).alias("n_erased"),
+    ).withColumn("tbl", F.lit("lineitem"))
+    out = c_stats.unionByName(o_stats).unionByName(l_stats)
+    return out.select(
+        "tbl", "n_total", "n_erased", (F.col("n_total") - F.col("n_erased")).alias("n_survive")
+    )

@@ -110,3 +110,40 @@ def test_tpch_q5_q10_shapes(spark, sf_dir):
     rows10 = q10.collect()
     assert len(rows10) <= 20
     assert all(r.revenue > 0 for r in rows10)
+
+
+def test_temperature_mixture_sqrt_flattening(spark, sf_dir):
+    rows = registry.QUERIES["q_temperature_mixture"](spark, sf_dir).collect()
+    n_min = min(r.n_docs for r in rows)
+    for r in rows:
+        want_thresh = math.floor(math.sqrt(n_min / r.n_docs) * 65536)
+        assert r.thresh == want_thresh, r.source
+        # the smallest source keeps everything (rate 1.0)
+        if r.n_docs == n_min:
+            assert r.n_kept == r.n_docs
+        assert 0 <= r.n_kept <= r.n_docs
+    # selection is the exact md5 rule
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    thresh = {r.source: r.thresh for r in rows}
+    kept = Counter()
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:4], 16)
+        if h < thresh[d.source]:
+            kept[d.source] += 1
+    assert {r.source: r.n_kept for r in rows} == dict(kept)
+
+
+def test_gdpr_erase_cascade_consistency(spark, sf_dir):
+    rows = {r.tbl: r for r in registry.QUERIES["q_gdpr_erase"](spark, sf_dir).collect()}
+    cust = load(spark, sf_dir, "customer").select("c_custkey").collect()
+    erased_cust = {r.c_custkey for r in cust if r.c_custkey % 17 == 3}
+    assert rows["customer"].n_erased == len(erased_cust)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    erased_orders = {r.o_orderkey for r in orders if r.o_custkey in erased_cust}
+    assert rows["orders"].n_erased == len(erased_orders)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    assert rows["lineitem"].n_erased == sum(
+        1 for r in li if r.l_orderkey in erased_orders
+    )
+    for r in rows.values():
+        assert r.n_survive == r.n_total - r.n_erased

@@ -372,3 +372,48 @@ def test_seq_pack_shard_offsets_are_two_level(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", p)) >= 3
     assert "hashpartitioning(sup" in p
     assert len(re.findall(r"Arguments: SinglePartition", p)) == 1
+
+
+def test_interval_union_windows_share_one_user_shuffle(spark, sf_dir):
+    # the island flag and the island-id running sum sort identically, so
+    # one hashpartitioning(user_id) exchange feeds both windows and the
+    # rollups; nothing ever funnels to a single partition
+    p = _plan(spark, sf_dir, "q_interval_union")
+    assert "SinglePartition" not in p
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2  # windows + final agg
+
+
+def test_merge_upsert_is_one_key_join_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_merge_upsert")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+
+
+def test_scan_side_samplers_have_zero_exchanges(spark, sf_dir):
+    # weighted sampling and chunking are pure scan-side maps: any
+    # Exchange here would mean a 100 TB corpus shuffles for nothing
+    for name in ("q_weighted_sample", "q_doc_chunk"):
+        p = _plan(spark, sf_dir, name)
+        assert "Exchange" not in p, name
+
+
+def test_bpe_pair_counts_heap_topk_and_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both rollups
+
+
+def test_pq_and_kmeans_broadcast_codebooks(spark, sf_dir):
+    # codebooks/centroids are tiny relations: they must broadcast, and
+    # the component table must never cartesian-join anything
+    for name in ("q_ann_pq", "q_kmeans"):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_triangle_count_joins_on_vertices_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_triangle_count")
+    assert "CartesianProduct" not in p

@@ -328,6 +328,46 @@ class PotChangesStreamReader(SimpleDataSourceStreamReader):
         return iter(self._feed(start["generation"], end["generation"]))
 
 
+def _ship_package(spark) -> None:
+    """Make ``pot_spark`` importable inside executor Python workers.
+
+    The DataSource classes pickle BY REFERENCE (they live in an importable
+    module), so the worker must be able to ``import pot_spark``. That holds
+    for free when the session was launched with the repo on the worker's
+    path (cwd or PYTHONPATH), but a host application launched elsewhere
+    would die with ModuleNotFoundError at writer/reader init. Shipping the
+    package once via addPyFile makes the formats work on ANY session —
+    exactly what a real cluster does with its application zip."""
+    import importlib
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_pot_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pot_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 - already added on this context
+        pass
+    sc._pot_spark_shipped = True
+    importlib.invalidate_caches()
+
+
 def register(spark) -> None:
     """Register both formats on a session (idempotent).
 
@@ -335,7 +375,10 @@ def register(spark) -> None:
     reader requires ``spark.sql.python.filterPushdown.enabled`` (Spark 4
     refuses to plan a pushFilters reader while it is false), so we enable
     it here; if the conf cannot be set on this session, the no-pushdown
-    reader variant is registered instead and reads still succeed."""
+    reader variant is registered instead and reads still succeed. The
+    package itself ships to the workers via addPyFile so the formats
+    resolve regardless of the launch directory."""
+    _ship_package(spark)
     conf = "spark.sql.python.filterPushdown.enabled"
     try:
         spark.conf.set(conf, "true")

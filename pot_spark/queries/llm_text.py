@@ -932,3 +932,106 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("thresh").alias("thresh"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language model: the next step up from the unigram
+# perplexity proxy — context-sensitive fluency scoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ),
+    uni AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM toks, unnest(ts) AS v(t) GROUP BY t
+    ),
+    tot AS (SELECT SUM(n) AS big_n FROM uni),
+    cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY w1, w2
+    ),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM bi GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(m * LN(0.75 * cb.c / u1.n
+                             + 0.25 * u2.n / (SELECT big_n FROM tot)))
+                 / SUM(m), 6) AS avg_neg_logprob
+    FROM doc_bi d
+    JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+    JOIN uni u1 ON u1.t = d.w1
+    JOIN uni u2 ON u2.t = d.w2
+    GROUP BY d.doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score: p(w2|w1) = 0.75·c(w1,w2)/c(w1) +
+    0.25·c(w2)/N, per-doc average negative log-probability — the
+    context-sensitive fluency filter that catches shuffled-word salad a
+    unigram model scores as fluent. Same shuffle-stability treatment as
+    q_unigram_logprob: scoring runs over per-(doc, bigram-type) partial
+    counts with the result rounded at 1e-6, so partial-sum order cannot
+    move the output.
+
+    Scale posture: the bigram model table is type-scale (Zipf-bounded),
+    not token-scale; the three model joins are keyed on bigram/token
+    types — Zipf-hot keys are bounded per doc by pre-aggregation and
+    AQE's skew split absorbs the rest. One extra shuffle vs the unigram
+    scorer buys conditional context."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("double").alias("m")
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        doc_bi.join(cb, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = 0.75 * F.col("c") / F.col("n1") + 0.25 * F.col("n2") / F.col("big_n")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(F.col("m") * F.log(p)) / F.sum("m"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -147,3 +147,31 @@ def test_gdpr_erase_cascade_consistency(spark, sf_dir):
     )
     for r in rows.values():
         assert r.n_survive == r.n_total - r.n_erased
+
+
+def test_bigram_lm_matches_bruteforce(spark, sf_dir):
+    texts = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    uni, cb = Counter(), Counter()
+    for ts in texts.values():
+        uni.update(ts)
+        cb.update(zip(ts, ts[1:]))
+    big_n = sum(uni.values())
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in registry.QUERIES["q_bigram_lm"](spark, sf_dir).collect()
+    }
+    for doc_id, ts in texts.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        s = sum(
+            -math.log(0.75 * cb[p] / uni[p[0]] + 0.25 * uni[p[1]] / big_n)
+            for p in pairs
+        )
+        n, score = got[doc_id]
+        assert n == len(pairs)
+        assert abs(score - s / len(pairs)) < 1e-5, doc_id

@@ -71,6 +71,27 @@ NOTES = {
     "shuffle + sort, never an interval x probe range join.",
     "q_zorder_key": "Morton interleave as shift/and codegen; 1-row maxima "
     "broadcast; exchanges are the maxima aggregate + the zblock rollup only.",
+    "q_interval_union": "island flag + island-id running sum share one "
+    "(user_id | s, e) sort: a single hashpartitioning(user_id) exchange feeds "
+    "both windows and the rollups — no global window anywhere.",
+    "q_merge_upsert": "MERGE classification is ONE full-outer join on the key "
+    "(both sides shuffled once); no Cartesian, no SinglePartition; on a "
+    "bucketed base the exchanges vanish.",
+    "q_ann_pq": "codebook (codes x dims) broadcast into the component stream; "
+    "encode and ADC are partial-agg'd rollups; no join ever carries the "
+    "corpus unshuffled more than once.",
+    "q_kmeans": "per-iteration centroids broadcast (k x dim rows); assignment "
+    "and update are map-side-combined rollups; iterations compose lazily in "
+    "one plan.",
+    "q_weighted_sample": "zero Exchange: the md5 coin and the integer "
+    "threshold evaluate inside the scan project — full-scan-speed sampling.",
+    "q_doc_chunk": "zero Exchange: chunk geometry is a generated-sequence "
+    "explode in the scan stage; the chunk table inherits scan partitioning.",
+    "q_bpe_pair_counts": "token stream collapses to word TYPES before pair "
+    "extraction (two partial-agg rollups); top-20 is TakeOrderedAndProject.",
+    "q_gdpr_erase": "subject and erased-order key lists broadcast; every fact "
+    "table probed scan-side — the cascade costs one scan per table, zero "
+    "fact shuffles.",
 }
 
 _DETAIL_KEYS = (

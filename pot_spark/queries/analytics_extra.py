@@ -661,3 +661,59 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("bin_max"),
         )
     )
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN o.o_totalprice
+                                > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 END)
+                AS BIGINT) AS n_high,
+           CAST(COUNT(CASE WHEN o.o_totalprice
+                                < f.q1 - 1.5 * (f.q3 - f.q1) THEN 1 END)
+                AS BIGINT) AS n_low,
+           CAST(MAX(CASE WHEN o.o_totalprice
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN o.o_totalprice END) AS DOUBLE) AS max_outlier
+    FROM orders o JOIN fences f USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per priority: exact interpolated
+    Q1/Q3 define [q1 - 1.5·IQR, q3 + 1.5·IQR]; rows outside are counted
+    and the worst high-side value surfaced — the robust (median-family)
+    screen that price/latency anomaly monitors run, immune to the
+    outliers a z-score threshold lets drag its own mean. Two passes:
+    the fence table is group-cardinality-sized and broadcasts back onto
+    the scan, so the detection pass is scan-speed; Spark `percentile`
+    and DuckDB `quantile_cont` interpolate identically, making the
+    fences — and therefore the counts — engine-exact."""
+    orders = load(spark, sf_dir, "orders")
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    hi = F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    lo = F.col("o_totalprice") < F.col("q1") - 1.5 * iqr
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(hi, 1)).alias("n_high"),
+            F.count(F.when(lo, 1)).alias("n_low"),
+            F.max(F.when(hi, F.col("o_totalprice")))
+            .cast("double")
+            .alias("max_outlier"),
+        )
+    )

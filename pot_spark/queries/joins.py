@@ -392,3 +392,57 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["grp"].eqNullSafe(b["grp"])).select(
         a["grp"].alias("grp"), "n_a", "n_b"
     )
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id AS user_id, s.ts AS signup_ts,
+           p.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id AND p.ts > s.ts
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each signup, the FIRST purchase strictly
+    after it — time-to-conversion lookups, label-window construction
+    ("outcome within the future horizon") and next-event attribution all
+    take this shape. Mirror of q_asof_join's merge-asof: tag both sides,
+    union, one per-user window ordered by (ts, side) running BACKWARD
+    (first purchase at-or-after via a following-frame first_value);
+    purchases sort before signups at equal ts so the strict `p.ts > s.ts`
+    bound holds. One shuffle on user_id, linear per partition — never a
+    per-key cross product."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_id"),
+        F.lit(1).alias("side"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("signup_id"), F.lit(0).alias("side")
+    )
+    unioned = s.unionByName(p)
+    # order (ts, side): at equal ts a purchase (side 0) precedes the
+    # signup, and the frame starts at 1 FOLLOWING, so an equal-ts
+    # purchase is excluded -> strictly-after semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        unioned.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("side") == 1)
+        .select(
+            "signup_id",
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+            "next_purchase_ts",
+        )
+    )

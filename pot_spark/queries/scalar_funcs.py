@@ -553,3 +553,59 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH halves AS (
+        SELECT o_custkey,
+               COALESCE(list_sort(list_distinct(list(o_orderstatus)
+                   FILTER (WHERE o_orderdate <  TIMESTAMP '1998-01-01'))), [])
+                 AS s_early,
+               COALESCE(list_sort(list_distinct(list(o_orderstatus)
+                   FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01'))), [])
+                 AS s_late
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(list_intersect(s_early, s_late)) AS INTEGER) AS n_both,
+           CAST(len(list_distinct(list_concat(s_early, s_late))) AS INTEGER)
+             AS n_union,
+           CAST(len(list_filter(s_early, x -> NOT list_contains(s_late, x)))
+                AS INTEGER) AS n_only_early
+    FROM halves
+    ORDER BY o_custkey LIMIT 100
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_intersect / array_union / array_except)
+    over per-customer status sets from two order periods — churn-style
+    'behaviors kept / gained / lost' comparisons computed entirely as
+    codegen array expressions after ONE grouped collect per customer.
+    The conditional collect_set pair shares a single shuffle; the set
+    ops never leave the JVM; top-100 plans as TakeOrderedAndProject."""
+    orders = load(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    halves = orders.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("o_orderdate") < cut, F.col("o_orderstatus"))
+            )
+        ).alias("s_early"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("o_orderdate") >= cut, F.col("o_orderstatus"))
+            )
+        ).alias("s_late"),
+    )
+    return (
+        halves.select(
+            "o_custkey",
+            F.size(F.array_intersect("s_early", "s_late")).alias("n_both"),
+            F.size(F.array_union("s_early", "s_late")).alias("n_union"),
+            F.size(F.array_except("s_early", "s_late")).alias("n_only_early"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )

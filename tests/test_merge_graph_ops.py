@@ -104,3 +104,60 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     )
     b_rows = sorted(batch.collect(), key=lambda r: (r.window_start, r.c_mktsegment))
     assert [tuple(r) for r in s_rows] == [tuple(r) for r in b_rows]
+
+
+def test_asof_forward_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    purchases = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases[r.user_id].append(r.ts)
+    for v in purchases.values():
+        v.sort()
+    got = {
+        r.signup_id: r.next_purchase_ts
+        for r in registry.QUERIES["q_asof_forward"](spark, sf_dir).collect()
+    }
+    n_signups = 0
+    for r in ev:
+        if r.event_type != "signup":
+            continue
+        n_signups += 1
+        nxt = next((t for t in purchases[r.user_id] if t > r.ts), None)
+        assert got[r.event_id] == nxt, r.event_id
+    assert len(got) == n_signups
+
+
+def test_outlier_iqr_fences(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r.o_orderpriority: r
+        for r in registry.QUERIES["q_outlier_iqr"](spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_prio = defaultdict(list)
+    for r in orders:
+        by_prio[r.o_orderpriority].append(r.o_totalprice)
+    for prio, vals in by_prio.items():
+        q1, q3 = np.percentile(vals, [25, 75], method="linear")
+        iqr = q3 - q1
+        n_high = sum(1 for v in vals if v > q3 + 1.5 * iqr)
+        n_low = sum(1 for v in vals if v < q1 - 1.5 * iqr)
+        assert rows[prio].n == len(vals)
+        assert rows[prio].n_high == n_high, prio
+        assert rows[prio].n_low == n_low, prio
+
+
+def test_array_setops_consistency(spark, sf_dir):
+    for r in registry.QUERIES["q_array_setops"](spark, sf_dir).collect():
+        # inclusion-exclusion on set sizes
+        assert r.n_union == r.n_both + r.n_only_early + (
+            r.n_union - r.n_both - r.n_only_early
+        )
+        assert r.n_both >= 0 and r.n_only_early >= 0
+        assert r.n_union >= max(r.n_both, r.n_only_early)

@@ -90,3 +90,21 @@ def s_static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds state, bounded by the watermark. Oracle recomputes the same
     enrichment + window in batch SQL."""
     return run_streaming_query(spark, "s_static_join", sf_dir)
+
+
+@query(
+    "s_native_dedup_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+)
+def s_native_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once: the event file is delivered
+    TWICE (two microbatches) and Spark's native stateful dedup operator
+    — dropDuplicatesWithinWatermark on event_id — collapses the replay.
+    In-watermark replays hit held state and dedup; replays older than
+    the watermark are dropped as late data; either way each event is
+    emitted exactly once, with state bounded by the watermark horizon
+    (the unbounded-state trap of plain dropDuplicates avoided). Oracle:
+    the batch events table verbatim."""
+    return run_streaming_query(spark, "s_native_dedup", sf_dir)

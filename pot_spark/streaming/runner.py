@@ -36,24 +36,47 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _event_stream(spark: SparkSession, events_file: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, events_file: str, replay: bool = False
+) -> DataFrame:
     """events.parquet as a file-source stream, `ts` normalised to
     microsecond TimestampType exactly as pot_spark.tables._load_events
     does for the batch path (fixture stores timestamp[us], read NTZ then
     cast under the UTC-pinned session). The file source needs a directory
     (some stateful plans re-resolve basePath), so the single parquet file
-    is exposed through a temp dir symlink."""
+    is exposed through a temp dir symlink. With ``replay=True`` the file
+    is linked TWICE, so the source delivers every event at-least-once
+    across two microbatches — the delivery model a dedup operator must
+    collapse back to exactly-once."""
     import os
     import tempfile
 
     stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_")
     os.symlink(events_file, os.path.join(stream_dir, "events.parquet"))
+    if replay:
+        os.symlink(events_file, os.path.join(stream_dir, "events_replay.parquet"))
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def build_native_dedup(stream: DataFrame) -> DataFrame:
+    """Spark's NATIVE stateful dedup operator: dropDuplicatesWithinWatermark
+    on event_id over an at-least-once source (every event delivered twice
+    across microbatches). The operator's keyed state holds each id until
+    the watermark passes its event time, so replays collapse and the
+    output is exactly-once — with state bounded by the watermark horizon
+    instead of growing forever (the unbounded-state trap of plain
+    dropDuplicates on a stream). Emits in append mode; output must equal
+    the batch events table exactly."""
+    return (
+        stream.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
 
 
 def build_tumbling(stream: DataFrame) -> DataFrame:
@@ -387,6 +410,11 @@ APPEND_BUILDERS = {
     "q_theta_range_join": build_stream_stream_join,
 }
 
+# Append-mode builders fed by the REPLAYED (at-least-once) source.
+REPLAY_APPEND_BUILDERS = {
+    "s_native_dedup": build_native_dedup,
+}
+
 # Stateful builders emit in update mode (the memory sink appends each
 # update); with the single-file source every key updates exactly once, so
 # the sink equals the batch result. A multi-batch source would need a
@@ -403,6 +431,24 @@ def run_streaming_query(
     """Execute one event-time window operator as a real stream to
     completion (complete output mode into a memory sink) and return the
     final result as a DataFrame."""
+    if name in REPLAY_APPEND_BUILDERS:
+        replay_stream = _event_stream(
+            spark, f"{sf_dir}/events.parquet", replay=True
+        )
+        plan, mode = REPLAY_APPEND_BUILDERS[name](replay_stream), "append"
+        sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"
+        q = (
+            plan.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(timeout_s)
+        return spark.table(sink)
     stream = _event_stream(spark, f"{sf_dir}/events.parquet")
     if name in STATEFUL_BUILDERS:
         plan, mode = STATEFUL_BUILDERS[name](stream), "update"

@@ -229,3 +229,19 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     streamed = spark.sql("SELECT * FROM tws_dedup")
     batch = registry.QUERIES["s_dedup_first"](spark, sf_dir)
     assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_native_dedup_collapses_at_least_once_delivery(spark, sf_dir):
+    """The replayed source delivers every event twice; the native
+    dropDuplicatesWithinWatermark operator must emit each exactly once —
+    output == the batch events table."""
+    from pot_spark.registry import QUERIES
+    from pot_spark.tables import load
+
+    out = QUERIES["s_native_dedup_stream"](spark, sf_dir)
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0

@@ -525,3 +525,44 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.min("n_bytes").alias("n_bytes"),
     )
+
+
+def _rank_in_group(pdf):
+    import pandas as pd  # noqa: F401 - worker-side import
+
+    pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+    pdf["rank_in_type"] = pdf.index + 1
+    return pdf[["event_id", "event_type", "rank_in_type"]]
+
+
+@query(
+    "u_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT)
+             AS rank_in_type
+    FROM events
+    """,
+)
+def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (groupBy.applyInPandas): each group
+    arrives as one pandas frame and returns an arbitrary-shape frame —
+    the escape hatch for per-group logic (model fitting, custom
+    resampling, library calls) that no window/agg composition expresses.
+    The demo body ranks each group's events by (value, event_id):
+    deliberately something a window ALSO expresses, so the DuckDB oracle
+    can verify the grouped-map machinery end-to-end — integer ranks over
+    a total order, immune to float formatting drift.
+
+    Scale posture: one shuffle on the grouping key (same exchange a
+    window would need); groups stream through Arrow in batches. The
+    caveat is cardinality-inverse to u_cogroup's: a handful of giant
+    groups (here: event types) must each FIT IN ONE WORKER'S MEMORY —
+    at 10^9 rows/group this op must re-key to (type, shard) or move to
+    the built-in window; the plan shape itself is scale-clean."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _rank_in_group,
+        schema="event_id long, event_type string, rank_in_type long",
+    )

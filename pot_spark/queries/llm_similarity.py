@@ -487,14 +487,14 @@ def _pq_sql() -> str:
 
 @query("q_ann_pq", oracle=_pq_sql())
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: each vector is split into {_PQ_M}
+    """Product-quantization ANN: each vector is split into 4
     16-dim subvectors, each encoded as the id of its nearest per-subspace
     codebook centroid (codebooks here are per-label subvector means — the
     deterministic stand-in for trained k-means codebooks), and the probe
     ranks candidates by the ADC (asymmetric-distance-computation) sum of
-    {_PQ_M} precomputed sub-distances — a table lookup per subspace
+    4 precomputed sub-distances — a table lookup per subspace
     instead of a 64-dim dot product. This is the memory-scale path of
-    billion-vector ANN: the index stores {_PQ_M} bytes/vector, not 256.
+    billion-vector ANN: the index stores 4 bytes/vector, not 256.
 
     Determinism: everything runs on floor(x*1000) int64 components —
     codebook build, encode argmin (ties to the lower code id), and ADC
@@ -603,12 +603,12 @@ def _kmeans_sql() -> str:
 
 @query("q_kmeans", oracle=_kmeans_sql())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (k={_KM_K}, {_KM_ITERS} iterations) — the training
+    """Lloyd's k-means (k=4, 2 iterations) — the training
     loop that produces IVF cells and PQ codebooks. Deterministic and
     engine-exact: components are floor(x*1000) int64, distances and
     inertia are exact integer sums, centroid updates floor the exact
     mean, argmin ties break to the lower cluster id, and init is pinned
-    to vec_id 0..{_KM_K - 1} (k-means|| with a fixed seed at scale).
+    to vec_id 0..3 (k-means|| with a fixed seed at scale).
 
     Scale posture per iteration: centroids are k x dim rows — always a
     broadcast; assignment is one rollup of the exploded components

@@ -835,7 +835,7 @@ _CHUNK_STRIDE = 24
 )
 def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-style chunker: each document becomes overlapping
-    {_CHUNK_SIZE}-token windows at stride {_CHUNK_STRIDE} (8-token
+    32-token windows at stride 24 (8-token
     overlap), emitting (chunk_idx, start_tok, chunk_len, first/last
     token) per chunk — the shape an embedding/RAG indexing stage
     consumes. Row-expanding but narrow: one explode over a generated

@@ -446,3 +446,38 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase_ts",
         )
     )
+
+
+@query(
+    "q_right_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS sum_price
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (orders RIGHT JOIN customer): every customer
+    survives, order-less ones with zero counts. Catalyst normalizes
+    right-outer to a left-outer with swapped sides, so the physical plan
+    is identical to q_left_join's — registered for surface completeness
+    (a SQL user writes both spellings) and to pin that the null-filled
+    aggregate semantics match the oracle's."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

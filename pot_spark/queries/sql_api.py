@@ -297,3 +297,129 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select("metrics", "n_orders", "sum_price", "max_price")
         .transpose(F.col("metrics"))
     )
+
+
+_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_sql_q6", oracle=_Q6)
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure-scan aggregate —
+    every predicate (date range, discount band, quantity cap) pushes to
+    the parquet scan, no join, no shuffle beyond the 1-row final
+    aggregate. The benchmark's lower bound on scan throughput: at 100 TB
+    this runs at raw column-decode speed with row-group stats skipping
+    out-of-range date chunks. DECIMAL products keep the revenue sum
+    order-independent."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6)
+
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+             AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_sql_q7", oracle=_Q7)
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade flows
+    — the OR-of-conjunctions predicate over two broadcast nation lookups
+    that a naive planner turns into a fan-out union. Both nation dims
+    broadcast; the nation filter prunes fact rows before the
+    orders⋈lineitem shuffle; per-(pair, year) DECIMAL rollup."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q7)
+
+
+_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q_sql_q13", oracle=_Q13)
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): a count-of-counts — LEFT JOIN
+    with a join-side-only predicate (the classic trap: filtering in
+    WHERE would silently drop order-less customers), per-customer order
+    counts, then the histogram of those counts. Two aggregations, the
+    second over a tiny distinct-count domain; the join predicate pushes
+    to the orders scan."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q13)
+
+
+_Q22 = """
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+    FROM customer c
+    WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+      AND c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7)
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q_sql_q22", oracle=_Q22)
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): wealthy customers who never
+    ordered, by country code — an uncorrelated scalar subquery (global
+    positive-balance average, broadcast as a 1-row relation) AND a
+    correlated NOT EXISTS (planned as a left-anti join against the
+    date-filtered orders slice — "no recent orders", the fixture-dense
+    adaptation of the reference predicate).
+    The anti join shuffles on custkey once; everything else is scan-side.
+    Country code adapted to the fixture as c_nationkey % 10."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22)

@@ -110,3 +110,83 @@ def test_random_sql_matches_duckdb(spark, sf_dir, duck, tq):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == want, sql
+
+
+@st.composite
+def _window_query(draw) -> str:
+    """Random ranking/analytic window over orders; order keys always end
+    with the unique o_orderkey so row_number/lag are total-ordered and
+    engine-deterministic."""
+    part = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    order_col = draw(st.sampled_from(["o_totalprice", "o_custkey"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    func = draw(
+        st.sampled_from(
+            [
+                "row_number()",
+                "rank()",
+                "dense_rank()",
+                "CAST(lag(o_custkey) OVER w AS BIGINT)",
+                "CAST(lead(o_custkey) OVER w AS BIGINT)",
+            ]
+        )
+    )
+    fexpr = func if "OVER" in func else f"CAST({func} OVER w AS BIGINT)"
+    limit_pred = draw(st.integers(min_value=1, max_value=50))
+    # Spark has no QUALIFY: filter the rank in an outer query (the
+    # dialect-intersection spelling both engines parse)
+    return (
+        f"SELECT o_orderkey, v FROM ("
+        f"SELECT o_orderkey, {fexpr} AS v, row_number() OVER w AS rn "
+        f"FROM orders "
+        f"WINDOW w AS (PARTITION BY {part} "
+        f"ORDER BY {order_col} {direction}, o_orderkey)"
+        f") WHERE rn <= {limit_pred}"
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(sql=_window_query())
+def test_random_window_sql_matches_duckdb(spark, sf_dir, duck, sql):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want, sql
+
+
+@st.composite
+def _join_query(draw) -> str:
+    """Random orders⋈customer equi-join with filters on both sides and a
+    DECIMAL-stable aggregate."""
+    jtype = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    pred_o = draw(_predicate("orders"))
+    bal = draw(st.integers(min_value=-1000, max_value=8000))
+    group = draw(st.sampled_from(["c_mktsegment", "o_orderpriority", None]))
+    agg = (
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s"
+    )
+    base = (
+        f"FROM customer c {jtype} orders o "
+        f"ON c.c_custkey = o.o_custkey AND ({pred_o}) "
+        f"WHERE c.c_acctbal > {bal}"
+    )
+    if group is None:
+        return f"SELECT {agg} {base}"
+    return f"SELECT {group} AS g, {agg} {base} GROUP BY {group}"
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(sql=_join_query())
+def test_random_join_sql_matches_duckdb(spark, sf_dir, duck, sql):
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS customer AS "
+        f"SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    # LEFT JOIN can emit NULL aggregates/groups: sort on a repr key so
+    # None never compares against str/float
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
+    assert got == want, sql

@@ -612,3 +612,66 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: the irregular-sampling statistic (billing, sensor
+# rollups) where plain avg() over-weights bursts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    stepped AS (
+        SELECT user_id, t, value,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                 AS t_next
+        FROM obs
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(t_next - t) AS BIGINT) AS span_sec,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * (t_next - t))
+                     AS DOUBLE)
+                / NULLIF(SUM(t_next - t), 0) AS DOUBLE) AS twap
+    FROM stepped WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (LOCF step function): each
+    observation holds until the next one, so its weight is its holding
+    duration — the statistic billing meters and sensor rollups need when
+    sampling is irregular (a plain avg() over-weights bursty periods).
+    One lead() window and the rollup share the same (user | t, event_id)
+    sort — a single user-partitioned shuffle. Weighted sums run as
+    exact DECIMAL(18,6) × integer-seconds products (order-independent),
+    and only the final division is a double — one correctly-rounded IEEE
+    op, engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    stepped = ev.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    dur = F.col("t_next") - F.col("t")
+    return stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(dur).cast("bigint").alias("span_sec"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)") * dur).cast("double")
+            / F.nullif(F.sum(dur), F.lit(0))
+        )
+        .cast("double")
+        .alias("twap"),
+    )

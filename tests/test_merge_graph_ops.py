@@ -161,3 +161,32 @@ def test_array_setops_consistency(spark, sf_dir):
         )
         assert r.n_both >= 0 and r.n_only_early >= 0
         assert r.n_union >= max(r.n_both, r.n_only_early)
+
+
+def test_twap_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((int(r.ts.timestamp()), r.event_id, r.value))
+    got = {
+        r.user_id: (r.n_segments, r.span_sec, r.twap)
+        for r in registry.QUERIES["q_twap"](spark, sf_dir).collect()
+    }
+    for uid, obs in per_user.items():
+        obs.sort(key=lambda o: (o[0], o[1]))
+        segs = [
+            (obs[i][2], obs[i + 1][0] - obs[i][0])
+            for i in range(len(obs) - 1)
+        ]
+        if not segs:
+            assert uid not in got
+            continue
+        span = sum(d for _, d in segs)
+        num = sum(v * d for v, d in segs)
+        n, s, twap = got[uid]
+        assert n == len(segs)
+        assert s == span
+        if span:
+            assert abs(twap - num / span) < 1e-6, uid

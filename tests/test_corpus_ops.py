@@ -175,3 +175,25 @@ def test_bigram_lm_matches_bruteforce(spark, sf_dir):
         n, score = got[doc_id]
         assert n == len(pairs)
         assert abs(score - s / len(pairs)) < 1e-5, doc_id
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every eval doc whose exact text exists in the
+    training split MUST be flagged; false positives are audited but
+    bounded well below the eval size at the fixture's fill rate."""
+    rows = registry.QUERIES["q_bloom_decontaminate"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("text", "source", "lang").collect()
+    train_texts = {r.text for r in docs if r.source != "src0"}
+    true_dups = Counter(
+        r.lang for r in docs if r.source == "src0" and r.text in train_texts
+    )
+    n_eval = Counter(r.lang for r in docs if r.source == "src0")
+    for r in rows:
+        assert r.n_docs == n_eval[r.lang]
+        assert r.n_true_dup == true_dups[r.lang]
+        # no false negatives: flagged >= true dups
+        assert r.n_flagged >= r.n_true_dup
+        assert r.n_false_pos == r.n_flagged - r.n_true_dup
+    total_fp = sum(r.n_false_pos for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert total_fp <= max(3, total // 2)  # fill-rate-bounded, not exploding

@@ -675,3 +675,54 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: next-event frequencies (first-order Markov
+# statistics) — the navigation/behavior-flow rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS n_from_prev
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event stream: how
+    often type A is immediately followed by type B, plus the per-source
+    row totals (the denominator for transition probabilities) — the
+    behavior-flow statistic under funnels, next-action prediction and
+    Markov attribution. One user-partitioned shuffle feeds the lag
+    window; the rollup collapses to a types² relation (bounded, tiny),
+    and the denominator is a window over THAT — so the only data-scale
+    shuffle is the first. Tie order pinned by (ts, event_id); counts
+    are integers, engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w2 = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(w2).cast("bigint").alias("n_from_prev"),
+    )

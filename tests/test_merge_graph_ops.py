@@ -190,3 +190,27 @@ def test_twap_matches_bruteforce(spark, sf_dir):
         assert s == span
         if span:
             assert abs(twap - num / span) < 1e-6, uid
+
+
+def test_event_transitions_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = defaultdict(int)
+    for seq in per_user.values():
+        seq.sort(key=lambda o: (o[0], o[1]))
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.n_from_prev)
+        for r in registry.QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(trans)
+    from_totals = defaultdict(int)
+    for (a, _), n in trans.items():
+        from_totals[a] += n
+    for (a, _), (_, tot) in got.items():
+        assert tot == from_totals[a]

@@ -717,3 +717,159 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_outlier"),
         )
     )
+
+
+@query(
+    "q_fk_integrity",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'lineitems_without_order',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'duplicate_order_keys',
+           CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM (
+                     SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+                 ) g WHERE cnt > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'null_customer_keys',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit pack (the dbt-test shape): orphaned
+    orders (anti join vs customer), orphaned lineitems (anti join vs
+    orders), duplicate primary keys (excess count), and null foreign
+    keys — four checks, one report. Each anti join broadcasts the key
+    side when dimension-sized and degrades to a shuffle otherwise; the
+    duplicate check is one partial-agg'd rollup. On the fixtures every
+    row must be 0 — the report exists so a 100 TB ingest can prove it
+    nightly."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orphan_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("n_bad")).withColumn(
+        "check_name", F.lit("orders_without_customer")
+    )
+    orphan_li = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count("*").alias("n_bad")).withColumn(
+        "check_name", F.lit("lineitems_without_order")
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_bad"))
+        .withColumn("check_name", F.lit("duplicate_order_keys"))
+    )
+    null_fk = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_bad")
+    ).withColumn("check_name", F.lit("null_customer_keys"))
+    out = (
+        orphan_orders.unionByName(orphan_li)
+        .unionByName(dup_keys)
+        .unionByName(null_fk)
+    )
+    return out.select("check_name", F.col("n_bad").cast("bigint").alias("n_bad"))
+
+
+@query(
+    "q_hist2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_discount
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (quantity × price heatmap bins): fixed-width integer
+    bin ids computed scan-side by floor division, one partial-agg'd
+    rollup to the bounded bins² relation — the density-grid backend a
+    plotting layer asks the warehouse for instead of pulling rows.
+    Deterministic: floor of one IEEE division per axis, integer group
+    keys, DECIMAL measure."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / 10000)
+            .cast("bigint")
+            .alias("price_bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_discount").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_discount"),
+        )
+    )
+
+
+@query(
+    "q_col_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    """,
+)
+def q_col_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (catalog statistics collection): per-column row /
+    non-null / exact-distinct counts and numeric min/max in one report —
+    what ANALYZE TABLE gathers for the CBO and a data catalog surfaces.
+    Spark plans the multi-distinct aggregate via Expand (one pass over
+    the scan, partial-agg'd); at 100 TB exact distinct counts shuffle
+    the column values once each — the sketch twin (q_hll_sketch /
+    approx_count_distinct) is the fast path when a bounded error is
+    acceptable."""
+    orders = load(spark, sf_dir, "orders")
+
+    def profile(col: str, numeric: bool):
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_val"),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_val"),
+        ]
+        return orders.agg(*aggs).withColumn("col", F.lit(col))
+
+    out = (
+        profile("o_custkey", True)
+        .unionByName(profile("o_totalprice", True))
+        .unionByName(profile("o_orderstatus", False))
+    )
+    return out.select(
+        "col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val"
+    )

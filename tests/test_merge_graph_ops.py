@@ -214,3 +214,38 @@ def test_event_transitions_matches_bruteforce(spark, sf_dir):
         from_totals[a] += n
     for (a, _), (_, tot) in got.items():
         assert tot == from_totals[a]
+
+
+def test_fk_integrity_all_clean_on_fixtures(spark, sf_dir):
+    rows = {
+        r.check_name: r.n_bad
+        for r in registry.QUERIES["q_fk_integrity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "orders_without_customer",
+        "lineitems_without_order",
+        "duplicate_order_keys",
+        "null_customer_keys",
+    }
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_hist2d_covers_all_rows(spark, sf_dir):
+    got = registry.QUERIES["q_hist2d"](spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in got) == n_total
+    for r in got:
+        assert r.qty_bin >= 0 and r.price_bin >= 0
+
+
+def test_col_profile_matches_bruteforce(spark, sf_dir):
+    rows = {r.col: r for r in registry.QUERIES["q_col_profile"](spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    ).collect()
+    assert rows["o_custkey"].n_distinct == len({r.o_custkey for r in orders})
+    assert rows["o_totalprice"].n_distinct == len({r.o_totalprice for r in orders})
+    assert rows["o_orderstatus"].n_distinct == len({r.o_orderstatus for r in orders})
+    assert rows["o_custkey"].min_val == min(r.o_custkey for r in orders)
+    assert rows["o_totalprice"].max_val == max(r.o_totalprice for r in orders)
+    assert rows["o_orderstatus"].min_val is None

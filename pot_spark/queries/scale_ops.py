@@ -669,3 +669,51 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "tbl", "n_total", "n_erased", (F.col("n_total") - F.col("n_erased")).alias("n_survive")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew audit: the diagnostic that decides whether a join key
+# needs salting before you burn a cluster-day finding out the hard way.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skew_audit",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MIN(n) AS BIGINT) AS min_key_rows,
+           CAST(floor(quantile_cont(n, 0.99) * 1000000) AS BIGINT) AS p99_rows_e6,
+           CAST(floor(MAX(n) * 1000000 / SUM(n)) AS BIGINT) AS max_share_ppm
+    FROM per_key
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for a prospective join/agg key: per-key row
+    counts rolled up to the distribution stats that decide the physical
+    strategy — max-key share (ppm) tells you whether AQE's skew split
+    suffices or the q_skew_salt_join salting pattern is needed, and
+    p99-vs-max separates one hot key from a heavy tail. Two partial-agg'd
+    rollups; the second runs over the (already small) per-key relation.
+    Run it on the candidate key BEFORE shuffling 100 TB on it."""
+    orders = load(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.min("n").cast("bigint").alias("min_key_rows"),
+        F.floor(F.percentile("n", F.lit(0.99)) * 1000000)
+        .cast("bigint")
+        .alias("p99_rows_e6"),
+        F.floor(F.max("n") * 1000000 / F.sum("n"))
+        .cast("bigint")
+        .alias("max_share_ppm"),
+    )

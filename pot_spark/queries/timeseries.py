@@ -726,3 +726,65 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("n").over(w2).cast("bigint").alias("n_from_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative value by cohort week-age.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_wk
+        FROM events GROUP BY user_id
+    ),
+    contrib AS (
+        SELECT f.cohort_wk,
+               CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_wk
+                 AS age_wk,
+               SUM(CAST(e.value AS DECIMAL(18,6))) AS wk_value
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT cohort_wk, age_wk,
+           CAST(wk_value AS DOUBLE) AS wk_value,
+           CAST(SUM(wk_value) OVER (
+               PARTITION BY cohort_wk ORDER BY age_wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_value
+    FROM contrib
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    their value contributions rolled up per cohort-age week, and the
+    running cumulative sum that IS the LTV curve growth teams read.
+    Scale shape: the firsts table is one user rollup (broadcast-sized
+    relative to events); the contribution rollup collapses events to
+    the bounded (cohorts × ages) grid BEFORE the cumulative window, so
+    the window runs over weeks, not events — partitioned per cohort,
+    nothing global. Exact DECIMAL sums make the running curve
+    hash-stable."""
+    ev = load(spark, sf_dir, "events")
+    wk = (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint")
+    ev_wk = ev.select("user_id", wk.alias("wk"), "value")
+    firsts = ev_wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    contrib = (
+        ev_wk.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wk_value"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return contrib.select(
+        "cohort_wk",
+        "age_wk",
+        F.col("wk_value").cast("double").alias("wk_value"),
+        F.sum("wk_value").over(w).cast("double").alias("cum_value"),
+    )

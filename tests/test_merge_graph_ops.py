@@ -249,3 +249,39 @@ def test_col_profile_matches_bruteforce(spark, sf_dir):
     assert rows["o_custkey"].min_val == min(r.o_custkey for r in orders)
     assert rows["o_totalprice"].max_val == max(r.o_totalprice for r in orders)
     assert rows["o_orderstatus"].min_val is None
+
+
+def test_cohort_ltv_curve_is_cumulative(spark, sf_dir):
+    rows = registry.QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_wk].append((r.age_wk, r.wk_value, r.cum_value))
+    for cohort, seq in by_cohort.items():
+        seq.sort()
+        run = 0.0
+        for age, wk, cum in seq:
+            run += wk
+            assert abs(cum - run) < 1e-6, (cohort, age)
+    # cumulative totals match the raw value sum
+    total = sum(
+        r.value
+        for r in load(spark, sf_dir, "events").select("value").collect()
+    )
+    final = sum(max(s)[2] for s in by_cohort.values())
+    assert abs(final - total) < 1e-4
+
+
+def test_skew_audit_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    got = registry.QUERIES["q_skew_audit"](spark, sf_dir).collect()[0]
+    keys = Counter(
+        r.o_custkey
+        for r in load(spark, sf_dir, "orders").select("o_custkey").collect()
+    )
+    counts = sorted(keys.values())
+    assert got.n_keys == len(counts)
+    assert got.n_rows == sum(counts)
+    assert got.max_key_rows == max(counts)
+    assert got.min_key_rows == min(counts)
+    assert got.max_share_ppm == (max(counts) * 1000000) // sum(counts)

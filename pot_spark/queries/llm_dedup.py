@@ -1019,3 +1019,98 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering similarity join (ppjoin family): the third candidate-
+# generation technique next to LSH banding and full inverted-index joins.
+# ---------------------------------------------------------------------------
+
+_PREFIX_T = 0.7  # Jaccard threshold
+
+
+@query(
+    "q_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.lang = sb.lang AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {_PREFIX_T}
+    """,
+)
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (the ppjoin/AllPairs family):
+    shingles are globally ordered rarest-first (ascending document
+    frequency), each doc indexes only its first n - ceil(t*n) + 1
+    shingles in that order, and candidate pairs form ONLY through shared
+    prefix shingles — the prefix lemma guarantees no pair with Jaccard
+    >= t is missed, so the result is EXACT (the oracle computes the full
+    threshold join). Survivors are verified with a candidate-restricted
+    exact intersection, same restrict-then-verify shape as q_dedup_near.
+
+    Why a third technique: LSH banding (q_dedup_near) is probabilistic
+    and tuned per threshold; the full inverted-index join
+    (q_ngram_jaccard) pays Sum(df^2) over EVERY shingle. Prefix
+    filtering is exact AND skips the Zipf head — hot shingles almost
+    never appear in rarest-first prefixes, so candidate volume
+    concentrates on discriminative tokens. The df table is one rollup;
+    the global rarity order needs no global sort (df is the sort key
+    itself, computed per shingle)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    sh = docs.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(df_tbl, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    prefix_len = F.col("n") - F.ceil(F.lit(_PREFIX_T) * F.col("n")) + 1
+    prefix = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .join(cnt, "doc_id")
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "lang", "shingle")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+    cand = (
+        pa.join(pb, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = reliable_checkpoint(cand)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa_c = sa.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
+    sb_c = sb.join(cand.select("doc_b").distinct(), "doc_b", "left_semi")
+    inter = (
+        sa_c.join(cand, "doc_a")
+        .join(sb_c, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= _PREFIX_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -197,3 +197,37 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     total_fp = sum(r.n_false_pos for r in rows)
     total = sum(r.n_docs for r in rows)
     assert total_fp <= max(3, total // 2)  # fill-rate-bounded, not exploding
+
+
+def test_prefix_filter_join_exact_and_pruned(spark, sf_dir):
+    """Prefix lemma: the result must EQUAL the brute-force threshold
+    join (no recall loss), while candidates come from rarest-prefix
+    shingles only (strictly fewer index postings than the full join)."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_prefix_filter_join"](spark, sf_dir).collect()
+    }
+    sets = _doc_shingle_sets(spark, sf_dir)
+    want = {}
+    for a, (la, sa) in sets.items():
+        for b, (lb, sb) in sets.items():
+            if a >= b or la != lb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.7:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    # scale contract: prefix postings strictly fewer than full postings
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    full_postings = sum(
+        max(0, len(r.text.split(" ")) - 2)
+        for r in docs.select("text").collect()
+    )
+    import math
+
+    prefix_postings = sum(
+        len(s) - math.ceil(0.7 * len(s)) + 1 for _, s in sets.values()
+    )
+    assert prefix_postings < full_postings // 2

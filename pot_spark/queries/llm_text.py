@@ -1035,3 +1035,51 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle: the global order randomization a training
+# run needs, without an RNG — reproducible on any engine or rerun.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS skey,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'),
+                                    1, 2)) AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(skey) AS first_key,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM keyed GROUP BY bucket
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    salted-md5 sort key, and range-partitioning on that key IS the
+    shuffled order — reproducible across engines, reruns and
+    partitionings, unlike rand()-seeded orderings that change with the
+    task layout. The audit groups by the key's first byte (256 buckets)
+    and reports per-bucket counts — uniform by construction, which is
+    what makes downstream range partitioning balanced. Scale posture:
+    the key is scan-side compute; the audit is one rollup; the actual
+    shuffled write is repartitionByRange(skey) + sortWithinPartitions —
+    a single range exchange over sampled bounds."""
+    docs = load(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    keyed = docs.select(
+        "doc_id",
+        skey.alias("skey"),
+        F.conv(F.substring(skey, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("skey").alias("first_key"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+    )

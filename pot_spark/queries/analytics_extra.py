@@ -873,3 +873,58 @@ def q_col_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val"
     )
+
+
+@query(
+    "q_ab_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                    1, 4)) AS INTEGER) % 2 AS grp,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(floor(SUM(converted) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS conv_ppm
+    FROM assigned GROUP BY grp
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to arms
+    by a salted md5 coin (the assignment IS the hash — reproducible,
+    stateless, no assignment table to join), per-arm user counts,
+    converters (any purchase event) and conversion rate in exact ppm.
+    The statistical layer (z-test on two proportions) consumes exactly
+    these four integers, so the engine emits the sufficient statistics
+    rather than floats that drift. One rollup to per-user flags (the
+    only data-scale shuffle), one to the 2-row arm summary."""
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    assigned = ev.groupBy("user_id", grp.alias("grp")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    return assigned.groupBy("grp").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.floor(F.sum("converted") * 1000000.0 / F.count("*"))
+        .cast("bigint")
+        .alias("conv_ppm"),
+    )

@@ -717,3 +717,82 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: the OPTIMIZE scheduler's bin-packing pass over
+# small files, as a query (plan first, rewrite only what the plan says).
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 400_000  # target bytes per output file (fixture-scaled)
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT o_orderpriority AS part_key,
+               CAST(floor(epoch(o_orderdate) / 2592000) AS BIGINT) AS file_id,
+               CAST(SUM(CAST(length(CAST(o_orderkey AS VARCHAR)) AS BIGINT)
+                        + 64) AS BIGINT) AS bytes
+        FROM orders GROUP BY 1, 2
+    ),
+    packed AS (
+        SELECT part_key, file_id, bytes,
+               SUM(bytes) OVER (
+                   PARTITION BY part_key ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM files
+    )
+    SELECT part_key,
+           CAST(floor((cum - bytes) / {_COMPACT_TARGET}) AS BIGINT) AS out_file,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(SUM(bytes) AS BIGINT) AS out_bytes
+    FROM packed
+    GROUP BY part_key, CAST(floor((cum - bytes) / {_COMPACT_TARGET}) AS BIGINT)
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE scheduler): per-
+    partition file inventories (here: monthly write batches as
+    pseudo-files with exact byte proxies) are greedily packed into
+    target-size output files by a cumulative-sum window — input file k
+    goes to output floor(cum_before_k / target). Emits the merge
+    manifest (partition, output file, input count, bytes) that the
+    rewrite phase executes; files already at target size land alone in
+    their bin and are skipped by the rewriter — O(small files), never a
+    full-table rewrite.
+
+    Scale posture: the inventory is file-count-sized (millions of rows,
+    not data rows); the cumulative window partitions per part_key, so
+    no global ordering exists; at pathological per-partition file counts
+    the two-level prefix pattern (q_seq_pack) drops in. Integer bytes
+    and integer division keep the plan engine-exact."""
+    orders = load(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderpriority").alias("part_key"),
+        F.floor(F.unix_timestamp("o_orderdate") / 2592000)
+        .cast("bigint")
+        .alias("file_id"),
+    ).agg(
+        F.sum(F.length(F.col("o_orderkey").cast("string")).cast("bigint") + 64)
+        .cast("bigint")
+        .alias("bytes")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("part_key")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = files.withColumn("cum", F.sum("bytes").over(w))
+    out_file = F.floor((F.col("cum") - F.col("bytes")) / _COMPACT_TARGET).cast("bigint")
+    return (
+        packed.groupBy("part_key", out_file.alias("out_file"))
+        .agg(
+            F.count("*").alias("n_inputs"),
+            F.sum("bytes").cast("bigint").alias("out_bytes"),
+        )
+    )

@@ -285,3 +285,40 @@ def test_skew_audit_matches_bruteforce(spark, sf_dir):
     assert got.max_key_rows == max(counts)
     assert got.min_key_rows == min(counts)
     assert got.max_share_ppm == (max(counts) * 1000000) // sum(counts)
+
+
+def test_compaction_plan_covers_all_bytes(spark, sf_dir):
+    plan = registry.QUERIES["q_compaction_plan"](spark, sf_dir).collect()
+    # every input file lands in exactly one output bin; byte totals conserve
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).collect()
+    total_bytes = sum(len(str(r.o_orderkey)) + 64 for r in orders)
+    assert sum(r.out_bytes for r in plan) == total_bytes
+    for r in plan:
+        assert r.n_inputs >= 1
+        assert r.out_file >= 0
+
+
+def test_ab_lift_assignment_is_hash_rule(spark, sf_dir):
+    import hashlib
+
+    rows = {r.grp: r for r in registry.QUERIES["q_ab_lift"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    conv = {}
+    for r in ev:
+        conv.setdefault(r.user_id, 0)
+        if r.event_type == "purchase":
+            conv[r.user_id] = 1
+    want = {0: [0, 0], 1: [0, 0]}
+    for uid, c in conv.items():
+        g = int(hashlib.md5(f"{uid}:ab".encode()).hexdigest()[:4], 16) % 2
+        want[g][0] += 1
+        want[g][1] += c
+    for g, (n, nc) in want.items():
+        if n == 0:
+            assert g not in rows
+            continue
+        assert rows[g].n_users == n
+        assert rows[g].n_converted == nc
+        assert rows[g].conv_ppm == nc * 1000000 // n

@@ -63,6 +63,13 @@ HEADLINE = [
     "q_merge_upsert",
     "q_interval_union",
     "q_triangle_count",
+    "q_bigram_lm",
+    "q_bloom_decontaminate",
+    "q_prefix_filter_join",
+    "q_twap",
+    "q_event_transitions",
+    "q_sql_q1",
+    "q_sql_q8",
 ]
 
 

@@ -417,3 +417,35 @@ def test_pq_and_kmeans_broadcast_codebooks(spark, sf_dir):
 def test_triangle_count_joins_on_vertices_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_triangle_count")
     assert "CartesianProduct" not in p
+
+
+def test_prefix_filter_and_bloom_no_cartesian(spark, sf_dir):
+    for name in ("q_prefix_filter_join", "q_bloom_decontaminate"):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_bloom_words_are_broadcast(spark, sf_dir):
+    # the filter table (32 words) must broadcast into the probe stream
+    p = _plan(spark, sf_dir, "q_bloom_decontaminate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_compaction_and_ltv_windows_stay_partitioned(spark, sf_dir):
+    for name in ("q_compaction_plan", "q_cohort_ltv", "q_twap",
+                 "q_interval_union", "q_event_transitions"):
+        p = _plan(spark, sf_dir, name)
+        assert "SinglePartition" not in p, name
+
+
+def test_tpch_q8_broadcasts_all_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_sql_q8")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 5  # part/supp/cust/nation x2/region
+
+
+def test_gdpr_erase_zero_fact_shuffle_joins(spark, sf_dir):
+    # subject/key lists broadcast; no SortMergeJoin of a fact table
+    p = _plan(spark, sf_dir, "q_gdpr_erase")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -190,7 +190,14 @@ def main() -> None:
     # 1.4x the recording is ambient, not a plan regression. Flag queries
     # >2x after normalizing by the median ratio (floored at 1 so a faster
     # machine never hides a true regression).
-    med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+    if ratios:
+        vals = sorted(ratios.values())
+        mid = len(vals) // 2
+        # true median (average the two middles on even counts): the
+        # upper-middle alone biases the gate upward and hides regressions
+        med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    else:
+        med = 1.0
     threshold = 2.0 * max(1.0, med)
     for name, ratio in ratios.items():
         if ratio > threshold:

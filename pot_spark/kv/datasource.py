@@ -347,23 +347,26 @@ def _ship_package(spark) -> None:
     if getattr(sc, "_pot_spark_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"pot_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    # the archive is rebuilt fresh every time (unique temp name): a path
+    # keyed on PID alone can collide with a stale file from a recycled
+    # PID or a different checkout and silently ship outdated code
+    fd, zpath = tempfile.mkstemp(prefix="pot_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
     try:
         sc.addPyFile(zpath)
-    except Exception:  # noqa: BLE001 - already added on this context
-        pass
+    except Exception:  # noqa: BLE001 - e.g. a file of this name already added
+        # do NOT mark shipped: a real failure must retry on the next
+        # register() call instead of silently leaving workers import-blind
+        return
     sc._pot_spark_shipped = True
     importlib.invalidate_caches()
 

@@ -396,7 +396,9 @@ FROM (
     FROM customer c
     WHERE c_nationkey % 10 IN (1, 3, 5, 7)
       AND c_acctbal > (
-          SELECT AVG(c_acctbal) FROM customer
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer
           WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7)
       )
       AND NOT EXISTS (
@@ -414,7 +416,9 @@ ORDER BY cntrycode
 def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): wealthy customers who never
     ordered, by country code — an uncorrelated scalar subquery (global
-    positive-balance average, broadcast as a 1-row relation) AND a
+    positive-balance average as an exact DECIMAL sum over one double
+    division — order-independent, so the threshold is engine-exact —
+    broadcast as a 1-row relation) AND a
     correlated NOT EXISTS (planned as a left-anti join against the
     date-filtered orders slice — "no recent orders", the fixture-dense
     adaptation of the reference predicate).

@@ -65,11 +65,53 @@ def load_all_query_modules() -> None:
     _interleave_registry()
 
 
-# Names already hash-verified by the external driver's correctness gate
-# (the union of CORRECTNESS_r01.json and CORRECTNESS_r02.json keys). The
-# driver samples only the FIRST 50 registry entries per round, so with a
-# static order most of the inventory would never receive a driver row.
-_DRIVER_VERIFIED = frozenset(
+def _driver_verified_from_correctness_files() -> frozenset[str]:
+    """Names already verified by the external driver's correctness gate,
+    derived at import time from the checked-in CORRECTNESS_r*.json files
+    (a query counts as verified only if its recorded row passed — errored
+    rows stay in the front sampling group for a retest). Falls back to
+    the static snapshot below if the files are unreadable, so the
+    ordering never depends on the working directory being the repo."""
+    import glob
+    import json
+    import os
+
+    verified: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:  # noqa: BLE001 - unreadable file -> use fallback
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            # "no_oracle" is the driver's rows-only path (approx/stubbed
+            # ops by design): it passed iff a row count was recorded
+            rows_only_pass = err == "no_oracle" and (
+                isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] >= 0
+            )
+            ok = rows_only_pass or (
+                err in (None, "")
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
+            if ok:
+                verified.add(name)
+            else:
+                verified.discard(name)  # later failure -> retest
+    return frozenset(verified)
+
+
+# Static snapshot (union of CORRECTNESS_r01/r02 passes) used only when the
+# files above cannot be read. The driver samples only the FIRST 50
+# registry entries per round, so with a static order most of the
+# inventory would never receive a driver row.
+_DRIVER_VERIFIED_FALLBACK = frozenset(
     {
         "q_agg_distinct", "q_anti_join", "q_approx_cd", "q_array_agg",
         "q_array_funcs", "q_asof_join", "q_broadcast_join", "q_bucket_join",
@@ -97,6 +139,8 @@ _DRIVER_VERIFIED = frozenset(
         # driver row must turn green, so it stays in the front group
     }
 )
+
+_DRIVER_VERIFIED = _driver_verified_from_correctness_files() or _DRIVER_VERIFIED_FALLBACK
 
 
 def _interleave_registry() -> None:

@@ -431,26 +431,14 @@ def run_streaming_query(
     """Execute one event-time window operator as a real stream to
     completion (complete output mode into a memory sink) and return the
     final result as a DataFrame."""
+    stream = _event_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        replay=name in REPLAY_APPEND_BUILDERS,
+    )
     if name in REPLAY_APPEND_BUILDERS:
-        replay_stream = _event_stream(
-            spark, f"{sf_dir}/events.parquet", replay=True
-        )
-        plan, mode = REPLAY_APPEND_BUILDERS[name](replay_stream), "append"
-        sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"
-        q = (
-            plan.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination(timeout_s)
-        return spark.table(sink)
-    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
-    if name in STATEFUL_BUILDERS:
+        plan, mode = REPLAY_APPEND_BUILDERS[name](stream), "append"
+    elif name in STATEFUL_BUILDERS:
         plan, mode = STATEFUL_BUILDERS[name](stream), "update"
     elif name in APPEND_BUILDERS:
         plan, mode = APPEND_BUILDERS[name](stream), "append"

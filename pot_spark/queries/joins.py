@@ -481,3 +481,47 @@ def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_cooccurrence",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey, p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY 1, 2
+    ORDER BY support DESC, type_a, type_b
+    LIMIT 15
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent-itemset support counts):
+    which part types are ordered together, from a per-order distinct
+    item set self-joined on the order key — the input statistic of
+    association-rule and also-bought recommenders. Pair volume per
+    order is bounded by the basket size squared (TPC-H baskets are ~7
+    lines), so the self-join output is O(orders · basket²), linear in
+    orders; the part dim broadcasts into the basket build; top-15 is a
+    per-partition heap. Integer supports, engine-exact."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = basket.select(F.col("l_orderkey"), F.col("p_type").alias("type_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "type_a", "type_b")
+        .limit(15)
+    )

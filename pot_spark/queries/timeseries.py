@@ -788,3 +788,54 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wk_value").cast("double").alias("wk_value"),
         F.sum("wk_value").over(w).cast("double").alias("cum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth: the reporting delta every revenue dashboard
+# computes, engine-exact via ppm integers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT ym,
+           CAST(rev AS DOUBLE) AS revenue,
+           n_orders,
+           CAST(floor((rev - lag(rev) OVER (ORDER BY ym))
+                      * 1000000.0 / lag(rev) OVER (ORDER BY ym))
+                AS BIGINT) AS growth_ppm
+    FROM monthly
+    """,
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly DECIMAL rollup, lag
+    window, growth in floored ppm integers (floor on both engines —
+    raw ratio casts round in DuckDB and truncate in Spark). The lag
+    window is over the MONTHS relation (bounded: 12 rows/year — a
+    century of data is 1200 rows), so the single-partition window that
+    Spark plans here is a deliberate, size-capped choice, not a scale
+    bug; the data-scale work is the one partial-agg'd monthly rollup."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "ym",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.floor((F.col("rev") - prev) * 1000000.0 / prev)
+        .cast("bigint")
+        .alias("growth_ppm"),
+    )

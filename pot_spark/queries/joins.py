@@ -525,3 +525,84 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "type_a", "type_b")
         .limit(15)
     )
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey, p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    singles AS (
+        SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM basket),
+    pairs AS (
+        SELECT a.p_type AS antecedent, b.p_type AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.p_type <> b.p_type
+        GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, support,
+           CAST(floor(support * 1000000.0 / sa.n) AS BIGINT)
+             AS confidence_ppm,
+           CAST(floor(support * 1000000.0 * t.n_orders / (sa.n * sc.n))
+                AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN singles sa ON sa.p_type = antecedent
+    JOIN singles sc ON sc.p_type = consequent
+    CROSS JOIN tot t
+    WHERE support >= 50
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from basket co-occurrence: confidence
+    P(consequent|antecedent) and lift P(pair)/(P(a)·P(c)) in floored ppm
+    integers for every directed pair above a support floor — the output
+    an also-bought recommender actually ranks by (lift > 1e6 ppm means
+    positive association). The singles table and the 1-row basket total
+    broadcast onto the pair rollup; the support floor bounds the rule
+    set. All ratios are one double multiply-divide chain floored to
+    integers — engine-exact."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    singles = basket.groupBy("p_type").agg(F.count("*").alias("n"))
+    tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = basket.select("l_orderkey", F.col("p_type").alias("antecedent"))
+    b = basket.select("l_orderkey", F.col("p_type").alias("consequent"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 50)
+    )
+    sa = singles.select(F.col("p_type").alias("antecedent"), F.col("n").alias("na"))
+    sc = singles.select(F.col("p_type").alias("consequent"), F.col("n").alias("nc"))
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.floor(F.col("support") * 1000000.0 / F.col("na"))
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.floor(
+                F.col("support") * 1000000.0 * F.col("n_orders")
+                / (F.col("na") * F.col("nc"))
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

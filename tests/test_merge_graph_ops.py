@@ -322,3 +322,34 @@ def test_ab_lift_assignment_is_hash_rule(spark, sf_dir):
         assert rows[g].n_users == n
         assert rows[g].n_converted == nc
         assert rows[g].conv_ppm == nc * 1000000 // n
+
+
+def test_basket_rules_matches_bruteforce(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    part = {
+        r.p_partkey: r.p_type
+        for r in load(spark, sf_dir, "part").select("p_partkey", "p_type").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(part[r.l_partkey])
+    singles, pairs = defaultdict(int), defaultdict(int)
+    for items in baskets.values():
+        for t in items:
+            singles[t] += 1
+        for x in items:
+            for y in items:
+                if x != y:
+                    pairs[(x, y)] += 1
+    n_orders = len(baskets)
+    got = {
+        (r.antecedent, r.consequent): (r.support, r.confidence_ppm, r.lift_ppm)
+        for r in registry.QUERIES["q_basket_rules"](spark, sf_dir).collect()
+    }
+    want = {}
+    for (x, y), s in pairs.items():
+        if s >= 50:
+            conf = int(s * 1000000.0 // singles[x])
+            lift = int((s * 1000000.0 * n_orders) // (singles[x] * singles[y]))
+            want[(x, y)] = (s, conf, lift)
+    assert got == want

@@ -562,3 +562,36 @@ def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q17)
+
+
+_Q14 = """
+SELECT CAST(floor(
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           * 1000000.0
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       ) AS BIGINT) AS promo_share_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("q_sql_q14", oracle=_Q14)
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo revenue share of one month's
+    shipments — a conditional-aggregate ratio over the lineitem ⋈ part
+    join (part broadcasts; the date range pushes to the scan). Both
+    sums are exact DECIMALs; the share is one double multiply-divide
+    floored to ppm, so the ratio is engine-exact (the original's
+    100.0*x/y double form rounds differently per engine)."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q14)

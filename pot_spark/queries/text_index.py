@@ -571,3 +571,85 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+      WHERE len(toks) >= 2
+    ),
+    dfreq AS (
+      SELECT source, gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1, 2
+    ),
+    srcn AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY 1),
+    boiler AS (
+      SELECT dfreq.source, dfreq.gram FROM dfreq JOIN srcn USING (source)
+      WHERE dfreq.df * 5 >= srcn.n_docs
+    )
+    SELECT g.doc_id,
+           g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_boiler,
+           CAST(COUNT(b.gram) * 1000000 // COUNT(*) AS BIGINT) AS boiler_ppm
+    FROM g LEFT JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+    GROUP BY 1, 2
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection, the CCNet/RefinedWeb preprocessing
+    step: a bigram is boilerplate for a source when it appears in >= 20%
+    of that source's documents (nav bars, footers, license headers —
+    text shared across a crawl domain rather than authored per page),
+    and each document reports its boilerplate fraction in exact floored
+    ppm (integer `div` on both engines — no float threshold anywhere;
+    the df cut is the integer cross-product ``df * 5 >= n_docs``).
+
+    Plan shape at 100 TB: the bigram explode is scan-side codegen
+    (split + transform over token index — no Python); document
+    frequency shuffles once on (source, gram) with map-side partial
+    aggregation; the boilerplate set is by construction the tiny
+    high-df head of the Zipf curve, so the back-join of every gram
+    occurrence against it is an AQE-broadcast; the per-doc rollup
+    shuffles on doc_id. Production variant would join on
+    ``xxhash64(gram)`` to cut shuffle bytes — kept as strings here so
+    the DuckDB oracle can replay the exact pipeline. No reference
+    counterpart (pot has no text ops, SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    grams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    dfreq = grams.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    srcn = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    boiler = (
+        dfreq.join(srcn, "source")
+        .filter(F.col("df") * 5 >= F.col("n_docs"))
+        .select("source", "gram", F.lit(1).alias("is_b"))
+    )
+    marked = grams.join(boiler, ["source", "gram"], "left")
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("is_b").cast("bigint").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.expr("CAST(n_boiler * 1000000 DIV n_grams AS BIGINT)"),
+        )
+    )

@@ -153,3 +153,47 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first_value("c_acctbal").over(wf), 2).alias("seg_min_bal"),
         F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("seg_2nd_bal"),
     )
+
+
+@query(
+    "q_window_median",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id,
+           list_sort(vals)[CAST((len(vals) + 1) // 2 AS BIGINT)] AS med7
+    FROM w
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling order statistic: the discrete (lower-middle) median of
+    each user's last 7 events — the robust smoother that a mean-based
+    rolling window can't give you over spiky telemetry. Exact and
+    engine-portable by construction: both sides collect the 7-row frame,
+    sort it, and SELECT an element (no averaging, no float arithmetic),
+    so the result is one of the input doubles, bit-identical everywhere.
+
+    Plan shape: one window partitioned by user_id (state shards across
+    executors; no global sort), O(w log w) work per row at w=7 inside
+    codegen'd array_sort. For large frames (w in the thousands) this
+    array-rebuild becomes O(w^2 log w) per partition slice and the right
+    design is a running two-heap/multiset via transformWithStateInPandas
+    (see pot_spark/streaming/runner.py for the stateful pattern) — at
+    w=7 the array frame is strictly cheaper than Python state hops."""
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    vals = F.array_sort(F.collect_list("value").over(w))
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", vals.alias("vals"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))"
+            ).alias("med7"),
+        )
+    )

@@ -449,3 +449,19 @@ def test_gdpr_erase_zero_fact_shuffle_joins(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_gdpr_erase")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_window_median_stays_partitioned_by_user(spark, sf_dir):
+    # the rolling-median window must shard by user_id — a global sort of
+    # the event stream would be the 100x scale-killer
+    p = _plan(spark, sf_dir, "q_window_median")
+    # partition spec present -> no single-partition sort
+    assert re.search(r"windowspecdefinition\(user_id", p)
+
+
+def test_boilerplate_ngrams_no_cartesian_and_partial_agg(spark, sf_dir):
+    # gram df rollup must partial-aggregate map-side; the occurrence ->
+    # boilerplate-set back-join must never be a cartesian product
+    p = _plan(spark, sf_dir, "q_boilerplate_ngrams")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2

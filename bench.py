@@ -70,6 +70,10 @@ HEADLINE = [
     "q_event_transitions",
     "q_sql_q1",
     "q_sql_q8",
+    "q_boilerplate_ngrams",
+    "q_window_median",
+    "q_window_ewma",
+    "q_winsorize",
 ]
 
 

@@ -928,3 +928,81 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_ppm"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS lo,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(MAX(r.n) AS BIGINT) AS n,
+           MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+           CAST(COUNT(*) FILTER (WHERE r.value < b.lo) AS BIGINT) AS n_lo_clip,
+           CAST(COUNT(*) FILTER (WHERE r.value > b.hi) AS BIGINT) AS n_hi_clip,
+           CAST(SUM(CAST(LEAST(GREATEST(r.value, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clamping), the standard robust-cleaning
+    step before training-statistics aggregation: per event type, values
+    are clamped to the discrete p05/p95 bounds and the clipped counts and
+    clipped DECIMAL sum are reported. Bounds are SELECTED data values at
+    integer ranks ((n*5+99) div 100 — exact ceil in integer arithmetic),
+    never interpolated, so both engines pick the identical double; ties
+    in `value` need no tie-breaker because the value at a rank is
+    invariant under permutations of equal values.
+
+    Plan shape: one shuffle by event_type feeds both the rank window and
+    the count window (shared sort), the bounds relation is
+    groups-sized and broadcast back, final rollup partial-aggregates.
+    Exact per-group percentiles require the per-group sort at any scale;
+    at 100 TB swap the bounds source to approx_percentile (t-digest,
+    mergeable map-side — see q_approx_percentile) and keep the clamp
+    join unchanged."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_n = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_n)
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 5 + 99) DIV 100"), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) DIV 100"), F.col("value"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1))
+            .cast("bigint")
+            .alias("n_lo_clip"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1))
+            .cast("bigint")
+            .alias("n_hi_clip"),
+            F.sum(clipped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_clipped"),
+        )
+    )

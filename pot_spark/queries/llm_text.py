@@ -1083,3 +1083,59 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("skey").alias("first_key"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
     )
+
+
+@query(
+    "q_corpus_drift",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM s)
+    SELECT lang, n_a, n_b,
+           CAST(n_a * 1000000 // t_a AS BIGINT) AS rate_a_ppm,
+           CAST(n_b * 1000000 // t_b AS BIGINT) AS rate_b_ppm,
+           CAST(abs(n_a * 1000000 // t_a - n_b * 1000000 // t_b) AS BIGINT)
+             AS drift_ppm
+    FROM s, tot
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition drift monitor: the per-language rate of two
+    corpus slices (here the doc_id parity split standing in for
+    yesterday's vs today's crawl) side by side with the per-language
+    total-variation contribution, all in exact floored-ppm integers —
+    no KL/log terms, so nothing is libm-dependent and the alert
+    threshold (`drift_ppm`) is engine- and partitioning-exact. Summing
+    drift_ppm/2 over languages gives total TV distance; the per-language
+    rows are what a pipeline alert actually pages on ("zh share fell
+    3%").
+
+    Plan shape: ONE scan with conditional partial aggregation (both
+    slice counts come out of the same groupBy — no second pass, no
+    self-join), then a 1-row totals aggregate cross-joined back onto
+    the language-sized relation; Spark broadcasts the single-row side
+    into the codegen'd projection. Languages are bounded (thousands),
+    so every post-scan relation is KB-sized at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).cast("bigint").alias("n_b"),
+    )
+    tot = s.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("rate_a_ppm", F.expr("CAST(n_a * 1000000 DIV t_a AS BIGINT)"))
+        .withColumn("rate_b_ppm", F.expr("CAST(n_b * 1000000 DIV t_b AS BIGINT)"))
+        .withColumn(
+            "drift_ppm", F.expr("CAST(abs(rate_a_ppm - rate_b_ppm) AS BIGINT)")
+        )
+        .select(
+            "lang", "n_a", "n_b", "rate_a_ppm", "rate_b_ppm", "drift_ppm"
+        )
+    )

@@ -839,3 +839,77 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("growth_ppm"),
     )
+
+
+@query(
+    "q_window_ewma",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id,
+         lag(value, 0) OVER w AS v0, lag(value, 1) OVER w AS v1,
+         lag(value, 2) OVER w AS v2, lag(value, 3) OVER w AS v3,
+         lag(value, 4) OVER w AS v4, lag(value, 5) OVER w AS v5,
+         lag(value, 6) OVER w AS v6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+        (COALESCE(CAST(floor(v0*100) AS BIGINT)*64, 0)
+       + COALESCE(CAST(floor(v1*100) AS BIGINT)*32, 0)
+       + COALESCE(CAST(floor(v2*100) AS BIGINT)*16, 0)
+       + COALESCE(CAST(floor(v3*100) AS BIGINT)*8, 0)
+       + COALESCE(CAST(floor(v4*100) AS BIGINT)*4, 0)
+       + COALESCE(CAST(floor(v5*100) AS BIGINT)*2, 0)
+       + COALESCE(CAST(floor(v6*100) AS BIGINT), 0)) AS num,
+        (CASE WHEN v0 IS NULL THEN 0 ELSE 64 END
+       + CASE WHEN v1 IS NULL THEN 0 ELSE 32 END
+       + CASE WHEN v2 IS NULL THEN 0 ELSE 16 END
+       + CASE WHEN v3 IS NULL THEN 0 ELSE 8 END
+       + CASE WHEN v4 IS NULL THEN 0 ELSE 4 END
+       + CASE WHEN v5 IS NULL THEN 0 ELSE 2 END
+       + CASE WHEN v6 IS NULL THEN 0 ELSE 1 END) AS den
+      FROM l
+    )
+    SELECT user_id, event_id, num, den,
+           CAST(num AS DOUBLE) / den / 100 AS ewma
+    FROM s
+    """,
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (half-life = 1 step) over
+    each user's last 7 events, in EXACT integer arithmetic: centi-scaled
+    values (floor(value*100) — IEEE multiply then floor, identical on
+    both engines) weighted by powers of two (64..1), missing leading
+    rows contribute zero weight. The num/den integers are the checked
+    artifact; the convenience `ewma` double is two correctly-rounded
+    IEEE divisions, so it is also bit-identical. This is the standard
+    smoother for telemetry/price ticks where the rolling mean lags and
+    the rolling median (q_window_median) ignores magnitude.
+
+    Plan shape: all seven lag() calls share ONE window spec, so Spark
+    plans a single user-partitioned sort — one shuffle, no joins, and
+    the whole expression tree runs in whole-stage codegen. An unbounded
+    (infinite-memory) EWMA is inherently recursive — that variant is a
+    stateful streaming op (transformWithStateInPandas, runner.py), not
+    a window query; the 7-tap FIR form here is what a backfill over a
+    100 TB event table should use."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = None
+    den = None
+    for k in range(7):
+        wt = 2 ** (6 - k)
+        v = F.lag("value", k).over(w)
+        t_num = F.coalesce(
+            (F.floor(v * 100).cast("bigint") * wt).cast("bigint"), F.lit(0)
+        )
+        t_den = F.when(v.isNull(), 0).otherwise(wt)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+    ).withColumn("ewma", F.col("num").cast("double") / F.col("den") / 100)

@@ -465,3 +465,27 @@ def test_boilerplate_ngrams_no_cartesian_and_partial_agg(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_boilerplate_ngrams")
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_winsorize_windows_share_sort_and_bounds_broadcast(spark, sf_dir):
+    # rank + count windows must reuse one event_type shuffle; the
+    # groups-sized bounds relation joins back as a broadcast
+    p = _plan(spark, sf_dir, "q_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_window_ewma_single_window_no_joins(spark, sf_dir):
+    # seven lag taps share one window spec: one user-partitioned sort,
+    # no join anywhere in the plan
+    p = _plan(spark, sf_dir, "q_window_ewma")
+    assert re.search(r"windowspecdefinition\(user_id", p)
+    assert "Join" not in p
+
+
+def test_corpus_drift_totals_broadcast_onto_lang_rollup(spark, sf_dir):
+    # the 1-row totals side must broadcast; the scan happens once (both
+    # slice counts from the same conditional aggregation)
+    p = _plan(spark, sf_dir, "q_corpus_drift")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -92,6 +92,17 @@ NOTES = {
     "q_gdpr_erase": "subject and erased-order key lists broadcast; every fact "
     "table probed scan-side — the cascade costs one scan per table, zero "
     "fact shuffles.",
+    "q_boilerplate_ngrams": "bigram explode in the scan stage; (source, gram) "
+    "df rollup partial-aggregates; the high-df boilerplate set broadcasts "
+    "back onto the occurrence stream; per-doc rollup is the only other "
+    "exchange.",
+    "q_window_ewma": "seven lag taps share ONE window spec: a single "
+    "user-partitioned exchange, zero joins, integer multiply-adds in "
+    "whole-stage codegen.",
+    "q_winsorize": "rank + count windows share one event_type sort; the "
+    "groups-sized bounds relation comes back as a BroadcastHashJoin.",
+    "q_corpus_drift": "one conditional-aggregation scan produces both slice "
+    "counts; the 1-row totals aggregate broadcasts into the projection.",
 }
 
 _DETAIL_KEYS = (

@@ -10,7 +10,9 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from pot_spark import registry  # noqa: F401 - ensures modules import
+from pot_spark import registry
+
+registry.load_all_query_modules()
 
 _intervals = st.lists(
     st.tuples(
@@ -121,4 +123,95 @@ def test_merge_classification_model(spark, base_keys, changes):
     for k, op in changes:
         if k not in base_keys:
             want["insert"] = want.get("insert", 0) + 1
+    assert got == want
+
+
+_values = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.floats(
+            min_value=-1e12,
+            max_value=1e12,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _write_events_fixture(rows) -> str:
+    """Materialize generated (user, value) rows as a minimal events.parquet
+    so the REAL registered queries (which load from an sf_dir) run on
+    hypothesis-generated data, not just the checked-in fixtures."""
+    import datetime
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="pot_prop_events_")
+    t0 = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return d
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_values)
+def test_window_ewma_model(spark, rows):
+    """q_window_ewma's integer num/den on arbitrary doubles (negative,
+    huge, tiny) equals the sequential Python model: floor(v*100) ints
+    weighted 64..1 over the last 7 rows per user."""
+    import math
+
+    d = _write_events_fixture(rows)
+    got = {
+        (r.user_id, r.event_id): (r.num, r.den)
+        for r in registry.QUERIES["q_window_ewma"](spark, d).collect()
+    }
+    hist: dict[int, list[tuple[int, float]]] = {}
+    for i, (u, v) in enumerate(rows):
+        hist.setdefault(u, []).append((i, v))
+    want = {}
+    for u, evs in hist.items():
+        for j, (eid, _) in enumerate(evs):
+            window = evs[max(0, j - 6) : j + 1][::-1]  # newest first
+            num = sum(
+                math.floor(v * 100) * (2 ** (6 - k))
+                for k, (_, v) in enumerate(window)
+            )
+            den = sum(2 ** (6 - k) for k in range(len(window)))
+            want[(u, eid)] = (num, den)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_values)
+def test_window_median_model(spark, rows):
+    """q_window_median's lower-middle selection over the last 7 rows per
+    user equals the sorted-slice Python model exactly (the result is an
+    input double, never an interpolation)."""
+    d = _write_events_fixture(rows)
+    got = {
+        (r.user_id, r.event_id): r.med7
+        for r in registry.QUERIES["q_window_median"](spark, d).collect()
+    }
+    hist: dict[int, list[tuple[int, float]]] = {}
+    for i, (u, v) in enumerate(rows):
+        hist.setdefault(u, []).append((i, v))
+    want = {}
+    for u, evs in hist.items():
+        for j, (eid, _) in enumerate(evs):
+            vals = sorted(v for _, v in evs[max(0, j - 6) : j + 1])
+            want[(u, eid)] = vals[(len(vals) + 1) // 2 - 1]
     assert got == want

@@ -937,7 +937,7 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value,
              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     bounds AS (
       SELECT event_type,
@@ -945,15 +945,16 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS hi
       FROM ranked GROUP BY event_type
     )
-    SELECT r.event_type,
-           CAST(MAX(r.n) AS BIGINT) AS n,
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
            MAX(b.lo) AS lo, MAX(b.hi) AS hi,
-           CAST(COUNT(*) FILTER (WHERE r.value < b.lo) AS BIGINT) AS n_lo_clip,
-           CAST(COUNT(*) FILTER (WHERE r.value > b.hi) AS BIGINT) AS n_hi_clip,
-           CAST(SUM(CAST(LEAST(GREATEST(r.value, b.lo), b.hi)
+           CAST(COUNT(*) FILTER (WHERE e.value < b.lo) AS BIGINT) AS n_lo_clip,
+           CAST(COUNT(*) FILTER (WHERE e.value > b.hi) AS BIGINT) AS n_hi_clip,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
                          AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
-    FROM ranked r JOIN bounds b USING (event_type)
-    GROUP BY r.event_type
+    FROM (SELECT event_type, value FROM events WHERE value IS NOT NULL) e
+    JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
     """,
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,14 +967,26 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `value` need no tie-breaker because the value at a rank is
     invariant under permutations of equal values.
 
-    Plan shape: one shuffle by event_type feeds both the rank window and
-    the count window (shared sort), the bounds relation is
-    groups-sized and broadcast back, final rollup partial-aggregates.
-    Exact per-group percentiles require the per-group sort at any scale;
-    at 100 TB swap the bounds source to approx_percentile (t-digest,
-    mergeable map-side — see q_approx_percentile) and keep the clamp
-    join unchanged."""
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    Plan shape: the BOUNDS branch pays the per-group sort (rank + count
+    windows over one event_type exchange) — the price of exactness; the
+    CLAMP branch never shuffles a raw row: scan -> broadcast-join the
+    groups-sized bounds -> map-side partial aggregation, so the only
+    thing crossing the wire is per-group partials (the group count comes
+    from the final COUNT(*), not a window, precisely so this branch
+    needs no sort). Exact per-group percentiles require the sorted pass
+    at any scale; at 100 TB swap the bounds source to approx_percentile
+    (t-digest, mergeable map-side — see q_approx_percentile) and the
+    clamp branch — the one that touches every row — is unchanged.
+
+    NULL values are filtered out up front ON BOTH SIDES: Spark's window
+    ORDER BY defaults to NULLS FIRST and DuckDB's to NULLS LAST, so any
+    NULL in the group would shift every rank between the engines — the
+    explicit IS NOT NULL filter is the only rank definition they share."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     w_rank = Window.partitionBy("event_type").orderBy("value")
     w_n = Window.partitionBy("event_type")
     ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
@@ -989,10 +1002,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
-        ranked.join(F.broadcast(bounds), "event_type")
+        ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
-            F.max("n").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n"),
             F.max("lo").alias("lo"),
             F.max("hi").alias("hi"),
             F.count(F.when(F.col("value") < F.col("lo"), 1))

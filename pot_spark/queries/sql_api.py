@@ -330,7 +330,7 @@ SELECT supp_nation, cust_nation, l_year,
 FROM (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
            CAST(l.l_extendedprice AS DECIMAL(18,2))
              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
              AS volume
@@ -466,7 +466,7 @@ SELECT o_year,
                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
             / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
 FROM (
-    SELECT year(o.o_orderdate) AS o_year,
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
            CAST(l.l_extendedprice AS DECIMAL(18,2))
              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
              AS volume,

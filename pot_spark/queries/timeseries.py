@@ -824,7 +824,9 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug; the data-scale work is the one partial-agg'd monthly rollup."""
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym")
     ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
         F.count("*").alias("n_orders"),
@@ -862,13 +864,13 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
        + COALESCE(CAST(floor(v4*100) AS BIGINT)*4, 0)
        + COALESCE(CAST(floor(v5*100) AS BIGINT)*2, 0)
        + COALESCE(CAST(floor(v6*100) AS BIGINT), 0)) AS num,
-        (CASE WHEN v0 IS NULL THEN 0 ELSE 64 END
-       + CASE WHEN v1 IS NULL THEN 0 ELSE 32 END
-       + CASE WHEN v2 IS NULL THEN 0 ELSE 16 END
-       + CASE WHEN v3 IS NULL THEN 0 ELSE 8 END
-       + CASE WHEN v4 IS NULL THEN 0 ELSE 4 END
-       + CASE WHEN v5 IS NULL THEN 0 ELSE 2 END
-       + CASE WHEN v6 IS NULL THEN 0 ELSE 1 END) AS den
+        CAST(CASE WHEN v0 IS NULL THEN 0 ELSE 64 END
+           + CASE WHEN v1 IS NULL THEN 0 ELSE 32 END
+           + CASE WHEN v2 IS NULL THEN 0 ELSE 16 END
+           + CASE WHEN v3 IS NULL THEN 0 ELSE 8 END
+           + CASE WHEN v4 IS NULL THEN 0 ELSE 4 END
+           + CASE WHEN v5 IS NULL THEN 0 ELSE 2 END
+           + CASE WHEN v6 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS den
       FROM l
     )
     SELECT user_id, event_id, num, den,

@@ -162,7 +162,7 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, value,
              list(value) OVER (PARTITION BY user_id ORDER BY event_id
                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, event_id,
            list_sort(vals)[CAST((len(vals) + 1) // 2 AS BIGINT)] AS med7
@@ -183,11 +183,17 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-rebuild becomes O(w^2 log w) per partition slice and the right
     design is a running two-heap/multiset via transformWithStateInPandas
     (see pot_spark/streaming/runner.py for the stateful pattern) — at
-    w=7 the array frame is strictly cheaper than Python state hops."""
+    w=7 the array frame is strictly cheaper than Python state hops.
+
+    NULL measurements are filtered out up front ON BOTH SIDES: Spark's
+    collect_list silently drops NULLs while DuckDB's list() keeps them,
+    so an explicit IS NOT NULL scan filter is the only frame definition
+    the two engines actually share."""
     w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
     vals = F.array_sort(F.collect_list("value").over(w))
     return (
         load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .select("user_id", "event_id", "value", vals.alias("vals"))
         .select(
             "user_id",

@@ -145,13 +145,16 @@ def _write_events_fixture(rows) -> str:
     """Materialize generated (user, value) rows as a minimal events.parquet
     so the REAL registered queries (which load from an sf_dir) run on
     hypothesis-generated data, not just the checked-in fixtures."""
+    import atexit
     import datetime
+    import shutil
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix="pot_prop_events_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     t0 = datetime.datetime(2024, 1, 1)
     tbl = pa.table(
         {

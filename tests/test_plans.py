@@ -467,12 +467,18 @@ def test_boilerplate_ngrams_no_cartesian_and_partial_agg(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
-def test_winsorize_windows_share_sort_and_bounds_broadcast(spark, sf_dir):
-    # rank + count windows must reuse one event_type shuffle; the
-    # groups-sized bounds relation joins back as a broadcast
+def test_winsorize_clamp_branch_never_shuffles_raw_rows(spark, sf_dir):
+    # only the BOUNDS branch may sort (rank + count windows over one
+    # event_type exchange); the clamp branch must be scan -> broadcast
+    # join -> partial agg, with nothing but per-group partials crossing
+    # the wire (exactly: 1 Sort, 2 Windows, 2 Exchanges, broadcast join)
     p = _plan(spark, sf_dir, "q_winsorize")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    tree = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert len(re.findall(r"\(\d+\) Sort\b", tree)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", tree)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", tree)) == 2
 
 
 def test_window_ewma_single_window_no_joins(spark, sf_dir):

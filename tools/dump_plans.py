@@ -99,6 +99,9 @@ NOTES = {
     "q_window_ewma": "seven lag taps share ONE window spec: a single "
     "user-partitioned exchange, zero joins, integer multiply-adds in "
     "whole-stage codegen.",
+    "q_window_median": "one user-partitioned window (no global sort); "
+    "the 7-row frame is collected, sorted, and element-SELECTED inside "
+    "the window stage — zero joins, zero extra exchanges.",
     "q_winsorize": "rank + count windows share one event_type sort; the "
     "groups-sized bounds relation comes back as a BroadcastHashJoin.",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "

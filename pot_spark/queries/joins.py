@@ -483,20 +483,36 @@ def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_cooccurrence",
-    oracle="""
-    WITH basket AS (
+# shared basket definition: one distinct (order, part-type) item set —
+# q_cooccurrence and q_basket_rules must agree on it, so there is exactly
+# one copy of the SQL fragment and one Spark builder
+_BASKET_SQL = """basket AS (
         SELECT DISTINCT l.l_orderkey, p.p_type
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )"""
+
+
+def _basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
     )
+
+
+@query(
+    "q_cooccurrence",
+    oracle=f"""
+    WITH {_BASKET_SQL}
     SELECT a.p_type AS type_a, b.p_type AS type_b,
            CAST(COUNT(*) AS BIGINT) AS support
     FROM basket a JOIN basket b
       ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
     GROUP BY 1, 2
     ORDER BY support DESC, type_a, type_b
-    LIMIT 15
+    LIMIT 10
     """,
 )
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,15 +522,12 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-rule and also-bought recommenders. Pair volume per
     order is bounded by the basket size squared (TPC-H baskets are ~7
     lines), so the self-join output is O(orders · basket²), linear in
-    orders; the part dim broadcasts into the basket build; top-15 is a
-    per-partition heap. Integer supports, engine-exact."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    basket = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_type")
-        .distinct()
-    )
+    orders; the part dim broadcasts into the basket build; top-10 is a
+    per-partition heap, and it BINDS on the fixtures (6 part types ->
+    15 undirected pairs, so 5 are cut -- the truncation and its
+    support-then-name tie-break are actually exercised). Integer
+    supports, engine-exact."""
+    basket = _basket(spark, sf_dir)
     a = basket.select(F.col("l_orderkey"), F.col("p_type").alias("type_a"))
     b = basket.select(F.col("l_orderkey"), F.col("p_type").alias("type_b"))
     return (
@@ -523,17 +536,14 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("support"))
         .orderBy(F.desc("support"), "type_a", "type_b")
-        .limit(15)
+        .limit(10)
     )
 
 
 @query(
     "q_basket_rules",
-    oracle="""
-    WITH basket AS (
-        SELECT DISTINCT l.l_orderkey, p.p_type
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    ),
+    oracle=f"""
+    WITH {_BASKET_SQL},
     singles AS (
         SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY 1
     ),
@@ -555,7 +565,7 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN singles sa ON sa.p_type = antecedent
     JOIN singles sc ON sc.p_type = consequent
     CROSS JOIN tot t
-    WHERE support >= 50
+    WHERE support * 1000 >= 235 * t.n_orders
     """,
 )
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,16 +574,16 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers for every directed pair above a support floor — the output
     an also-bought recommender actually ranks by (lift > 1e6 ppm means
     positive association). The singles table and the 1-row basket total
-    broadcast onto the pair rollup; the support floor bounds the rule
-    set. All ratios are one double multiply-divide chain floored to
+    broadcast onto the pair rollup; the support floor is RELATIVE
+    (support/n_orders >= 23.5% -- the Apriori min-support form, so it
+    binds at every scale factor and is integer-exact cross-engine). All ratios are one double multiply-divide chain floored to
     integers — engine-exact."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    basket = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_type")
-        .distinct()
-    )
+    from pot_spark.session import reliable_checkpoint
+
+    # the basket feeds four consumers (singles, tot, both pair legs):
+    # checkpoint it so the lineitem x part join + distinct runs once,
+    # like the oracle CTE, instead of once per consumer
+    basket = reliable_checkpoint(_basket(spark, sf_dir))
     singles = basket.groupBy("p_type").agg(F.count("*").alias("n"))
     tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = basket.select("l_orderkey", F.col("p_type").alias("antecedent"))
@@ -583,7 +593,6 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 50)
     )
     sa = singles.select(F.col("p_type").alias("antecedent"), F.col("n").alias("na"))
     sc = singles.select(F.col("p_type").alias("consequent"), F.col("n").alias("nc"))
@@ -591,6 +600,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(sa), "antecedent")
         .join(F.broadcast(sc), "consequent")
         .crossJoin(F.broadcast(tot))
+        .filter(F.col("support") * 1000 >= 235 * F.col("n_orders"))
         .select(
             "antecedent",
             "consequent",

@@ -348,8 +348,11 @@ def test_basket_rules_matches_bruteforce(spark, sf_dir):
     }
     want = {}
     for (x, y), s in pairs.items():
-        if s >= 50:
+        # relative Apriori min-support: support/n_orders >= 23.5%
+        if s * 1000 >= 235 * n_orders:
             conf = int(s * 1000000.0 // singles[x])
             lift = int((s * 1000000.0 * n_orders) // (singles[x] * singles[y]))
             want[(x, y)] = (s, conf, lift)
+    # the floor must actually bind: some pair below it, some above
+    assert 0 < len(want) < len(pairs)
     assert got == want

@@ -366,7 +366,15 @@ def _ship_package(spark) -> None:
     except Exception:  # noqa: BLE001 - e.g. a file of this name already added
         # do NOT mark shipped: a real failure must retry on the next
         # register() call instead of silently leaving workers import-blind
+        os.unlink(zpath)
         return
+    # the staging zip must OUTLIVE the context: executors fetch addPyFile
+    # files lazily at task start from this source path (deleting it early
+    # makes task fetches fail, and a recycled temp name then collides with
+    # the per-JVM fetch cache) — reclaim it at interpreter exit instead
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     sc._pot_spark_shipped = True
     importlib.invalidate_caches()
 

@@ -903,7 +903,7 @@ def _bloom_pos(j: int):
         FROM train, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) p
     ),
     words AS (
-        SELECT CAST(pos / {_BLOOM_BITS_PER_WORD} AS BIGINT) AS w,
+        SELECT (pos // {_BLOOM_BITS_PER_WORD}) AS w,
                bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_BITS_PER_WORD}
                                                 AS INTEGER)) AS bits
         FROM positions GROUP BY 1
@@ -921,7 +921,7 @@ def _bloom_pos(j: int):
                     (w.bits >> CAST(pr.pos % {_BLOOM_BITS_PER_WORD} AS INTEGER))
                     & 1 = 1 THEN 1 END) AS BIGINT) AS n_hits
         FROM probes pr
-        LEFT JOIN words w ON w.w = CAST(pr.pos / {_BLOOM_BITS_PER_WORD} AS BIGINT)
+        LEFT JOIN words w ON w.w = (pr.pos // {_BLOOM_BITS_PER_WORD})
         GROUP BY 1, 2, 3
     ),
     flagged AS (

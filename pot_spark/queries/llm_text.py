@@ -966,8 +966,9 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(SUM(m) AS BIGINT) AS n_bigrams,
-           ROUND(-SUM(m * LN(0.75 * cb.c / u1.n
-                             + 0.25 * u2.n / (SELECT big_n FROM tot)))
+           ROUND(-SUM(CAST(m * LN(0.75 * cb.c / u1.n
+                                  + 0.25 * u2.n / (SELECT big_n FROM tot))
+                           AS DECIMAL(28,12)))
                  / SUM(m), 6) AS avg_neg_logprob
     FROM doc_bi d
     JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
@@ -980,10 +981,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score: p(w2|w1) = 0.75·c(w1,w2)/c(w1) +
     0.25·c(w2)/N, per-doc average negative log-probability — the
     context-sensitive fluency filter that catches shuffled-word salad a
-    unigram model scores as fluent. Same shuffle-stability treatment as
-    q_unigram_logprob: scoring runs over per-(doc, bigram-type) partial
-    counts with the result rounded at 1e-6, so partial-sum order cannot
-    move the output.
+    unigram model scores as fluent. Shuffle-stability: each m·ln(p) term
+    is cast to DECIMAL(28,12) BEFORE the sum, so the aggregate is exact
+    and order-independent (a raw double sum varies with partition merge
+    order, and round(...,6) cannot repair a boundary straddle); the ln
+    itself is bit-identical across engines (one libm on this host), and
+    the term-level cast is deterministic given identical doubles.
 
     Scale posture: the bigram model table is type-scale (Zipf-bounded),
     not token-scale; the three model joins are keyed on bigram/token
@@ -1030,9 +1033,11 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.sum("m").cast("bigint").alias("n_bigrams"),
-            F.round(-F.sum(F.col("m") * F.log(p)) / F.sum("m"), 6).alias(
-                "avg_neg_logprob"
-            ),
+            F.round(
+                -F.sum((F.col("m") * F.log(p)).cast("decimal(28,12)"))
+                / F.sum("m"),
+                6,
+            ).alias("avg_neg_logprob"),
         )
     )
 

@@ -21,6 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# the batch twins must be registered before their ORACLES[...] lookups
+# below — import them here so importing THIS module standalone works,
+# instead of relying on load_all_query_modules()'s import ordering
+import pot_spark.queries.joins  # noqa: F401
+import pot_spark.queries.scale_ops  # noqa: F401
+import pot_spark.queries.streaming_windows  # noqa: F401
 from pot_spark.registry import ORACLES, query
 from pot_spark.streaming.runner import run_streaming_query
 

@@ -65,7 +65,7 @@ def load_all_query_modules() -> None:
     _interleave_registry()
 
 
-def _driver_verified_from_correctness_files() -> frozenset[str]:
+def _driver_verified_from_correctness_files() -> frozenset[str] | None:
     """Names already verified by the external driver's correctness gate,
     derived at import time from the checked-in CORRECTNESS_r*.json files
     (a query counts as verified only if its recorded row passed — errored
@@ -77,6 +77,7 @@ def _driver_verified_from_correctness_files() -> frozenset[str]:
     import os
 
     verified: set[str] = set()
+    any_readable = False
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -84,6 +85,7 @@ def _driver_verified_from_correctness_files() -> frozenset[str]:
                 rows = json.load(f)
         except Exception:  # noqa: BLE001 - unreadable file -> use fallback
             continue
+        any_readable = True
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -104,7 +106,11 @@ def _driver_verified_from_correctness_files() -> frozenset[str]:
                 verified.add(name)
             else:
                 verified.discard(name)  # later failure -> retest
-    return frozenset(verified)
+    # None (no readable file at all) is the only fallback trigger: a
+    # readable record that legitimately verifies nothing (e.g. a round
+    # where every row failed) must NOT be papered over by the stale
+    # static snapshot — those queries belong in the front retest group
+    return frozenset(verified) if any_readable else None
 
 
 # Static snapshot (union of CORRECTNESS_r01/r02 passes) used only when the
@@ -140,7 +146,8 @@ _DRIVER_VERIFIED_FALLBACK = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _driver_verified_from_correctness_files() or _DRIVER_VERIFIED_FALLBACK
+_derived = _driver_verified_from_correctness_files()
+_DRIVER_VERIFIED = _derived if _derived is not None else _DRIVER_VERIFIED_FALLBACK
 
 
 def _interleave_registry() -> None:

@@ -53,12 +53,18 @@ def reliable_checkpoint(df, eager: bool = True):
     (``SPARK_GRAFT_CHECKPOINT_DIR``); locally it falls back to a temp
     dir. Eager by default so the truncated subtree runs exactly once.
     """
+    import atexit
+    import shutil
     import tempfile
 
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or tempfile.mkdtemp(
-            prefix="pot_spark_ckpt_"
-        )
+        base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if base is None:
+            # local fallback dir: reclaim the materialized relations at
+            # interpreter exit (an explicit SPARK_GRAFT_CHECKPOINT_DIR is
+            # the caller's to manage — on a cluster it's durable storage)
+            base = tempfile.mkdtemp(prefix="pot_spark_ckpt_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
         sc.setCheckpointDir(base)
     return df.checkpoint(eager=eager)

@@ -718,3 +718,68 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("a", "b")).alias("v")
     ).agg(F.countDistinct("v").alias("n_nodes"))
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id AS a_id, label AS a_label, v AS va
+        FROM e WHERE vec_id < 16
+    ),
+    p AS (
+        SELECT a.a_id, e.vec_id AS nbr_id, e.label AS nbr_label,
+               round(list_cosine_similarity(a.va, e.v), 6) AS cos_sim
+        FROM a JOIN e ON e.label <> a.a_label
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, nbr_id) AS rn
+        FROM p
+    )
+    SELECT a_id, nbr_id, nbr_label, cos_sim FROM r WHERE rn <= 2
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor in the current batch (vec_id < 16 stands in for a training
+    microbatch), the two most-similar vectors with a DIFFERENT label —
+    the near-miss impostors whose gradients matter, which plain top-k
+    retrieval (q_sim_topk_batch) can't produce because its neighbors are
+    label-blind. Cosine rounded at 1e-6 with an id tie-break, the same
+    engine-exact ranking contract as the other similarity queries.
+
+    Plan shape: the anchor batch broadcasts (BroadcastNestedLoopJoin on
+    the label-inequality predicate) into ONE corpus scan; per-anchor
+    top-2 is a window partitioned by anchor id. At training scale the
+    batch is thousands of anchors, so the pair shuffle keys spread over
+    thousands of partitions (anchors ~ partition count — no skew); with
+    corpus >> memory the label-inequality join swaps its corpus leg for
+    the IVF-pruned cell scan of q_sim_ivf, keeping the window unchanged."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("va"),
+    )
+    pairs = e.join(
+        F.broadcast(anchors), F.col("label") != F.col("a_label")
+    ).select(
+        "a_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.round(_dot("va", "v") / (_norm("va") * _norm("v")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )

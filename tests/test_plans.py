@@ -495,3 +495,13 @@ def test_corpus_drift_totals_broadcast_onto_lang_rollup(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_corpus_drift")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hard_negatives_broadcasts_anchor_batch(spark, sf_dir):
+    # the anchor batch must broadcast into one corpus scan (nested-loop
+    # on the label-inequality predicate), never a cartesian of the corpus
+    # with itself; top-2 is a window partitioned by anchor id
+    p = _plan(spark, sf_dir, "q_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"windowspecdefinition\(a_id", p)

@@ -89,7 +89,7 @@ class PotDataSource(DataSource):
         return PotWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "PotStreamWriter":
-        return PotStreamWriter(self.options)
+        return PotStreamWriter(self.options, overwrite)
 
 
 class PotReaderNoPushdown(DataSourceReader):
@@ -128,9 +128,15 @@ class PotReaderNoPushdown(DataSourceReader):
     def read(self, partition: _FilePartition):
         if not partition.file:
             return
+        if self._keys is not None and not self._keys:
+            return  # contradictory pushed predicates -> provably empty
         table = pq.read_table(partition.file, schema=_ARROW_SCHEMA)
         if self._keys is not None:
-            table = table.filter(pc.is_in(table.column("key"), pa.array(self._keys)))
+            # explicit string type: an empty/None-typed value set would
+            # make pyarrow's is_in raise instead of matching nothing
+            table = table.filter(
+                pc.is_in(table.column("key"), pa.array(self._keys, pa.string()))
+            )
         yield from table.to_batches()
 
 
@@ -141,11 +147,22 @@ class PotReader(PotReaderNoPushdown):
         pruning would need Spark's murmur3 on the driver; row filtering
         inside the scan already removes the transfer cost, which is what
         dominates a wide-doc pot.)"""
+        def _narrow(keys: list[str]) -> None:
+            # conjunctive filters INTERSECT: consuming a second key
+            # predicate by overwriting the first would silently widen
+            # the result (Spark adds no post-scan filter for consumed
+            # predicates)
+            self._keys = (
+                keys
+                if self._keys is None
+                else [k for k in self._keys if k in set(keys)]
+            )
+
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("key",):
-                self._keys = [f.value]
+                _narrow([f.value])
             elif isinstance(f, In) and f.attribute == ("key",):
-                self._keys = list(f.value)
+                _narrow(list(f.value))
             else:
                 yield f  # unsupported -> Spark applies it post-scan
 
@@ -220,13 +237,16 @@ class PotStreamWriter(DataSourceStreamWriter):
     published through the manifest commit, with the same per-epoch
     put-if-absent ledger the foreachBatch sink uses
     (pot_spark/streaming/sink.py) — a replayed epoch after failure
-    recovery is a no-op, so the pot observes each batch exactly once."""
+    recovery is a no-op, so the pot observes each batch exactly once.
+    Complete-mode streams pass overwrite=True and REPLACE the pot each
+    epoch (replace_batch); update/append modes merge-upsert."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
         self._root = options.get("root")
         if not self._root:
             raise ValueError('the pot data source requires .option("root", <dir>)')
         self._path = options.get("path", "")
+        self._overwrite = overwrite
         store = PotStore(spark=None, root=self._root)
         self._staging = os.path.join(
             store._pot_dir(self._path), f"stage-stream-{uuid.uuid4().hex[:8]}"
@@ -248,7 +268,7 @@ class PotStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
-        from pot_spark.streaming.sink import _claim_epoch
+        from pot_spark.streaming.sink import _epoch_done, _mark_epoch_done
 
         store = PotStore(spark=None, root=self._root)
         docs: dict[str, dict] = {}
@@ -258,9 +278,15 @@ class PotStreamWriter(DataSourceStreamWriter):
             t = pq.read_table(m.file, schema=_ARROW_SCHEMA)
             for k, d in zip(t.column("key").to_pylist(), t.column("doc").to_pylist()):
                 docs[k] = json.loads(d)
-        # epoch ledger first: a replayed batch id must not commit twice
-        if docs and _claim_epoch(store, self._path, batchId):
-            store.create_batch(self._path, docs)
+        # commit FIRST, mark after: a replay of an unmarked-but-committed
+        # epoch re-applies an identical upsert (harmless); marking first
+        # would drop the epoch's data forever on a crash mid-commit
+        if docs and not _epoch_done(store, self._path, batchId):
+            if self._overwrite:
+                store.replace_batch(self._path, docs)
+            else:
+                store.create_batch(self._path, docs)
+            _mark_epoch_done(store, self._path, batchId)
         for m in messages:
             if m is not None:
                 try:

@@ -181,26 +181,40 @@ class PotStore:
         )
 
     def _try_commit(self, path: str, manifest: _Manifest) -> bool:
-        """Put-if-absent publish: O_EXCL manifest create is the commit
-        point (maps to create(overwrite=false) on HDFS-style stores)."""
+        """Put-if-absent publish of a FULLY WRITTEN manifest.
+
+        The record is staged under a name the manifest lister ignores
+        (no ``.json`` suffix), flushed, then published with ``os.link``
+        — an atomic create-if-absent of complete content. Creating the
+        target first and filling it afterwards (the previous design)
+        has two failure windows this closes: a reader listing commits
+        between create and fill would json-crash on a half-written
+        manifest, and a writer dying in that window would brick the pot
+        with a permanently truncated commit file. Maps to
+        write-temp + rename-if-absent on HDFS-style stores."""
         commits = os.path.join(self._pot_dir(path), _COMMITS)
         os.makedirs(commits, exist_ok=True)
         target = os.path.join(commits, f"{manifest.generation:020d}.json")
+        staging = os.path.join(commits, f".staged-{uuid.uuid4().hex}")
+        record = {
+            "generation": manifest.generation,
+            "committed_at": manifest.committed_at,
+            "snapshot": manifest.snapshot,
+            "n_keys": manifest.n_keys,
+        }
+        if manifest.files is not None:
+            record["files"] = manifest.files
+        with open(staging, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(staging, target)  # atomic put-if-absent, full content
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            record = {
-                "generation": manifest.generation,
-                "committed_at": manifest.committed_at,
-                "snapshot": manifest.snapshot,
-                "n_keys": manifest.n_keys,
-            }
-            if manifest.files is not None:
-                record["files"] = manifest.files
-            json.dump(record, f)
-        return True
+        finally:
+            os.unlink(staging)
 
     # -- snapshot I/O (pyarrow fast path; layout identical to Spark's) ------
 
@@ -212,9 +226,27 @@ class PotStore:
             os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
         )
 
+    def _vacuum_guard(self, manifest: _Manifest, path: str) -> None:
+        """Raise a CLEAR error when a retained manifest's snapshot data
+        was reclaimed by vacuum — a raw FileNotFoundError out of a
+        parquet read reads as corruption, not lifecycle (`restore` has
+        always had this guard; time travel and the change feed need the
+        same one)."""
+        dirs = (
+            {rel.split("/", 1)[0] for rel in manifest.files.values()}
+            if manifest.files is not None
+            else {manifest.snapshot}
+        )
+        for d in dirs:
+            if not os.path.exists(self._snapshot_path(path, d)):
+                raise ValueError(
+                    f"generation {manifest.generation} of {path!r} was vacuumed"
+                )
+
     def _read_content(self, manifest: Optional[_Manifest], path: str) -> dict[str, Any]:
         if manifest is None:
             return {}
+        self._vacuum_guard(manifest, path)
         if manifest.files is not None:
             parts: list[str] = []
             for rel in manifest.files.values():
@@ -471,6 +503,9 @@ class PotStore:
         assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
         if manifest is None:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA)
+        # fail at plan time with the lifecycle error, not at action time
+        # with a parquet path error
+        self._vacuum_guard(manifest, path)
         if manifest.files is not None:
             dirs = [self._snapshot_path(path, rel) for rel in manifest.files.values()]
             return self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
@@ -581,8 +616,17 @@ class PotStore:
 
         This is the 100 TB path: the merge is one shuffle on `key` (or
         zero with a broadcast of a small delta); the dict APIs above are
-        the metadata-scale convenience path with identical layout."""
+        the metadata-scale convenience path with identical layout.
+
+        Duplicate keys WITHIN the batch are collapsed to one arbitrary
+        row before merging: a JSON batch body can never carry the same
+        key twice (object keys are unique, and the dict plane dedups
+        structurally), so the DataFrame plane enforces the same
+        one-row-per-key invariant — without this, left_anti + union
+        would publish a pot with multiple rows per key. Callers that
+        care WHICH duplicate wins must pre-aggregate deterministically."""
         assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        new_df = new_df.dropDuplicates(["key"])
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
         with lock:
@@ -591,12 +635,12 @@ class PotStore:
             self.metrics.writes += 1
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
+                old = self.get_df(path)
                 if norewrite and manifest is not None:
                     allow = self._allow_rewrite(
                         manifest, norewrite, norewrite_duration, generation
                     )
                     if not allow:
-                        old = self.get_df(path)
                         conflict = (
                             new_df.join(old, "key", "left_semi").limit(1).collect()
                         )
@@ -604,7 +648,6 @@ class PotStore:
                             raise NoRewriteViolated(
                                 f"no-rewrite violated: {conflict[0]['key']}"
                             )
-                old = self.get_df(path)
                 merged = old.join(new_df, "key", "left_anti").unionByName(new_df)
                 next_gen = (manifest.generation if manifest else 0) + 1
                 name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
@@ -636,8 +679,12 @@ class PotStore:
         any generation see a consistent bucket set. A pot previously
         written unbucketed (or with a different n_buckets) is fully
         re-bucketed on its first bucketed commit.
+
+        Duplicate keys within the batch collapse to one arbitrary row,
+        same invariant (and reasoning) as create_df.
         """
         assert self.spark is not None, "PotStore needs a SparkSession for DataFrame APIs"
+        new_df = new_df.dropDuplicates(["key"])
         bucket_of = F.pmod(F.hash("key"), F.lit(n_buckets)).cast("int")
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
@@ -761,11 +808,9 @@ class PotStore:
             target = self._manifest_at(path, generation)
             if target is None:
                 raise ValueError(f"generation {generation} not found at {path!r}")
-            snap_dir = self._snapshot_path(path, target.snapshot)
-            if not os.path.isdir(snap_dir):
-                raise ValueError(
-                    f"generation {generation} at {path!r} was vacuumed"
-                )
+            # covers the plain snapshot AND every bucket dir a bucketed
+            # manifest carries from older generations
+            self._vacuum_guard(target, path)
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 if manifest is None:
@@ -857,21 +902,39 @@ class PotStore:
 
     def vacuum(self, path: str) -> int:
         """Remove snapshots not referenced by the latest manifest (loser
-        stages and superseded versions). Returns count removed."""
-        manifest = self._latest_manifest(path)
-        pot_dir = self._pot_dir(path)
-        if manifest is None or not os.path.isdir(pot_dir):
-            return 0
-        live = {manifest.snapshot}
-        if manifest.files is not None:
-            # bucket paths look like "<snapdir>/__b=<k>"; keep the snapdirs
-            live.update(rel.split("/", 1)[0] for rel in manifest.files.values())
-        removed = 0
-        for name in os.listdir(pot_dir):
-            if name.startswith("snap-") and name not in live:
+        stages and superseded versions). Returns count removed.
+
+        Two safety rules protect concurrent writers: the per-path lock
+        is held (an in-process writer can't be mid stage-then-commit),
+        and snapshot dirs whose generation is NEWER than the latest
+        committed manifest are never touched — a staging writer (this
+        process or another) always stages under next_gen > committed, so
+        its about-to-commit data is structurally out of vacuum's reach.
+        Only superseded versions and same/older-generation loser stages
+        are reclaimed."""
+        lock = self._local_lock(path)
+        with lock:
+            manifest = self._latest_manifest(path)
+            pot_dir = self._pot_dir(path)
+            if manifest is None or not os.path.isdir(pot_dir):
+                return 0
+            live = {manifest.snapshot}
+            if manifest.files is not None:
+                # bucket paths look like "<snapdir>/__b=<k>"; keep the snapdirs
+                live.update(rel.split("/", 1)[0] for rel in manifest.files.values())
+            removed = 0
+            for name in os.listdir(pot_dir):
+                if not name.startswith("snap-") or name in live:
+                    continue
+                try:
+                    snap_gen = int(name.split("-")[1])
+                except (IndexError, ValueError):
+                    snap_gen = None
+                if snap_gen is not None and snap_gen > manifest.generation:
+                    continue  # a concurrent writer's staged next generation
                 shutil.rmtree(os.path.join(pot_dir, name), ignore_errors=True)
                 removed += 1
-        return removed
+            return removed
 
     def compact(self, path: str) -> int:
         """Rewrite the pot's live content into ONE fresh snapshot at a new

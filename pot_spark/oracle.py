@@ -97,6 +97,11 @@ def check_parity(
     for c in sc.columns:
         sv, ov = sc[c], oc[c]
         if str(sv.dtype) != str(ov.dtype):
+            # a dtype skew is a FAILURE, not a note: an external checker
+            # enforcing schema equality marks the query red even when
+            # values agree, so the local mirror must too (the whole
+            # inventory holds dtype parity — see the Q7/Q8/ym fixes)
+            res.ok = False
             res.errors.append(f"dtype differs on {c}: {sv.dtype} vs {ov.dtype}")
         try:
             equal = sv.equals(ov)

@@ -48,10 +48,13 @@ def _event_stream(
     is linked TWICE, so the source delivers every event at-least-once
     across two microbatches — the delivery model a dedup operator must
     collapse back to exactly-once."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_")
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
     os.symlink(events_file, os.path.join(stream_dir, "events.parquet"))
     if replay:
         os.symlink(events_file, os.path.join(stream_dir, "events_replay.parquet"))
@@ -446,7 +449,11 @@ def run_streaming_query(
         plan, mode = STATIC_BUILDERS[name](stream, spark, sf_dir), "complete"
     else:
         plan, mode = BUILDERS[name](stream), "complete"
-    sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"
+    # deterministic sink name per query: a rerun REPLACES the previous
+    # run's memory-sink table instead of accumulating uuid-named views
+    # (and their driver-held rows) without bound across a long session
+    sink = f"sink_{name}"
+    spark.catalog.dropTempView(sink)
     q = (
         plan.writeStream.outputMode(mode)
         .format("memory")

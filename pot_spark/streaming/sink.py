@@ -31,18 +31,32 @@ def _epoch_ledger_dir(store: PotStore, path: str) -> str:
     return os.path.join(store._pot_dir(path), _EPOCHS_DIRNAME)
 
 
-def _claim_epoch(store: PotStore, path: str, epoch_id: int) -> bool:
-    """Put-if-absent epoch marker: False means this epoch already
-    committed (a foreachBatch replay after failure) and must be skipped."""
+def _epoch_done(store: PotStore, path: str, epoch_id: int) -> bool:
+    """True iff this epoch's pot commit already succeeded AND was marked
+    (a foreachBatch replay after failure) — the batch must be skipped."""
+    return os.path.exists(
+        os.path.join(_epoch_ledger_dir(store, path), f"{epoch_id:020d}")
+    )
+
+
+def _mark_epoch_done(store: PotStore, path: str, epoch_id: int) -> None:
+    """Record a SUCCESSFUL pot commit for this epoch.
+
+    Ordering is the whole contract: the marker is written strictly AFTER
+    the pot commit. Marking first (the previous design) opened an
+    at-most-once hole — a crash between marker and commit made the
+    replayed epoch skip itself and its data vanish forever. With
+    commit-then-mark, the only crash window (after commit, before mark)
+    makes the replay re-apply an IDENTICAL keyed upsert: one redundant
+    generation, byte-same final state — effectively once."""
     ledger = _epoch_ledger_dir(store, path)
     os.makedirs(ledger, exist_ok=True)
     target = os.path.join(ledger, f"{epoch_id:020d}")
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        return False
+        return
     os.close(fd)
-    return True
 
 
 # to_json's default format truncates timestamps to milliseconds; pot docs
@@ -82,9 +96,10 @@ def start_pot_upsert_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not _claim_epoch(store, path, epoch_id):
+        if _epoch_done(store, path, epoch_id):
             return
         store.create_df(path, keyed_json(batch_df, key_cols))
+        _mark_epoch_done(store, path, epoch_id)
 
     return (
         plan.writeStream.outputMode("update")

@@ -189,3 +189,26 @@ def test_no_pushdown_fallback_reader(ds_spark, tmp_path):
     finally:
         ds_spark.conf.set(conf, old)
         register(ds_spark)  # restore the pushdown source for other tests
+
+
+def test_conjunctive_key_filters_intersect(ds_spark, tmp_path):
+    """Two key predicates consumed by pushFilters must INTERSECT — the
+    reader keeping only the last one would silently widen the result
+    (Spark adds no post-scan filter for consumed predicates)."""
+    store = _mk_store(tmp_path)
+    store.create_batch("ix/p", {f"k{i}": {"v": i} for i in range(10)})
+    df = (
+        ds_spark.read.format("pot")
+        .option("root", store.root)
+        .load("ix/p")
+        .filter(F.col("key").isin("k1", "k2") & F.col("key").isin("k2", "k3"))
+    )
+    assert {r["key"] for r in df.collect()} == {"k2"}
+    # disjoint predicates -> empty, not the second set
+    empty = (
+        ds_spark.read.format("pot")
+        .option("root", store.root)
+        .load("ix/p")
+        .filter(F.col("key").isin("k1") & F.col("key").isin("k4", "k5"))
+    )
+    assert empty.collect() == []

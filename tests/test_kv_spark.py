@@ -277,3 +277,55 @@ def test_shallow_clone_bucketed_reads_source_files_then_cow(spark, tmp_path):
     files = store.get_df("cl/dst").inputFiles()
     assert any("cl/src" in f for f in files)  # untouched buckets shared
     assert any("cl/dst" in f for f in files)  # touched bucket local
+
+
+def test_create_df_collapses_duplicate_keys_in_batch(spark, store):
+    """A batch carrying the same key twice must publish ONE row per key
+    (a JSON batch body can't duplicate object keys; the DataFrame plane
+    enforces the same invariant)."""
+    import json as _json
+
+    dup = spark.createDataFrame(
+        [("a", _json.dumps({"v": 1})), ("a", _json.dumps({"v": 2})),
+         ("b", _json.dumps({"v": 3}))],
+        schema="key string, doc string",
+    )
+    store.create_df("dup", dup)
+    rows = store.get_df("dup").collect()
+    assert len(rows) == 2
+    assert {r["key"] for r in rows} == {"a", "b"}
+    # dict plane agrees (no fan-out on read-back)
+    assert set(store.get("dup")) == {"a", "b"}
+
+
+def test_vacuumed_generation_raises_clean_error(spark, store):
+    """After vacuum, time travel to a reclaimed generation must raise the
+    lifecycle error (not FileNotFoundError out of a parquet read), on
+    both the dict and DataFrame planes."""
+    import pytest as _pytest
+
+    store.create_df("tt", _doc_df(spark, {"a": {"v": 1}}))
+    store.create_df("tt", _doc_df(spark, {"a": {"v": 2}}))
+    assert store.vacuum("tt") >= 1
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.get_at("tt", 1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.get_df_at("tt", 1)
+    # the latest generation stays fully readable
+    assert store.get("tt")["a"] == {"v": 2}
+
+
+def test_vacuum_spares_staged_future_generation(spark, store):
+    """A concurrent writer's staged-but-uncommitted next-generation
+    snapshot dir must survive vacuum (only superseded/loser dirs at or
+    below the committed generation are reclaimed)."""
+    import os
+
+    store.create_df("vs", _doc_df(spark, {"a": {"v": 1}}))
+    store.create_df("vs", _doc_df(spark, {"a": {"v": 2}}))  # gen 2 live
+    pot_dir = store._pot_dir("vs")
+    staged = os.path.join(pot_dir, "snap-" + format(3, "020d") + "-deadbeef")
+    os.makedirs(staged)
+    removed = store.vacuum("vs")
+    assert removed >= 1  # gen-1's superseded snapshot went away
+    assert os.path.isdir(staged)  # the staged gen-3 dir did not

@@ -37,7 +37,7 @@ def test_stream_upsert_to_pot_exactly_once(spark, sf_dir, tmp_path):
     pot generation, and a replayed epoch is dropped by the ledger."""
     from pot_spark.kv.store import PotStore
     from pot_spark.streaming.runner import build_stateful_dedup
-    from pot_spark.streaming.sink import _claim_epoch, start_pot_upsert_stream
+    from pot_spark.streaming.sink import _epoch_done, start_pot_upsert_stream
     from pot_spark.tables import load
 
     ev = load(spark, sf_dir, "events")
@@ -77,8 +77,8 @@ def test_stream_upsert_to_pot_exactly_once(spark, sf_dir, tmp_path):
     first_state = store.get_at("dedup/events", gens[0][0])
     assert 0 < len(first_state) <= len(store.get("dedup/events"))
 
-    # replaying a committed epoch must be refused by the ledger
-    assert not _claim_epoch(store, "dedup/events", 0)
+    # a committed epoch is marked done -> a replay skips it
+    assert _epoch_done(store, "dedup/events", 0)
 
 
 def test_watermark_drops_late_events(spark, tmp_path):

@@ -102,8 +102,10 @@ NOTES = {
     "q_window_median": "one user-partitioned window (no global sort); "
     "the 7-row frame is collected, sorted, and element-SELECTED inside "
     "the window stage — zero joins, zero extra exchanges.",
-    "q_winsorize": "rank + count windows share one event_type sort; the "
-    "groups-sized bounds relation comes back as a BroadcastHashJoin.",
+    "q_winsorize": "only the bounds branch sorts (rank+count windows over "
+    "one event_type exchange); the clamp branch is scan -> broadcast join "
+    "-> partial agg — raw rows never shuffle (1 Sort, 2 Windows, 2 "
+    "Exchanges).",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "
     "counts; the 1-row totals aggregate broadcasts into the projection.",
 }

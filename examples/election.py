@@ -48,6 +48,8 @@ def worker(store: PotStore, wid: str, log: list, stop: threading.Event) -> None:
             if not primary:
                 primary = True
                 log.append(("elect", wid, time.monotonic()))
+            else:
+                log.append(("renew", wid, time.monotonic()))
         except NoRewriteViolated:
             if primary:
                 primary = False  # lost ownership (lease expired elsewhere)
@@ -55,8 +57,13 @@ def worker(store: PotStore, wid: str, log: list, stop: threading.Event) -> None:
         if primary:
             turns += 1
             if turns >= RELEASE_AFTER_TURNS:
-                store.remove(PATH, "leader")
-                log.append(("release", wid, time.monotonic()))
+                # GATED release: only delete the key while still its
+                # holder — after a stall past the lease, a standby may
+                # already have elected itself, and an unconditional
+                # remove would delete the NEW leader's key
+                if store.get(PATH).get("leader", {}).get("holder") == wid:
+                    store.remove(PATH, "leader")
+                    log.append(("release", wid, time.monotonic()))
                 primary, turns, gen = False, 0, 0
         time.sleep(LEASE_S / 3)
 
@@ -82,14 +89,37 @@ def main() -> int:
         for t in threads:
             t.join()
 
+    log.sort(key=lambda e: e[2])
     elects = [e for e in log if e[0] == "elect"]
-    releases = [e for e in log if e[0] == "release"]
     for kind, wid, ts in log:
         print(f"{ts:12.3f}  {kind:8s}  {wid}")
-    print(f"\n{len(elects)} elections, {len(releases)} releases across {n} workers")
-    # sanity: elections and releases alternate per the shared key — there
-    # is never an election while another worker still holds the lease
-    ok = len(elects) >= 1 and abs(len(elects) - len(releases)) <= 1
+    print(f"\n{len(elects)} elections across {n} workers")
+
+    # THE invariant, checked from the event log: leadership sessions
+    # never overlap. A session runs from its "elect" until its "release",
+    # or — if the holder stalled/stopped without releasing — until
+    # LEASE_S after its last elect/renew (the moment the lease becomes
+    # stealable). Every next election must start at/after that point.
+    eps = 0.05  # scheduler jitter allowance
+    sessions = []  # (start, end, wid)
+    cur = None  # (wid, start, last_heartbeat)
+    ok = len(elects) >= 1
+    for kind, wid, ts in log:
+        if kind == "elect":
+            if cur is not None:
+                sessions.append((cur[1], cur[2] + LEASE_S, cur[0]))
+            cur = (wid, ts, ts)
+        elif kind == "renew" and cur is not None and cur[0] == wid:
+            cur = (wid, cur[1], ts)
+        elif kind == "release" and cur is not None and cur[0] == wid:
+            sessions.append((cur[1], ts, wid))
+            cur = None
+    if cur is not None:
+        sessions.append((cur[1], cur[2] + LEASE_S, cur[0]))
+    for (s1, e1, w1), (s2, _e2, w2) in zip(sessions, sessions[1:]):
+        if w1 != w2 and s2 < e1 - eps:
+            ok = False
+            print(f"OVERLAP: {w1} [{s1:.3f},{e1:.3f}] vs {w2} elect {s2:.3f}")
     holders = {wid for _, wid, _ in elects}
     print("handover across workers:", sorted(holders))
     print("OK" if ok else "VIOLATION")

@@ -53,7 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     p_create.add_argument("--batch", action="store_true")
     p_create.add_argument("--norewrite", type=float, default=None,
                           metavar="SECONDS",
-                          help="lease duration; 0 blocks rewrites outright")
+                          help="lease duration in seconds; 0 disables the lease "
+                               "check (reference canRewrite parity) — use a "
+                               "large duration to hold a key")
     p_create.add_argument("--generation", type=int, default=0,
                           help="last known generation (ownership renewal)")
 
@@ -95,7 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "get":
         json.dump(store.get(args.path), sys.stdout, sort_keys=True)
     elif args.cmd == "get-at":
-        json.dump(store.get_at(args.path, args.generation), sys.stdout, sort_keys=True)
+        try:
+            state = store.get_at(args.path, args.generation)
+        except ValueError as e:  # vacuumed generation -> lifecycle error
+            print(str(e), file=sys.stderr)
+            return 1
+        json.dump(state, sys.stdout, sort_keys=True)
     elif args.cmd == "create":
         body = json.load(sys.stdin)
         kwargs = {
@@ -146,7 +153,11 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         json.dump({"generation": gen}, sys.stdout)
     elif args.cmd == "changes":
-        feed = store.changes(args.path, args.from_generation, args.to_generation)
+        try:
+            feed = store.changes(args.path, args.from_generation, args.to_generation)
+        except ValueError as e:  # vacuumed generation -> lifecycle error
+            print(str(e), file=sys.stderr)
+            return 1
         json.dump(
             {k: {"op": op, "doc": doc} for k, (op, doc) in feed.items()},
             sys.stdout,

@@ -34,8 +34,11 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
     out_dir = os.path.join(store.root, dest_dir)
     os.makedirs(out_dir, exist_ok=True)
     bundle = os.path.join(out_dir, "bundle.tar.gz")
+    # write-temp-then-rename: a bundle consumer (OPA polls this path)
+    # must never see a truncated archive from a crashed or in-flight zip
+    staging = bundle + f".staging-{os.getpid()}"
     mtime = time.time()
-    with tarfile.open(bundle, "w:gz") as tar:
+    with tarfile.open(staging, "w:gz") as tar:
         for p in paths:
             if p == dest_dir or p.startswith(dest_dir + "/"):
                 continue  # never archive the archive (server.go:569-572)
@@ -46,4 +49,5 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
             info.size = len(payload)
             info.mtime = int(mtime)
             tar.addfile(info, io.BytesIO(payload))
+    os.replace(staging, bundle)  # atomic publish
     return bundle

@@ -82,6 +82,12 @@ def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         if not len(pdf):
             continue
+        # null text -> zero rows, matching the oracle (unnest over a NULL
+        # list yields nothing); without the drop, NaN split lengths crash
+        # the vectorized repeat
+        pdf = pdf[pdf["text"].notna()]
+        if not len(pdf):
+            continue
         toks = pdf["text"].str.split(" ")
         lens = toks.str.len().to_numpy()
         # vectorized expansion: no per-token Python loop
@@ -159,6 +165,11 @@ def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         feats = []
         for payload, mt in zip(pdf["payload"], pdf["media_type"]):
             arr = _decode_payload(payload, mt)
+            if arr.size == 0:
+                # zero-byte payload: defined stats instead of numpy's
+                # zero-size-reduction crash taking down the whole stage
+                feats.append((0.0, 0, [0, 0, 0, 0]))
+                continue
             hist = np.bincount(arr // 64, minlength=4)[:4]
             feats.append(
                 (
@@ -469,25 +480,37 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pathGlobFilter`/`recursiveFileLookup` prune at the index. The
     oracle recomputes the expected byte lengths straight from the
     documents table (write->read roundtrip, csv-roundtrip pattern)."""
+    import hashlib
+    import shutil
+
     media = build_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    out = os.path.join(
-        tempfile.gettempdir(), f"pot_spark_binsrc_{os.path.basename(sf_dir)}"
-    )
-    done_marker = os.path.join(out, "_STAGED")
-    if not os.path.isfile(done_marker):
-        os.makedirs(out, exist_ok=True)
+    # cache key = fixture identity (absolute path + source file mtime and
+    # size), NOT the dir basename: two fixtures sharing a basename must
+    # not collide, and regenerating a fixture in place must invalidate
+    src_stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    cache_key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{src_stat.st_mtime_ns}:{src_stat.st_size}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"pot_spark_binsrc_{cache_key}")
+    if not os.path.isdir(out):
         # executor-side staging: each partition writes its own payload
-        # files (on a cluster, `out` is a shared filesystem path). Never
+        # files (on a cluster this is a shared filesystem path). Never
         # collect() payloads to the driver — at media scale that is the
-        # whole corpus through one process.
+        # whole corpus through one process. Stage into a private dir and
+        # publish with one atomic rename, so a crashed stager can never
+        # leave a half-written (or orphan-carrying) published dir.
+        stage = tempfile.mkdtemp(prefix="pot_spark_binsrc_stage_")
+
         def _write_partition(rows):
             for r in rows:
-                with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                with open(os.path.join(stage, f"{r['doc_id']}.bin"), "wb") as f:
                     f.write(r["payload"])
 
         media.select("doc_id", "payload").foreachPartition(_write_partition)
-        with open(done_marker, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(stage, out)
+        except OSError:  # a concurrent stager published first
+            shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.read.format("binaryFile")
         .load(out)

@@ -53,6 +53,9 @@ def main() -> None:
         if not r.ok:
             print(r)
     print(f"{len(out)} queries, {n_bad} failures -> {path}")
+    # a failing sweep must fail the invoking shell/CI step, not just
+    # record n_fail in the JSON (driver_sim.py has the same contract)
+    sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":

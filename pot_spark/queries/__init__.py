@@ -12,3 +12,13 @@ oracle twin. Conventions that keep the oracle hash-match stable:
   1-ulp libm differences cannot flip the hash;
 - any top-k or window ordering carries a unique tie-breaker column.
 """
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def dec(col: str) -> Column:
+    """The engine-exact aggregation cast (convention #2 above): DOUBLE ->
+    DECIMAL(18,2) before any SUM, so partial-aggregation order cannot
+    move the result and both engines agree bit-for-bit."""
+    return F.col(col).cast("decimal(18,2)")

@@ -24,7 +24,17 @@ N_BUCKETS = 8
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/lineitem bucketed by the join key (idempotent per
     sf_dir)."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    import hashlib
+
+    # fixture-identity + per-process tag: a second fixture root sharing
+    # the basename must not resolve to the same catalog tables, and two
+    # concurrent sessions must not saveAsTable into one directory (the
+    # in-session idempotence only needs the catalog check)
+    tag = "{}_{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        os.getpid(),
+    )
     lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"pot_spark_buckets_{tag}")
     if not spark.catalog.tableExists(lt):

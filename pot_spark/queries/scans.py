@@ -17,6 +17,24 @@ from pot_spark.registry import query
 from pot_spark.tables import load
 
 
+def _sink_dir(sf_dir: str, kind: str) -> str:
+    """Round-trip sink dir, unique per fixture AND per process.
+
+    The fixture identity is the absolute path (a bare basename collides
+    across fixture roots that share a name); the pid suffix keeps two
+    concurrent sessions (bench at sf0.1 + correctness gate at sf0.01, or
+    two drivers on one host) from mode("overwrite")-deleting files a
+    concurrent reader of the same dir has already listed."""
+    import hashlib
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"pot_spark_{kind}_{tag}_{h}_{os.getpid()}"
+    )
+
+
+
 @query(
     "q_scan_project",
     oracle="""
@@ -82,7 +100,7 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink round-trip: write a filtered projection, read it back,
     aggregate. The oracle computes the same aggregate straight from the
     source table, so this checks the sink preserves values exactly."""
-    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_parquet")
+    out = _sink_dir(sf_dir, "sink_parquet")
     orders = load(spark, sf_dir, "orders")
     (
         orders.filter(F.col("o_orderstatus") == "F")
@@ -108,7 +126,7 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink/source round-trip with explicit schema (no inferSchema)."""
-    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_csv")
+    out = _sink_dir(sf_dir, "sink_csv")
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -134,7 +152,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink/source round-trip — the reference's native document
     format (server.go:315-331) as an egress/ingest format."""
-    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_json")
+    out = _sink_dir(sf_dir, "sink_json")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     part.write.mode("overwrite").json(out)
     back = spark.read.schema("p_partkey long, p_brand string, p_size int").json(out)
@@ -159,11 +177,7 @@ def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back and aggregated. Line counts and char totals must survive the
     round trip exactly (document texts contain no newlines in the
     fixture)."""
-    import os
-    import tempfile
-
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"pot_spark_text_{tag}")
+    out = _sink_dir(sf_dir, "text")
     docs = load(spark, sf_dir, "documents").select(F.col("text").alias("value"))
     docs.write.mode("overwrite").text(out)
     rb = spark.read.text(out)
@@ -188,7 +202,7 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink/source round-trip (Spark 4 native XML source, rowTag
     records) with explicit read schema — the document-interchange format
     next to JSON-lines. Aggregates must survive the trip exactly."""
-    out = os.path.join(tempfile.gettempdir(), "pot_spark_sink_xml")
+    out = _sink_dir(sf_dir, "sink_xml")
     supp = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
@@ -226,11 +240,7 @@ def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     column sets (the old files lack o_totalprice) are read as one table
     via mergeSchema — missing columns surface as NULLs, exactly how a
     lakehouse absorbs additive schema changes without rewriting history."""
-    import os
-    import tempfile
-
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"pot_spark_evo_{tag}")
+    base = _sink_dir(sf_dir, "evo")
     orders = load(spark, sf_dir, "orders")
     (
         orders.filter(F.col("o_orderkey") % 2 == 0)
@@ -272,17 +282,27 @@ def q_scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file at footer-validation time, so healthy files pay nothing.
     The oracle recomputes from the clean source, proving no good row was
     dropped alongside the bad file."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pot_spark_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    marker = os.path.join(out, "_STAGED")
-    if not os.path.isfile(marker):
-        load(spark, sf_dir, "orders").write.mode("overwrite").parquet(out)
-        with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+    import hashlib
+    import shutil
+
+    # content-identity cache key (abspath + source mtime/size): a second
+    # fixture sharing the basename, or an in-place regeneration, gets a
+    # fresh staging dir instead of silently reusing stale orders data;
+    # publish by atomic rename so a crashed stager leaves nothing behind
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"pot_spark_corrupt_{key}")
+    if not os.path.isdir(out):
+        stage = tempfile.mkdtemp(prefix="pot_spark_corrupt_stage_")
+        load(spark, sf_dir, "orders").write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "part-corrupt.parquet"), "wb") as f:
             f.write(b"this is not a parquet file")
-        with open(marker, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(stage, out)
+        except OSError:  # concurrent stager published first
+            shutil.rmtree(stage, ignore_errors=True)
     back = (
         spark.read.option("ignoreCorruptFiles", "true")
         .schema(load(spark, sf_dir, "orders").schema)

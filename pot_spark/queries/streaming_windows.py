@@ -20,8 +20,7 @@ from pot_spark.registry import query
 from pot_spark.tables import load
 
 
-def _dec(col: str):
-    return F.col(col).cast("decimal(18,2)")
+from pot_spark.queries import dec as _dec  # shared engine-exact cast
 
 
 @query(

@@ -23,8 +23,7 @@ from pot_spark.registry import query
 from pot_spark.tables import load
 
 
-def _dec(col: str):
-    return F.col(col).cast("decimal(18,2)")
+from pot_spark.queries import dec as _dec  # shared engine-exact cast
 
 
 @query(
@@ -176,7 +175,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to
+                                  ORDER BY valid_from, event_type) AS valid_to
     FROM changes
     """,
 )
@@ -193,7 +192,10 @@ def q_scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = marked.where(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_type tiebreak: two different-type change rows can share a
+    # valid_from (same-timestamp events), and an un-tiebroken lead() would
+    # pair them nondeterministically — and differently per engine
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
     return changes.withColumn("valid_to", F.lead("valid_from").over(w2))
 
 

@@ -218,3 +218,54 @@ def test_window_median_model(spark, rows):
             vals = sorted(v for _, v in evs[max(0, j - 6) : j + 1])
             want[(u, eid)] = vals[(len(vals) + 1) // 2 - 1]
     assert got == want
+
+
+def test_watermark_late_on_out_of_order_arrivals(spark):
+    """s_watermark_late's 3-level distributed prefix-max, exercised on
+    data where arrival order (event_id) does NOT follow event time — the
+    checked-in fixture is time-monotone, so its parity row can't tell a
+    correct running max from a broken one (everything is 'kept' either
+    way). Here ~half the events arrive shuffled across a multi-day span,
+    many of them more than the 1-hour horizon behind the running max,
+    and the query must match the sequential Python model exactly."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n = 10000  # > one 4096-event shard, so the shard-offset join is live
+    base = datetime.datetime(2024, 1, 1)
+    secs = rng.randint(0, 5 * 86400, size=n)  # arrival uncorrelated w/ time
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, size=n)]
+    d = _write_events_fixture([(0, 0.0)])  # reuse dir-shape helper
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(seconds=int(s)) for s in secs],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_kept, r.n_dropped)
+        for r in registry.QUERIES["s_watermark_late"](spark, d).collect()
+    }
+    want: dict[str, list[int]] = {t: [0, 0] for t in "abc"}
+    max_seen = None
+    horizon = datetime.timedelta(hours=1)
+    for i in range(n):
+        ts = base + datetime.timedelta(seconds=int(secs[i]))
+        late = max_seen is not None and ts < max_seen - horizon
+        want[types[i]][1 if late else 0] += 1
+        max_seen = ts if max_seen is None else max(max_seen, ts)
+    assert got == {t: tuple(v) for t, v in want.items()}
+    # the adversarial data must actually produce late drops
+    assert sum(v[1] for v in want.values()) > 0

@@ -526,7 +526,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("label")
     )
-    for _ in range(15):
+    # plain min-label propagation converges in O(component diameter)
+    # rounds; 64 covers any realistic dup-cluster chain, and hitting the
+    # cap without convergence RAISES — silently returning non-converged
+    # labels would diverge from the oracle's transitive-closure fixpoint.
+    # (The production-scale accelerant is pointer-doubling/large-star,
+    # which converges in O(log diameter); same loop shape.)
+    converged = False
+    for _ in range(64):
         nb = (
             edges.join(
                 labels.select(F.col("a").alias("b"), F.col("label").alias("nl")),
@@ -551,7 +558,13 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "q_dedup_cluster: label propagation did not converge in 64 "
+            "rounds — component diameter exceeds the cap"
+        )
     return labels.select(
         F.col("a").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

@@ -265,7 +265,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_chars
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-          < CAST(0.10 * 65536 AS INTEGER)
+          < 6553
     """,
 )
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,12 +279,19 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("int")
-    return docs.filter(bucket < int(0.10 * 65536)).select(
+    # 6553 = 65536 * 10 // 100 as an integer LITERAL on both sides:
+    # the old oracle's CAST(0.10*65536 AS INTEGER) ROUNDS (DuckDB) to
+    # 6554 while Python int() truncates to 6553 — a one-bucket latent
+    # hash divergence (~1/65536 of docs)
+    return docs.filter(bucket < 65536 * 10 // 100).select(
         "doc_id", "lang", "n_chars"
     )
 
 
-_MIX_RATES = {"high": 0.8, "mid": 0.4, "low": 0.1}  # tier -> keep rate
+# tier -> keep rate in integer 16-bit buckets (65536 * pct // 100):
+# float-derived thresholds truncate in Python but ROUND in a DuckDB cast,
+# so the contract is integer literals on both sides
+_MIX_BUCKETS = {"high": 52428, "mid": 26214, "low": 6553}
 
 
 @query(
@@ -303,9 +310,9 @@ _MIX_RATES = {"high": 0.8, "mid": 0.4, "low": 0.1}  # tier -> keep rate
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc
     FROM tiered
-    WHERE h < CAST(CASE tier WHEN 'high' THEN 0.8
-                             WHEN 'mid' THEN 0.4
-                             ELSE 0.1 END * 65536 AS INTEGER)
+    WHERE h < CASE tier WHEN 'high' THEN 52428
+                        WHEN 'mid' THEN 26214
+                        ELSE 6553 END
     GROUP BY tier
     """,
 )
@@ -324,9 +331,9 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("int")
     rate = (
-        F.when(tier == "high", F.lit(int(_MIX_RATES["high"] * 65536)))
-        .when(tier == "mid", F.lit(int(_MIX_RATES["mid"] * 65536)))
-        .otherwise(F.lit(int(_MIX_RATES["low"] * 65536)))
+        F.when(tier == "high", F.lit(_MIX_BUCKETS["high"]))
+        .when(tier == "mid", F.lit(_MIX_BUCKETS["mid"]))
+        .otherwise(F.lit(_MIX_BUCKETS["low"]))
     )
     return (
         docs.select("doc_id", tier.alias("tier"), h.alias("h"), rate.alias("r"))
@@ -422,7 +429,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(SUM(m) AS BIGINT) AS n_tokens,
-           ROUND(LN((SELECT big_n FROM tot)) - SUM(m * LN(v.n)) / SUM(m), 6)
+           ROUND(LN((SELECT big_n FROM tot))
+                 - SUM(CAST(m * LN(v.n) AS DECIMAL(28,12))) / SUM(m), 6)
                AS avg_neg_logprob
     FROM doc_tok d JOIN vocab v ON v.t = d.t
     GROUP BY d.doc_id
@@ -457,7 +465,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("m") * F.log("n")).alias("_sum_mln"),
+            F.sum((F.col("m") * F.log("n")).cast("decimal(28,12)")).alias(
+                "_sum_mln"
+            ),
             F.sum("m").alias("_sum_m"),
         )
         .crossJoin(F.broadcast(tot))

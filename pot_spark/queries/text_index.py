@@ -35,7 +35,9 @@ from pot_spark.tables import load
         GROUP BY doc_id, c
     )
     SELECT doc_id,
-           ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy,
+           ROUND(LN(SUM(cnt))
+                 - SUM(CAST(cnt * LN(cnt) AS DECIMAL(28,12))) / SUM(cnt),
+                 6) AS entropy,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
     FROM chars
     GROUP BY doc_id
@@ -59,7 +61,9 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chars.groupBy("doc_id").agg(
         F.round(
-            F.log(F.sum("cnt")) - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+            F.log(F.sum("cnt"))
+            - F.sum((F.col("cnt") * F.log("cnt")).cast("decimal(28,12)"))
+            / F.sum("cnt"),
             6,
         ).alias("entropy"),
         F.count("*").alias("n_distinct_chars"),
@@ -155,9 +159,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "term").withColumn(
-        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # N stays IN the plan as a broadcast 1-row aggregate: docs.count()
+    # here would run an extra eager full-corpus scan before the query
+    # proper even starts (the q_token_pmi totals pattern)
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

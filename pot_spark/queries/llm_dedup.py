@@ -91,19 +91,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle) pairs. Deliberately NOT cached: block-
-    store serialization of the exploded table costs more than recomputing
-    it from the columnar scan (measured 6.7s vs 2.9s cold at sf0.1), and
+def _shingle_df(
+    spark: SparkSession, sf_dir: str, with_lang: bool = False
+) -> DataFrame:
+    """Exploded (doc_id[, lang], shingle) pairs — the ONE definition of
+    the shingle stream (incl. the size>=3 exclusion the _SHINGLES_SQL
+    oracles depend on). Deliberately NOT cached: block-store
+    serialization of the exploded table costs more than recomputing it
+    from the columnar scan (measured 6.7s vs 2.9s cold at sf0.1), and
     at corpus scale the shingle table wouldn't fit in memory anyway —
     recomputation keeps every consumer a pipelined scan."""
+    cols = ["doc_id", "lang"] if with_lang else ["doc_id"]
     docs = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", _tokens().alias("toks"))
+        .select(*cols, _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
     )
     return docs.select(
-        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+        *cols, F.explode(_shingles(F.col("toks"))).alias("shingle")
     )
 
 
@@ -291,14 +296,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-off deliberately not taken here because the oracle checks
     exact semantics; AQE's skew-join split absorbs the fixture-scale
     skew."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    sh = docs.select(
-        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    )  # not cached: see _shingle_df
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
@@ -393,10 +391,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (the IVF-style coarse
     partition): cosine computed only within blocks, never across the full
     cross product."""
+    from pot_spark.queries.llm_similarity import _as_double, _dot, _norm
+
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "vec_id", "label", _as_double().alias("v")
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
@@ -404,16 +402,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb")
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_a = F.sqrt(
-        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    norm_b = F.sqrt(
-        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = dot / (norm_a * norm_b)
+    # shared cosine building blocks (llm_similarity): one definition of
+    # fold order / null handling for every cosine in the engine
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -846,14 +837,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume is Σ df² over the index and AQE's skew-join split
     absorbs hot shingles. The containment division happens after the
     count rollup, on candidate pairs only."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    sh = docs.select(
-        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    )  # not cached: see _shingle_df
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
@@ -1080,14 +1064,7 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrates on discriminative tokens. The df table is one rollup;
     the global rarity order needs no global sort (df is the sort key
     itself, computed per shingle)."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    sh = docs.select(
-        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    )
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = sh.join(df_tbl, "shingle")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")

@@ -57,13 +57,19 @@ def worker(store: PotStore, wid: str, log: list, stop: threading.Event) -> None:
         if primary:
             turns += 1
             if turns >= RELEASE_AFTER_TURNS:
-                # GATED release: only delete the key while still its
-                # holder — after a stall past the lease, a standby may
-                # already have elected itself, and an unconditional
-                # remove would delete the NEW leader's key
-                if store.get(PATH).get("leader", {}).get("holder") == wid:
-                    store.remove(PATH, "leader")
+                # CONDITIONAL release (compare-and-delete): the remove
+                # commits only if the pot is still at OUR generation.
+                # A get-then-remove would be a TOCTOU — the lease can
+                # expire between the holder check and the delete, and a
+                # stalled ex-leader would erase the new leader's key.
+                # Guarding on generation makes the race lose loudly
+                # (NoRewriteViolated) instead of deleting someone
+                # else's leadership.
+                try:
+                    store.remove(PATH, "leader", generation=gen)
                     log.append(("release", wid, time.monotonic()))
+                except NoRewriteViolated:
+                    pass  # someone already took over; nothing to release
                 primary, turns, gen = False, 0, 0
         time.sleep(LEASE_S / 3)
 

@@ -91,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
     p_clone.add_argument("dst")
     p_clone.add_argument("--deep", action="store_true")
 
+    p_serve = sub.add_parser(
+        "serve",
+        help="HTTP parity shim: the reference's GET/POST/DELETE + :list "
+        "routes over this root (server_routes.go semantics)",
+    )
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8080)
+    p_serve.add_argument(
+        "--zip", default=None, metavar="DEST",
+        help="re-archive the store into <root>/DEST after every write "
+        "(the reference's -zip flag, server_routes.go:160-166)",
+    )
+
     args = ap.parse_args(argv)
     store = PotStore(None, args.root)
 
@@ -152,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
             print(str(e), file=sys.stderr)
             return 1
         json.dump({"generation": gen}, sys.stdout)
+    elif args.cmd == "serve":
+        from pot_spark.kv.http_server import serve
+
+        srv = serve(store, host=args.host, port=args.port, zip_dest=args.zip)
+        host, port = srv.server_address[:2]
+        print(f"pot serving {store.root} on http://{host}:{port}", flush=True)
+        try:
+            while True:
+                import time as _time
+
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.shutdown()
     elif args.cmd == "changes":
         try:
             feed = store.changes(args.path, args.from_generation, args.to_generation)

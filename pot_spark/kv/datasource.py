@@ -280,8 +280,13 @@ class PotStreamWriter(DataSourceStreamWriter):
                 docs[k] = json.loads(d)
         # commit FIRST, mark after: a replay of an unmarked-but-committed
         # epoch re-applies an identical upsert (harmless); marking first
-        # would drop the epoch's data forever on a crash mid-commit
-        if docs and not _epoch_done(store, self._path, batchId):
+        # would drop the epoch's data forever on a crash mid-commit.
+        # In overwrite/complete mode an EMPTY epoch is still a commit:
+        # a complete-mode result that legitimately shrinks to zero rows
+        # must truncate the pot (and mark the epoch), not leave stale
+        # keys behind. Append mode keeps the skip — an empty upsert is a
+        # true no-op there.
+        if (docs or self._overwrite) and not _epoch_done(store, self._path, batchId):
             if self._overwrite:
                 store.replace_batch(self._path, docs)
             else:

@@ -102,6 +102,21 @@ class StoreMetrics:
             return 0.0
         return self.lock_wait_s / self.lock_acquisitions * 1000.0
 
+    def as_dict(self) -> dict[str, float]:
+        """Export the counters as a flat dict — the reference's OTel
+        metric export (otel.go:70-98) without the dependency: feed this
+        to any metrics sink (StatsD, Prometheus textfile, a Spark
+        custom metric source) on whatever cadence the host wants."""
+        return {
+            "pot_writes": self.writes,
+            "pot_reads": self.reads,
+            "pot_lists": self.lists,
+            "pot_removes": self.removes,
+            "pot_local_lock_wait_seconds_total": self.lock_wait_s,
+            "pot_local_lock_acquisitions": self.lock_acquisitions,
+            "pot_local_lock_duration_avg_ms": self.avg_local_lock_duration_ms,
+        }
+
 
 @dataclass
 class _Manifest:
@@ -412,11 +427,21 @@ class PotStore:
         natural extension)."""
         return self._mutate(path, dict(docs), replace=True)
 
-    def remove(self, path: str, *keys: str) -> None:
+    def remove(
+        self, path: str, *keys: str, generation: Optional[int] = None
+    ) -> None:
         """Delete keys; missing keys are silent no-ops; writes the pot even
-        if it didn't exist (server.go:494-548)."""
+        if it didn't exist (server.go:494-548).
+
+        ``generation`` (extension): compare-and-delete. When set, the
+        removal commits only if the pot is still at exactly that
+        generation, else raises NoRewriteViolated — the conditional
+        mutation that closes the get-then-remove TOCTOU in lease
+        release (a stalled ex-leader whose check passed before its
+        lease expired can no longer delete the new leader's key: the
+        new leader's election bumped the generation)."""
         self.metrics.removes += 1
-        self._mutate(path, {}, remove_keys=keys)
+        self._mutate(path, {}, remove_keys=keys, require_generation=generation)
 
     def list_paths(self, subdir: str = "") -> list[str]:
         """Raw string-prefix listing of pot paths; a root-level pot is
@@ -447,6 +472,7 @@ class PotStore:
         norewrite_duration: float = 0.0,
         last_known_generation: int = 0,
         replace: bool = False,
+        require_generation: Optional[int] = None,
     ) -> CreateResponse:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
@@ -457,6 +483,15 @@ class PotStore:
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 content = self._read_content(manifest, path)
+
+                if require_generation is not None and (
+                    manifest is None or manifest.generation != require_generation
+                ):
+                    raise NoRewriteViolated(
+                        "conditional mutation lost: pot is at generation "
+                        f"{manifest.generation if manifest else 0}, "
+                        f"required {require_generation}"
+                    )
 
                 if new_docs and manifest is not None:
                     allow = self._allow_rewrite(
@@ -900,18 +935,28 @@ class PotStore:
                     return committed.generation
         raise CommitConflict(f"commit contention on {dst!r} exceeded retries")
 
-    def vacuum(self, path: str) -> int:
+    def vacuum(self, path: str, grace_s: float = 60.0) -> int:
         """Remove snapshots not referenced by the latest manifest (loser
         stages and superseded versions). Returns count removed.
 
-        Two safety rules protect concurrent writers: the per-path lock
-        is held (an in-process writer can't be mid stage-then-commit),
-        and snapshot dirs whose generation is NEWER than the latest
-        committed manifest are never touched — a staging writer (this
-        process or another) always stages under next_gen > committed, so
-        its about-to-commit data is structurally out of vacuum's reach.
-        Only superseded versions and same/older-generation loser stages
-        are reclaimed."""
+        Three safety rules protect concurrent writers:
+        - the per-path lock is held (an in-process writer can't be mid
+          stage-then-commit);
+        - snapshot dirs whose generation is NEWER than the latest
+          committed manifest are never touched — a staging writer
+          usually stages under next_gen > committed;
+        - a cross-process writer that LOSES a commit race can be left
+          staging at a generation EQUAL to the new committed generation
+          (it read the old manifest, staged N+1, another writer
+          committed N+1 first), so unreferenced stage dirs younger than
+          ``grace_s`` (mtime) are skipped rather than rmtree'd under an
+          in-flight parquet write. After the grace window an
+          uncommitted stage is garbage: its owner either already failed
+          the manifest put-if-absent and retried at a fresh generation,
+          or died.
+        Snapshots referenced by RETAINED HISTORY manifests (superseded
+        committed versions) carry no in-flight risk — their commit is
+        final — and are reclaimed immediately regardless of age."""
         lock = self._local_lock(path)
         with lock:
             manifest = self._latest_manifest(path)
@@ -922,6 +967,26 @@ class PotStore:
             if manifest.files is not None:
                 # bucket paths look like "<snapdir>/__b=<k>"; keep the snapdirs
                 live.update(rel.split("/", 1)[0] for rel in manifest.files.values())
+            # every snapshot any retained commit manifest references:
+            # these are finished writes (safe to reclaim when superseded)
+            committed_refs: set[str] = set()
+            commits = os.path.join(pot_dir, _COMMITS)
+            try:
+                commit_names = os.listdir(commits)
+            except FileNotFoundError:
+                commit_names = []
+            for cname in commit_names:
+                if not cname.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(commits, cname)) as f:
+                        m = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                committed_refs.add(m.get("snapshot", ""))
+                for rel in (m.get("files") or {}).values():
+                    committed_refs.add(rel.split("/", 1)[0])
+            now = time.time()
             removed = 0
             for name in os.listdir(pot_dir):
                 if not name.startswith("snap-") or name in live:
@@ -932,7 +997,17 @@ class PotStore:
                     snap_gen = None
                 if snap_gen is not None and snap_gen > manifest.generation:
                     continue  # a concurrent writer's staged next generation
-                shutil.rmtree(os.path.join(pot_dir, name), ignore_errors=True)
+                full = os.path.join(pot_dir, name)
+                if name not in committed_refs:
+                    # unreferenced stage at gen <= committed: possibly a
+                    # commit-race loser still writing — honor the grace
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # vanished under us (owner cleaned up)
+                    if age < grace_s:
+                        continue
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
             return removed
 

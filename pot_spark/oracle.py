@@ -60,7 +60,25 @@ def check_parity(
 ) -> ParityResult:
     res = ParityResult(name=name, ok=True)
     try:
-        sdf = fn(spark, sf_dir).toPandas()
+        spark_df = fn(spark, sf_dir)
+        # The external driver's canonicalizer pandas-sorts every output
+        # column and dies (TypeError: unhashable type) on array/map/
+        # struct values — even for rows-only queries. The local mirror
+        # therefore rejects complex-typed output columns registry-wide;
+        # serialize them to joined strings (the q_array_agg pattern).
+        complex_cols = [
+            (c, t)
+            for c, t in spark_df.dtypes
+            if any(k in t for k in ("array", "map", "struct"))
+        ]
+        if complex_cols:
+            res.ok = False
+            res.errors.append(
+                "complex-typed output column(s) would crash the external "
+                f"canonicalizer: {complex_cols} — stringify them"
+            )
+            return res
+        sdf = spark_df.toPandas()
     except Exception as e:  # noqa: BLE001
         res.ok = False
         res.errors.append(f"spark error: {type(e).__name__}: {str(e)[:500]}")

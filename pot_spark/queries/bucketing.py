@@ -20,6 +20,8 @@ from pot_spark.tables import load
 
 N_BUCKETS = 8
 
+_BUCKET_DIRS_REGISTERED: set[str] = set()
+
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/lineitem bucketed by the join key (idempotent per
@@ -37,6 +39,13 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
     lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"pot_spark_buckets_{tag}")
+    if base not in _BUCKET_DIRS_REGISTERED:
+        # per-PID dirs would otherwise pile up in /tmp across runs
+        import atexit
+        import shutil
+
+        _BUCKET_DIRS_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     if not spark.catalog.tableExists(lt):
         (
             load(spark, sf_dir, "lineitem")

@@ -283,7 +283,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.3
     """,
 )
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs form only through shared
     (lang, shingle) keys — an inverted-index join, not a cross product.
 
@@ -291,15 +293,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-hot shingles dominate at corpus scale. This op is the EXACT
     verifier of the family; the corpus-scale candidate generator is
     q_dedup_near's MinHash-LSH banding (collision probability calibrated
-    to the threshold, hot-key-free band keys). Production pipelines
-    additionally df-cap the index (drop shingles with df > k) — a recall
-    trade-off deliberately not taken here because the oracle checks
-    exact semantics; AQE's skew-join split absorbs the fixture-scale
-    skew."""
+    to the threshold, hot-key-free band keys).
+
+    ``df_cap``: production pipelines df-cap the index — drop shingles
+    appearing in more than ``df_cap`` docs BEFORE the pair join, which
+    bounds the candidate volume at Σ min(df, cap)² and removes the Zipf
+    head entirely. The trade-off is RECALL, in two ways: (1) a pair
+    sharing only hot shingles never becomes a candidate; (2) for pairs
+    that do surface, the intersection count — and hence the Jaccard —
+    is computed over capped shingles only, so it underestimates and
+    near-threshold pairs can drop. The default (None) keeps the exact
+    semantics the DuckDB oracle checks; at fixture scale AQE's
+    skew-join split absorbs the residual skew."""
     sh = _shingle_df(spark, sf_dir, with_lang=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+    idx = sh
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("lang", "shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("lang", "shingle")
+        )
+        # left-semi restricts the index to the rare tail; the df rollup
+        # partial-aggregates map-side and shares the (lang, shingle)
+        # partitioning the pair join needs anyway
+        idx = sh.join(rare, ["lang", "shingle"], "left_semi")
+    sa = idx.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    sb = idx.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
     inter = (
         sa.join(sb, ["lang", "shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -197,19 +197,24 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           map_keys(MAP(['k'], [json_extract_string(props, '$.k')])) AS prop_keys,
+           list_aggr(list_sort(map_keys(
+               MAP(['k'], [json_extract_string(props, '$.k')]))),
+               'string_agg', ',') AS prop_keys,
            CAST(element_at(MAP(['k'], [json_extract_string(props, '$.k')]), 'k')[1]
                 AS INTEGER) AS k_val
     FROM events
     """,
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a map column from parsed JSON, read keys and values back."""
+    """Build a map column from parsed JSON, read keys and values back.
+    The key list is emitted as a sorted joined string (the q_array_agg
+    pattern): raw array/map columns break the pandas-based canonical
+    sort in the external harness."""
     ev = load(spark, sf_dir, "events")
     m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").cast("int").alias("k_val"),
     )
 

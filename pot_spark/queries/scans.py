@@ -24,14 +24,25 @@ def _sink_dir(sf_dir: str, kind: str) -> str:
     across fixture roots that share a name); the pid suffix keeps two
     concurrent sessions (bench at sf0.1 + correctness gate at sf0.01, or
     two drivers on one host) from mode("overwrite")-deleting files a
-    concurrent reader of the same dir has already listed."""
+    concurrent reader of the same dir has already listed. Per-PID dirs
+    are torn down atexit (the session.py checkpoint-dir pattern) so
+    repeated process runs don't accumulate /tmp garbage forever."""
+    import atexit
     import hashlib
+    import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(
+    d = os.path.join(
         tempfile.gettempdir(), f"pot_spark_{kind}_{tag}_{h}_{os.getpid()}"
     )
+    if d not in _SINK_DIRS_REGISTERED:
+        _SINK_DIRS_REGISTERED.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+_SINK_DIRS_REGISTERED: set[str] = set()
 
 
 

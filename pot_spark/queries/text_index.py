@@ -186,7 +186,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list_sort(list(doc_id)) AS postings
+           list_aggr(list_sort(list(doc_id)), 'string_agg', ',') AS postings
     FROM posting
     GROUP BY term
     HAVING COUNT(*) >= 10
@@ -211,7 +211,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         posting.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            # posting list emitted as a joined string (q_array_agg
+            # pattern): raw arrays crash the external harness's
+            # pandas canonical sort. Sort numerically, then stringify.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .where(F.col("df") >= 10)
     )

@@ -169,13 +169,14 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type, ts AS valid_from
+        SELECT user_id, event_type, ts AS valid_from, event_id
         FROM marked
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from, event_type) AS valid_to
+                                  ORDER BY valid_from, event_type, event_id)
+             AS valid_to
     FROM changes
     """,
 )
@@ -191,12 +192,20 @@ def q_scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.withColumn("prev_type", F.lag("event_type").over(w))
     changes = marked.where(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    # event_type tiebreak: two different-type change rows can share a
-    # valid_from (same-timestamp events), and an un-tiebroken lead() would
-    # pair them nondeterministically — and differently per engine
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
-    return changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+    ).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+    )
+    # (event_type, event_id) tiebreak: two different-type change rows can
+    # share a valid_from (same-timestamp events), and a user re-entering
+    # the SAME type twice at one timestamp (A,B,A at equal ts) even
+    # shares (valid_from, event_type) — event_id makes the full sort key
+    # unique so lead() pairs rows identically on every engine
+    w2 = Window.partitionBy("user_id").orderBy(
+        "valid_from", "event_type", "event_id"
+    )
+    return changes.withColumn("valid_to", F.lead("valid_from").over(w2)).drop(
+        "event_id"
+    )
 
 
 @query(

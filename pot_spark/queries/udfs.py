@@ -168,14 +168,14 @@ def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if arr.size == 0:
                 # zero-byte payload: defined stats instead of numpy's
                 # zero-size-reduction crash taking down the whole stage
-                feats.append((0.0, 0, [0, 0, 0, 0]))
+                feats.append((0.0, 0, "0,0,0,0"))
                 continue
             hist = np.bincount(arr // 64, minlength=4)[:4]
             feats.append(
                 (
                     float(np.round(arr.mean(), 6)),
                     int(arr.max()),
-                    [int(x) for x in hist],
+                    ",".join(str(int(x)) for x in hist),
                 )
             )
         yield pd.DataFrame(
@@ -207,13 +207,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_multimodal_features")  # stubbed decode -> rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload column."""
+    """mapInPandas feature extraction over the binary payload column.
+    The histogram is emitted as a joined string (q_array_agg pattern):
+    array-typed output columns crash the external harness's pandas
+    canonical sort."""
     media = build_media_table(spark, sf_dir)
     return media.mapInPandas(
         _extract_features,
         schema=(
             "doc_id long, media_type string, byte_mean double, byte_max int,"
-            " byte_hist array<int>"
+            " byte_hist string"
         ),
     )
 
@@ -230,21 +233,29 @@ def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             img = np.resize(arr, (side, side))  # deterministic tiling pad
             blk = side // 8
             thumb = img.reshape(8, blk, 8, blk).mean(axis=(1, 3))
-            rows.append((int(doc_id), side, [float(round(x, 4)) for x in thumb.ravel()]))
+            rows.append(
+                (
+                    int(doc_id),
+                    side,
+                    ",".join(format(round(x, 4), "g") for x in thumb.ravel()),
+                )
+            )
         yield pd.DataFrame(rows, columns=["doc_id", "side", "thumb"])
 
 
 @query("q_multimodal_resize")  # stubbed decode -> rows-only check
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over binary payloads: mapInPandas, one
-    Arrow batch per partition, emits a fixed 64-float thumbnail per doc.
-    Partition-parallel with no shuffle; at scale the decode dominates and
-    scales linearly with executors."""
+    Arrow batch per partition, emits a fixed 64-float thumbnail per doc
+    (serialized to a joined string — array-typed outputs crash the
+    external harness's canonical sort). Partition-parallel with no
+    shuffle; at scale the decode dominates and scales linearly with
+    executors."""
     media = build_media_table(spark, sf_dir).filter(
         F.col("media_type") == "image/fake"
     )
     return media.select("doc_id", "payload").mapInPandas(
-        _resize_batches, schema="doc_id long, side int, thumb array<double>"
+        _resize_batches, schema="doc_id long, side int, thumb string"
     )
 
 

@@ -109,16 +109,79 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + dense_rank over global windows (single-partition window —
-    acceptable for dimension-sized inputs only; fact tables always get a
-    partitioned window)."""
-    w_bal = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    """ntile + dense_rank WITHOUT a full-table single-partition window —
+    the distributed-rank decomposition, because a global ntile over a
+    fact-scale table funnels every row through one task:
+
+    - Global rank r (the ordering is unique: acctbal DESC, custkey) is
+      computed as in-shard row_number + broadcast per-shard base
+      offsets (the q_seq_pack prefix-sum shape). Shards are value bands
+      of acctbal derived from an exact 1-row (min,max) aggregate kept
+      IN the plan (no driver collect, no nondeterministic range
+      sampler), monotone in the sort order, so base+rn_in == the global
+      rank. The only unpartitioned windows sort the O(64) shard-count
+      relation and the O(#segments) distinct-segment relation.
+    - bal_quartile then follows from the exact NTILE(4) arithmetic on
+      (r, n): the first n%4 buckets take ceil(n/4) rows, the rest
+      floor(n/4).
+    - seg_rank = dense_rank over c_mktsegment depends only on the
+      segment VALUE: rank the tiny distinct-segment relation, broadcast
+      it back onto the scan.
+    Output identical to the single-window formulation (oracle
+    unchanged)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    rng = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    banded = cust.crossJoin(F.broadcast(rng)).withColumn(
+        "shard",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("hi") - F.col("c_acctbal"))
+                    / ((F.col("hi") - F.col("lo")) / 64.0)
+                ),
+                F.lit(63),
+            )
+        ).cast("int"),
+    )
+    w_in = Window.partitionBy("shard").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    in_rank = banded.withColumn("rn_in", F.row_number().over(w_in).cast("bigint"))
+    counts = banded.groupBy("shard").agg(F.count("*").alias("cnt"))
+    w_sh = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bases = counts.select(
+        "shard", (F.sum("cnt").over(w_sh) - F.col("cnt")).alias("base")
+    )
+    n_tot_row = counts.agg(F.sum("cnt").alias("n_tot"))
+    r = F.col("base") + F.col("rn_in")
+    n, four = F.col("n_tot"), F.lit(4)
+    q, rem = n.cast("bigint") / four, n.cast("bigint") % four
+    q = F.floor(n / four).cast("bigint")
+    cut = rem * (q + 1)
+    quartile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / q) + 1
+    )
+    segs = cust.select("c_mktsegment").distinct()
     w_seg = Window.orderBy("c_mktsegment")
-    return load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w_bal).cast("bigint").alias("bal_quartile"),
-        F.dense_rank().over(w_seg).cast("bigint").alias("seg_rank"),
+    seg_ranks = segs.withColumn(
+        "seg_rank", F.dense_rank().over(w_seg).cast("bigint")
+    )
+    return (
+        in_rank.join(F.broadcast(bases), "shard")
+        .crossJoin(F.broadcast(n_tot_row))
+        .join(F.broadcast(seg_ranks), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            quartile.cast("bigint").alias("bal_quartile"),
+            "seg_rank",
+        )
     )
 
 

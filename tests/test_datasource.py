@@ -212,3 +212,27 @@ def test_conjunctive_key_filters_intersect(ds_spark, tmp_path):
         .filter(F.col("key").isin("k1") & F.col("key").isin("k4", "k5"))
     )
     assert empty.collect() == []
+
+
+def test_stream_writer_empty_epoch_truncates_in_overwrite_mode(tmp_path):
+    """Complete-mode contract: an epoch that shrinks to ZERO rows must
+    still commit (replacing the pot with nothing) and mark its epoch —
+    stale keys may not survive an empty complete-mode result. Append
+    mode keeps the skip: an empty upsert is a true no-op."""
+    from pot_spark.kv.datasource import PotStreamWriter
+    from pot_spark.streaming.sink import _epoch_done
+
+    store = _mk_store(tmp_path)
+    store.create_batch("s/p", {"old": {"v": 1}})
+
+    w = PotStreamWriter({"root": store.root, "path": "s/p"}, overwrite=True)
+    w.commit([], batchId=7)
+    assert store.get("s/p") == {}
+    assert _epoch_done(store, "s/p", 7)
+
+    # append mode: empty epoch is a no-op and the epoch stays unmarked
+    store.create_batch("s/q", {"keep": {"v": 2}})
+    wa = PotStreamWriter({"root": store.root, "path": "s/q"}, overwrite=False)
+    wa.commit([], batchId=3)
+    assert store.get("s/q") == {"keep": {"v": 2}}
+    assert not _epoch_done(store, "s/q", 3)

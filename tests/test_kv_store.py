@@ -354,7 +354,10 @@ def test_store_metrics_counters(tmp_path):
 def test_orphan_staged_snapshot_is_harmless_and_vacuumed(tmp_path):
     """Crash recovery: a writer that staged a snapshot but died before the
     manifest commit leaves an orphan dir — readers never see it, the next
-    writer is unaffected, and vacuum reclaims it."""
+    writer is unaffected, and vacuum reclaims it once it has aged past
+    the in-flight-writer grace window (a FRESH unreferenced stage is
+    indistinguishable from a commit-race loser mid-write, so default
+    vacuum spares it)."""
     import os
 
     from pot_spark.kv.store import PotStore
@@ -373,8 +376,11 @@ def test_orphan_staged_snapshot_is_harmless_and_vacuumed(tmp_path):
     assert resp.generation == 2
     assert set(store.get("c/p")) == {"a", "b"}
 
-    removed = store.vacuum("c/p")
-    assert removed >= 1
+    # first pass reclaims only the superseded gen-1 snapshot; the FRESH
+    # orphan is inside the grace window and survives
+    assert store.vacuum("c/p") == 1
+    assert os.path.isdir(orphan)
+    assert store.vacuum("c/p", grace_s=0.0) == 1
     assert not os.path.isdir(orphan)
     assert set(store.get("c/p")) == {"a", "b"}
 
@@ -502,3 +508,44 @@ def test_clone_onto_existing_pot_replaces_at_next_generation(store):
     assert store.get("e/dst") == {"x": {"v": 1}}
     # history is retained: the pre-clone state is still readable
     assert store.get_at("e/dst", 1) == {"y": {"v": 9}}
+
+
+def test_remove_with_generation_is_compare_and_delete(store):
+    res = store.create_batch("g/cad", {"leader": {"v": 1}})
+    # stale guard: pot moved on since gen was read -> refuse, keep key
+    store.create_batch("g/cad", {"leader": {"v": 2}})
+    with pytest.raises(NoRewriteViolated):
+        store.remove("g/cad", "leader", generation=res.generation)
+    assert store.get("g/cad") == {"leader": {"v": 2}}
+    # current guard: removal commits
+    cur = store.get("g/cad")  # refresh generation cache
+    store.remove("g/cad", "leader", generation=store.generation_cache["g/cad"])
+    assert store.get("g/cad") == {}
+    # guard against a missing pot also refuses
+    with pytest.raises(NoRewriteViolated):
+        store.remove("g/nope", "k", generation=1)
+    # unguarded remove keeps the silent-no-op semantics
+    store.remove("g/cad", "leader")
+
+
+def test_vacuum_grace_spares_fresh_commit_race_loser_stage(store):
+    """A cross-process commit-race loser can be mid-write in a stage dir
+    whose generation EQUALS the newly committed one. vacuum must skip
+    unreferenced stage dirs younger than the grace window (it cannot
+    tell them from in-flight writes), and reclaim them once aged."""
+    import os
+
+    store.create("vg", {"id": "a"})
+    store.create("vg", {"id": "b"})  # committed generation 2
+    pot_dir = store._pot_dir("vg")
+    # simulate the loser: staged at gen 2, never committed, just written
+    loser = os.path.join(pot_dir, "snap-" + format(2, "020d") + "-10531041")
+    os.makedirs(loser)
+    removed = store.vacuum("vg")  # default grace: 60s
+    assert os.path.isdir(loser), "fresh loser stage must survive vacuum"
+    assert removed >= 1  # the superseded gen-1 snapshot still went away
+    # once aged past the grace window the stage is reclaimable garbage
+    old = time.time() - 120
+    os.utime(loser, (old, old))
+    assert store.vacuum("vg") == 1
+    assert not os.path.isdir(loser)

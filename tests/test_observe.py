@@ -30,3 +30,28 @@ def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
     assert got["rows_seen"] == expected_rows
     assert abs(got["total_qty"] - expected_qty) < 1e-6
     assert kept < expected_rows
+
+
+def test_store_metrics_export_dict_increments(tmp_path):
+    """StoreMetrics.as_dict(): the otel.go counter export without the
+    dependency — every public op bumps its counter."""
+    from pot_spark.kv import PotStore
+
+    store = PotStore(None, str(tmp_path / "m"))
+    base = store.metrics.as_dict()
+    assert base["pot_writes"] == 0 and base["pot_reads"] == 0
+
+    store.create("m/p", {"id": "a"})
+    store.create_batch("m/p", {"b": {"v": 1}})
+    store.get("m/p")
+    store.get("m/p")
+    store.list_paths()
+    store.remove("m/p", "a")
+
+    got = store.metrics.as_dict()
+    assert got["pot_writes"] == 3  # create + create_batch + remove's mutate
+    assert got["pot_reads"] == 2
+    assert got["pot_lists"] == 1
+    assert got["pot_removes"] == 1
+    assert got["pot_local_lock_acquisitions"] >= 3
+    assert got["pot_local_lock_duration_avg_ms"] >= 0.0

@@ -505,3 +505,14 @@ def test_hard_negatives_broadcasts_anchor_batch(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert re.search(r"windowspecdefinition\(a_id", p)
+
+
+def test_ntile_dense_never_globally_windows_the_table(spark, sf_dir):
+    # the rank that touches every customer row must be shard-partitioned
+    # (value-band + broadcast base offsets); the only unpartitioned
+    # windows sort the O(64) shard-count and O(#segments) relations, and
+    # no global ntile survives in the plan
+    p = _plan(spark, sf_dir, "q_window_ntile_dense")
+    assert re.search(r"row_number\(\) windowspecdefinition\(shard", p)
+    assert "ntile" not in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 3

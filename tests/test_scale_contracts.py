@@ -45,3 +45,38 @@ def test_minhash_band_candidates_near_true_pairs(spark, sf_dir):
     assert n_cand <= max(50, 10 * max(n_true, 1)), (n_cand, n_true)
     # and nowhere near quadratic
     assert n_cand < n_docs * 5, (n_cand, n_docs)
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark, sf_dir):
+    """The optional df-cap must (a) bound the per-shingle index fanout
+    at the cap, (b) only shrink the result (recall trade-off, never new
+    pairs), and (c) be a no-op when the cap exceeds every df."""
+    from pot_spark.queries.llm_dedup import q_ngram_jaccard, _shingle_df
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_ngram_jaccard(spark, sf_dir).collect()
+    }
+    capped_df = q_ngram_jaccard(spark, sf_dir, df_cap=3)
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped_df.collect()}
+    # (b) capped pairs are a subset of exact pairs, and each surviving
+    # jaccard never exceeds its exact value (intersections only shrink)
+    for pair, j in capped.items():
+        assert pair in exact
+        assert j <= exact[pair] + 1e-9
+    # (a) candidate volume bound: every shingle the capped join touches
+    # has df <= cap, so per-key fanout is <= cap^2
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    dfs = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    rare = dfs.filter(F.col("df") <= 3).select("lang", "shingle")
+    idx = sh.join(rare, ["lang", "shingle"], "left_semi")
+    max_df = (
+        idx.groupBy("lang", "shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df <= 3
+    # (c) a cap above the max df reproduces the exact result
+    huge = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_ngram_jaccard(spark, sf_dir, df_cap=10**9).collect()
+    }
+    assert huge == exact

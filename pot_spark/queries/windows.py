@@ -152,13 +152,20 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_rank = banded.withColumn("rn_in", F.row_number().over(w_in).cast("bigint"))
     counts = banded.groupBy("shard").agg(F.count("*").alias("cnt"))
+    # base offsets AND the global count come from ONE pass over the
+    # 64-row counts relation (two frames, same sort): a separate
+    # counts.agg(...) branch would cost an extra pair of table scans
     w_sh = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    bases = counts.select(
-        "shard", (F.sum("cnt").over(w_sh) - F.col("cnt")).alias("base")
+    w_all = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_tot_row = counts.agg(F.sum("cnt").alias("n_tot"))
+    bases = counts.select(
+        "shard",
+        (F.sum("cnt").over(w_sh) - F.col("cnt")).alias("base"),
+        F.sum("cnt").over(w_all).alias("n_tot"),
+    )
     r = F.col("base") + F.col("rn_in")
     n, four = F.col("n_tot"), F.lit(4)
     q, rem = n.cast("bigint") / four, n.cast("bigint") % four
@@ -174,7 +181,6 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         in_rank.join(F.broadcast(bases), "shard")
-        .crossJoin(F.broadcast(n_tot_row))
         .join(F.broadcast(seg_ranks), "c_mktsegment")
         .select(
             "c_custkey",

@@ -35,8 +35,14 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
     os.makedirs(out_dir, exist_ok=True)
     bundle = os.path.join(out_dir, "bundle.tar.gz")
     # write-temp-then-rename: a bundle consumer (OPA polls this path)
-    # must never see a truncated archive from a crashed or in-flight zip
-    staging = bundle + f".staging-{os.getpid()}"
+    # must never see a truncated archive from a crashed or in-flight zip.
+    # The staging name is unique PER CALL (not just per process): the
+    # HTTP shim's ThreadingHTTPServer can run two post-write zip
+    # triggers concurrently in one pid, and a shared staging path would
+    # interleave their tar bytes before the rename
+    import uuid
+
+    staging = bundle + f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     mtime = time.time()
     with tarfile.open(staging, "w:gz") as tar:
         for p in paths:

@@ -135,16 +135,22 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = cust.agg(
         F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
     )
+    # NULL acctbal (none in TPC-H, but the decomposition must not
+    # silently drop rows through a null join key): DESC sorts nulls
+    # last on both engines, so nulls belong in the last shard
     banded = cust.crossJoin(F.broadcast(rng)).withColumn(
         "shard",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.floor(
-                    (F.col("hi") - F.col("c_acctbal"))
-                    / ((F.col("hi") - F.col("lo")) / 64.0)
-                ),
-                F.lit(63),
-            )
+        F.coalesce(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("hi") - F.col("c_acctbal"))
+                        / ((F.col("hi") - F.col("lo")) / 64.0)
+                    ),
+                    F.lit(63),
+                )
+            ),
+            F.lit(63),
         ).cast("int"),
     )
     w_in = Window.partitionBy("shard").orderBy(

@@ -549,3 +549,33 @@ def test_vacuum_grace_spares_fresh_commit_race_loser_stage(store):
     os.utime(loser, (old, old))
     assert store.vacuum("vg") == 1
     assert not os.path.isdir(loser)
+
+
+def test_concurrent_zip_store_produces_valid_bundle(store, tmp_path):
+    """Two in-process threads (the HTTP shim's post-write trigger shape)
+    zipping simultaneously must not interleave bytes in a shared staging
+    file — every published bundle must be a readable tar."""
+    store.create("z/p", {"id": "a", "v": 1})
+    errs = []
+
+    def run():
+        try:
+            for _ in range(5):
+                zip_store(store)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    bundle = f"{store.root}/archive/bundle.tar.gz"
+    with tarfile.open(bundle, "r:gz") as tar:
+        assert "z/p/data.json" in tar.getnames()
+    # no staging leftovers
+    import os
+
+    leftovers = [n for n in os.listdir(f"{store.root}/archive") if "staging" in n]
+    assert leftovers == []

@@ -49,14 +49,21 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     file count tracks partitions, not tasks x partitions."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out = os.path.join(tempfile.gettempdir(), f"pot_spark_part_{tag}", "orders")
+    src = load(spark, sf_dir, "orders")
     (
-        load(spark, sf_dir, "orders")
-        .repartition("o_orderpriority")
+        src.repartition("o_orderpriority")
         .write.partitionBy("o_orderpriority")
         .mode("overwrite")
         .parquet(out)
     )
-    rb = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    # pin the read schema: an EMPTY source writes zero data files and
+    # schema inference would fail the read-back — an empty result must
+    # round-trip as an empty result, not an AnalysisException
+    rb = (
+        spark.read.schema(src.schema)
+        .parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
     return rb.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -297,17 +304,19 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not part of the query."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out = os.path.join(tempfile.gettempdir(), f"pot_spark_dpp_{tag}", "lineitem")
+    src = load(spark, sf_dir, "lineitem")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         # repartition on the partition column first: one file per
         # partition dir instead of tasks×partitions small files
         (
-            load(spark, sf_dir, "lineitem")
-            .repartition("l_returnflag")
+            src.repartition("l_returnflag")
             .write.partitionBy("l_returnflag")
             .mode("overwrite")
             .parquet(out)
         )
-    fact = spark.read.parquet(out)
+    # schema pinned so an empty ingest (zero data files) still reads
+    # back as an empty fact instead of failing schema inference
+    fact = spark.read.schema(src.schema).parquet(out)
     dim = spark.createDataFrame(
         [("R", "returned"), ("A", "accepted"), ("N", "none")],
         "flag string, class string",

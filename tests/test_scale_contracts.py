@@ -80,3 +80,18 @@ def test_ngram_jaccard_df_cap_bounds_candidates(spark, sf_dir):
         for r in q_ngram_jaccard(spark, sf_dir, df_cap=10**9).collect()
     }
     assert huge == exact
+
+
+def test_sinks_roundtrip_empty_input(spark, tmp_path):
+    """Partitioned sinks must round-trip an EMPTY source: zero data
+    files break parquet schema inference unless the read pins the
+    schema, and an empty slice (a dormant tenant, a no-match filter)
+    must produce an empty result, never an AnalysisException.
+    tools/empty_sweep.py runs the same check over all 220 queries."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from empty_sweep import write_empty_fixture
+
+    dst = write_empty_fixture(str(tmp_path / "sf_empty"))
+    for name in ("q_sink_partitioned", "q_dpp_join"):
+        assert registry.QUERIES[name](spark, dst).count() == 0, name

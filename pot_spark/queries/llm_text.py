@@ -1008,11 +1008,18 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
     )
+    # guard the position sequence: sequence(1, n-1) with n < 2 COUNTS
+    # DOWN (Spark auto-steps -1 when start > stop) and element_at then
+    # indexes 0/-1 into an empty array — a single empty or one-token
+    # document would abort the whole job. Docs with no bigram emit
+    # nothing, which is also what the oracle's position join produces.
     bi = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("ts") - 1),
+                F.when(
+                    F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.struct(
                     F.element_at("ts", i).alias("w1"),
                     F.element_at("ts", i + 1).alias("w2"),

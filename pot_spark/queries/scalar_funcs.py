@@ -494,7 +494,11 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the reference's schemaless JSON documents
     (server.go:315, 341-343) to a typed, columnar-friendly encoding."""
     ev = load(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json, not parse_json: FAILFAST variant parsing turns ONE
+    # malformed/empty props string into a job abort; open-schema ingest
+    # must degrade that row to NULL instead (fixture rows are all
+    # well-formed, so the oracle result is unchanged)
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     d = ev.select(k.alias("k_int"))
     return (
         d.withColumn("k_floor", F.col("k_int") - (F.col("k_int") % 10))

@@ -164,7 +164,8 @@ def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         feats = []
         for payload, mt in zip(pdf["payload"], pdf["media_type"]):
-            arr = _decode_payload(payload, mt)
+            # NULL payloads decode as zero-byte media, not worker crashes
+            arr = _decode_payload(payload if payload is not None else b"", mt)
             if arr.size == 0:
                 # zero-byte payload: defined stats instead of numpy's
                 # zero-size-reduction crash taking down the whole stage
@@ -228,7 +229,7 @@ def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8)
+            arr = np.frombuffer(payload or b"", dtype=np.uint8)
             side = max(int(np.sqrt(arr.size)) // 8 * 8, 8)
             img = np.resize(arr, (side, side))  # deterministic tiling pad
             blk = side // 8
@@ -270,7 +271,7 @@ def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         ids, idxs, means = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8)
+            arr = np.frombuffer(payload or b"", dtype=np.uint8)
             n_frames = max((arr.size + _FRAME_BYTES - 1) // _FRAME_BYTES, 1)
             for fi in range(0, n_frames, _FRAME_STRIDE):
                 frame = arr[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
@@ -367,7 +368,18 @@ def _reconcile_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     # equivalent to the DECIMAL(18,2) contract but ~10x cheaper per call
     # than per-row Decimal quantization — per-key Python dispatch is the
     # dominant cogroup cost, keep the body lean
-    sp = float(sum(int(round(float(v) * 100)) for v in right["o_totalprice"])) / 100.0
+    # skip NULL/NaN prices (v == v filters NaN): a null-priced order
+    # contributes nothing to the sum instead of crashing the int cast
+    sp = (
+        float(
+            sum(
+                int(round(float(v) * 100))
+                for v in right["o_totalprice"]
+                if v is not None and v == v
+            )
+        )
+        / 100.0
+    )
     bal = float(left["c_acctbal"].iloc[0])
     return pd.DataFrame(
         {
@@ -515,7 +527,9 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _write_partition(rows):
             for r in rows:
                 with open(os.path.join(stage, f"{r['doc_id']}.bin"), "wb") as f:
-                    f.write(r["payload"])
+                    # NULL payload (e.g. a null source document) lands
+                    # as a zero-byte media file, not a worker crash
+                    f.write(r["payload"] or b"")
 
         media.select("doc_id", "payload").foreachPartition(_write_partition)
         try:

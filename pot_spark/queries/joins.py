@@ -345,7 +345,7 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT event_id,
-               NULLIF(CAST(json_extract(props, '$.k') AS INTEGER) % 7, 0)
+               NULLIF(CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) % 7, 0)
                    AS grp
         FROM events
     ),

@@ -143,11 +143,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            substr(sha256(lower(text)), 1, 16) AS fp,
            substr(sha256(lower(text)), 1, 1) AS shard,
-           CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
-                    list_transform(string_split(text, ' '),
-                    x -> CAST(ascii(x) AS BIGINT))),
-                    (acc, x) -> (acc * 31 + x) % 1000000007)
-                AS BIGINT) AS rolling_hash
+           -- NULL text must hash to NULL: DuckDB's list_prepend(7, NULL)
+           -- yields [7] (reduce -> 7) where Spark's aggregate over a
+           -- NULL array is NULL
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(string_split(text, ' '),
+                         x -> CAST(ascii(x) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 1000000007)
+                     AS BIGINT) END AS rolling_hash
     FROM documents
     """,
 )

@@ -24,21 +24,26 @@ from pot_spark.tables import load
     SELECT p_partkey,
            upper(p_name) AS up_name,
            substr(p_name, 1, 5) AS pre5,
-           concat(p_brand, '-', p_type) AS brand_type,
+           p_brand || '-' || p_type AS brand_type,
            (p_name LIKE '%widget%') AS is_widget,
            regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
            CAST(length(p_name) AS INTEGER) AS name_len,
            replace(p_name, ' ', '_') AS snake_name,
-           trim(concat('  ', p_name, '  ')) AS trimmed
+           trim('  ' || p_name || '  ') AS trimmed
     FROM part
     """,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-propagating concatenation on BOTH sides (Spark concat /
+    DuckDB ||): Spark's concat_ws skips NULL args while DuckDB's
+    concat() ignores them but keeps literal separators — three
+    different answers for one null operand. The || form gives the one
+    semantics both engines share: any NULL poisons the result."""
     return load(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("up_name"),
         F.substring("p_name", 1, 5).alias("pre5"),
-        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.col("p_name").like("%widget%").alias("is_widget"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.length("p_name").alias("name_len"),
@@ -198,9 +203,9 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            list_aggr(list_sort(map_keys(
-               MAP(['k'], [json_extract_string(props, '$.k')]))),
+               MAP(['k'], [json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k')]))),
                'string_agg', ',') AS prop_keys,
-           CAST(element_at(MAP(['k'], [json_extract_string(props, '$.k')]), 'k')[1]
+           CAST(element_at(MAP(['k'], [json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k')]), 'k')[1]
                 AS INTEGER) AS k_val
     FROM events
     """,
@@ -223,10 +228,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_funcs",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           json_extract_string(props, '$.k') AS k_str,
-           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS k_str,
+           (json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL) AS has_k,
+           CAST(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) % 10 AS INTEGER)
              AS k_bucket
     FROM events
     """,
@@ -359,8 +364,11 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_url_funcs",
     oracle="""
     SELECT doc_id,
-           source || '.example.com' AS host,
-           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE source || '.example.com' END AS host,
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) END
+             AS path,
            CAST(n_chars AS VARCHAR) AS v
     FROM documents
     """,
@@ -369,7 +377,10 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing (parse_url HOST/PATH/QUERY:key) over per-doc URLs
     synthesized from fixture columns; the oracle reconstructs each
     component from the same inputs, so any parse drift (encoding, query
-    splitting) hash-fails. Pure scan-side expressions, no shuffle."""
+    splitting) hash-fails. Pure scan-side expressions, no shuffle.
+    A NULL component poisons the WHOLE url (Spark concat semantics), so
+    every parsed field of that row is NULL — the oracle mirrors the
+    poisoning instead of rebuilding components from the intact inputs."""
     docs = load(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -394,10 +405,10 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id,
            CAST(floor(e.value /
-                      NULLIF(CAST(json_extract(e.props, '$.k') AS DOUBLE), 0))
+                      NULLIF(CAST(json_extract(CASE WHEN json_valid(e.props) THEN e.props END, '$.k') AS DOUBLE), 0))
                 AS BIGINT) AS per_k_floor,
            TRY_CAST(substr(e.event_type, 1, 1) AS INTEGER) AS bad_int,
-           TRY_CAST(CAST(json_extract(e.props, '$.k') AS VARCHAR) AS INTEGER) AS k_int
+           TRY_CAST(CAST(json_extract(CASE WHEN json_valid(e.props) THEN e.props END, '$.k') AS VARCHAR) AS INTEGER) AS k_int
     FROM events e
     """,
 )
@@ -473,9 +484,9 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN k_int % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_even
     FROM (
-        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
-               CAST(json_extract(props, '$.k') AS INTEGER)
-                 - (CAST(json_extract(props, '$.k') AS INTEGER) % 10) AS k_floor
+        SELECT CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER)
+                 - (CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) % 10) AS k_floor
         FROM events
     )
     GROUP BY k_floor
@@ -506,7 +517,10 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.sum("k_int").cast("bigint").alias("sum_k"),
-            F.sum((F.col("k_int") % 2 == 0).cast("int"))
+            # coalesce the predicate: a NULL k is "not even" (counts 0,
+            # the oracle CASE's ELSE), so the all-null group sums to 0
+            # instead of NULL
+            F.sum(F.coalesce((F.col("k_int") % 2 == 0).cast("int"), F.lit(0)))
             .cast("bigint")
             .alias("n_even"),
         )

@@ -253,18 +253,27 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s_dedup_first",
     oracle="""
-    SELECT user_id, event_type,
-           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
-           arg_min(ts, event_id) AS first_ts,
-           arg_min(value, event_id) AS first_value
-    FROM events GROUP BY user_id, event_type
+    WITH g AS (
+        SELECT user_id, event_type,
+               CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT g.user_id, g.event_type, g.first_event_id,
+           e.ts AS first_ts, e.value AS first_value
+    FROM g JOIN events e ON e.event_id = g.first_event_id
     """,
 )
 def s_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep only the first event per (user_id, event_type) — the batch
     evaluation of streaming dedup. The streaming twin is a custom stateful
     operator (applyInPandasWithState keeping min-event-id state per key,
-    emitting on change); tests/test_streaming.py asserts both agree."""
+    emitting on change); tests/test_streaming.py asserts both agree.
+
+    Oracle note: the join-back on the (globally unique) min event_id,
+    NOT arg_min — DuckDB's arg_min skips rows whose VALUE argument is
+    NULL, so a first event with a null measurement would silently
+    resolve to some later event's value; Spark's min_by keeps it. The
+    first event's value is the first event's value, null included."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"),

@@ -80,7 +80,7 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) AS k_val
     FROM events
     """,
 )
@@ -177,8 +177,10 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_text_roundtrip",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           CAST(MIN(length(text)) AS BIGINT) AS min_len
+           CAST(SUM(length(COALESCE(regexp_replace(text, '[\r\n]', ' ', 'g'), '')))
+                AS BIGINT) AS total_chars,
+           CAST(MIN(length(COALESCE(regexp_replace(text, '[\r\n]', ' ', 'g'), '')))
+                AS BIGINT) AS min_len
     FROM documents
     """,
 )
@@ -186,10 +188,17 @@ def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text source/sink: document bodies written as one line each
     (spark.read/write.text — the rawest corpus interchange format), read
     back and aggregated. Line counts and char totals must survive the
-    round trip exactly (document texts contain no newlines in the
-    fixture)."""
+    round trip exactly, so the writer SANITIZES what a line sink cannot
+    represent: embedded CR/LF become spaces (same length, one line per
+    doc — otherwise one multiline document silently becomes several
+    records downstream) and NULL bodies become empty lines. The oracle
+    applies the identical normalization."""
     out = _sink_dir(sf_dir, "text")
-    docs = load(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs = load(spark, sf_dir, "documents").select(
+        F.coalesce(
+            F.regexp_replace("text", "[\\r\\n]", " "), F.lit("")
+        ).alias("value")
+    )
     docs.write.mode("overwrite").text(out)
     rb = spark.read.text(out)
     return rb.agg(

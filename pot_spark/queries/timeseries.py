@@ -322,7 +322,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
                MAX(value) AS bucket_max
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     bounds AS (
         SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
@@ -379,8 +379,14 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary values).
 
     No reference counterpart: petomalina/pot has no temporal operators
-    (SURVEY.md §2-A)."""
-    ev = load(spark, sf_dir, "events")
+    (SURVEY.md §2-A).
+
+    NULL measurements are filtered up front ON BOTH SIDES (the
+    q_window_median rule): a bucket whose only events carry null values
+    is a GAP to interpolate, not an observation with a null reading —
+    the only definition the two formulations (pair-explode here,
+    grid-join in the oracle) both express."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bucket_s = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint")
     b = ev.groupBy("user_id", bucket_s.alias("bucket_s")).agg(
         F.max("value").alias("bucket_max")
@@ -885,7 +891,8 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM l
     )
     SELECT user_id, event_id, num, den,
-           CAST(num AS DOUBLE) / den / 100 AS ewma
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(num AS DOUBLE) / den / 100 END AS ewma
     FROM s
     """,
 )
@@ -925,4 +932,12 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         num.cast("bigint").alias("num"),
         den.cast("bigint").alias("den"),
-    ).withColumn("ewma", F.col("num").cast("double") / F.col("den") / 100)
+    ).withColumn(
+        "ewma",
+        # den = 0 (all 7 taps NULL — possible when the measurement
+        # column itself has nulls) must yield NULL, not an ANSI
+        # divide-by-zero job abort
+        F.when(
+            F.col("den") != 0, F.col("num").cast("double") / F.col("den") / 100
+        ),
+    )

@@ -48,10 +48,16 @@ def u_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _geomean_group(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"].to_numpy(dtype=np.float64)
+    # SQL aggregate semantics: NULL (NaN after Arrow transfer)
+    # measurements are excluded from the mean — np.mean over the raw
+    # array would instead poison the whole group's geo_mean with NaN.
+    # n stays COUNT(*) (all rows), matching the oracle.
+    ok = v[~np.isnan(v)]
+    geo = round(float(np.exp(np.mean(np.log(ok)))), 4) if len(ok) else None
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
-            "geo_mean": [round(float(np.exp(np.mean(np.log(v)))), 4)],
+            "geo_mean": [geo],
             "n": [len(v)],
         }
     )
@@ -490,7 +496,9 @@ def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_binaryfile",
     oracle="""
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents WHERE doc_id % 10 = 0
+    FROM documents
+    WHERE doc_id % 10 = 0 AND text IS NOT NULL
+      AND octet_length(encode(text)) > 0
     """,
 )
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,10 +534,16 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def _write_partition(rows):
             for r in rows:
+                # NULL/empty payloads are SKIPPED, not written as
+                # zero-byte files: Spark's binaryFile source silently
+                # drops 0-byte files from its listing, so writing them
+                # would make the sink and the read-back disagree — the
+                # skip makes "no bytes -> no media file" the explicit
+                # contract (the oracle filters identically)
+                if not r["payload"]:
+                    continue
                 with open(os.path.join(stage, f"{r['doc_id']}.bin"), "wb") as f:
-                    # NULL payload (e.g. a null source document) lands
-                    # as a zero-byte media file, not a worker crash
-                    f.write(r["payload"] or b"")
+                    f.write(r["payload"])
 
         media.select("doc_id", "payload").foreachPartition(_write_partition)
         try:

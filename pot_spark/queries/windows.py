@@ -207,7 +207,7 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(nth_value(c_acctbal, 2) OVER w, 2) AS seg_2nd_bal
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal, c_custkey
+                 ORDER BY c_acctbal NULLS LAST, c_custkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -216,8 +216,14 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist, first_value, nth_value) per market segment with a unique
     tie-breaker in the ordering so both engines rank identically. The
     ranking functions ignore the frame (whole-partition by definition);
-    the positional ones use an explicit unbounded frame on both sides."""
-    wr = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    the positional ones use an explicit unbounded frame on both sides.
+    NULL balances sort LAST explicitly on both sides: Spark's ASC
+    default is NULLS FIRST and DuckDB's is NULLS LAST, so an implicit
+    ordering shifts every rank between the engines the moment the
+    column has one null."""
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     wf = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cust = load(spark, sf_dir, "customer")
     return cust.select(

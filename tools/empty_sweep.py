@@ -48,7 +48,10 @@ def main() -> None:
     fails = []
     for name, fn in QUERIES.items():
         try:
-            fn(spark, dst).count()
+            # noop sink, NOT count(): count() lets Spark prune the
+            # projection, hiding expression-level crashes (div-by-zero,
+            # bad casts) in columns nobody aggregates
+            fn(spark, dst).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 - collecting the inventory
             fails.append((name, type(e).__name__, str(e).split("\n")[0][:140]))
     print(f"{len(QUERIES)} queries, {len(fails)} failures on empty input")

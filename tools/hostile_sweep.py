@@ -12,7 +12,14 @@ into an empty array. At 100 TB every one of these exists somewhere in
 the corpus; a single bad row must degrade to NULL/empty output, never
 abort the job.
 
-Usage: python tools/hostile_sweep.py [hostile_dir]
+Usage: python tools/hostile_sweep.py [hostile_dir] [--parity]
+
+--parity runs the full Spark-vs-DuckDB hash comparison on the hostile
+fixture instead of the crash check — the strongest cross-engine
+determinism gate in the repo: nulls and junk text push both engines
+down code paths the clean fixture never exercises (NULLS FIRST/LAST
+window defaults, concat null-propagation, arg_min null skipping,
+json parse strictness). Round 4 drove this to zero failures.
 """
 
 from __future__ import annotations
@@ -90,7 +97,9 @@ def write_hostile_fixture(dst: str, src: str = "/root/testdata/sf0.001") -> str:
 def main() -> None:
     import tempfile
 
-    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--parity"]
+    parity = "--parity" in sys.argv[1:]
+    dst = args[0] if args else os.path.join(
         tempfile.gettempdir(), "pot_spark_sf_hostile"
     )
     write_hostile_fixture(dst)
@@ -100,10 +109,23 @@ def main() -> None:
 
     load_all_query_modules()
     spark = get_spark("hostile_sweep")
+
+    if parity:
+        from pot_spark.oracle import run_all
+
+        bad = [r for r in run_all(spark, dst) if not r.ok]
+        print(f"{len(QUERIES)} queries, {len(bad)} parity failures on hostile input")
+        for r in bad:
+            print(r)
+        sys.exit(1 if bad else 0)
+
     fails = []
     for name, fn in QUERIES.items():
         try:
-            fn(spark, dst).count()
+            # noop sink, NOT count(): count() lets Spark prune the
+            # projection, hiding expression-level crashes (div-by-zero,
+            # bad casts) in columns nobody aggregates
+            fn(spark, dst).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 - collecting the inventory
             fails.append((name, type(e).__name__, str(e).split("\n")[0][:140]))
     print(f"{len(QUERIES)} queries, {len(fails)} failures on hostile input")

@@ -857,8 +857,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared (lang, shingle) inverted-index keys, never a cross product, so
     candidate volume is Σ df² over the index and AQE's skew-join split
     absorbs hot shingles. The containment division happens after the
-    count rollup, on candidate pairs only."""
-    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    count rollup, on candidate pairs only. The shingle stream is
+    checkpointed once for its three consumers (counts + both join
+    sides) — the q_prefix_filter_join index-artifact rationale."""
+    sh = reliable_checkpoint(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
@@ -1084,8 +1086,15 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never appear in rarest-first prefixes, so candidate volume
     concentrates on discriminative tokens. The df table is one rollup;
     the global rarity order needs no global sort (df is the sort key
-    itself, computed per shingle)."""
-    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    itself, computed per shingle).
+
+    The shingle stream is CHECKPOINTED once: five consumers (df rollup,
+    rank join, per-doc counts, both verify sides) would otherwise each
+    re-explode the corpus. Materializing the tokenized stream is what a
+    production ppjoin index build does anyway — it IS the index's
+    ingest artifact — and a checkpoint (unlike an unscoped persist)
+    can't leak executor memory into later queries."""
+    sh = reliable_checkpoint(_shingle_df(spark, sf_dir, with_lang=True))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = sh.join(df_tbl, "shingle")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")

@@ -845,7 +845,9 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND (ca.n < cb.n OR (ca.n = cb.n AND doc_sub < doc_sup))
     """,
 )
-def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_containment_dedup(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Shingle-containment dedup: C(A->B) = |A∩B| / |A| >= 0.8 flags doc A
     as subsumed by doc B — the quote/boilerplate-inclusion case where a
     short doc lives inside a much longer one and symmetric Jaccard
@@ -859,11 +861,27 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs hot shingles. The containment division happens after the
     count rollup, on candidate pairs only. The shingle stream is
     checkpointed once for its three consumers (counts + both join
-    sides) — the q_prefix_filter_join index-artifact rationale."""
+    sides) — the q_prefix_filter_join index-artifact rationale.
+
+    ``df_cap``: same opt-in index cap as q_ngram_jaccard — shingles
+    with df > cap never join, bounding candidate volume at
+    Σ min(df, cap)². Recall trade-off: containment through hot
+    shingles only is missed, and surviving scores underestimate
+    (intersections count capped shingles; |A| stays exact). Default
+    None keeps the exact oracle semantics."""
     sh = reliable_checkpoint(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+    idx = sh
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("lang", "shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("lang", "shingle")
+        )
+        idx = sh.join(rare, ["lang", "shingle"], "left_semi")
+    sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
+    sb = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
     inter = (
         sa.join(sb, ["lang", "shingle"])
         .filter(F.col("doc_sub") != F.col("doc_sup"))

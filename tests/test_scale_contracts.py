@@ -95,3 +95,27 @@ def test_sinks_roundtrip_empty_input(spark, tmp_path):
     dst = write_empty_fixture(str(tmp_path / "sf_empty"))
     for name in ("q_sink_partitioned", "q_dpp_join"):
         assert registry.QUERIES[name](spark, dst).count() == 0, name
+
+
+def test_containment_df_cap_only_shrinks(spark, sf_dir):
+    """Same contract as the Jaccard df-cap: capped containment results
+    are a subset of exact with never-larger scores, and a huge cap is a
+    no-op."""
+    from pot_spark.queries.llm_dedup import q_containment_dedup
+
+    exact = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in q_containment_dedup(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in q_containment_dedup(spark, sf_dir, df_cap=3).collect()
+    }
+    for pair, c in capped.items():
+        assert pair in exact
+        assert c <= exact[pair] + 1e-9
+    huge = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in q_containment_dedup(spark, sf_dir, df_cap=10**9).collect()
+    }
+    assert huge == exact

@@ -74,6 +74,10 @@ HEADLINE = [
     "q_window_median",
     "q_window_ewma",
     "q_winsorize",
+    # round-4 addition: the de-globalized ntile/dense_rank (banded rank
+    # + broadcast offsets) — tracked so a regression back to a global
+    # window shows up as a timing cliff, not just a plan-test failure
+    "q_window_ntile_dense",
 ]
 
 

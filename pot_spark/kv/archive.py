@@ -44,16 +44,35 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
 
     staging = bundle + f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     mtime = time.time()
-    with tarfile.open(staging, "w:gz") as tar:
-        for p in paths:
-            if p == dest_dir or p.startswith(dest_dir + "/"):
-                continue  # never archive the archive (server.go:569-572)
-            content = store.get(p)
-            payload = json.dumps(content, sort_keys=True).encode()
-            name = f"{p}/data.json" if p else "data.json"
-            info = tarfile.TarInfo(name=name)
-            info.size = len(payload)
-            info.mtime = int(mtime)
-            tar.addfile(info, io.BytesIO(payload))
-    os.replace(staging, bundle)  # atomic publish
+    # per-call-unique staging names mean a CRASHED zip leaves its file
+    # behind forever; reclaim stale leftovers (well past any plausible
+    # in-flight write) before starting this one
+    for leftover in os.listdir(out_dir):
+        if ".staging-" not in leftover:
+            continue
+        full = os.path.join(out_dir, leftover)
+        try:
+            if mtime - os.path.getmtime(full) > 3600:
+                os.unlink(full)
+        except OSError:
+            pass  # concurrent zip finished/cleaned it — not ours to fight
+    try:
+        with tarfile.open(staging, "w:gz") as tar:
+            for p in paths:
+                if p == dest_dir or p.startswith(dest_dir + "/"):
+                    continue  # never archive the archive (server.go:569-572)
+                content = store.get(p)
+                payload = json.dumps(content, sort_keys=True).encode()
+                name = f"{p}/data.json" if p else "data.json"
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = int(mtime)
+                tar.addfile(info, io.BytesIO(payload))
+        os.replace(staging, bundle)  # atomic publish
+    except BaseException:
+        try:
+            os.unlink(staging)
+        except OSError:
+            pass
+        raise
     return bundle

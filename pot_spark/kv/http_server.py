@@ -36,7 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, unquote, urlparse
 
-from pot_spark.kv.errors import NoRewriteViolated
+from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
 from pot_spark.kv.store import PotStore, derive_key
 
 _GO_DURATION_UNITS = {
@@ -87,9 +87,20 @@ class _PotHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _rel_path(self) -> tuple[str, dict[str, list[str]]]:
+    def _rel_path(self) -> Optional[tuple[str, dict[str, list[str]]]]:
+        """Decode the pot path; None (after a 400 response) for any path
+        that could escape the store root. The reference is immune to
+        traversal by construction — GCS object names are opaque keys,
+        and gorilla/mux cleans paths — but a filesystem-backed shim must
+        reject `..`/`.` segments itself (including percent-encoded ones,
+        which unquote() has already decoded by this point); PotStore's
+        _pot_dir containment check is the second line of defense."""
         u = urlparse(self.path)
-        return unquote(u.path).lstrip("/"), parse_qs(u.query, keep_blank_values=True)
+        rel = unquote(u.path).lstrip("/")
+        if any(seg in ("..", ".") for seg in rel.split("/")) or "\x00" in rel:
+            self._send_error_text(400, "invalid pot path")
+            return None
+        return rel, parse_qs(u.query, keep_blank_values=True)
 
     def _trigger_zip(self) -> None:
         if self.zip_dest:
@@ -103,7 +114,10 @@ class _PotHandler(BaseHTTPRequestHandler):
     # -- routes -------------------------------------------------------------
 
     def do_GET(self) -> None:
-        rel, _ = self._rel_path()
+        parsed = self._rel_path()
+        if parsed is None:
+            return
+        rel, _ = parsed
         try:
             if rel == ":metrics":
                 # counters endpoint: otel.go parity without the
@@ -118,7 +132,10 @@ class _PotHandler(BaseHTTPRequestHandler):
             self._send_error_text(500, str(e))
 
     def do_POST(self) -> None:
-        rel, q = self._rel_path()
+        parsed = self._rel_path()
+        if parsed is None:
+            return
+        rel, q = parsed
         try:
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b"{}"
@@ -161,17 +178,29 @@ class _PotHandler(BaseHTTPRequestHandler):
             self.send_response(423)
             self.send_header("Content-Length", "0")
             self.end_headers()
+        except CommitConflict as e:
+            # 412 Precondition Failed: the reference's contract for
+            # concurrent distributed-lock/commit contention
+            # (readme.md:128, server.go:670-689). The engine retries OCC
+            # internally first, so a client only sees this after the
+            # retry budget is exhausted.
+            self._send_error_text(412, str(e))
         except Exception as e:  # noqa: BLE001
             self._send_error_text(500, str(e))
 
     def do_DELETE(self) -> None:
-        rel, q = self._rel_path()
+        parsed = self._rel_path()
+        if parsed is None:
+            return
+        rel, q = parsed
         try:
             self.store.remove(rel, *q.get("key", []))
             self._trigger_zip()
             self.send_response(200)
             self.send_header("Content-Length", "0")
             self.end_headers()
+        except CommitConflict as e:
+            self._send_error_text(412, str(e))
         except Exception as e:  # noqa: BLE001
             self._send_error_text(500, str(e))
 

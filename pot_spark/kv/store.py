@@ -56,7 +56,7 @@ import shutil
 import threading
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
 
 import pyarrow as pa
@@ -86,8 +86,15 @@ class CreateResponse:
 class StoreMetrics:
     """The reference's observability surface (server.go:64-81, 104-168):
     pot_writes/reads/lists/removes counters plus the local-lock wait
-    histogram, reduced to its mean. On a cluster these would feed a
-    SparkListener/metrics sink; the counters themselves are the contract."""
+    histogram, reduced to its mean, plus per-phase span accumulators
+    mirroring the reference's trace() spans (otel.go:70-98,
+    server.go:273-313: create / local-lock / read / write / commit).
+    On a cluster these would feed a SparkListener/metrics sink; the
+    counters themselves are the contract.
+
+    All mutation goes through bump()/observe_span(), which hold a lock:
+    the HTTP shim's ThreadingHTTPServer drives the store from concurrent
+    request threads, and bare ``+=`` on the counters loses increments."""
 
     writes: int = 0
     reads: int = 0
@@ -95,6 +102,24 @@ class StoreMetrics:
     removes: int = 0
     lock_wait_s: float = 0.0
     lock_acquisitions: int = 0
+    span_seconds: dict = field(default_factory=dict)
+    span_calls: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self._guard = threading.Lock()
+
+    def bump(self, **deltas: float) -> None:
+        """Atomically add each delta to the named counter."""
+        with self._guard:
+            for k, v in deltas.items():
+                setattr(self, k, getattr(self, k) + v)
+
+    def observe_span(self, name: str, seconds: float) -> None:
+        """Accumulate one timed phase (the reference's trace() span,
+        server.go:704-712, reduced to a sum + call count per phase)."""
+        with self._guard:
+            self.span_seconds[name] = self.span_seconds.get(name, 0.0) + seconds
+            self.span_calls[name] = self.span_calls.get(name, 0) + 1
 
     @property
     def avg_local_lock_duration_ms(self) -> float:
@@ -107,15 +132,20 @@ class StoreMetrics:
         metric export (otel.go:70-98) without the dependency: feed this
         to any metrics sink (StatsD, Prometheus textfile, a Spark
         custom metric source) on whatever cadence the host wants."""
-        return {
-            "pot_writes": self.writes,
-            "pot_reads": self.reads,
-            "pot_lists": self.lists,
-            "pot_removes": self.removes,
-            "pot_local_lock_wait_seconds_total": self.lock_wait_s,
-            "pot_local_lock_acquisitions": self.lock_acquisitions,
-            "pot_local_lock_duration_avg_ms": self.avg_local_lock_duration_ms,
-        }
+        with self._guard:
+            out = {
+                "pot_writes": self.writes,
+                "pot_reads": self.reads,
+                "pot_lists": self.lists,
+                "pot_removes": self.removes,
+                "pot_local_lock_wait_seconds_total": self.lock_wait_s,
+                "pot_local_lock_acquisitions": self.lock_acquisitions,
+                "pot_local_lock_duration_avg_ms": self.avg_local_lock_duration_ms,
+            }
+            for name in sorted(self.span_seconds):
+                out[f"pot_span_{name}_seconds_total"] = self.span_seconds[name]
+                out[f"pot_span_{name}_calls"] = self.span_calls[name]
+            return out
 
 
 @dataclass
@@ -150,7 +180,10 @@ class PotStore:
 
     def __init__(self, spark: Optional[SparkSession], root: str) -> None:
         self.spark = spark
-        self.root = os.path.abspath(root)
+        # realpath, not abspath: _pot_dir's containment check compares
+        # normalized prefixes, which only holds if the root itself is
+        # symlink-free
+        self.root = os.path.realpath(root)
         os.makedirs(self.root, exist_ok=True)
         self._locks: dict[str, threading.RLock] = {}
         self._locks_guard = threading.Lock()
@@ -163,7 +196,14 @@ class PotStore:
 
     def _pot_dir(self, path: str) -> str:
         path = path.strip("/")
-        base = os.path.join(self.root, path) if path else self.root
+        base = os.path.normpath(os.path.join(self.root, path)) if path else self.root
+        # containment gate: a pot path must never escape the store root.
+        # The reference is immune by construction (GCS object namespace);
+        # a filesystem root is not, so `..` segments (or anything that
+        # normalizes outside root) are rejected here — the single choke
+        # point every read/write/list path goes through.
+        if base != self.root and not base.startswith(self.root + os.sep):
+            raise ValueError(f"pot path escapes the store root: {path!r}")
         return os.path.join(base, _POT_DIRNAME)
 
     def _local_lock(self, path: str) -> threading.RLock:
@@ -338,7 +378,7 @@ class PotStore:
 
     def get(self, path: str) -> dict[str, Any]:
         """Read-all at path; missing pot => empty map (server.go:468-491)."""
-        self.metrics.reads += 1
+        self.metrics.bump(reads=1)
         manifest = self._latest_manifest(path)
         if manifest is not None:
             self.generation_cache[path] = manifest.generation
@@ -440,13 +480,13 @@ class PotStore:
         release (a stalled ex-leader whose check passed before its
         lease expired can no longer delete the new leader's key: the
         new leader's election bumped the generation)."""
-        self.metrics.removes += 1
+        self.metrics.bump(removes=1)
         self._mutate(path, {}, remove_keys=keys, require_generation=generation)
 
     def list_paths(self, subdir: str = "") -> list[str]:
         """Raw string-prefix listing of pot paths; a root-level pot is
         never listed (server.go:432-466)."""
-        self.metrics.lists += 1
+        self.metrics.bump(lists=1)
         found = []
         for dirpath, dirnames, _ in os.walk(self.root):
             if _POT_DIRNAME in dirnames:
@@ -475,14 +515,18 @@ class PotStore:
         require_generation: Optional[int] = None,
     ) -> CreateResponse:
         lock = self._local_lock(path)
-        t_lock = time.perf_counter()
+        t_total = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
-            self.metrics.writes += 1
+            lock_wait = time.perf_counter() - t_total
+            self.metrics.bump(
+                lock_wait_s=lock_wait, lock_acquisitions=1, writes=1
+            )
+            self.metrics.observe_span("local_lock", lock_wait)
             for _ in range(_MAX_COMMIT_RETRIES):
+                t_phase = time.perf_counter()
                 manifest = self._latest_manifest(path)
                 content = self._read_content(manifest, path)
+                self.metrics.observe_span("read", time.perf_counter() - t_phase)
 
                 if require_generation is not None and (
                     manifest is None or manifest.generation != require_generation
@@ -508,15 +552,23 @@ class PotStore:
                 merged.update(new_docs)
 
                 next_gen = (manifest.generation if manifest else 0) + 1
+                t_phase = time.perf_counter()
                 snapshot = self._write_snapshot(path, next_gen, merged)
+                self.metrics.observe_span("write", time.perf_counter() - t_phase)
                 committed = _Manifest(
                     generation=next_gen,
                     committed_at=time.time(),
                     snapshot=snapshot,
                     n_keys=len(merged),
                 )
-                if self._try_commit(path, committed):
+                t_phase = time.perf_counter()
+                won = self._try_commit(path, committed)
+                self.metrics.observe_span("commit", time.perf_counter() - t_phase)
+                if won:
                     self.generation_cache[path] = next_gen
+                    self.metrics.observe_span(
+                        "create", time.perf_counter() - t_total
+                    )
                     return CreateResponse(content=new_docs, generation=next_gen)
                 # lost the race: discard the staged snapshot, re-read, retry
                 shutil.rmtree(self._snapshot_path(path, snapshot), ignore_errors=True)
@@ -665,9 +717,11 @@ class PotStore:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
-            self.metrics.writes += 1
+            lock_wait = time.perf_counter() - t_lock
+            self.metrics.bump(
+                lock_wait_s=lock_wait, lock_acquisitions=1, writes=1
+            )
+            self.metrics.observe_span("local_lock", lock_wait)
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 old = self.get_df(path)
@@ -687,15 +741,21 @@ class PotStore:
                 next_gen = (manifest.generation if manifest else 0) + 1
                 name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
                 snap_dir = self._snapshot_path(path, name)
+                t_phase = time.perf_counter()
                 merged.write.mode("overwrite").parquet(snap_dir)
+                self.metrics.observe_span("write", time.perf_counter() - t_phase)
                 committed = _Manifest(
                     generation=next_gen,
                     committed_at=time.time(),
                     snapshot=name,
                     n_keys=-1,
                 )
-                if self._try_commit(path, committed):
+                t_phase = time.perf_counter()
+                won = self._try_commit(path, committed)
+                self.metrics.observe_span("commit", time.perf_counter() - t_phase)
+                if won:
                     self.generation_cache[path] = next_gen
+                    self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
                 shutil.rmtree(snap_dir, ignore_errors=True)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
@@ -724,9 +784,11 @@ class PotStore:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
-            self.metrics.writes += 1
+            lock_wait = time.perf_counter() - t_lock
+            self.metrics.bump(
+                lock_wait_s=lock_wait, lock_acquisitions=1, writes=1
+            )
+            self.metrics.observe_span("local_lock", lock_wait)
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 prev = (
@@ -838,8 +900,9 @@ class PotStore:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
+            lock_wait = time.perf_counter() - t_lock
+            self.metrics.bump(lock_wait_s=lock_wait, lock_acquisitions=1)
+            self.metrics.observe_span("local_lock", lock_wait)
             target = self._manifest_at(path, generation)
             if target is None:
                 raise ValueError(f"generation {generation} not found at {path!r}")
@@ -883,8 +946,9 @@ class PotStore:
         lock = self._local_lock(dst)
         t_lock = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
+            lock_wait = time.perf_counter() - t_lock
+            self.metrics.bump(lock_wait_s=lock_wait, lock_acquisitions=1)
+            self.metrics.observe_span("local_lock", lock_wait)
             dst_dir = self._pot_dir(dst)
             os.makedirs(dst_dir, exist_ok=True)
             for _ in range(_MAX_COMMIT_RETRIES):
@@ -1000,12 +1064,25 @@ class PotStore:
                 full = os.path.join(pot_dir, name)
                 if name not in committed_refs:
                     # unreferenced stage at gen <= committed: possibly a
-                    # commit-race loser still writing — honor the grace
+                    # commit-race loser still writing — honor the grace.
+                    # Age = NEWEST mtime anywhere in the snapshot tree:
+                    # bucketed stage writes land in __b=<k> subdirs that
+                    # never refresh the top-level dir's mtime, so the
+                    # top-level stat alone would age out a stage that is
+                    # actively being written.
                     try:
-                        age = now - os.path.getmtime(full)
+                        newest = os.path.getmtime(full)
+                        for dirpath, dirnames, filenames in os.walk(full):
+                            for child in dirnames + filenames:
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(
+                                        os.path.join(dirpath, child)
+                                    ),
+                                )
                     except OSError:
                         continue  # vanished under us (owner cleaned up)
-                    if age < grace_s:
+                    if now - newest < grace_s:
                         continue
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
@@ -1024,8 +1101,9 @@ class PotStore:
         lock = self._local_lock(path)
         t_lock = time.perf_counter()
         with lock:
-            self.metrics.lock_wait_s += time.perf_counter() - t_lock
-            self.metrics.lock_acquisitions += 1
+            lock_wait = time.perf_counter() - t_lock
+            self.metrics.bump(lock_wait_s=lock_wait, lock_acquisitions=1)
+            self.metrics.observe_span("local_lock", lock_wait)
             for _ in range(_MAX_COMMIT_RETRIES):
                 manifest = self._latest_manifest(path)
                 if manifest is None:

@@ -174,7 +174,7 @@ def q_window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = F.col("base") + F.col("rn_in")
     n, four = F.col("n_tot"), F.lit(4)
-    q, rem = n.cast("bigint") / four, n.cast("bigint") % four
+    rem = n.cast("bigint") % four
     q = F.floor(n / four).cast("bigint")
     cut = rem * (q + 1)
     quartile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(

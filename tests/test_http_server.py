@@ -127,3 +127,79 @@ def test_metrics_endpoint(srv):
     status, m = _req(f"{base}/:metrics")
     assert status == 200
     assert m["pot_writes"] >= 1 and m["pot_reads"] >= 1
+    # span export rides along (otel.go:70-98 trace parity)
+    assert m["pot_span_create_calls"] >= 1
+    assert m["pot_span_local_lock_seconds_total"] <= m["pot_span_create_seconds_total"]
+
+
+def test_path_traversal_rejected_with_400(srv, tmp_path):
+    """A `..` segment (bare or percent-encoded) must never reach the
+    filesystem: the reference's GCS namespace is traversal-immune, so
+    the shim has to enforce the same property itself."""
+    base, store = srv
+    import os
+
+    for evil in ("/../evil", "/a/../../evil", "/%2e%2e/evil", "/a/%2E%2E/%2e%2e/evil"):
+        status, _ = _req(f"{base}{evil}", "POST", {"id": "x"})
+        assert status == 400, evil
+        assert _req(f"{base}{evil}")[0] == 400, evil
+        assert _req(f"{base}{evil}?key=x", "DELETE")[0] == 400, evil
+    # nothing escaped the store root: the parent of root gained no entries
+    parent = os.path.dirname(store.root)
+    assert not os.path.exists(os.path.join(parent, "evil"))
+    # and a normal path still works after the rejected attempts
+    assert _req(f"{base}/ok/p", "POST", {"id": "x"})[0] == 201
+
+
+def test_store_rejects_traversal_paths(tmp_path):
+    """Defense in depth: PotStore._pot_dir itself refuses to resolve a
+    path outside the root, independent of the HTTP layer."""
+    store = PotStore(None, str(tmp_path / "potroot"))
+    for evil in ("../evil", "a/../../evil", "../../etc"):
+        with pytest.raises(ValueError, match="escapes the store root"):
+            store.get(evil)
+        with pytest.raises(ValueError, match="escapes the store root"):
+            store.create(evil, {"id": "x"})
+    # interior `..` that stays inside the root is legal path algebra
+    store.create("a/b/../c", {"id": "x"})
+    assert store.get("a/c") == {"x": {"id": "x"}}
+
+
+def test_commit_conflict_maps_to_412(srv):
+    """readme.md:128 contract: commit contention surfaces as 412
+    Precondition Failed, not a generic 500."""
+    base, store = srv
+    from pot_spark.kv.errors import CommitConflict
+
+    def boom(*a, **k):
+        raise CommitConflict("commit contention on 'x' exceeded retries")
+
+    store.create = boom
+    store.remove = boom
+    assert _req(f"{base}/c/p", "POST", {"id": "x"})[0] == 412
+    assert _req(f"{base}/c/p?key=x", "DELETE")[0] == 412
+
+
+def test_http_contention_exactly_one_winner(srv):
+    """Two clients racing a norewrite create over HTTP (the
+    client_test.go:175-245 race, client/server-split): exactly one 201,
+    the loser sees 423 per the reference's status contract."""
+    import threading
+
+    base, _ = srv
+    results = {}
+
+    def attempt(who):
+        results[who] = _req(
+            f"{base}/race/p?norewrite=1m", "POST", {"id": "leader", "holder": who}
+        )[0]
+
+    ts = [threading.Thread(target=attempt, args=(w,)) for w in ("w0", "w1")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results.values()) == [201, 423]
+    # the pot holds exactly the winner's doc
+    winner = [w for w, s in results.items() if s == 201][0]
+    assert _req(f"{base}/race/p")[1]["leader"]["holder"] == winner

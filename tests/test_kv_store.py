@@ -314,6 +314,78 @@ def test_zip_store(store, tmp_path):
         assert not any(n.startswith("archive") for n in tar.getnames())
 
 
+def test_zip_store_reclaims_stale_staging(store):
+    """A crashed zip leaves its per-call-unique staging file behind; the
+    next zip reclaims leftovers older than the in-flight horizon and
+    leaves fresh ones (a concurrent zip mid-write) alone."""
+    import os
+    import time as _time
+
+    store.create("z/p", {"id": "k"})
+    zip_store(store)
+    out_dir = os.path.join(store.root, "archive")
+    stale = os.path.join(out_dir, "bundle.tar.gz.staging-999-deadbeef")
+    fresh = os.path.join(out_dir, "bundle.tar.gz.staging-998-cafecafe")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    zip_store(store)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # could be a live concurrent writer's
+
+
+def test_zip_store_failure_removes_staging(store, monkeypatch):
+    import os
+
+    store.create("z/p", {"id": "k"})
+    out_dir = os.path.join(store.root, "archive")
+
+    real_get = store.get
+
+    def boom(path):
+        if path == "":
+            return real_get(path)  # root-pot probe runs before staging opens
+        raise RuntimeError("mid-zip crash")
+
+    monkeypatch.setattr(store, "get", boom)
+    with pytest.raises(RuntimeError):
+        zip_store(store)
+    leftovers = [n for n in os.listdir(out_dir) if ".staging-" in n]
+    assert leftovers == []
+
+
+def test_vacuum_grace_tracks_bucket_subdir_writes(store):
+    """The grace window must key off the NEWEST mtime in the snapshot
+    tree: a bucketed stage write lands in __b=<k> subdirs without
+    refreshing the top-level dir's mtime, and must not be reclaimed
+    while its files are still being written."""
+    import os
+    import time as _time
+
+    store.create("vg/p", {"id": "a"})
+    pot_dir = store._pot_dir("vg/p")
+    # simulate a commit-race loser's in-flight bucketed stage at the
+    # committed generation: top-level dir backdated past the grace, but
+    # a bucket file written just now
+    stage = os.path.join(pot_dir, "snap-00000000000000000001-loser")
+    bucket = os.path.join(stage, "__b=3")
+    os.makedirs(bucket)
+    with open(os.path.join(bucket, "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight")
+    old = _time.time() - 3600
+    os.utime(stage, (old, old))
+    assert store.vacuum("vg/p", grace_s=60.0) == 0  # spared: tree is fresh
+    # once the whole tree is old, it is garbage and goes
+    for dirpath, dirnames, filenames in os.walk(stage):
+        for child in dirnames + filenames:
+            os.utime(os.path.join(dirpath, child), (old, old))
+    os.utime(stage, (old, old))
+    assert store.vacuum("vg/p", grace_s=60.0) == 1
+    assert not os.path.exists(stage)
+
+
 def test_time_travel_generations(tmp_path):
     from pot_spark.kv.store import PotStore
 

@@ -55,3 +55,52 @@ def test_store_metrics_export_dict_increments(tmp_path):
     assert got["pot_removes"] == 1
     assert got["pot_local_lock_acquisitions"] >= 3
     assert got["pot_local_lock_duration_avg_ms"] >= 0.0
+
+
+def test_store_metrics_span_phases(tmp_path):
+    """Per-op span parity with the reference's trace() phases
+    (otel.go:70-98, server.go:273-313): every successful mutation
+    records local_lock / read / write / commit / create, and the
+    sub-phases can never exceed the whole-call span."""
+    from pot_spark.kv import PotStore
+
+    store = PotStore(None, str(tmp_path / "spans"))
+    store.create("s/p", {"id": "a"})
+    store.create("s/p", {"id": "b"})
+
+    m = store.metrics
+    for phase in ("local_lock", "read", "write", "commit", "create"):
+        assert m.span_calls[phase] == 2, phase
+        assert m.span_seconds[phase] >= 0.0
+    total = m.span_seconds["create"]
+    parts = sum(
+        m.span_seconds[p] for p in ("local_lock", "read", "write", "commit")
+    )
+    assert parts <= total + 1e-6  # phases nest inside the create span
+    # the flat export carries them too (GET /:metrics surface)
+    exported = m.as_dict()
+    assert exported["pot_span_create_calls"] == 2
+    assert exported["pot_span_commit_seconds_total"] == m.span_seconds["commit"]
+
+
+def test_store_metrics_bump_is_thread_safe(tmp_path):
+    """The ThreadingHTTPServer shim drives counters from concurrent
+    request threads; bump() must not lose increments."""
+    import threading
+
+    from pot_spark.kv.store import StoreMetrics
+
+    m = StoreMetrics()
+
+    def hammer():
+        for _ in range(2000):
+            m.bump(reads=1)
+            m.observe_span("read", 0.001)
+
+    ts = [threading.Thread(target=hammer) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert m.reads == 16000
+    assert m.span_calls["read"] == 16000

@@ -6,7 +6,14 @@ an atomic put-if-absent commit manifest, replacing GCS object generations
 (reference /root/reference/server.go:272-548, 617-702).
 """
 
+from pot_spark.kv.client import PotClient
 from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
 from pot_spark.kv.store import CreateResponse, PotStore
 
-__all__ = ["PotStore", "CreateResponse", "NoRewriteViolated", "CommitConflict"]
+__all__ = [
+    "PotStore",
+    "PotClient",
+    "CreateResponse",
+    "NoRewriteViolated",
+    "CommitConflict",
+]

@@ -194,9 +194,17 @@ class _PotHandler(BaseHTTPRequestHandler):
             return
         rel, q = parsed
         try:
-            self.store.remove(rel, *q.get("key", []))
+            # ?generation=N (engine extension): compare-and-delete — the
+            # removal commits only if the pot is still at exactly that
+            # generation, else 423 like any other ownership violation
+            generation = int(q["generation"][0]) if "generation" in q else None
+            self.store.remove(rel, *q.get("key", []), generation=generation)
             self._trigger_zip()
             self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        except NoRewriteViolated:
+            self.send_response(423)
             self.send_header("Content-Length", "0")
             self.end_headers()
         except CommitConflict as e:

@@ -846,7 +846,10 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_containment_dedup(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Shingle-containment dedup: C(A->B) = |A∩B| / |A| >= 0.8 flags doc A
     as subsumed by doc B — the quote/boilerplate-inclusion case where a
@@ -855,21 +858,40 @@ def q_containment_dedup(
     pinned deterministically: only the smaller-into-larger containment is
     emitted (tie on size -> lower doc_id is the contained side).
 
-    Scale posture: identical to q_ngram_jaccard — pairs form only through
-    shared (lang, shingle) inverted-index keys, never a cross product, so
-    candidate volume is Σ df² over the index and AQE's skew-join split
-    absorbs hot shingles. The containment division happens after the
-    count rollup, on candidate pairs only. The shingle stream is
-    checkpointed once for its three consumers (counts + both join
-    sides) — the q_prefix_filter_join index-artifact rationale.
+    Scale posture — the CONTAINMENT PREFIX LEMMA makes the default plan
+    exact AND Zipf-head-free (the q_prefix_filter_join machinery,
+    one-sided): if |A∩B| >= ceil(t*|A|), then at most |A| - ceil(t*|A|)
+    of A's shingles miss B, so A's first |A| - ceil(t*|A|) + 1 shingles
+    in ANY fixed global order must intersect B. Ordering rarest-first
+    (ascending document frequency) means candidates form only through a
+    contained-side PREFIX shingle joined against the containing side's
+    full index — hot shingles almost never make a rarest-first prefix,
+    so the Zipf head contributes ~nothing, and candidate volume is
+    Σ prefix_df(s)·df(s) concentrated on discriminative shingles instead
+    of the Σ df² a full inverted-index self-join pays. Unlike symmetric
+    prefix filtering, only the contained side shrinks (the lemma bounds
+    A's misses, not B's — B may contain A using any of its shingles), so
+    the containing side must stay whole. Survivors get the same
+    restrict-then-verify exact intersection as q_dedup_near.
 
-    ``df_cap``: same opt-in index cap as q_ngram_jaccard — shingles
-    with df > cap never join, bounding candidate volume at
-    Σ min(df, cap)². Recall trade-off: containment through hot
-    shingles only is missed, and surviving scores underestimate
-    (intersections count capped shingles; |A| stays exact). Default
-    None keeps the exact oracle semantics."""
-    sh = reliable_checkpoint(_shingle_df(spark, sf_dir, with_lang=True))
+    Prefix lengths use EXACT integer arithmetic (ceil(4n/5) as
+    (4n+4) div 5): the float ceil(0.8*n) overshoots whenever 0.8*n
+    rounds up past an integer (0.8*5 -> 4.0000000000000002 -> ceil 5),
+    silently shortening the prefix below the lemma's bound.
+
+    ``df_cap``: optional index cap on top (shingles with df > cap never
+    enter the index). The lemma still holds relative to the capped
+    intersection — capped-A misses at most n_capped - i_capped <=
+    n - ceil(t*n) capped shingles, so the exact-length prefix over the
+    capped index keeps every capped-surviving pair — but scores
+    underestimate (i counts capped shingles; |A| stays exact), the
+    documented recall trade.
+
+    ``checkpoint=False`` keeps the whole plan lazy (no materialized
+    shingle/candidate barriers) so tests can assert the prefix
+    restriction in a single explain; production keeps the default."""
+    ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
+    sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
     if df_cap is not None:
@@ -880,11 +902,37 @@ def q_containment_dedup(
             .select("lang", "shingle")
         )
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
-    sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
-    sb = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
-    inter = (
-        sa.join(sb, ["lang", "shingle"])
+    # rarest-first global order: df is the sort key itself, no global sort
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # ceil(0.8*n) exactly: (4n + 4) div 5
+    i_min = F.expr("(4 * n + 4) div 5")
+    prefix = (
+        idx.join(df_tbl, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(cnt, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - i_min + 1)
+        .select("doc_id", "lang", "shingle")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
+    full_b = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+    cand = (
+        pa.join(full_b, ["lang", "shingle"])
         .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    cand = ckpt(cand)
+    # exact verify, candidate-restricted on both sides (scales with
+    # candidates, not the corpus); under df_cap the intersection counts
+    # capped shingles only, preserving the documented capped semantics
+    sa = idx.select(F.col("doc_id").alias("doc_sub"), "shingle")
+    sb = idx.select(F.col("doc_id").alias("doc_sup"), "shingle")
+    sa_c = sa.join(cand.select("doc_sub").distinct(), "doc_sub", "left_semi")
+    sb_c = sb.join(cand.select("doc_sup").distinct(), "doc_sup", "left_semi")
+    inter = (
+        sa_c.join(cand, "doc_sub")
+        .join(sb_c, ["doc_sup", "shingle"])
         .groupBy("doc_sub", "doc_sup")
         .agg(F.count("*").alias("i"))
     )
@@ -1117,7 +1165,11 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sh.join(df_tbl, "shingle")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    prefix_len = F.col("n") - F.ceil(F.lit(_PREFIX_T) * F.col("n")) + 1
+    # ceil(0.7*n) via exact integer arithmetic ((7n+9) div 10): the float
+    # ceil overshoots whenever 0.7*n rounds up past an integer
+    # (0.7*10 -> 7.000000000000001 -> ceil 8), silently shortening the
+    # prefix below the lemma's bound and missing boundary pairs
+    prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
     prefix = (
         ranked.withColumn("rk", F.row_number().over(w))
         .join(cnt, "doc_id")

@@ -425,6 +425,64 @@ def test_prefix_filter_and_bloom_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in p, name
 
 
+def test_containment_default_is_prefix_restricted(spark, sf_dir):
+    """The containment prefix lemma is the DEFAULT plan: candidates form
+    through a rarest-first prefix of the contained side (row_number
+    window partitioned by doc_id — never a global sort), the verify
+    sides are candidate-restricted via left-semi joins, and nothing
+    cross-joins."""
+    from pot_spark.queries.llm_dedup import q_containment_dedup
+
+    # checkpoint=False keeps candidate generation in ONE lazy plan so
+    # the prefix machinery is visible to explain (the production default
+    # materializes it behind a checkpoint barrier)
+    df = q_containment_dedup(spark, sf_dir, checkpoint=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "row_number" in p  # the prefix rank window survives into the plan
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # verify inputs restricted to candidate docs
+    # the prefix window is per-doc, not a global single-partition sort
+    assert "SinglePartition" not in p
+
+
+def test_ngram_jaccard_capped_restricts_index(spark, sf_dir):
+    """The pinned df_cap production recipe (SCALE.md): the capped
+    variant's index is left-semi-restricted to the rare tail BEFORE the
+    pair join, and capped survivors are a subset of the exact result
+    (capped intersections only underestimate the Jaccard)."""
+    from pot_spark.queries.llm_dedup import q_ngram_jaccard
+
+    capped = q_ngram_jaccard(spark, sf_dir, df_cap=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain("formatted")
+    p = buf.getvalue()
+    assert "LeftSemi" in p  # df-cap restriction reaches the physical plan
+    assert "CartesianProduct" not in p
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert capped_pairs <= exact_pairs
+
+
+def test_prefix_lengths_use_exact_integer_ceil():
+    """Regression for the float-ceil overshoot: ceil(t*n) computed as
+    ceil(0.8*5) gives 5 (0.8*5 -> 4.0000000000000002), silently
+    shortening the prefix below the lemma's bound. The integer forms
+    must equal the exact rational ceiling for every n."""
+    import math
+    from fractions import Fraction
+
+    for n in range(1, 10_000):
+        assert (4 * n + 4) // 5 == math.ceil(Fraction(4, 5) * n)  # t=0.8
+        assert (7 * n + 9) // 10 == math.ceil(Fraction(7, 10) * n)  # t=0.7
+
+
 def test_bloom_words_are_broadcast(spark, sf_dir):
     # the filter table (32 words) must broadcast into the probe stream
     p = _plan(spark, sf_dir, "q_bloom_decontaminate")

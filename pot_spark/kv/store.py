@@ -107,6 +107,7 @@ class StoreMetrics:
 
     def __post_init__(self) -> None:
         self._guard = threading.Lock()
+        self._span_listeners: list = []
 
     def bump(self, **deltas: float) -> None:
         """Atomically add each delta to the named counter."""
@@ -114,12 +115,25 @@ class StoreMetrics:
             for k, v in deltas.items():
                 setattr(self, k, getattr(self, k) + v)
 
+    def add_span_listener(self, fn) -> None:
+        """Register a per-call span callback ``fn(name, seconds)`` — the
+        hook a host uses to emit REAL spans (OTel, statsd timers) with
+        per-call latency attribution, which the aggregated sums below
+        cannot reconstruct. Mirrors the reference wiring trace() into
+        its OTel tracer (server.go:704-712, otel.go)."""
+        with self._guard:
+            self._span_listeners.append(fn)
+
     def observe_span(self, name: str, seconds: float) -> None:
         """Accumulate one timed phase (the reference's trace() span,
-        server.go:704-712, reduced to a sum + call count per phase)."""
+        server.go:704-712, reduced to a sum + call count per phase) and
+        fan it out to any registered per-call listeners."""
         with self._guard:
             self.span_seconds[name] = self.span_seconds.get(name, 0.0) + seconds
             self.span_calls[name] = self.span_calls.get(name, 0) + 1
+            listeners = list(self._span_listeners)
+        for fn in listeners:  # outside the lock: a slow sink must not
+            fn(name, seconds)  # serialize the store's mutation path
 
     @property
     def avg_local_lock_duration_ms(self) -> float:

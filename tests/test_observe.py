@@ -83,6 +83,26 @@ def test_store_metrics_span_phases(tmp_path):
     assert exported["pot_span_commit_seconds_total"] == m.span_seconds["commit"]
 
 
+def test_span_listener_gets_per_call_events(tmp_path):
+    """add_span_listener: per-call latency attribution (the otel.go
+    trace-span hook) — every phase of every mutation reaches the
+    listener individually, consistent with the aggregated sums."""
+    from pot_spark.kv import PotStore
+
+    store = PotStore(None, str(tmp_path / "sl"))
+    events = []
+    store.metrics.add_span_listener(lambda name, s: events.append((name, s)))
+    store.create("s/p", {"id": "a"})
+    store.create("s/p", {"id": "b"})
+    names = [n for n, _ in events]
+    for phase in ("local_lock", "read", "write", "commit", "create"):
+        assert names.count(phase) == 2, phase
+    assert all(s >= 0.0 for _, s in events)
+    # per-call events sum to the aggregate export
+    total = sum(s for n, s in events if n == "create")
+    assert abs(total - store.metrics.span_seconds["create"]) < 1e-9
+
+
 def test_store_metrics_bump_is_thread_safe(tmp_path):
     """The ThreadingHTTPServer shim drives counters from concurrent
     request threads; bump() must not lose increments."""

@@ -108,6 +108,24 @@ NOTES = {
     "Exchanges).",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "
     "counts; the 1-row totals aggregate broadcasts into the projection.",
+    "q_containment_dedup": "containment prefix lemma (round 5): candidates "
+    "form through the contained side's rarest-first PREFIX (row_number "
+    "window partitioned by doc_id) joined against the containing side's "
+    "full index — exact, Zipf-head-free, never a cross product; verify "
+    "sides are left-semi-restricted to candidate docs. Shown with "
+    "checkpoint=False so the candidate machinery is visible in one plan.",
+    "q_prefix_filter_join": "symmetric ppjoin prefix filtering: both sides "
+    "index only their rarest-first prefixes (exact integer ceil lengths); "
+    "candidate volume concentrates on discriminative shingles; verify is "
+    "candidate-restricted.",
+}
+
+# queries whose interesting plan hides behind checkpoint barriers by
+# default: rebuild them lazily for the dump
+_UNCHECKPOINTED = {
+    "q_containment_dedup": lambda spark, sf: __import__(
+        "pot_spark.queries.llm_dedup", fromlist=["q_containment_dedup"]
+    ).q_containment_dedup(spark, sf, checkpoint=False),
 }
 
 _DETAIL_KEYS = (
@@ -132,7 +150,8 @@ def main() -> None:
         "",
     ]
     for name, note in NOTES.items():
-        df = registry.QUERIES[name](spark, sf)
+        build = _UNCHECKPOINTED.get(name, registry.QUERIES[name])
+        df = build(spark, sf)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

@@ -3,13 +3,18 @@ removes/restores must leave the store equal to a plain dict replaying
 the reference's rules (last-writer-wins per key, id-over-name
 derivation, silent remove, server.go:272-407, 494-548), every
 historical generation must be replayable via time travel, and the
-change feed against the first generation must replay the model diff."""
+change feed against the first generation must replay the model diff.
+The same dict model also runs through the FULL network stack
+(PotClient -> HTTP shim -> PotStore), pinning the client/route/store
+composition the reference exercises in client_test.go."""
 
 from __future__ import annotations
 
+import itertools
 import shutil
 import tempfile
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -93,3 +98,60 @@ def test_store_matches_dict_model(ops):
                 assert s0[k] == model[k]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- the same model over the network stack -----------------------------------
+
+_http_op = st.one_of(
+    st.tuples(st.just("create"), _doc),
+    st.tuples(
+        st.just("create_batch"),
+        st.dictionaries(st.sampled_from(_KEYS), _doc, max_size=3),
+    ),
+    st.tuples(st.just("remove"), st.lists(st.sampled_from(_KEYS + ["zz"]), max_size=2)),
+)
+
+
+@pytest.fixture(scope="module")
+def http_client():
+    from pot_spark.kv.client import PotClient
+    from pot_spark.kv.http_server import serve
+
+    root = tempfile.mkdtemp(prefix="pot_http_prop_")
+    server = serve(PotStore(None, root), port=0)
+    host, port = server.server_address[:2]
+    yield PotClient(f"http://{host}:{port}")
+    server.shutdown()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+_path_seq = itertools.count()
+
+
+@settings(max_examples=40, deadline=None)
+@given(ops=st.lists(_http_op, max_size=10))
+def test_client_over_http_matches_dict_model(http_client, ops):
+    """PotClient -> shim -> PotStore equals the dict model for any op
+    sequence: last-writer-wins, id-over-name, silent remove — the whole
+    stack, not just the store. Each example gets a fresh pot path
+    (hypothesis reuses the module-scoped server)."""
+    path = f"prop/{next(_path_seq)}"
+    model: dict = {}
+    gen = 0
+    for kind, arg in ops:
+        if kind == "create":
+            gen2 = http_client.create(path, [arg])
+            model[derive_key(arg)] = arg
+            assert gen2 == gen + 1
+            gen = gen2
+        elif kind == "create_batch":
+            gen = http_client.create(path, arg)
+            model.update(arg)
+        else:
+            http_client.remove(path, *arg)
+            for k in arg:
+                model.pop(k, None)
+            gen += 1
+        assert http_client.get(path) == model
+    if model:
+        assert path in http_client.list_paths("prop")

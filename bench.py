@@ -81,9 +81,27 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-threaded CPU workload (~200 MB of md5): a rig-health
+    probe. On an unloaded host this takes a stable wall time; under CPU
+    steal it inflates proportionally. Recording it pre and post lets a
+    reader attribute a uniformly-slower bench to ambient contention
+    (every query AND the calibration moved together) vs a plan
+    regression (queries moved, calibration did not) — the round-4
+    drift question, made measurable."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    block = b"x" * 1024
+    for _ in range(200_000):
+        block = hashlib.md5(block).digest() + block[:1008]
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all_query_modules()
+    calib_pre = _calibrate()
     spark = get_spark("pot_spark_bench")
     # warm the JVM/codegen and parquet-reader paths so timings measure the
     # queries, not session startup or first-footer parsing
@@ -232,6 +250,10 @@ def main() -> None:
                 "baseline_comparable_total": round(
                     sum(t for n, t in timings.items() if n in base), 3
                 ),
+                # rig-health probe (see _calibrate): compare across
+                # rounds to separate ambient CPU steal from plan changes
+                "calib_sec_pre": calib_pre,
+                "calib_sec_post": _calibrate(),
                 "sf": sf_val,
             }
         )

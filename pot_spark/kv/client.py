@@ -28,11 +28,21 @@ from pot_spark.kv.store import derive_key
 
 def format_go_duration(seconds: float) -> str:
     """Render seconds as a Go duration string the server's parser (and
-    Go's time.ParseDuration) accepts. Fractional seconds go to ms to
-    stay integer-friendly across parsers."""
-    if seconds != int(seconds):
-        return f"{int(round(seconds * 1000))}ms"
-    return f"{int(seconds)}s"
+    Go's time.ParseDuration) accepts. Must NEVER round a positive lease
+    down to zero: the server treats duration 0 as "no lease", so a
+    sub-representable value silently disabling norewrite protection
+    would be a correctness hole, not a rounding detail. Negative leases
+    are rejected outright (the lenient server would parse them as 0)."""
+    if seconds < 0:
+        raise ValueError(f"negative lease duration: {seconds}")
+    if seconds == int(seconds):
+        return f"{int(seconds)}s"
+    ms = seconds * 1000
+    if ms == int(ms):
+        return f"{int(ms)}ms"
+    # sub-millisecond: exact-ish in ns, floored at 1ns so a positive
+    # lease stays positive after the round trip
+    return f"{max(1, round(seconds * 1e9))}ns"
 
 
 class PotClient:
@@ -60,9 +70,11 @@ class PotClient:
         self,
         method: str,
         path: str,
-        query: Optional[dict[str, str]] = None,
+        query: Optional[dict[str, str] | list[tuple[str, str]]] = None,
         body: Optional[bytes] = None,
     ) -> tuple[int, bytes]:
+        # query accepts a list of pairs for repeated params (DELETE's
+        # key=a&key=b); urlencode handles both shapes
         url = self.base_url + urllib.parse.quote(path)
         if query:
             url += "?" + urllib.parse.urlencode(query)
@@ -148,19 +160,10 @@ class PotClient:
         compare-and-delete: the server commits only if the pot is still
         at that generation, else 423 -> NoRewriteViolated — the
         TOCTOU-free lease release the local election example relies on."""
-        query: dict[str, str] = {}
+        query = [("key", k) for k in keys]
         if generation is not None:
-            query["generation"] = str(generation)
-        url_query = [("key", k) for k in keys] + list(query.items())
-        url = self.base_url + urllib.parse.quote(path)
-        if url_query:
-            url += "?" + urllib.parse.urlencode(url_query)
-        req = urllib.request.Request(url, method="DELETE")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                status, raw = r.status, r.read()
-        except urllib.error.HTTPError as e:
-            status, raw = e.code, e.read()
+            query.append(("generation", str(generation)))
+        status, raw = self._request("DELETE", path, query or None)
         if status != 200:
             self._raise_for(status, raw)
 

@@ -144,7 +144,12 @@ class _PotHandler(BaseHTTPRequestHandler):
             duration = parse_go_duration(q["norewrite"][0]) if norewrite else 0.0
             generation = 0
             if norewrite and "generation" in q:
-                generation = int(q["generation"][0])
+                try:
+                    generation = int(q["generation"][0])
+                except ValueError:
+                    # malformed request, not a server fault: 400, not 500
+                    self._send_error_text(400, "invalid generation")
+                    return
             if "batch" in q:
                 if not isinstance(body, dict) or not all(
                     isinstance(v, dict) for v in body.values()
@@ -197,7 +202,11 @@ class _PotHandler(BaseHTTPRequestHandler):
             # ?generation=N (engine extension): compare-and-delete — the
             # removal commits only if the pot is still at exactly that
             # generation, else 423 like any other ownership violation
-            generation = int(q["generation"][0]) if "generation" in q else None
+            try:
+                generation = int(q["generation"][0]) if "generation" in q else None
+            except ValueError:
+                self._send_error_text(400, "invalid generation")
+                return
             self.store.remove(rel, *q.get("key", []), generation=generation)
             self._trigger_zip()
             self.send_response(200)

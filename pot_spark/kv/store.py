@@ -133,7 +133,10 @@ class StoreMetrics:
             self.span_calls[name] = self.span_calls.get(name, 0) + 1
             listeners = list(self._span_listeners)
         for fn in listeners:  # outside the lock: a slow sink must not
-            fn(name, seconds)  # serialize the store's mutation path
+            try:  #            serialize the store's mutation path
+                fn(name, seconds)
+            except Exception:  # noqa: BLE001 - a raising sink must never
+                pass  # fail a mutation that has already committed
 
     @property
     def avg_local_lock_duration_ms(self) -> float:
@@ -841,7 +844,9 @@ class PotStore:
                 snap_dir = self._snapshot_path(path, name)
                 # route each bucket to one task: file count per bucket dir stays
                 # 1, not n_tasks (small-file hygiene the compactor otherwise pays)
+                t_phase = time.perf_counter()
                 merged.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                self.metrics.observe_span("write", time.perf_counter() - t_phase)
                 files = {
                     str(b): (
                         f"{name}/__b={b}"
@@ -866,8 +871,12 @@ class PotStore:
                     n_keys=-1,
                     files=files,
                 )
-                if self._try_commit(path, committed):
+                t_phase = time.perf_counter()
+                won = self._try_commit(path, committed)
+                self.metrics.observe_span("commit", time.perf_counter() - t_phase)
+                if won:
                     self.generation_cache[path] = next_gen
+                    self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
                 shutil.rmtree(snap_dir, ignore_errors=True)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")

@@ -121,6 +121,36 @@ def test_format_go_duration_roundtrips():
         assert parse_go_duration(format_go_duration(s)) == pytest.approx(s)
 
 
+def test_format_go_duration_never_zeroes_a_positive_lease():
+    """The server treats duration 0 as NO lease: a positive lease that
+    formats to zero would silently disable norewrite protection."""
+    for s in (0.0004, 1e-7, 1e-10):
+        assert parse_go_duration(format_go_duration(s)) > 0.0, s
+    with pytest.raises(ValueError):
+        format_go_duration(-1.0)
+    assert parse_go_duration(format_go_duration(0.0)) == 0.0  # explicit no-lease
+
+
+def test_malformed_generation_is_400_not_500(srv):
+    import json
+    import urllib.error
+    import urllib.request
+
+    base, _ = srv
+    PotClient(base).create("g/p", [{"id": "k"}])
+    for url, method, body in (
+        (f"{base}/g/p?key=k&generation=abc", "DELETE", None),
+        (f"{base}/g/p?norewrite=1m&generation=abc", "POST", b'{"id": "k"}'),
+    ):
+        req = urllib.request.Request(url, data=body, method=method)
+        try:
+            with urllib.request.urlopen(req) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, (method, url)
+
+
 def test_election_over_http_single_winner_and_renewal(srv):
     """The election example's invariant, client/server-split
     (examples/election/main.go parity over the shim): run N HttpLease

@@ -121,6 +121,11 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     assert store.get("b/p") == model
     assert store.get_df("b/p").count() == len(model)
 
+    # the bulk-bucketed path records the same span phases as create_df
+    # (write/commit/create, one per commit)
+    for phase in ("write", "commit", "create"):
+        assert store.metrics.span_calls[phase] == 2, phase
+
     # vacuum must keep the gen-1 snapshot (its files are still referenced)
     store.vacuum("b/p")
     assert store.get("b/p") == model

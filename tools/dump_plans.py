@@ -108,12 +108,14 @@ NOTES = {
     "Exchanges).",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "
     "counts; the 1-row totals aggregate broadcasts into the projection.",
-    "q_containment_dedup": "containment prefix lemma (round 5): candidates "
-    "form through the contained side's rarest-first PREFIX (row_number "
-    "window partitioned by doc_id) joined against the containing side's "
-    "full index — exact, Zipf-head-free, never a cross product; verify "
-    "sides are left-semi-restricted to candidate docs. Shown with "
-    "checkpoint=False so the candidate machinery is visible in one plan.",
+    "q_containment_dedup": "adaptive containment (round 5): a 1-row df-"
+    "distribution probe picks the direct map-side-combine index join on "
+    "head-free data, or this PREFIX-LEMMA branch under a Zipf head — "
+    "candidates form through the contained side's rarest-first prefix "
+    "(row_number window partitioned by doc_id) joined against the "
+    "containing side's full index; exact either way; verify sides are "
+    "left-semi-restricted to candidate docs. Shown with checkpoint=False "
+    "+ strategy='prefix' so the candidate machinery is visible.",
     "q_prefix_filter_join": "symmetric ppjoin prefix filtering: both sides "
     "index only their rarest-first prefixes (exact integer ceil lengths); "
     "candidate volume concentrates on discriminative shingles; verify is "
@@ -127,7 +129,9 @@ import functools  # noqa: E402
 from pot_spark.queries.llm_dedup import q_containment_dedup  # noqa: E402
 
 _UNCHECKPOINTED = {
-    "q_containment_dedup": functools.partial(q_containment_dedup, checkpoint=False),
+    "q_containment_dedup": functools.partial(
+        q_containment_dedup, checkpoint=False, strategy="prefix"
+    ),
 }
 
 _DETAIL_KEYS = (

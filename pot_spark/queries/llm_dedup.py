@@ -821,12 +821,33 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# adaptive strategy budget: use the direct inverted-index self-join while
-# the measured expansion Σ df² stays under this many candidate rows per
-# index row; beyond it the Zipf head is real and the prefix-lemma plan
-# takes over. 256 ≈ "a shingle may fan out to a couple hundred docs on
-# average before all-pairs counting loses to candidate generation".
+# adaptive strategy budget (shared by containment and the prefix join):
+# use the direct inverted-index self-join while the measured expansion
+# Σ df² stays under this many candidate rows per index row; beyond it
+# the Zipf head is real and the prefix plan takes over. 256 ≈ "a shingle
+# may fan out to a couple hundred docs on average before all-pairs
+# counting loses to candidate generation".
 _CONTAINMENT_DIRECT_BUDGET = 256
+
+
+def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
+    """Pick 'direct' vs 'prefix' from the measured df distribution: one
+    1-row aggregate over the (possibly capped view of the) df rollup —
+    the exact candidate volume Σ df² a direct self-join would generate,
+    per index row Σ df. Reads only integer counts, so the choice is
+    partition-layout deterministic."""
+    src = df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
+    row = src.agg(
+        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+        F.sum("df").alias("n_rows"),
+    ).collect()[0]
+    sum_df2 = row["sum_df2"] or 0
+    n_rows = row["n_rows"] or 0
+    return (
+        "direct"
+        if sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
+        else "prefix"
+    )
 
 
 @query(
@@ -930,22 +951,7 @@ def q_containment_dedup(
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
 
     if strategy == "auto":
-        # one scalar probe over the df rollup (capped view when capping):
-        # the exact expected candidate volume of the direct join
-        stats_src = (
-            df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
-        )
-        row = stats_src.agg(
-            F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
-            F.sum("df").alias("n_rows"),
-        ).collect()[0]
-        sum_df2 = row["sum_df2"] or 0
-        n_rows = row["n_rows"] or 0
-        strategy = (
-            "direct"
-            if sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
-            else "prefix"
-        )
+        strategy = _auto_strategy(df_tbl, df_cap)
 
     if strategy == "direct":
         sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
@@ -1189,7 +1195,12 @@ _PREFIX_T = 0.7  # Jaccard threshold
     WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {_PREFIX_T}
     """,
 )
-def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_prefix_filter_join(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool = True,
+    strategy: str = "auto",
+) -> DataFrame:
     """Prefix-filtering set-similarity join (the ppjoin/AllPairs family):
     shingles are globally ordered rarest-first (ascending document
     frequency), each doc indexes only its first n - ceil(t*n) + 1
@@ -1208,47 +1219,66 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global rarity order needs no global sort (df is the sort key
     itself, computed per shingle).
 
+    ADAPTIVE like q_containment_dedup (round 5): the same 1-row df
+    probe picks a direct Σ df² self-join with map-side combine when the
+    measured expansion is bounded (head-free data — where candidate
+    materialization costs more than it saves; both branches exact), and
+    this prefix machinery when a Zipf head makes Σ df² unbounded by
+    true duplication. Prefix lengths use exact integer ceil
+    ((7n+9) div 10): the float ceil(0.7*n) overshoots whenever 0.7*n
+    rounds up past an integer, silently shortening the prefix below the
+    lemma's bound.
+
     The shingle stream is CHECKPOINTED once: five consumers (df rollup,
     rank join, per-doc counts, both verify sides) would otherwise each
     re-explode the corpus. Materializing the tokenized stream is what a
     production ppjoin index build does anyway — it IS the index's
     ingest artifact — and a checkpoint (unlike an unscoped persist)
     can't leak executor memory into later queries."""
-    sh = reliable_checkpoint(_shingle_df(spark, sf_dir, with_lang=True))
+    ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
+    sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(df_tbl, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # ceil(0.7*n) via exact integer arithmetic ((7n+9) div 10): the float
-    # ceil overshoots whenever 0.7*n rounds up past an integer
-    # (0.7*10 -> 7.000000000000001 -> ceil 8), silently shortening the
-    # prefix below the lemma's bound and missing boundary pairs
-    prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
-    prefix = (
-        ranked.withColumn("rk", F.row_number().over(w))
-        .join(cnt, "doc_id")
-        .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "lang", "shingle")
-    )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
-    cand = (
-        pa.join(pb, ["lang", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    cand = reliable_checkpoint(cand)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    sa_c = sa.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
-    sb_c = sb.join(cand.select("doc_b").distinct(), "doc_b", "left_semi")
-    inter = (
-        sa_c.join(cand, "doc_a")
-        .join(sb_c, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    if strategy == "auto":
+        strategy = _auto_strategy(df_tbl, None)
+    if strategy == "direct":
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+        inter = (
+            sa.join(sb, ["lang", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        ranked = sh.join(df_tbl, "shingle")
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
+        prefix = (
+            ranked.withColumn("rk", F.row_number().over(w))
+            .join(cnt, "doc_id")
+            .filter(F.col("rk") <= prefix_len)
+            .select("doc_id", "lang", "shingle")
+        )
+        pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+        pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+        cand = (
+            pa.join(pb, ["lang", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand = ckpt(cand)
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        sa_c = sa.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
+        sb_c = sb.join(cand.select("doc_b").distinct(), "doc_b", "left_semi")
+        inter = (
+            sa_c.join(cand, "doc_a")
+            .join(sb_c, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))

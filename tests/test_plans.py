@@ -501,6 +501,25 @@ def test_containment_strategy_selector(spark, sf_dir, monkeypatch):
     assert rows_d == rows_p and rows_d  # exact either way
 
 
+def test_prefix_filter_join_strategies_agree(spark, sf_dir):
+    """q_prefix_filter_join shares the adaptive selector: both branches
+    are exact, so forcing each must yield identical results; the prefix
+    branch's rank window survives into its plan."""
+    from pot_spark.queries.llm_dedup import q_prefix_filter_join
+
+    direct = q_prefix_filter_join(spark, sf_dir, checkpoint=False, strategy="direct")
+    prefixed = q_prefix_filter_join(
+        spark, sf_dir, checkpoint=False, strategy="prefix"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prefixed.explain("formatted")
+    assert "row_number" in buf.getvalue()
+    rows_d = {tuple(r) for r in direct.collect()}
+    rows_p = {tuple(r) for r in prefixed.collect()}
+    assert rows_d == rows_p and rows_d
+
+
 def test_prefix_lengths_use_exact_integer_ceil():
     """Regression for the float-ceil overshoot: ceil(t*n) computed as
     ceil(0.8*5) gives 5 (0.8*5 -> 4.0000000000000002), silently

@@ -116,21 +116,29 @@ NOTES = {
     "containing side's full index; exact either way; verify sides are "
     "left-semi-restricted to candidate docs. Shown with checkpoint=False "
     "+ strategy='prefix' so the candidate machinery is visible.",
-    "q_prefix_filter_join": "symmetric ppjoin prefix filtering: both sides "
-    "index only their rarest-first prefixes (exact integer ceil lengths); "
-    "candidate volume concentrates on discriminative shingles; verify is "
-    "candidate-restricted.",
+    "q_prefix_filter_join": "symmetric ppjoin prefix filtering (adaptive "
+    "round 5 — shown with strategy='prefix'): both sides index only their "
+    "rarest-first prefixes (exact integer ceil lengths); candidate volume "
+    "concentrates on discriminative shingles; verify is candidate-"
+    "restricted; the df probe falls back to the direct map-side-combine "
+    "join on head-free data.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by
 # default: rebuild them lazily for the dump
 import functools  # noqa: E402
 
-from pot_spark.queries.llm_dedup import q_containment_dedup  # noqa: E402
+from pot_spark.queries.llm_dedup import (  # noqa: E402
+    q_containment_dedup,
+    q_prefix_filter_join,
+)
 
 _UNCHECKPOINTED = {
     "q_containment_dedup": functools.partial(
         q_containment_dedup, checkpoint=False, strategy="prefix"
+    ),
+    "q_prefix_filter_join": functools.partial(
+        q_prefix_filter_join, checkpoint=False, strategy="prefix"
     ),
 }
 

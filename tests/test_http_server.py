@@ -180,6 +180,58 @@ def test_commit_conflict_maps_to_412(srv):
     assert _req(f"{base}/c/p?key=x", "DELETE")[0] == 412
 
 
+def test_concurrent_writes_with_vacuum_and_compact(srv):
+    """Maintenance under write load: four HTTP writers hammer distinct
+    keys while vacuum+compact cycle concurrently. Invariants: no
+    request errors, every writer's LAST value is the final state of its
+    key, and the pot stays readable throughout (no reclaimed-snapshot
+    reads, no truncated manifests)."""
+    import threading
+
+    base, store = srv
+    errors: list = []
+    last: dict[str, int] = {}
+    stop = threading.Event()
+
+    def writer(wid):
+        i = 0
+        while not stop.is_set():
+            i += 1
+            status, _ = _req(
+                f"{base}/vc/p", "POST", {"id": f"k{wid}", "v": i}
+            )
+            if status != 201:
+                errors.append((wid, i, status))
+                return
+            last[f"k{wid}"] = i
+
+    def maintainer():
+        while not stop.is_set():
+            try:
+                store.vacuum("vc/p", grace_s=0.0)
+                store.compact("vc/p")
+                content = store.get("vc/p")  # must stay readable
+                assert isinstance(content, dict)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("maint", str(e)))
+                return
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    ts.append(threading.Thread(target=maintainer))
+    for t in ts:
+        t.start()
+    import time as _time
+
+    _time.sleep(2.0)
+    stop.set()
+    for t in ts:
+        t.join()
+    assert errors == []
+    final = _req(f"{base}/vc/p")[1]
+    for key, v in last.items():
+        assert final[key]["v"] == v, key
+
+
 def test_http_contention_exactly_one_winner(srv):
     """Two clients racing a norewrite create over HTTP (the
     client_test.go:175-245 race, client/server-split): exactly one 201,

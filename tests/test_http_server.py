@@ -180,6 +180,52 @@ def test_commit_conflict_maps_to_412(srv):
     assert _req(f"{base}/c/p?key=x", "DELETE")[0] == 412
 
 
+def test_shim_survives_junk_requests(srv):
+    """Hostile-input posture for the network surface: malformed JSON,
+    non-object bodies, empty bodies, unknown methods, and bare junk
+    bytes must produce clean 4xx/5xx responses — never kill the server.
+    A valid request afterwards still works."""
+    import http.client
+    import urllib.error
+    import urllib.request
+
+    base, _ = srv
+    host_port = base[len("http://"):]
+
+    def raw_status(method, path, body=None, headers=None):
+        conn = http.client.HTTPConnection(host_port, timeout=10)
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            return conn.getresponse().status
+        finally:
+            conn.close()
+
+    assert raw_status("POST", "/j/p", b"{not json") == 500
+    assert raw_status("POST", "/j/p", b"[1, 2, 3]") == 500  # not an object
+    assert raw_status("POST", "/j/p", b"") == 201  # empty body = {} (doc key "")
+    assert raw_status("POST", "/j/p?batch", b'{"k": 42}') == 500  # doc not a map
+    assert raw_status("PUT", "/j/p", b"{}") == 501  # unimplemented method
+    # junk query strings parse leniently, never crash
+    assert raw_status("GET", "/j/p?%%%=&&&") == 200
+    # oversized declared Content-Length with a short body: the read
+    # blocks until the client closes; the server thread must survive
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                f"{base}/j/p",
+                data=b"{}",
+                method="POST",
+                headers={"Content-Length": "10"},
+            ),
+            timeout=2,
+        )
+    except (urllib.error.URLError, TimeoutError, OSError):
+        pass  # client-side timeout is fine; server must stay up
+    # the server is still alive and correct after all of the above
+    assert _req(f"{base}/j/q", "POST", {"id": "ok"})[0] == 201
+    assert _req(f"{base}/j/q")[1] == {"ok": {"id": "ok"}}
+
+
 def test_concurrent_writes_with_vacuum_and_compact(srv):
     """Maintenance under write load: four HTTP writers hammer distinct
     keys while vacuum+compact cycle concurrently. Invariants: no

@@ -138,7 +138,9 @@ class _PotHandler(BaseHTTPRequestHandler):
         rel, q = parsed
         try:
             n = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(n) if n else b"{}"
+            raw = self.rfile.read(n) if n else b""
+            # empty body is a decode error like the reference's
+            # json.Decoder EOF (server.go:343-345) -> 500, not {}
             body = json.loads(raw)
             norewrite = "norewrite" in q
             duration = parse_go_duration(q["norewrite"][0]) if norewrite else 0.0

@@ -202,7 +202,9 @@ def test_shim_survives_junk_requests(srv):
 
     assert raw_status("POST", "/j/p", b"{not json") == 500
     assert raw_status("POST", "/j/p", b"[1, 2, 3]") == 500  # not an object
-    assert raw_status("POST", "/j/p", b"") == 201  # empty body = {} (doc key "")
+    # empty body = json decode error, like the reference's Decoder EOF
+    # (server.go:343-345)
+    assert raw_status("POST", "/j/p", b"") == 500
     assert raw_status("POST", "/j/p?batch", b'{"k": 42}') == 500  # doc not a map
     assert raw_status("PUT", "/j/p", b"{}") == 501  # unimplemented method
     # junk query strings parse leniently, never crash

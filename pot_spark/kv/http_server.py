@@ -25,6 +25,16 @@ after every successful POST/DELETE (triggerZip, server_routes.go:160-166).
 This is a single-host convenience front end for the KV plane only — the
 analytics engine's surface stays the Python/Spark API. Not hardened for
 the open internet (no auth, mirroring the reference).
+
+Deliberate deviations from the reference's route quirks:
+- malformed ?generation= answers 400 (the reference 500s,
+  server_routes.go:96-100 — a client error reported as a server fault);
+- a post-write zip failure answers a clean 500 (the reference has
+  already committed the 201 header before triggerZip runs,
+  server_routes.go:106-126, so its error lands on a half-written
+  response);
+- paths that escape the store root answer 400 (the reference's GCS
+  namespace cannot express escape, so it has no such case).
 """
 
 from __future__ import annotations

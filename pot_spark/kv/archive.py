@@ -13,6 +13,7 @@ utility; at scale an inline full-store tar per write is the wrong plan.
 
 from __future__ import annotations
 
+import fcntl
 import io
 import json
 import os
@@ -20,6 +21,11 @@ import tarfile
 import time
 
 from pot_spark.kv.store import PotStore
+
+# minimum age before a lock-free staging leftover may be reclaimed:
+# covers only the open→flock window of a concurrent writer (liveness
+# itself is the flock, not this age — see zip_store)
+_STAGING_GRACE_SEC = 60
 
 
 def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
@@ -45,19 +51,31 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
     staging = bundle + f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     mtime = time.time()
     # per-call-unique staging names mean a CRASHED zip leaves its file
-    # behind forever; reclaim stale leftovers (well past any plausible
-    # in-flight write) before starting this one
+    # behind forever; reclaim stale leftovers before starting this one.
+    # Liveness is keyed on an flock held by the WRITER for the whole
+    # write (not mtime age — a legitimate zip of a huge store can run
+    # longer than any fixed horizon, and unlinking its in-progress file
+    # would lose that archive attempt): a leftover whose lock is free
+    # has a dead owner (the kernel drops flocks on process exit), so it
+    # is reclaimable at any age. The short grace only covers the
+    # open→flock window of a brand-new concurrent writer.
     for leftover in os.listdir(out_dir):
         if ".staging-" not in leftover:
             continue
         full = os.path.join(out_dir, leftover)
         try:
-            if mtime - os.path.getmtime(full) > 3600:
+            if mtime - os.path.getmtime(full) <= _STAGING_GRACE_SEC:
+                continue
+            with open(full, "rb") as probe:
+                fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 os.unlink(full)
         except OSError:
-            pass  # concurrent zip finished/cleaned it — not ours to fight
+            pass  # live writer holds the lock, or a concurrent sweep won
+    out = open(staging, "wb")
     try:
-        with tarfile.open(staging, "w:gz") as tar:
+        # hold the liveness lock for the full write; released on close
+        fcntl.flock(out, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        with tarfile.open(fileobj=out, mode="w:gz") as tar:
             for p in paths:
                 if p == dest_dir or p.startswith(dest_dir + "/"):
                     continue  # never archive the archive (server.go:569-572)
@@ -68,6 +86,7 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
                 info.size = len(payload)
                 info.mtime = int(mtime)
                 tar.addfile(info, io.BytesIO(payload))
+        out.flush()
         os.replace(staging, bundle)  # atomic publish
     except BaseException:
         try:
@@ -75,4 +94,6 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
         except OSError:
             pass
         raise
+    finally:
+        out.close()
     return bundle

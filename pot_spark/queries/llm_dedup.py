@@ -284,49 +284,114 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    checkpoint: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs form only through shared
     (lang, shingle) keys — an inverted-index join, not a cross product.
 
-    Scale posture: candidate volume is Σ df(shingle)² over the index, so
-    Zipf-hot shingles dominate at corpus scale. This op is the EXACT
-    verifier of the family; the corpus-scale candidate generator is
-    q_dedup_near's MinHash-LSH banding (collision probability calibrated
-    to the threshold, hot-key-free band keys).
+    Scale posture — ADAPTIVE between two EXACT plans, same selector as
+    q_containment_dedup / q_prefix_filter_join (round 6 closes the last
+    Σ df² default in the family):
 
-    ``df_cap``: production pipelines df-cap the index — drop shingles
-    appearing in more than ``df_cap`` docs BEFORE the pair join, which
-    bounds the candidate volume at Σ min(df, cap)² and removes the Zipf
-    head entirely. The trade-off is RECALL, in two ways: (1) a pair
-    sharing only hot shingles never becomes a candidate; (2) for pairs
-    that do surface, the intersection count — and hence the Jaccard —
-    is computed over capped shingles only, so it underestimates and
-    near-threshold pairs can drop. The default (None) keeps the exact
-    semantics the DuckDB oracle checks; at fixture scale AQE's
-    skew-join split absorbs the residual skew."""
-    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    - ``direct``: the inverted-index self-join with immediate map-side
+      combine. Candidate volume is Σ df², which wins decisively on
+      head-free (cluster-driven) data where candidate materialization
+      costs more than it saves, but dies under a web-scale Zipf head
+      (one boilerplate shingle with df = 10⁸ ⇒ 10¹⁶ candidate rows
+      regardless of true duplication).
+    - ``prefix``: AllPairs/ppjoin prefix filtering at t = 0.3. If
+      J(A,B) = i/(na+nb−i) >= t then (since nb >= i) i >= t·na, so each
+      doc's first n − ceil(t·n) + 1 shingles in a fixed rarest-first
+      order must contribute a shared shingle between BOTH prefixes —
+      candidates form only prefix×prefix, and the Zipf head contributes
+      ~nothing (hot shingles never make rarest-first prefixes).
+      Survivors get the candidate-restricted exact verify. Prefix
+      lengths use exact integer ceil(3n/10) = (3n+9) div 10 — the float
+      form ceil(0.3*n) overshoots whenever 0.3*n rounds up past an
+      integer, silently shortening the prefix below the lemma's bound.
+
+    ``strategy="auto"`` (default) probes Σ df² / Σ df on the (possibly
+    capped) per-(lang, shingle) df rollup — one 1-row aggregate — and
+    picks direct while the expansion stays under the shared budget.
+    Both branches are exact over the SAME index, so forcing either
+    yields identical results (the oracle checks whichever runs).
+
+    ``df_cap``: production pipelines df-cap the index — drop
+    (lang, shingle) keys with df > cap BEFORE the pair join, bounding
+    candidate volume at Σ min(df, cap)² and removing the head outright.
+    The trade-off is RECALL: (1) a pair sharing only hot shingles never
+    becomes a candidate; (2) surviving pairs' intersections count
+    capped shingles only, so the Jaccard underestimates and
+    near-threshold pairs can drop. The prefix lemma stays valid on the
+    capped index: i_capped >= t·na >= t·na_capped, and the prefix
+    length uses the exact per-doc n (n >= n_capped, and
+    n − ceil(t·n) + 1 is nondecreasing in n, so the prefix is only ever
+    LONGER than the capped bound requires). The default (None) keeps
+    the exact semantics the DuckDB oracle checks."""
+    ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
+    sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     idx = sh
     if df_cap is not None:
-        rare = (
-            sh.groupBy("lang", "shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("lang", "shingle")
-        )
         # left-semi restricts the index to the rare tail; the df rollup
         # partial-aggregates map-side and shares the (lang, shingle)
         # partitioning the pair join needs anyway
+        rare = df_tbl.filter(F.col("df") <= df_cap).select("lang", "shingle")
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
-    sa = idx.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
-    sb = idx.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
-    inter = (
-        sa.join(sb, ["lang", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+
+    strategy = _resolve_strategy(strategy, df_tbl, df_cap)
+
+    if strategy == "direct":
+        sa = idx.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+        sb = idx.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+        inter = (
+            sa.join(sb, ["lang", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        # rarest-first order: per-(lang, shingle) df is the sort key —
+        # no global sort; pairs only form within a lang, where the
+        # order is consistent across any two docs that could pair
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        # ceil(0.3*n) exactly: (3n + 9) div 10
+        i_min = F.expr("(3 * n + 9) div 10")
+        prefix = (
+            idx.join(df_tbl, ["lang", "shingle"])
+            .withColumn("rk", F.row_number().over(w))
+            .join(cnt, "doc_id")
+            .filter(F.col("rk") <= F.col("n") - i_min + 1)
+            .select("doc_id", "lang", "shingle")
+        )
+        pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+        pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+        cand = (
+            pa.join(pb, ["lang", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand = ckpt(cand)
+        # exact verify, candidate-restricted on both sides (scales with
+        # candidates, not the corpus); docs are single-lang, so the
+        # shingle-only verify join equals the (lang, shingle) join for
+        # every same-lang candidate pair
+        sa = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+        sa_c = sa.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
+        sb_c = sb.join(cand.select("doc_b").distinct(), "doc_b", "left_semi")
+        inter = (
+            sa_c.join(cand, "doc_a")
+            .join(sb_c, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -834,20 +899,46 @@ def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     """Pick 'direct' vs 'prefix' from the measured df distribution: one
     1-row aggregate over the (possibly capped view of the) df rollup —
     the exact candidate volume Σ df² a direct self-join would generate,
-    per index row Σ df. Reads only integer counts, so the choice is
-    partition-layout deterministic."""
+    per index row Σ df. Reads only the df counts, so the choice is
+    partition-layout deterministic.
+
+    Σ df² is summed in DOUBLE, not int64: a web-scale Zipf head (df ≈
+    10⁸ ⇒ df² = 10¹⁶) overflows a wrapped int64 sum after ~10³ such
+    shingles, and with ANSI off Spark wraps SILENTLY — a negative
+    sum_df2 would pass the budget test and pick the direct plan exactly
+    when the prefix plan is needed. Double loses low-order precision at
+    that magnitude but the comparison only needs order-of-magnitude
+    accuracy; a defensive guard still routes any non-finite/negative
+    probe result to 'prefix' (the plan that survives the head)."""
     src = df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
     row = src.agg(
-        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+        F.sum(F.col("df").cast("double") * F.col("df")).alias("sum_df2"),
         F.sum("df").alias("n_rows"),
     ).collect()[0]
-    sum_df2 = row["sum_df2"] or 0
+    sum_df2 = row["sum_df2"] or 0.0
     n_rows = row["n_rows"] or 0
+    if not (0.0 <= sum_df2 < float("inf")):
+        return "prefix"
     return (
         "direct"
         if sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
         else "prefix"
     )
+
+
+def _resolve_strategy(
+    strategy: str, df_tbl: DataFrame, df_cap: int | None = None
+) -> str:
+    """Resolve 'auto' via the df probe and reject typos: an unrecognized
+    strategy string must error, not silently fall through an if/else
+    into whichever branch is written last."""
+    if strategy == "auto":
+        strategy = _auto_strategy(df_tbl, df_cap)
+    if strategy not in ("direct", "prefix"):
+        raise ValueError(
+            f"strategy must be 'auto', 'direct' or 'prefix', got {strategy!r}"
+        )
+    return strategy
 
 
 @query(
@@ -940,18 +1031,17 @@ def q_containment_dedup(
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
-    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # df keyed by (lang, shingle) — the SAME grouping df_cap filters on,
+    # so the strategy probe sees exactly the capped index's df
+    # distribution (a globally-hot shingle that is under-cap per lang
+    # stays in both the index and the probe). Pairs only form within a
+    # lang anyway, so per-lang df is also the right rarest-first key.
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     if df_cap is not None:
-        rare = (
-            sh.groupBy("lang", "shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("lang", "shingle")
-        )
+        rare = df_tbl.filter(F.col("df") <= df_cap).select("lang", "shingle")
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
 
-    if strategy == "auto":
-        strategy = _auto_strategy(df_tbl, df_cap)
+    strategy = _resolve_strategy(strategy, df_tbl, df_cap)
 
     if strategy == "direct":
         sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
@@ -968,7 +1058,7 @@ def q_containment_dedup(
         # ceil(0.8*n) exactly: (4n + 4) div 5
         i_min = F.expr("(4 * n + 4) div 5")
         prefix = (
-            idx.join(df_tbl, "shingle")
+            idx.join(df_tbl, ["lang", "shingle"])
             .withColumn("rk", F.row_number().over(w))
             .join(cnt, "doc_id")
             .filter(F.col("rk") <= F.col("n") - i_min + 1)
@@ -1237,10 +1327,12 @@ def q_prefix_filter_join(
     can't leak executor memory into later queries."""
     ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
-    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # (lang, shingle) df: pairs only form within a lang, so per-lang df
+    # is the right rarest-first key and matches the probe granularity
+    # used by the df_cap'd siblings
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    if strategy == "auto":
-        strategy = _auto_strategy(df_tbl, None)
+    strategy = _resolve_strategy(strategy, df_tbl)
     if strategy == "direct":
         sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
         sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
@@ -1251,7 +1343,7 @@ def q_prefix_filter_join(
             .agg(F.count("*").alias("i"))
         )
     else:
-        ranked = sh.join(df_tbl, "shingle")
+        ranked = sh.join(df_tbl, ["lang", "shingle"])
         w = Window.partitionBy("doc_id").orderBy("df", "shingle")
         prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
         prefix = (

@@ -316,8 +316,8 @@ def test_zip_store(store, tmp_path):
 
 def test_zip_store_reclaims_stale_staging(store):
     """A crashed zip leaves its per-call-unique staging file behind; the
-    next zip reclaims leftovers older than the in-flight horizon and
-    leaves fresh ones (a concurrent zip mid-write) alone."""
+    next zip reclaims leftovers whose writer is dead (flock free) past
+    the open->flock grace, and leaves fresh ones alone."""
     import os
     import time as _time
 
@@ -334,6 +334,34 @@ def test_zip_store_reclaims_stale_staging(store):
     zip_store(store)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # could be a live concurrent writer's
+
+
+def test_zip_store_never_reclaims_live_staging(store):
+    """Liveness is the flock, not mtime age: a zip that runs longer than
+    any fixed horizon (advisor round 5 — a very large store) keeps its
+    in-progress staging file because the sweep's non-blocking flock
+    probe fails while the writer holds the lock."""
+    import fcntl
+    import os
+    import time as _time
+
+    store.create("z/p", {"id": "k"})
+    out_dir = os.path.join(store.root, "archive")
+    os.makedirs(out_dir, exist_ok=True)
+    live = os.path.join(out_dir, "bundle.tar.gz.staging-997-feedface")
+    holder = open(live, "wb")
+    try:
+        holder.write(b"partial")
+        holder.flush()
+        fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        old = _time.time() - 7200  # far older than any age horizon
+        os.utime(live, (old, old))
+        zip_store(store)
+        assert os.path.exists(live)  # live writer survived the sweep
+    finally:
+        holder.close()
+    zip_store(store)
+    assert not os.path.exists(live)  # dead writer is reclaimed promptly
 
 
 def test_zip_store_failure_removes_staging(store, monkeypatch):

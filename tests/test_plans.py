@@ -520,6 +520,69 @@ def test_prefix_filter_join_strategies_agree(spark, sf_dir):
     assert rows_d == rows_p and rows_d
 
 
+def test_ngram_jaccard_strategy_selector(spark, sf_dir, monkeypatch):
+    """Round-6 closure of the family's last Σ df² default: q_ngram_jaccard
+    shares the adaptive df probe. The bounded fixture selects direct
+    (no rank window); zero budget forces the ppjoin prefix branch with
+    the candidate-restricted verify; both are exact."""
+    from pot_spark.queries import llm_dedup
+
+    direct = llm_dedup.q_ngram_jaccard(
+        spark, sf_dir, checkpoint=False, strategy="auto"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        direct.explain("formatted")
+    assert "row_number" not in buf.getvalue()  # auto picked direct here
+
+    monkeypatch.setattr(llm_dedup, "_CONTAINMENT_DIRECT_BUDGET", 0)
+    prefixed = llm_dedup.q_ngram_jaccard(
+        spark, sf_dir, checkpoint=False, strategy="auto"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prefixed.explain("formatted")
+    p = buf.getvalue()
+    assert "row_number" in p  # zero budget forces prefix
+    assert "LeftSemi" in p  # verify inputs restricted to candidate docs
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p  # per-doc rank window, no global sort
+
+    rows_d = {tuple(r) for r in direct.collect()}
+    rows_p = {tuple(r) for r in prefixed.collect()}
+    assert rows_d == rows_p and rows_d  # exact either way
+
+
+def test_ngram_jaccard_capped_strategies_agree(spark, sf_dir):
+    """Under df_cap the prefix lemma must hold relative to the CAPPED
+    index (i_capped >= t*na >= t*na_capped): forcing each branch on the
+    same capped index yields identical (capped-semantics) results."""
+    from pot_spark.queries.llm_dedup import q_ngram_jaccard
+
+    d = q_ngram_jaccard(spark, sf_dir, df_cap=8, checkpoint=False,
+                        strategy="direct")
+    p = q_ngram_jaccard(spark, sf_dir, df_cap=8, checkpoint=False,
+                        strategy="prefix")
+    rows_d = {tuple(r) for r in d.collect()}
+    rows_p = {tuple(r) for r in p.collect()}
+    assert rows_d == rows_p and rows_d
+
+
+def test_unknown_strategy_raises(spark, sf_dir):
+    """A typo'd strategy must error, never silently fall into a branch."""
+    import pytest
+
+    from pot_spark.queries.llm_dedup import (
+        q_containment_dedup,
+        q_ngram_jaccard,
+        q_prefix_filter_join,
+    )
+
+    for fn in (q_containment_dedup, q_prefix_filter_join, q_ngram_jaccard):
+        with pytest.raises(ValueError, match="strategy"):
+            fn(spark, sf_dir, checkpoint=False, strategy="Direct")
+
+
 def test_prefix_lengths_use_exact_integer_ceil():
     """Regression for the float-ceil overshoot: ceil(t*n) computed as
     ceil(0.8*5) gives 5 (0.8*5 -> 4.0000000000000002), silently
@@ -531,6 +594,7 @@ def test_prefix_lengths_use_exact_integer_ceil():
     for n in range(1, 10_000):
         assert (4 * n + 4) // 5 == math.ceil(Fraction(4, 5) * n)  # t=0.8
         assert (7 * n + 9) // 10 == math.ceil(Fraction(7, 10) * n)  # t=0.7
+        assert (3 * n + 9) // 10 == math.ceil(Fraction(3, 10) * n)  # t=0.3
 
 
 def test_bloom_words_are_broadcast(spark, sf_dir):

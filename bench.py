@@ -185,22 +185,28 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # diff against the recorded baseline (BENCH_r02.json is the first
-    # completed bench = the 2x-gate reference): per-query deltas go to
-    # stderr, queries >2x slower than their baseline are listed in the
-    # JSON so a regression fails loudly instead of hiding in the total
+    # diff against the recorded baseline: BENCH_BASELINE.json is the
+    # consolidated 2x-gate reference (BENCH_r02 rows verbatim + the
+    # earliest later round for queries r02 never covered — see
+    # tools/freeze_baseline.py), so EVERY headline query has a ratio and
+    # the regression detector has teeth for all 53. Per-query deltas go
+    # to stderr, queries >2x slower than their baseline are listed in
+    # the JSON so a regression fails loudly instead of hiding in the
+    # total. Falls back to BENCH_r02.json if the consolidated file is
+    # absent.
     regressions: dict[str, str] = {}
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
-    )
-    try:
-        with open(base_path) as f:
-            raw = json.load(f)
-        # the driver wraps the bench line as {"parsed": {...}}; a raw
-        # bench.py output has "queries" at the top level
-        base = (raw.get("parsed") or raw).get("queries", {})
-    except Exception:  # noqa: BLE001 - no baseline -> nothing to diff
-        base = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = {}
+    for base_name in ("BENCH_BASELINE.json", "BENCH_r02.json"):
+        try:
+            with open(os.path.join(here, base_name)) as f:
+                raw = json.load(f)
+            # the driver wraps the bench line as {"parsed": {...}}; a raw
+            # bench.py output has "queries" at the top level
+            base = (raw.get("parsed") or raw).get("queries", {})
+            break
+        except Exception:  # noqa: BLE001 - no baseline -> nothing to diff
+            continue
     ratios: dict[str, float] = {}
     for name, t in sorted(timings.items()):
         b = base.get(name)

@@ -1,0 +1,180 @@
+"""Commit backends: the put-if-absent primitive behind PotStore's commit
+point, extracted as a seam so the store runs against object stores.
+
+The reference's entire deployment model is conditional writes against a
+cloud bucket (server.go:670-702: GCS ``if_generation_match`` /
+``DoesNotExist`` preconditions guard both the .potlock and data.json
+publishes). PotStore's Delta-style protocol needs exactly ONE primitive
+from storage: atomically create a manifest object iff it does not
+already exist, with full content visible to any subsequent reader.
+Everything else (snapshot writes under unique names, manifest listing)
+is plain I/O with no atomicity requirement.
+
+Mapping of that primitive per store:
+
+- local/NFS filesystem: write-temp + fsync + ``os.link`` (an atomic
+  create-if-absent of complete content) — ``LocalFSBackend``;
+- GCS: ``blob.upload_from_string(payload, if_generation_match=0)``,
+  losing writers get 412 PreconditionFailed — ``GCSBackend`` (real
+  binding, import-gated) or ``ConditionalPutBackend`` over any client;
+- S3 (since 2024) / Azure Blob: ``PutObject`` with ``If-None-Match: *``
+  — same shape, adapt via ``ConditionalPutBackend``;
+- HDFS: write-temp + ``rename`` (rename fails if the target exists).
+
+The OCC protocol above the seam is backend-agnostic: a ``False`` from
+``put_if_absent`` means another writer won that generation; the store
+re-reads fresh state and retries (store.py:_mutate). The race tests in
+tests/test_kv_multiprocess.py parameterize over backends to pin that
+the protocol — not the local-FS primitive — carries the guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from abc import ABC, abstractmethod
+
+
+class PreconditionFailed(Exception):
+    """A conditional put lost: the target object already exists.
+
+    Mirrors GCS's 412 PreconditionFailed for ``if_generation_match=0``
+    (the reference maps the same status to ErrLocked, server.go:688-696).
+    """
+
+
+class CommitBackend(ABC):
+    """The one storage primitive the commit protocol needs."""
+
+    @abstractmethod
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        """Atomically create ``target`` holding exactly ``payload`` iff no
+        object exists there. Returns True on win, False if the target
+        already exists (another writer committed this generation first).
+        Readers must never observe a partially-written target."""
+
+
+class LocalFSBackend(CommitBackend):
+    """POSIX filesystems: stage under a dot-name the manifest lister
+    ignores, fsync, then ``os.link`` — an atomic create-if-absent of
+    complete content. Creating the target first and filling it after
+    would expose readers to half-written JSON and a dead writer would
+    brick the pot with a truncated commit file."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        staging = os.path.join(d, f".staged-{uuid.uuid4().hex}")
+        with open(staging, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(staging, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staging)
+
+
+class ConditionalPutBackend(CommitBackend):
+    """Adapter over any object-store client exposing the GCS-shaped
+    ``upload(key, data, if_generation_match=0)`` call that raises
+    :class:`PreconditionFailed` when the object exists.
+
+    The client must be rooted such that ``key`` (the store-absolute
+    manifest path) lands where the store's readers look — i.e. the
+    bucket/prefix the client wraps IS the store root. This repo tests it
+    with :class:`EmulatedObjectStoreClient`; production swaps in a thin
+    wrapper over the real SDK with the same two-line ``upload``."""
+
+    def __init__(self, client) -> None:
+        self.client = client
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        try:
+            self.client.upload(target, payload, if_generation_match=0)
+            return True
+        except PreconditionFailed:
+            return False
+
+
+class EmulatedObjectStoreClient:
+    """A conditional-put object store emulated over a local directory:
+    ``upload(key, data, if_generation_match=0)`` is atomic ACROSS
+    PROCESSES and raises :class:`PreconditionFailed` on conflict —
+    the observable contract of a GCS bucket, minus the network.
+
+    Internally the emulation uses the same link primitive a real bucket
+    replaces with server-side atomicity; what the parameterized race
+    tests exercise is the store's OCC protocol THROUGH THE SEAM (retry
+    on loss, generation bump, single winner), which is the part that
+    survives a backend swap."""
+
+    def __init__(self, bucket_root: str = "/") -> None:
+        self.bucket_root = bucket_root
+
+    def _object_path(self, key: str) -> str:
+        if key.startswith("/") and self.bucket_root == "/":
+            return key
+        return os.path.join(self.bucket_root, key.lstrip("/"))
+
+    def upload(
+        self, key: str, data: bytes, if_generation_match: int | None = None
+    ) -> None:
+        path = self._object_path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if if_generation_match is None:
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)  # unconditional overwrite, still atomic
+            return
+        if if_generation_match != 0:
+            raise NotImplementedError(
+                "emulator supports only if_generation_match=0 (create-if-absent)"
+            )
+        staging = path + f".staged-{uuid.uuid4().hex}"
+        with open(staging, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(staging, path)
+        except FileExistsError:
+            raise PreconditionFailed(key) from None
+        finally:
+            os.unlink(staging)
+
+
+class GCSBackend(CommitBackend):
+    """Real google-cloud-storage binding (import-gated — the dependency
+    is optional and absent in this container; constructing the backend
+    without it raises ImportError with the install hint).
+
+    ``blob.upload_from_string(payload, if_generation_match=0)`` is the
+    exact primitive the reference relies on for its lock and data
+    publishes (server.go:670-702)."""
+
+    def __init__(self, bucket_name: str, prefix: str = "") -> None:
+        try:
+            from google.api_core import exceptions as gexc  # type: ignore
+            from google.cloud import storage  # type: ignore
+        except ImportError as e:  # pragma: no cover - optional dependency
+            raise ImportError(
+                "GCSBackend requires google-cloud-storage "
+                "(pip install google-cloud-storage)"
+            ) from e
+        self._bucket = storage.Client().bucket(bucket_name)
+        self._prefix = prefix.strip("/")
+        self._precondition_failed = gexc.PreconditionFailed
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        key = "/".join(p for p in (self._prefix, target.lstrip("/")) if p)
+        blob = self._bucket.blob(key)
+        try:
+            blob.upload_from_string(payload, if_generation_match=0)
+            return True
+        except self._precondition_failed:
+            return False

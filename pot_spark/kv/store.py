@@ -34,9 +34,11 @@ The commit record is the commit point: writers stage a full snapshot,
 then publish with a put-if-absent manifest create. Losers re-read fresh
 state and retry (optimistic concurrency; the Delta-Lake-style protocol
 replaces the reference's GCS generation preconditions, server.go:670-702).
-On a cloud store the O_EXCL create maps to `create(..., overwrite=false)`
-/ if-generation-match=0 — the same primitive the reference uses for its
-.potlock. Generation numbers are the manifest versions (server.go:405).
+The primitive is pluggable (kv/backend.py): LocalFSBackend (staged write
++ fsync + os.link) by default, or a conditional-put object-store backend
+(GCS `if_generation_match=0` / S3+ABS `If-None-Match: *`) — the same
+primitive the reference uses for its .potlock. Generation numbers are
+the manifest versions (server.go:405).
 
 Data plane: per-doc dict APIs write/read snapshots via pyarrow (a pot
 mutation is a metadata-scale operation; spinning a Spark job per PUT
@@ -64,6 +66,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pot_spark.kv.backend import CommitBackend, LocalFSBackend
 from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
 
 _POT_DIRNAME = "_pot"
@@ -195,13 +198,24 @@ def derive_key(doc: dict[str, Any]) -> str:
 class PotStore:
     """A pot server over a data root on any filesystem path."""
 
-    def __init__(self, spark: Optional[SparkSession], root: str) -> None:
+    def __init__(
+        self,
+        spark: Optional[SparkSession],
+        root: str,
+        backend: Optional["CommitBackend"] = None,
+    ) -> None:
         self.spark = spark
         # realpath, not abspath: _pot_dir's containment check compares
         # normalized prefixes, which only holds if the root itself is
         # symlink-free
         self.root = os.path.realpath(root)
         os.makedirs(self.root, exist_ok=True)
+        # the commit-point seam (kv/backend.py): every generation publish
+        # goes through backend.put_if_absent — local FS by default, a
+        # conditional-put object store (GCS if_generation_match=0, S3/ABS
+        # If-None-Match) in the reference's actual deployment model
+        # (server.go:670-702)
+        self.backend: CommitBackend = backend or LocalFSBackend()
         self._locks: dict[str, threading.RLock] = {}
         self._locks_guard = threading.Lock()
         self.metrics = StoreMetrics()
@@ -253,21 +267,19 @@ class PotStore:
         )
 
     def _try_commit(self, path: str, manifest: _Manifest) -> bool:
-        """Put-if-absent publish of a FULLY WRITTEN manifest.
+        """Put-if-absent publish of a FULLY WRITTEN manifest — the commit
+        point, delegated to the pluggable backend (kv/backend.py).
 
-        The record is staged under a name the manifest lister ignores
-        (no ``.json`` suffix), flushed, then published with ``os.link``
-        — an atomic create-if-absent of complete content. Creating the
-        target first and filling it afterwards (the previous design)
-        has two failure windows this closes: a reader listing commits
-        between create and fill would json-crash on a half-written
-        manifest, and a writer dying in that window would brick the pot
-        with a permanently truncated commit file. Maps to
-        write-temp + rename-if-absent on HDFS-style stores."""
+        The backend contract: atomically create the target with complete
+        content iff absent; readers never observe a partial manifest; a
+        False return means another writer won this generation and the
+        caller re-reads fresh state and retries. The default
+        LocalFSBackend implements it as staged-write + fsync + os.link;
+        object-store backends use the conditional put the reference
+        itself relies on (GCS if_generation_match=0, server.go:670-702).
+        """
         commits = os.path.join(self._pot_dir(path), _COMMITS)
-        os.makedirs(commits, exist_ok=True)
         target = os.path.join(commits, f"{manifest.generation:020d}.json")
-        staging = os.path.join(commits, f".staged-{uuid.uuid4().hex}")
         record = {
             "generation": manifest.generation,
             "committed_at": manifest.committed_at,
@@ -276,17 +288,7 @@ class PotStore:
         }
         if manifest.files is not None:
             record["files"] = manifest.files
-        with open(staging, "w") as f:
-            json.dump(record, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(staging, target)  # atomic put-if-absent, full content
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(staging)
+        return self.backend.put_if_absent(target, json.dumps(record).encode())
 
     # -- snapshot I/O (pyarrow fast path; layout identical to Spark's) ------
 

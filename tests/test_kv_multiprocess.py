@@ -1,34 +1,57 @@
 """Cross-PROCESS commit safety: separate OS processes (separate PotStore
 instances, no shared locks) racing upserts on one pot must all land via
 the put-if-absent manifest commit — the property the reference gets from
-GCS preconditions across server instances (server.go:670-702)."""
+GCS preconditions across server instances (server.go:670-702).
+
+Parameterized over commit backends (kv/backend.py): the OCC protocol —
+retry on a lost put, generation bump, single norewrite winner — must
+hold through the SEAM, not just through the local-FS primitive, so the
+same races run against LocalFSBackend and the conditional-put
+object-store adapter (ConditionalPutBackend over the emulated
+GCS-shaped client).
+"""
 
 from __future__ import annotations
 
-import json
 import multiprocessing as mp
 import tempfile
 
+import pytest
 
-def _writer(args):
-    root, i = args
-    # fresh store per process: no shared in-process locks — only the
-    # O_EXCL manifest create serializes these writers
+BACKENDS = ["local", "object_store"]
+
+
+def _mk_store(root: str, backend_kind: str):
+    from pot_spark.kv.backend import ConditionalPutBackend, EmulatedObjectStoreClient
     from pot_spark.kv.store import PotStore
 
-    store = PotStore(None, root)
-    resp = store.create_batch("race/mp", {f"p{i}-{j}": {"w": i, "j": j} for j in range(3)})
+    if backend_kind == "local":
+        return PotStore(None, root)
+    # bucket mounted at the store root: conditional-put objects land
+    # exactly where the store's readers list manifests
+    return PotStore(
+        None, root, backend=ConditionalPutBackend(EmulatedObjectStoreClient("/"))
+    )
+
+
+def _writer(args):
+    root, i, backend_kind = args
+    # fresh store per process: no shared in-process locks — only the
+    # put-if-absent manifest create serializes these writers
+    store = _mk_store(root, backend_kind)
+    resp = store.create_batch(
+        "race/mp", {f"p{i}-{j}": {"w": i, "j": j} for j in range(3)}
+    )
     return i, resp.generation
 
 
-def test_cross_process_writers_all_commit():
-    root = tempfile.mkdtemp(prefix="pot_mp_")
+@pytest.mark.parametrize("backend_kind", BACKENDS)
+def test_cross_process_writers_all_commit(backend_kind):
+    root = tempfile.mkdtemp(prefix=f"pot_mp_{backend_kind}_")
     with mp.get_context("spawn").Pool(4) as pool:
-        results = pool.map(_writer, [(root, i) for i in range(4)])
+        results = pool.map(_writer, [(root, i, backend_kind) for i in range(4)])
 
-    from pot_spark.kv.store import PotStore
-
-    store = PotStore(None, root)
+    store = _mk_store(root, backend_kind)
     gens = sorted(g for _, g in results)
     assert gens == [1, 2, 3, 4]  # every writer won exactly one generation
     content = store.get("race/mp")
@@ -39,28 +62,26 @@ def test_cross_process_writers_all_commit():
     assert sizes == [3, 6, 9, 12]
 
 
-def test_cross_process_norewrite_single_winner():
+@pytest.mark.parametrize("backend_kind", BACKENDS)
+def test_cross_process_norewrite_single_winner(backend_kind):
     """The reference's 5-client race (client_test.go:175-245), across
     processes: exactly one norewrite create wins, the rest see
     NoRewriteViolated, and the surviving value is the winner's."""
-    root = tempfile.mkdtemp(prefix="pot_mp_nr_")
+    root = tempfile.mkdtemp(prefix=f"pot_mp_nr_{backend_kind}_")
     with mp.get_context("spawn").Pool(5) as pool:
-        results = pool.map(_nr_writer, [(root, i) for i in range(5)])
+        results = pool.map(_nr_writer, [(root, i, backend_kind) for i in range(5)])
 
-    from pot_spark.kv.store import PotStore
-
-    store = PotStore(None, root)
+    store = _mk_store(root, backend_kind)
     winners = [i for i, ok in results if ok]
     assert len(winners) == 1
     assert store.get("race/nr") == {"leader": {"id": "leader", "w": winners[0]}}
 
 
 def _nr_writer(args):
-    root, i = args
+    root, i, backend_kind = args
     from pot_spark.kv.errors import NoRewriteViolated
-    from pot_spark.kv.store import PotStore
 
-    store = PotStore(None, root)
+    store = _mk_store(root, backend_kind)
     try:
         store.create(
             "race/nr", {"id": "leader", "w": i}, norewrite=True, norewrite_duration=30.0
@@ -68,3 +89,17 @@ def _nr_writer(args):
         return i, True
     except NoRewriteViolated:
         return i, False
+
+
+def test_mixed_backends_interoperate():
+    """A pot written through the object-store backend is read and
+    extended by a local-FS-backend store (and vice versa): the manifest
+    layout is backend-independent — only the publish primitive differs."""
+    root = tempfile.mkdtemp(prefix="pot_mp_mixed_")
+    obj = _mk_store(root, "object_store")
+    local = _mk_store(root, "local")
+    obj.create("mix/p", {"id": "a", "v": 1})
+    assert local.get("mix/p") == {"a": {"id": "a", "v": 1}}
+    local.create("mix/p", {"id": "b", "v": 2})
+    assert obj.get("mix/p")["b"] == {"id": "b", "v": 2}
+    assert [g for g, _ in obj.list_generations("mix/p")] == [1, 2]

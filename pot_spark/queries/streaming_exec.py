@@ -99,6 +99,51 @@ def s_static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_watermark_late_stream",
+    oracle="""
+    WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM b1),
+    kept AS (
+        SELECT e.* FROM events e
+        WHERE e.event_id % 2 = 0
+           OR time_bucket(INTERVAL '10 minutes', e.ts) + INTERVAL 10 MINUTE
+                > (SELECT w FROM wm)
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE
+             AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM kept GROUP BY 1, 2, 3
+    """,
+)
+def s_watermark_late_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermark late-data drop (the last batch-emulated s_* op,
+    closed round 6): events delivered as two interleaved microbatches —
+    even event_ids on time, odd event_ids as a lagging partition replay
+    — plus a flush sentinel, through `withWatermark("ts", "1 hour")` +
+    10-minute tumbling counts in append mode. Batch 1 advances the
+    watermark to max(even ts) − 1h; the lagging batch's rows whose
+    window closed at or before that watermark are dropped by the real
+    stateful-aggregation operator, not an emulation. The oracle replays
+    the same delivery model in SQL: kept = every on-time row + lagging
+    rows whose window end is strictly after the batch-1 watermark.
+
+    (The batch twin s_watermark_late models a PER-ROW watermark, which
+    on this fixture's arrival order drops nothing — the real stream
+    needed a delivery model with actual lateness to be non-vacuous:
+    4,989 of 5,000 lagging rows drop at sf0.01.)"""
+    from pyspark.sql import functions as F
+
+    # defensive: the flush sentinel's window can never be emitted in
+    # append mode (the final watermark stops 1h short of it), but the
+    # contract is "real windows only" either way
+    return run_streaming_query(spark, "s_watermark_late", sf_dir).filter(
+        F.col("event_type") != "__flush__"
+    )
+
+
+@query(
     "s_native_dedup_stream",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value FROM events

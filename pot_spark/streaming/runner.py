@@ -66,6 +66,105 @@ def _event_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _split_event_stream(spark: SparkSession, events_file: str) -> DataFrame:
+    """The events table delivered as two INTERLEAVED arrival batches plus
+    a watermark-flush sentinel — the late-data delivery model:
+
+    - microbatch 1: even event_ids (the on-time partition);
+    - microbatch 2: an EMPTY primer file. Spark's stateful operators
+      carry TWO watermark values (visible as the value pair on
+      StateStoreSave): late-input filtering uses the watermark lagged
+      one batch behind the eviction watermark, so a late row arriving
+      in the batch immediately after its on-time data is NOT dropped
+      (measured: drop fires one extra batch later). The zero-row primer
+      burns that lag batch, making batch 1's watermark the filter
+      threshold for the lagging batch;
+    - microbatch 3: odd event_ids (a lagging partition replay — most of
+      it arrives long after the watermark passed its event times);
+    - microbatch 4: one ``__flush__`` sentinel 30 days past max(ts),
+      advancing the watermark beyond every real window's end so append
+      mode emits all surviving windows before the stream stops (without
+      it, windows newer than final-watermark stay in state forever).
+
+    File order is pinned by both name and mtime (the file source sorts
+    its listing by modification time)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_late_")
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    t = pq.read_table(events_file)
+    odd_mask = pc.equal(
+        pc.bit_wise_and(t.column("event_id"), pa.scalar(1, pa.int64())),
+        pa.scalar(1, pa.int64()),
+    )
+    batches = [t.filter(pc.invert(odd_mask)), t.schema.empty_table(), t.filter(odd_mask)]
+    max_ts = pc.max(t.column("ts")).as_py()
+    import datetime
+
+    flush_row = {
+        "event_id": [pc.max(t.column("event_id")).as_py() + 1],
+        "ts": [max_ts + datetime.timedelta(days=30)],
+        "user_id": [0],
+        "event_type": ["__flush__"],
+        "value": [0.0],
+        "props": [None],
+    }
+    batches.append(
+        pa.Table.from_pydict(
+            {f.name: flush_row[f.name] for f in t.schema}, schema=t.schema
+        )
+    )
+    # all mtimes safely in the past: a file stamped "now" can race the
+    # source's first directory listing within the same clock second and
+    # never be delivered
+    now = _time.time()
+    for i, part in enumerate(batches):
+        path = os.path.join(stream_dir, f"{i:02d}-batch.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now - 120 + i * 20, now - 120 + i * 20))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def build_watermark_late(stream: DataFrame) -> DataFrame:
+    """Real watermark late-drop: 10-minute tumbling counts under
+    ``withWatermark(1 hour)`` in APPEND mode over the two-batch late
+    delivery (_split_event_stream). Batch 1 (even ids) sets the
+    watermark to its max(ts) - 1h; batch 2's lagging rows whose window
+    closed at or before that watermark are DROPPED by the stateful
+    aggregation operator — the guarantee that bounds state at 100
+    TB/day. The flush sentinel is NOT filtered here: Catalyst pushes a
+    deterministic filter straight through the EventTimeWatermark node
+    into the parquet scan, and a scan-filtered sentinel never advances
+    the watermark (measured: the final windows then sit in state
+    forever). Its window also can never be emitted in append mode (the
+    watermark stops 1h short of it), so consumers see only real
+    windows; the query wrapper filters defensively anyway."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def build_native_dedup(stream: DataFrame) -> DataFrame:
     """Spark's NATIVE stateful dedup operator: dropDuplicatesWithinWatermark
     on event_id over an at-least-once source (every event delivered twice
@@ -418,6 +517,12 @@ REPLAY_APPEND_BUILDERS = {
     "s_native_dedup": build_native_dedup,
 }
 
+# Append-mode builders fed by the late-delivery split source
+# (_split_event_stream: on-time batch, lagging batch, flush sentinel).
+LATE_SPLIT_BUILDERS = {
+    "s_watermark_late": build_watermark_late,
+}
+
 # Stateful builders emit in update mode (the memory sink appends each
 # update); with the single-file source every key updates exactly once, so
 # the sink equals the batch result. A multi-batch source would need a
@@ -434,12 +539,17 @@ def run_streaming_query(
     """Execute one event-time window operator as a real stream to
     completion (complete output mode into a memory sink) and return the
     final result as a DataFrame."""
-    stream = _event_stream(
-        spark,
-        f"{sf_dir}/events.parquet",
-        replay=name in REPLAY_APPEND_BUILDERS,
-    )
-    if name in REPLAY_APPEND_BUILDERS:
+    if name in LATE_SPLIT_BUILDERS:
+        stream = _split_event_stream(spark, f"{sf_dir}/events.parquet")
+    else:
+        stream = _event_stream(
+            spark,
+            f"{sf_dir}/events.parquet",
+            replay=name in REPLAY_APPEND_BUILDERS,
+        )
+    if name in LATE_SPLIT_BUILDERS:
+        plan, mode = LATE_SPLIT_BUILDERS[name](stream), "append"
+    elif name in REPLAY_APPEND_BUILDERS:
         plan, mode = REPLAY_APPEND_BUILDERS[name](stream), "append"
     elif name in STATEFUL_BUILDERS:
         plan, mode = STATEFUL_BUILDERS[name](stream), "update"

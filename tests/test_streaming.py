@@ -137,6 +137,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert t.replace(hour=9) not in starts   # beyond watermark: dropped
 
 
+def test_watermark_late_stream_drops_lagging_batch(spark, sf_dir):
+    """s_watermark_late_stream is NON-VACUOUS real late-drop: the lagging
+    (odd event_id) batch loses every row whose window closed at or
+    before the on-time batch's watermark, and the stream's output equals
+    the batch replay of the same delivery model."""
+    from pyspark.sql import functions as F
+
+    from pot_spark.tables import load
+
+    out = registry.QUERIES["s_watermark_late_stream"](spark, sf_dir)
+    got = {(r.window_start, r.window_end, r.event_type, r.n) for r in out.collect()}
+
+    ev = load(spark, sf_dir, "events")
+    wm = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w"))
+        .collect()[0]["w"]
+    )
+    win = F.window("ts", "10 minutes").alias("w")
+    kept = ev.filter(
+        (F.col("event_id") % 2 == 0)
+        | (F.window("ts", "10 minutes").end > F.lit(wm))
+    )
+    expected = {
+        (r["w"].start, r["w"].end, r.event_type, r.n)
+        for r in kept.groupBy(win, "event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected and got
+    # the drop is real: the full (no-drop) windowing has strictly more groups
+    full = ev.groupBy(win, "event_type").count().count()
+    assert len(got) < full
+
+
 def test_streaming_signature_ingest_matches_batch(spark, sf_dir, tmp_path):
     """Incremental corpus ingest: documents stream in over 3 epochs, each
     batch computes minhash signatures (stateless per-doc expressions, so

@@ -595,3 +595,150 @@ def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q14)
+
+
+# -- round-6 additions: the four partsupp-free TPC-H queries still missing --
+#
+# The fixtures carry no l_commitdate / l_receiptdate / l_shipmode /
+# p_container / o_comment columns, so each query keeps its CANONICAL
+# SHAPE (the part Catalyst must plan well) with the missing column
+# swapped for a fixture-available stand-in, documented per query. The
+# oracle is the identical SQL string run by DuckDB.
+
+_Q4 = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q_sql_q4", oracle=_Q4)
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): one quarter's orders that have
+    at least one problem lineitem, counted per priority. Shape under
+    test: the correlated EXISTS must decorrelate to a LEFT SEMI join on
+    l_orderkey with the inner-only predicate pushed to the lineitem
+    scan — never a per-row subquery. (The original's late-delivery
+    predicate l_commitdate < l_receiptdate uses columns the fixture
+    lacks; l_returnflag = 'R' stands in as the same inner-only
+    single-table predicate.)"""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4)
+
+
+_Q12 = """
+SELECT l.l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('N', 'R')
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY ship_class
+"""
+
+
+@query("q_sql_q12", oracle=_Q12)
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority): per ship class, how many
+    high- vs low-priority orders shipped in the year — the two-level
+    conditional-count shape (CASE inside SUM over a fact join). The
+    lineitem filters (class membership + date window) must push to the
+    scan; the only shuffle is the orderkey join. (l_linestatus stands in
+    for the missing l_shipmode; the shipdate year window for the
+    missing commit/receipt predicates.)"""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q12)
+
+
+_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_type = 'SMALL'
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#34' AND p.p_type = 'LARGE'
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30
+       AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
+@query("q_sql_q19", oracle=_Q19)
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-conjunctions query —
+    three disjuncts, each mixing part-side (brand/type/size) and
+    lineitem-side (quantity) predicates. Shape under test: the mixed OR
+    must NOT defeat the join strategy — part stays the broadcast build
+    side with the disjunction evaluated as the join's post-condition,
+    and Catalyst's CNF extraction pushes the part-only residue
+    (brand/type/size disjunction) down to the part scan so the build
+    side is pre-filtered. (p_type stands in for the missing
+    p_container; the shipmode/shipinstruct filters are dropped with the
+    columns.)"""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19)
+
+
+_Q21 = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_7'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@query("q_sql_q21", oracle=_Q21)
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    partsupp-free query: a 4-table join carrying BOTH a correlated
+    EXISTS and a correlated NOT EXISTS against lineitem, each with an
+    equi-correlation (l_orderkey) plus a non-equi residual
+    (l_suppkey <>). Shape under test: both subqueries must decorrelate
+    — EXISTS to a left-semi, NOT EXISTS to a left-anti, each a single
+    hash join on orderkey with the residual as join condition — never a
+    per-row re-scan of lineitem (the O(n²) trap). supplier/nation
+    broadcast; the multi-supplier orders flow through one orderkey
+    shuffle shared by the semi/anti probes. (l_returnflag = 'R' stands
+    in for the original's l_receiptdate > l_commitdate on both the
+    outer row and the NOT EXISTS arm, preserving the 'only THIS
+    supplier was late' semantics.)"""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21)

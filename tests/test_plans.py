@@ -616,6 +616,38 @@ def test_tpch_q8_broadcasts_all_dims(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 5  # part/supp/cust/nation x2/region
 
 
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_sql_q4")
+    assert "LeftSemi" in p  # correlated EXISTS -> one semi join
+    assert "CartesianProduct" not in p
+    # the inner-only predicate reaches the lineitem scan
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(l_returnflag,R)" in l for l in pushed)
+
+
+def test_tpch_q19_or_of_conjunctions_keeps_part_broadcast(spark, sf_dir):
+    """The mixed part/lineitem disjunction must not defeat the join
+    strategy: part stays the broadcast build side and its CNF residue
+    (the brand/type/size disjunction) is pushed to the part scan."""
+    p = _plan(spark, sf_dir, "q_sql_q19")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # part-side pre-filter survives below the join (CNF extraction):
+    # the Or shows up in the part scan's data filters
+    assert "Brand#12" in p and "Brand#34" in p
+
+
+def test_tpch_q21_decorrelates_both_subqueries(spark, sf_dir):
+    """Q21's correlated EXISTS and NOT EXISTS must plan as one semi and
+    one anti hash join on l_orderkey (with the l_suppkey <> residual in
+    the join condition), never a per-outer-row lineitem re-scan."""
+    p = _plan(spark, sf_dir, "q_sql_q21")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_gdpr_erase_zero_fact_shuffle_joins(spark, sf_dir):
     # subject/key lists broadcast; no SortMergeJoin of a fact table
     p = _plan(spark, sf_dir, "q_gdpr_erase")

@@ -141,3 +141,55 @@ def test_store_metrics_bump_is_thread_safe(tmp_path):
         t.join()
     assert m.reads == 16000
     assert m.span_calls["read"] == 16000
+
+
+def test_otel_exporter_degrades_without_dependency(tmp_path):
+    """attach_otel_exporter must be a documented no-op (None) when
+    opentelemetry-api is absent (it is absent in this container) — a
+    deployment without OTel never breaks."""
+    import importlib.util
+
+    from pot_spark.kv import PotStore
+    from pot_spark.kv.otel import attach_otel_exporter
+
+    assert importlib.util.find_spec("opentelemetry") is None
+    store = PotStore(None, str(tmp_path / "noop"))
+    assert attach_otel_exporter(store.metrics) is None
+    # the store keeps working with zero listeners registered
+    store.create("s/p", {"id": "a"})
+    assert store.metrics.span_calls["create"] == 1
+
+
+def test_otel_exporter_emits_all_reference_phases(tmp_path):
+    """With a tracer supplied (duck-typed — the same surface the real
+    opentelemetry tracer exposes), every one of the reference's phase
+    names reaches start_span with a retroactive start <= end, closing
+    R12 to drop-in parity with otel.go."""
+    from pot_spark.kv import PotStore
+    from pot_spark.kv.otel import PHASES, attach_otel_exporter
+
+    spans = []
+
+    class FakeSpan:
+        def __init__(self, name, start):
+            self.name, self.start = name, start
+
+        def end(self, end_time=None):
+            spans.append((self.name, self.start, end_time))
+
+    class FakeTracer:
+        def start_span(self, name, start_time=None):
+            return FakeSpan(name, start_time)
+
+    store = PotStore(None, str(tmp_path / "otel"))
+    listener = attach_otel_exporter(store.metrics, tracer=FakeTracer())
+    assert listener is not None
+    store.create("s/p", {"id": "a"})
+    store.create("s/p", {"id": "b"})
+    seen = {n for n, _, _ in spans}
+    assert seen == set(PHASES)  # the reference's five phases, exactly
+    assert all(start <= end for _, start, end in spans)
+    # retroactive spans reflect the measured durations: per-phase sums
+    # agree with the aggregated counters
+    create_ns = sum(e - s for n, s, e in spans if n == "create")
+    assert abs(create_ns / 1e9 - store.metrics.span_seconds["create"]) < 0.05

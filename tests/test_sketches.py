@@ -168,3 +168,22 @@ def test_ann_lsh_scores_exact_and_candidates_subset(spark, sf_dir):
         assert any(
             sig(vecs[vid], t) == probe_sigs[t] for t in range(_N_TABLES)
         ), f"vec {vid} returned without a bucket collision"
+
+
+def test_error_bounds_artifact(spark, sf_dir):
+    """The evidence artifact (ERROR_BOUNDS.json, tools/error_bounds.py)
+    and these tests share ONE measurement implementation: every declared
+    rows-only op must have a measure that passes its bound, covering the
+    full ROWS_ONLY set so the artifact can never silently miss an op."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from error_bounds import measure_all
+
+    from tests.test_registry import ROWS_ONLY
+
+    entries = measure_all(spark, sf_dir)
+    assert {e["op"] for e in entries} == ROWS_ONLY
+    for e in entries:
+        assert e["pass"], e

@@ -1,0 +1,276 @@
+#!/usr/bin/env python
+"""Measured error-bound evidence for the rows-only (no-oracle) queries.
+
+Eight registry entries are declared rows-only (tests/test_registry.py
+ROWS_ONLY): approximate sketches whose outputs can't hash-match a
+deterministic SQL oracle, and stubbed multimodal decodes. Their
+correctness story lives in pytest error-bound tests — but the external
+driver's CORRECTNESS_r*.json rows for them say only ``no_oracle``. This
+tool turns the same measurements into a per-op JSON artifact
+(ERROR_BOUNDS.json at the repo root) so those rows carry NUMBERS:
+
+- q_hll_sketch / q_approx_cd: max relative error of the estimate vs the
+  exact distinct count (bound: 5% ≈ >4σ at the configured precision);
+- q_approx_percentile: max RANK error of the returned element vs the
+  requested quantile (bound: 1/accuracy + one-element discreteness);
+- q_approx_topk: exact-regime contract — every returned count equals
+  the exact count and clears the true top-k threshold (bound: 0);
+- q_sim_ann_lsh: max |returned cosine − brute-force cosine| (the
+  re-rank is exact; LSH only prunes) + the bucket-collision contract;
+- q_multimodal_features / resize / frames: the declared deterministic
+  stub — two independent runs must byte-agree, with the expected
+  row count.
+
+The pytest suite cross-references this module (tests/test_sketches.py
+imports ``measure_all`` and asserts every entry passes), so the artifact
+and the tests can never drift apart.
+
+Usage: python tools/error_bounds.py [sf_dir] [out_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _rel_err_entry(name, est, exact, bound):
+    errs = {k: abs(est[k] - exact[k]) / exact[k] for k in exact}
+    worst = max(errs, key=errs.get)
+    return {
+        "op": name,
+        "metric": "max_relative_error_vs_exact_distinct",
+        "value": round(errs[worst], 6),
+        "bound": bound,
+        "groups": len(exact),
+        "worst_group": str(worst),
+        "pass": errs[worst] < bound,
+    }
+
+
+def measure_hll(spark, sf_dir):
+    from pot_spark import registry
+    from pot_spark.tables import load
+
+    est = {
+        r.o_orderpriority: r.approx_customers
+        for r in registry.QUERIES["q_hll_sketch"](spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = orders.select("o_custkey").distinct().count()
+    return _rel_err_entry("q_hll_sketch", est, exact, 0.05)
+
+
+def measure_approx_cd(spark, sf_dir):
+    from pot_spark import registry
+    from pot_spark.tables import load
+
+    est = {
+        r.l_returnflag: r.approx_parts
+        for r in registry.QUERIES["q_approx_cd"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    return _rel_err_entry("q_approx_cd", est, exact, 0.05)
+
+
+def measure_approx_percentile(spark, sf_dir):
+    from pot_spark import registry
+    from pot_spark.tables import load
+
+    approx = {
+        r.o_orderpriority: (r.ap50_price, r.ap90_price)
+        for r in registry.QUERIES["q_approx_percentile"](spark, sf_dir).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in (
+        load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    ):
+        vals.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    worst, worst_info, bound_used = -1.0, None, 0.0
+    for k, (a50, a90) in approx.items():
+        v = sorted(vals[k])
+        for a, q in ((a50, 0.5), (a90, 0.9)):
+            rank = sum(x <= a for x in v) / len(v)
+            err = abs(rank - q)
+            bound = 0.01 + 1.0 / len(v)
+            if err > worst:
+                worst, worst_info, bound_used = err, (str(k), q), bound
+    return {
+        "op": "q_approx_percentile",
+        "metric": "max_rank_error_of_returned_element",
+        "value": round(worst, 6),
+        "bound": round(bound_used, 6),
+        "groups": len(approx),
+        "worst_group": f"{worst_info[0]}@q{worst_info[1]}",
+        "pass": worst <= bound_used,
+    }
+
+
+def measure_approx_topk(spark, sf_dir):
+    from pot_spark import registry
+    from pot_spark.tables import load
+
+    got = registry.QUERIES["q_approx_topk"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    exact_rows = (
+        ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n")).collect()
+    )
+    exact = {(r.event_type, r.user_id): r.n for r in exact_rows}
+    per_type: dict[str, list[int]] = {}
+    for r in exact_rows:
+        per_type.setdefault(r.event_type, []).append(r.n)
+    count_mismatches = sum(
+        1 for r in got if exact[(r.event_type, r.user_id)] != r.cnt
+    )
+    below_threshold = sum(
+        1
+        for r in got
+        if r.cnt < sorted(per_type[r.event_type], reverse=True)[4]
+    )
+    return {
+        "op": "q_approx_topk",
+        "metric": "exact_regime_count_mismatches+below_top5_threshold",
+        "value": count_mismatches + below_threshold,
+        "bound": 0,
+        "rows": len(got),
+        "pass": count_mismatches == 0 and below_threshold == 0,
+    }
+
+
+def measure_ann_lsh(spark, sf_dir):
+    from pot_spark import registry
+    from pot_spark.tables import load
+
+    ann = {
+        r.vec_id: r.cos_sim
+        for r in registry.QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("p")
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    dots = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "p", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (norm("v") * norm("p")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    all_exact = {r.vec_id: r.cos for r in dots.collect()}
+    worst = max(abs(all_exact[v] - c) for v, c in ann.items())
+    return {
+        "op": "q_sim_ann_lsh",
+        "metric": "max_abs_cosine_error_vs_brute_force",
+        "value": worst,
+        "bound": 1e-9,
+        "rows": len(ann),
+        "pass": worst < 1e-9,
+    }
+
+
+def _measure_stub(name):
+    def measure(spark, sf_dir):
+        from pot_spark import registry
+
+        fn = registry.QUERIES[name]
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        return {
+            "op": name,
+            "metric": "deterministic_stub_two_run_agreement",
+            "value": 0 if a == b else 1,
+            "bound": 0,
+            "rows": len(a),
+            "pass": a == b and len(a) > 0,
+        }
+
+    return measure
+
+
+MEASURES = [
+    measure_hll,
+    measure_approx_cd,
+    measure_approx_percentile,
+    measure_approx_topk,
+    measure_ann_lsh,
+    _measure_stub("q_multimodal_features"),
+    _measure_stub("q_multimodal_resize"),
+    _measure_stub("q_multimodal_frames"),
+]
+
+
+def measure_all(spark, sf_dir) -> list[dict]:
+    from pot_spark import registry
+
+    registry.load_all_query_modules()
+    return [m(spark, sf_dir) for m in MEASURES]
+
+
+def main() -> None:
+    from pot_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "ERROR_BOUNDS.json")
+    )
+    spark = get_spark("error_bounds")
+    entries = measure_all(spark, sf_dir)
+    doc = {
+        "note": (
+            "Measured accuracy evidence for the declared rows-only ops "
+            "(no-oracle CORRECTNESS rows). Regenerate with "
+            "tools/error_bounds.py; pytest cross-checks every entry "
+            "passes (tests/test_sketches.py::test_error_bounds_artifact)."
+        ),
+        "sf_dir": sf_dir,
+        "entries": entries,
+        "all_pass": all(e["pass"] for e in entries),
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+        f.write("\n")
+    for e in entries:
+        print(f"{'PASS' if e['pass'] else 'FAIL'} {e['op']}: {e['metric']} = "
+              f"{e['value']} (bound {e['bound']})")
+    print(f"wrote {out}")
+    if not doc["all_pass"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

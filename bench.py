@@ -78,6 +78,13 @@ HEADLINE = [
     # + broadcast offsets) — tracked so a regression back to a global
     # window shows up as a timing cliff, not just a plan-test failure
     "q_window_ntile_dense",
+    # round-6 additions: the four new TPC-H queries — tracked so a
+    # decorrelation or broadcast regression (the shapes their plan tests
+    # pin) also shows up as a timing cliff
+    "q_sql_q4",
+    "q_sql_q12",
+    "q_sql_q19",
+    "q_sql_q21",
 ]
 
 

@@ -1380,3 +1380,63 @@ def q_prefix_filter_join(
         .filter(jac >= _PREFIX_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-history) dedup: the production shape of exact
+# dedup — a new crawl increment is deduped against the already-ingested
+# corpus without ever rereading the history payloads.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS digest
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    inc AS (
+        SELECT doc_id, md5(text) AS digest
+        FROM documents WHERE doc_id % 4 <> 0
+    ),
+    batch AS (
+        SELECT digest,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS batch_copies
+        FROM inc GROUP BY digest
+    )
+    SELECT digest, keep_doc_id, batch_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = b.digest)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs with doc_id % 4 == 0 stand in for the
+    already-ingested history, the rest are the incoming increment. The
+    increment first dedups WITHIN itself (groupBy digest, min doc_id —
+    partial-agg'd map-side), then anti-joins the history's distinct digest
+    set, so only never-seen content survives. Both join inputs are
+    digest-distinct 32-byte keys: at 100 TB the history side is a
+    fingerprint index (rows x 32 B, not the corpus), the anti-join
+    shuffles digests only, and AQE broadcasts the smaller side while it
+    fits. This is q_dedup_exact's steady-state production shape — the
+    full-corpus variant rereads everything per increment; this one reads
+    the increment plus an index. No reference counterpart (petomalina/pot
+    stores blobs whole, server.go:272-353; SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("batch_copies"),
+        )
+    )
+    return batch.join(hist, "digest", "left_anti")

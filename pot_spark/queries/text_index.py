@@ -671,3 +671,91 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_boiler * 1000000 DIV n_grams AS BIGINT)"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: merge two independent per-language document
+# rankings (lexical richness, length) into one retrieval ordering —
+# the standard way hybrid search combines BM25 and vector hits.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rank_fusion",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               COALESCE(len(list_distinct(list_filter(
+                   string_split(text, ' '), x -> x <> ''))), -1) AS lex_score,
+               COALESCE(n_chars, -1) AS len_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY lex_score DESC, doc_id ASC NULLS FIRST) AS lex_rank,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY len_score DESC, doc_id ASC NULLS FIRST) AS len_rank
+        FROM scored
+    ),
+    fused AS (
+        SELECT lang, doc_id,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(len_rank AS BIGINT) AS len_rank,
+               1.0 / (60 + lex_rank) + 1.0 / (60 + len_rank) AS rrf_score,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY 1.0 / (60 + lex_rank) + 1.0 / (60 + len_rank) DESC,
+                            doc_id ASC NULLS FIRST) AS fused_rank
+        FROM ranked
+    )
+    SELECT lang, doc_id, lex_rank, len_rank, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM fused WHERE fused_rank <= 10
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60): two independent per-language
+    rankings — lexical richness (distinct tokens) and document length —
+    fuse via 1/(k+rank) sums, keeping the top 10 per language. The two
+    row_number passes and the fused top-k share the lang partitioning, so
+    Spark plans ONE exchange; the fused_rank <= 10 filter becomes a
+    WindowGroupLimit (rank pushdown), so at 100 TB each partition keeps a
+    10-row heap instead of materializing the full sort. Scores are
+    COALESCEd to -1 sentinels before ranking (NULL ordering differs
+    between engines); ranks are integers, so the RRF doubles are the same
+    two correctly-rounded IEEE divisions on both engines. This is the
+    hybrid-retrieval merge step (BM25 + ANN) with engine-checkable
+    surrogate scorers. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.coalesce(
+            F.size(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))),
+            F.lit(-1),
+        ).alias("lex_score"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("len_score"),
+    )
+    w_lex = Window.partitionBy("lang").orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    w_len = Window.partitionBy("lang").orderBy(F.desc("len_score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w_lex).cast("bigint").alias("lex_rank"),
+        F.row_number().over(w_len).cast("bigint").alias("len_rank"),
+    )
+    rrf = F.lit(1.0) / (F.col("lex_rank") + 60) + F.lit(1.0) / (
+        F.col("len_rank") + 60
+    )
+    w_fuse = Window.partitionBy("lang").orderBy(
+        F.desc(rrf), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(w_fuse).cast("bigint"))
+        .filter(F.col("fused_rank") <= 10)
+        .select("lang", "doc_id", "lex_rank", "len_rank", "rrf_score", "fused_rank")
+    )

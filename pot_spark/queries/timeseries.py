@@ -941,3 +941,145 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("den") != 0, F.col("num").cast("double") / F.col("den") / 100
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization and last-touch attribution: the two
+# event-stream primitives every behavioral/clickstream pipeline needs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts ASC NULLS FIRST,
+                                        event_id ASC NULLS FIRST)
+                         <= 1800000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM o
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM s
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity timeout): the batch
+    twin of the streaming session window (s_session), expressed as the
+    classic lag -> new-session flag -> running-sum session id, then one
+    per-session rollup. Both window passes and the final aggregation share
+    the user_id partitioning, so Spark plans ONE shuffle total — at 100 TB
+    the cost is a single hash exchange on user_id plus per-user sorts,
+    never a global sort. Gap arithmetic rides as epoch micros (BIGINT) so
+    no engine-specific interval semantics touch the session boundary; ties
+    are broken by event_id so the running sum is identical on every
+    engine. No reference counterpart (petomalina/pot has no temporal
+    operators, SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap <= 1800 * 1000000, F.lit(0)).otherwise(F.lit(1))
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id
+                  AND c.ts <= p.purchase_ts) AS last_click_ts
+        FROM p
+    )
+    SELECT purchase_id, user_id, purchase_ts, last_click_ts,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                      AND epoch_us(purchase_ts) - epoch_us(last_click_ts)
+                          <= 604800000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS attributed_7d
+    FROM a
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is attributed to the most
+    recent click by the same user at-or-before the purchase, flagged when
+    the touch falls inside a 7-day window. The oracle states the semantics
+    as a correlated MAX subquery; the Spark plan is the merge-as-of
+    pattern (q_temporal_join): clicks and purchases union into one
+    per-user stream ordered (ts, kind, event_id) — clicks sort before a
+    same-timestamp purchase so "at-or-before" includes ties — and a single
+    running last-non-null window assigns each purchase its latest
+    preceding click. ONE shuffle on user_id at any scale; the correlated-
+    subquery formulation would be a per-purchase range scan. No reference
+    counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("kind"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    ).filter(F.col("kind") == 1)
+    within = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.col("last_click_ts")
+    ) <= F.lit(604800000000)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        F.when(F.col("last_click_ts").isNotNull() & within, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("attributed_7d"),
+    )

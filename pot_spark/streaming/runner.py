@@ -109,19 +109,22 @@ def _split_event_stream(spark: SparkSession, events_file: str) -> DataFrame:
     max_ts = pc.max(t.column("ts")).as_py()
     import datetime
 
-    flush_row = {
-        "event_id": [pc.max(t.column("event_id")).as_py() + 1],
-        "ts": [max_ts + datetime.timedelta(days=30)],
-        "user_id": [0],
-        "event_type": ["__flush__"],
-        "value": [0.0],
-        "props": [None],
-    }
-    batches.append(
-        pa.Table.from_pydict(
-            {f.name: flush_row[f.name] for f in t.schema}, schema=t.schema
+    # a zero-row source has no windows to flush (pc.max is None): skip
+    # the sentinel and let the empty batches stream through
+    if max_ts is not None:
+        flush_row = {
+            "event_id": [pc.max(t.column("event_id")).as_py() + 1],
+            "ts": [max_ts + datetime.timedelta(days=30)],
+            "user_id": [0],
+            "event_type": ["__flush__"],
+            "value": [0.0],
+            "props": [None],
+        }
+        batches.append(
+            pa.Table.from_pydict(
+                {f.name: flush_row[f.name] for f in t.schema}, schema=t.schema
+            )
         )
-    )
     # all mtimes safely in the past: a file stamped "now" can race the
     # source's first directory listing within the same clock second and
     # never be delivered

@@ -720,3 +720,42 @@ def test_ntile_dense_never_globally_windows_the_table(spark, sf_dir):
     assert re.search(r"row_number\(\) windowspecdefinition\(shard", p)
     assert "ntile" not in p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 3
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    # lag flag, running-sum session id, and the per-session rollup all
+    # share the user_id partitioning: exactly one exchange
+    p = _plan(spark, sf_dir, "q_sessionize")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert "SinglePartition" not in p
+
+
+def test_attribution_is_merge_asof_single_shuffle(spark, sf_dir):
+    # the click/purchase union feeds ONE running last-non-null window;
+    # no per-purchase range join, no second exchange
+    p = _plan(spark, sf_dir, "q_attribution")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_anti_join_on_preaggregated_digests(spark, sf_dir):
+    # the increment pre-aggregates per digest BEFORE the anti-join, so
+    # the join inputs are digest-distinct; the anti-join itself is
+    # hash-based (broadcast under AQE at this SF), never a sort of texts
+    p = _plan(spark, sf_dir, "q_incremental_dedup")
+    assert "LeftAnti" in p
+    assert len(re.findall(r"\(\d+\) (?:Hash|ObjectHash)Aggregate", p)) >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_rank_fusion_topk_is_window_group_limit(spark, sf_dir):
+    # the fused_rank <= 10 filter must push into a WindowGroupLimit
+    # (per-partition 10-row heap) instead of ranking the full corpus,
+    # and all three window passes share the lang exchange
+    p = _plan(spark, sf_dir, "q_rank_fusion")
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"hashpartitioning\(lang", p)) >= 1
+    assert "SinglePartition" not in p

@@ -85,6 +85,13 @@ HEADLINE = [
     "q_sql_q12",
     "q_sql_q19",
     "q_sql_q21",
+    # round-6 additions: event-stream + pipeline ops whose single-shuffle
+    # / WindowGroupLimit plans are pinned in test_plans.py — tracked so a
+    # re-shuffle regression shows up as a timing cliff
+    "q_sessionize",
+    "q_attribution",
+    "q_incremental_dedup",
+    "q_rank_fusion",
 ]
 
 

@@ -1440,3 +1440,208 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return batch.join(hist, "digest", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning + candidate-quality audit: "measure, don't
+# guess" for the banding scheme — the two QA queries a dedup pipeline
+# runs before committing a (bands x rows) configuration to 100 TB.
+# ---------------------------------------------------------------------------
+
+
+_LSH_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def _lsh_band_select_sql() -> str:
+    selects = []
+    for bands, rpb in _LSH_CONFIGS:
+        for b in range(bands):
+            cols = " || ',' || ".join(
+                f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            selects.append(
+                f"SELECT {bands} AS bands, {rpb} AS rows_per_band, "
+                f"md5('{bands}x{rpb}:{b}' || ',' || {cols}) AS band_key FROM sig"
+            )
+    return " UNION ALL ".join(selects)
+
+
+def _s50(bands: int, rpb: int) -> float:
+    return round((1.0 / bands) ** (1.0 / rpb), 6)
+
+
+@query(
+    "q_lsh_tuning",
+    oracle=f"""
+    WITH sig AS ({_SIGNATURES_SQL}),
+    bands AS ({_lsh_band_select_sql()}),
+    buckets AS (
+        SELECT bands, rows_per_band, band_key, COUNT(*) AS n
+        FROM bands GROUP BY 1, 2, 3
+    )
+    SELECT bands, rows_per_band,
+           CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+           CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS n_collision_buckets,
+           CASE {' '.join(f'WHEN bands = {b} AND rows_per_band = {r} THEN {_s50(b, r)}' for b, r in _LSH_CONFIGS)}
+           END AS s50_threshold
+    FROM buckets GROUP BY bands, rows_per_band
+    """,
+)
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve tuner: for every (bands x rows) split of the
+    8-lane MinHash signature, the empirical candidate-pair volume
+    (sum over buckets of n-choose-2 — computed from bucket SIZES, never
+    by materializing pairs) next to the analytic 50%-catch threshold
+    s50 = (1/b)^(1/r). Reading the table picks the config whose s50 sits
+    just under the dedup threshold with the least candidate volume —
+    the measured answer to "which banding do we ship at 100 TB". All 15
+    band keys across the 4 configs emit from ONE signature pass (array +
+    explode, the _band_pairs trick), so the tuner costs one extra
+    shuffle on (config, band_key) over computing one config. s50 rides
+    as a Python-computed literal on both engines (libm pow never enters
+    either plan). No reference counterpart (SURVEY.md §2-A)."""
+    sig = _signatures(spark, sf_dir)
+    entries = []
+    for bands, rpb in _LSH_CONFIGS:
+        for b in range(bands):
+            cols = [F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+            key = F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{bands}x{rpb}:{b}"),
+                    *[c.cast("string") for c in cols],
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(rpb).alias("rows_per_band"),
+                    key.alias("band_key"),
+                )
+            )
+    exploded = sig.select(F.explode(F.array(*entries)).alias("s")).select(
+        "s.bands", "s.rows_per_band", "s.band_key"
+    )
+    buckets = exploded.groupBy("bands", "rows_per_band", "band_key").agg(
+        F.count("*").alias("n")
+    )
+    s50_expr = None
+    for bands, rpb in _LSH_CONFIGS:
+        cond = (F.col("bands") == bands) & (F.col("rows_per_band") == rpb)
+        s50_expr = (
+            F.when(cond, F.lit(_s50(bands, rpb)))
+            if s50_expr is None
+            else s50_expr.when(cond, F.lit(_s50(bands, rpb)))
+        )
+    return (
+        buckets.groupBy("bands", "rows_per_band")
+        .agg(
+            F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.count(F.when(F.col("n") > 1, 1))
+            .cast("bigint")
+            .alias("n_collision_buckets"),
+        )
+        .withColumn("s50_threshold", s50_expr)
+    )
+
+
+@query(
+    "q_dedup_audit",
+    oracle=f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT t.doc_a, t.doc_b
+        FROM (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS i
+            FROM sh sa JOIN sh sb
+              ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY 1, 2
+        ) t
+        JOIN sizes x ON x.doc_id = t.doc_a
+        JOIN sizes y ON y.doc_id = t.doc_b
+        WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+    ),
+    cand AS (SELECT COUNT(*) AS n_candidates FROM pairs),
+    tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+    hit AS (
+        SELECT COUNT(*) AS n_verified
+        FROM pairs p JOIN truth t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    )
+    SELECT CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           CAST(h.n_verified AS BIGINT) AS n_verified,
+           CAST(tt.n_truth AS BIGINT) AS n_truth,
+           CAST(CASE WHEN tt.n_truth = 0 THEN NULL
+                     ELSE h.n_verified * 1000000 // tt.n_truth END
+                AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN c.n_candidates = 0 THEN NULL
+                     ELSE h.n_verified * 1000000 // c.n_candidates END
+                AS BIGINT) AS band_precision_ppm
+    FROM cand c, tt, hit h
+    """,
+)
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate-quality audit: banding candidates vs exact
+    ground truth (all pairs with true shingle Jaccard >= 0.5). Reports
+    recall_ppm (verified / truth — what the banding MISSES) and
+    band_precision_ppm (verified / candidates — what the verify stage
+    wastes). Recall < 10⁶ is the quantified false-negative rate of the
+    production q_dedup_near plan. Ground truth uses the direct
+    inverted-index join (Σ df² exposure — this is the AUDIT, meant for a
+    sampled slice in production, exactly like its dedup-QA counterpart
+    jobs; the production dedup itself never runs it). All three counts
+    are 1-row aggregates crossJoined at the end; ppm ratios are integer
+    DIV with NULL on zero denominators on both engines."""
+    sh = reliable_checkpoint(_shingle_df(spark, sf_dir))
+    cand = _band_pairs(spark, sf_dir, sh).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_verified")
+    )
+    return (
+        n_cand.crossJoin(n_hit)
+        .crossJoin(n_truth)
+        .select(
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_verified").cast("bigint").alias("n_verified"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.when(
+                F.col("n_truth") != 0,
+                F.expr("n_verified * 1000000 DIV n_truth"),
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.when(
+                F.col("n_candidates") != 0,
+                F.expr("n_verified * 1000000 DIV n_candidates"),
+            )
+            .cast("bigint")
+            .alias("band_precision_ppm"),
+        )
+    )

@@ -783,3 +783,80 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA audit: the vector-data-quality pass an embedding pipeline
+# runs before indexing — null/NaN payloads and norm drift per label.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_audit",
+    oracle="""
+    WITH s AS (
+        SELECT label,
+               embedding IS NULL AS is_null,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE)))) > 0
+               END AS has_nan,
+               CASE WHEN embedding IS NULL THEN NULL
+                    WHEN len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN NULL
+                    ELSE round(sqrt(list_reduce(
+                        list_prepend(0.0, list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        (a, b) -> a + b)), 6)
+               END AS norm6
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (is_null) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (has_nan) AS BIGINT) AS n_nan,
+           MIN(norm6) AS min_norm,
+           MAX(norm6) AS max_norm,
+           round(CAST(SUM(CAST(norm6 AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(norm6), 6) AS avg_norm
+    FROM s GROUP BY label
+    """,
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: per label, the counts an indexer checks before
+    building an ANN index — null payloads, NaN-poisoned vectors (one NaN
+    silently corrupts every distance it touches), and the L2-norm
+    min/max/mean (norm drift is the classic symptom of a bad encoder
+    batch). Norms fold sequentially (aggregate vs 0-prepended
+    list_reduce — the established engine-exact pattern), round to 6
+    before aggregating, and NaN vectors are EXCLUDED from norm stats
+    rather than poisoning min/max (engines disagree on NaN ordering).
+    Scan-side map work + one label rollup: trivially 100 TB-safe."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = _as_double()
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    s = emb.select(
+        "label",
+        F.col("embedding").isNull().alias("is_null"),
+        F.when(F.col("embedding").isNotNull(), has_nan).alias("has_nan"),
+        F.when(
+            F.col("embedding").isNotNull() & ~has_nan, F.round(norm, 6)
+        ).alias("norm6"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.count(F.when(F.col("is_null"), 1)).cast("bigint").alias("n_null"),
+        F.count(F.when(F.col("has_nan"), 1)).cast("bigint").alias("n_nan"),
+        F.min("norm6").alias("min_norm"),
+        F.max("norm6").alias("max_norm"),
+        F.round(
+            F.sum(F.col("norm6").cast("decimal(28,12)")).cast("double")
+            / F.count("norm6"),
+            6,
+        ).alias("avg_norm"),
+    )

@@ -759,3 +759,72 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 10)
         .select("lang", "doc_id", "lex_rank", "len_rank", "rrf_score", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): fixed-width sparse featurization
+# with no vocabulary table — the streaming-friendly vectorizer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS term
+        FROM documents
+    ),
+    bc AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+                      ',' ORDER BY bucket) AS features
+    FROM bc GROUP BY doc_id
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into 64 fixed buckets
+    (md5-derived, engine-identical), per-doc bucket counts serialize as
+    a sorted "bucket:count" sparse-vector string (the canonicalizer-safe
+    array encoding). The whole op is vocabulary-free — no dictionary
+    shuffle, no OOV growth — which is why streaming featurizers use it:
+    at 100 TB the only exchange is the (doc_id, bucket) partial-agg'd
+    rollup, whose width is bounded by 64 x docs regardless of corpus
+    vocabulary. Collisions are the accepted tradeoff (document them, not
+    the vocab). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    bc = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = bc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("arr"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "arr",
+                lambda s: F.concat_ws(
+                    ":",
+                    s.getField("bucket").cast("string"),
+                    s.getField("cnt").cast("string"),
+                ),
+            ),
+        ).alias("features"),
+    )

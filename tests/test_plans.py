@@ -759,3 +759,38 @@ def test_rank_fusion_topk_is_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert len(re.findall(r"hashpartitioning\(lang", p)) >= 1
     assert "SinglePartition" not in p
+
+
+def test_lsh_tuning_single_signature_pass(spark, sf_dir):
+    # all 15 band keys across the 4 configs emit from ONE explode over
+    # ONE signature aggregation — a per-config union would recompute
+    # the signature groupBy 4x
+    p = _plan(spark, sf_dir, "q_lsh_tuning")
+    assert "Union" not in p
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) >= 1
+    # signature build: its doc_id exchange appears exactly once
+    assert len(re.findall(r"hashpartitioning\(doc_id", p)) == 1
+
+
+def test_dedup_audit_counts_not_cartesian(spark, sf_dir):
+    # ground truth forms through the shingle inverted index; the only
+    # row-multiplying joins are keyed — the final stat combine is
+    # broadcast 1-row aggregates
+    p = _plan(spark, sf_dir, "q_dedup_audit")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stat combine
+
+
+def test_feature_hash_two_level_rollup(spark, sf_dir):
+    # (doc_id, bucket) counts partial-aggregate map-side before the
+    # doc_id rollup; nothing funnels to a single partition
+    p = _plan(spark, sf_dir, "q_feature_hash")
+    assert len(re.findall(r"\(\d+\) (?:Hash|ObjectHash|Sort)Aggregate", p)) >= 4
+    assert "SinglePartition" not in p
+
+
+def test_embedding_audit_single_label_rollup(spark, sf_dir):
+    # scan-side norm/NaN map work + ONE label-keyed exchange
+    p = _plan(spark, sf_dir, "q_embedding_audit")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(label" in p

@@ -1645,3 +1645,56 @@ def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band_precision_ppm"),
         )
     )
+
+
+@query(
+    "q_dedup_rate_by_source",
+    oracle="""
+    WITH d AS (
+        SELECT source, doc_id, md5(text) AS digest FROM documents
+    ),
+    x AS (
+        SELECT digest, COUNT(DISTINCT source) AS nsrc
+        FROM d GROUP BY digest
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+           CAST((COUNT(*) - COUNT(DISTINCT digest)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_ppm,
+           CAST(COUNT(*) FILTER (nsrc > 1) AS BIGINT) AS n_cross_source
+    FROM d LEFT JOIN x USING (digest)
+    GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: within-source dup rate (ppm) and
+    how many of a source's docs also appear verbatim in ANOTHER source —
+    the curation metric that decides which crawl feeds are worth
+    re-ingesting and which are mirrors. Shuffles 32-byte digests (never
+    text): one digest rollup for the cross-source counts, one
+    digest-keyed LEFT join (null digests from null payloads survive it),
+    one source rollup. The distinct-count is digest-keyed and
+    partial-aggregated — at 100 TB this is the same shuffle posture as
+    q_dedup_exact with a second, source-cardinality rollup on top. No
+    reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", "doc_id", F.md5("text").alias("digest"))
+    x = d.groupBy("digest").agg(
+        F.countDistinct("source").alias("nsrc")
+    )
+    return (
+        d.join(x, "digest", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            F.expr(
+                "CAST((count(*) - count(DISTINCT digest)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.count(F.when(F.col("nsrc") > 1, 1))
+            .cast("bigint")
+            .alias("n_cross_source"),
+        )
+    )

@@ -1165,3 +1165,73 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "n_a", "n_b", "rate_a_ppm", "rate_b_ppm", "drift_ppm"
         )
     )
+
+
+@query(
+    "q_quality_gate_report",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               n_chars BETWEEN 200 AND 20000 AS len_ok,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30
+                   AS tok_ok,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                              AS DOUBLE) / length(text) >= 0.6
+                    ELSE FALSE END AS alpha_ok
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (len_ok) AS BIGINT) AS n_len_ok,
+           CAST(COUNT(*) FILTER (tok_ok) AS BIGINT) AS n_tok_ok,
+           CAST(COUNT(*) FILTER (alpha_ok) AS BIGINT) AS n_alpha_ok,
+           CAST(COUNT(*) FILTER (len_ok AND tok_ok AND alpha_ok) AS BIGINT)
+               AS n_pass_all,
+           CAST(COUNT(*) FILTER (len_ok AND tok_ok AND alpha_ok)
+                * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+    FROM g GROUP BY source
+    """,
+)
+def q_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel report: per source, how many docs clear each
+    ingest gate (length band, minimum token count, alphabetic ratio) and
+    the conjunctive pass rate in ppm — the monitoring surface a corpus
+    pipeline emits per feed per day (a source whose pass_ppm drops is a
+    broken extractor, caught before it poisons a training mix). All
+    three gates are scan-side JVM expressions; the only exchange is the
+    source rollup with map-side partials, so the report is one pass over
+    the corpus at any scale. Gate semantics on degraded rows: null text
+    fails every gate on both engines (null/size(-1) comparisons are
+    never TRUE); zero-length text fails alpha_ok explicitly rather than
+    dividing by zero. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    len_ok = F.col("n_chars").between(200, 20000)
+    tok_ok = F.size(F.filter(F.split("text", " "), lambda x: x != "")) >= 30
+    alpha_ok = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double")
+        / F.length("text")
+        >= 0.6,
+    ).otherwise(F.lit(False))
+    g = docs.select(
+        "source",
+        len_ok.alias("len_ok"),
+        tok_ok.alias("tok_ok"),
+        alpha_ok.alias("alpha_ok"),
+    )
+    return g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("len_ok"), 1)).cast("bigint").alias("n_len_ok"),
+        F.count(F.when(F.col("tok_ok"), 1)).cast("bigint").alias("n_tok_ok"),
+        F.count(F.when(F.col("alpha_ok"), 1)).cast("bigint").alias("n_alpha_ok"),
+        F.count(
+            F.when(F.col("len_ok") & F.col("tok_ok") & F.col("alpha_ok"), 1)
+        )
+        .cast("bigint")
+        .alias("n_pass_all"),
+        F.expr(
+            "CAST(count(CASE WHEN len_ok AND tok_ok AND alpha_ok THEN 1 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("pass_ppm"),
+    )

@@ -794,3 +794,20 @@ def test_embedding_audit_single_label_rollup(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_embedding_audit")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(label" in p
+
+
+def test_dedup_rate_shuffles_digests_only(spark, sf_dir):
+    # text reaches md5 in the scan project and never rides a shuffle;
+    # the left join is digest-keyed, the final rollup source-keyed
+    p = _plan(spark, sf_dir, "q_dedup_rate_by_source")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(digest" in p
+    assert "hashpartitioning(source" in p
+
+
+def test_quality_gate_report_is_one_scan_rollup(spark, sf_dir):
+    # all three gates are scan-side expressions: exactly one exchange
+    # (the source rollup) in the whole plan
+    p = _plan(spark, sf_dir, "q_quality_gate_report")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(source" in p

@@ -828,3 +828,136 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (tokenizer APPLY): completes the tokenizer story —
+# q_bpe_pair_counts / q_tokenizer_vocab are the training side, this is
+# the "train small, apply at scale" encode pass.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 20
+_BPE_TOP_WORDS = 500
+
+
+def _bpe_train(word_freqs, n_merges=_BPE_MERGES):
+    """Classic BPE training over a (word, freq) table: repeatedly merge
+    the highest-count adjacent symbol pair (ties broken lexicographically
+    so the merge list is a total, deterministic order). Pure Python on a
+    BOUNDED vocabulary slice — the codebook-training pattern (q_kmeans /
+    q_ann_pq): train on O(500) rows driver-side, apply corpus-wide."""
+    vocab = [(tuple(w), f) for w, f in word_freqs]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        nxt = []
+        for syms, f in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((tuple(out), f))
+        vocab = nxt
+    return merges
+
+
+def _bpe_token_count(word, merges, ranks):
+    """GPT-2-style encode: while any learned pair is present, merge ALL
+    occurrences of the best-ranked (earliest-learned) pair left-to-right.
+    Returns the resulting symbol count."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+@query("q_bpe_encode")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the corpus: train 20 merges on the top-500 words
+    (a bounded, deterministic driver-side codebook — freq desc, word asc
+    total order), then tokenize every document with an Arrow-batched
+    mapInPandas pass and report per-doc word vs BPE-token counts (the
+    fertility statistic that prices a corpus in tokens). Per-batch word
+    memoization makes the encode cost O(distinct words) per batch under
+    Zipf, not O(tokens). Rows-only by declared contract (iterative merge
+    application is not SQL-expressible): evidence is exact-equality
+    pytest coverage — hand-computed micro examples anchor the train and
+    encode semantics, and a pure-pandas reference over sf0.001 must
+    match the Spark output row-for-row (tests/test_sketches.py;
+    ERROR_BOUNDS.json carries the measured zero-mismatch entry). No
+    reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    )
+    top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_TOP_WORDS)
+        .collect()
+    )
+    merges = _bpe_train([(r.w, r.f) for r in top])
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode(batches):
+        import pandas as pd
+
+        cache = {}
+        for pdf in batches:
+            n_words, n_bpe = [], []
+            for text in pdf["text"]:
+                if text is None:
+                    n_words.append(0)
+                    n_bpe.append(0)
+                    continue
+                ws = [w for w in text.split(" ") if w]
+                tot = 0
+                for w in ws:
+                    c = cache.get(w)
+                    if c is None:
+                        c = _bpe_token_count(w, merges, ranks)
+                        cache[w] = c
+                    tot += c
+                n_words.append(len(ws))
+                n_bpe.append(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
+    )

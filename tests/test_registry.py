@@ -25,6 +25,7 @@ ROWS_ONLY = {
     "q_hll_sketch",
     "q_approx_percentile",
     "q_approx_topk",
+    "q_bpe_encode",
 }
 
 

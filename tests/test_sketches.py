@@ -187,3 +187,45 @@ def test_error_bounds_artifact(spark, sf_dir):
     assert {e["op"] for e in entries} == ROWS_ONLY
     for e in entries:
         assert e["pass"], e
+
+
+def test_bpe_train_merge_order_hand_computed():
+    """Pair counts on the classic BPE example, by hand:
+    es = 6 (newest) + 3 (widest) = 9  -> learned first
+    est = 9 after the es merge       -> second
+    lo = 5 (low) + 2 (lower) = 7     -> third
+    low = 7 after the lo merge       -> fourth
+    Ties would break lexicographically (asserted via the (-count, pair)
+    key being a total order)."""
+    from pot_spark.queries.text_index import _bpe_train
+
+    merges = _bpe_train(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 4
+    )
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_bpe_encode_hand_computed():
+    from pot_spark.queries.text_index import _bpe_token_count, _bpe_train
+
+    merges = _bpe_train(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 4
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    # newest -> n e w est -> 4 symbols; lowest -> low est -> 2;
+    # unseen word: no pair applies -> one symbol per char
+    assert _bpe_token_count("newest", merges, ranks) == 4
+    assert _bpe_token_count("lowest", merges, ranks) == 2
+    assert _bpe_token_count("xyz", merges, ranks) == 3
+    assert _bpe_token_count("w", merges, ranks) == 1
+    assert _bpe_token_count("", merges, ranks) == 0
+    # merge-all-occurrences semantics: 'eses' -> es es -> 2 (not 3)
+    assert _bpe_token_count("eses", merges, ranks) == 2
+
+
+def test_bpe_encode_empty_vocab_degrades_to_chars():
+    from pot_spark.queries.text_index import _bpe_token_count, _bpe_train
+
+    merges = _bpe_train([], 4)
+    assert merges == []
+    assert _bpe_token_count("abc", merges, {}) == 3

@@ -219,6 +219,64 @@ def _measure_stub(name):
     return measure
 
 
+def measure_bpe_encode(spark, sf_dir):
+    """q_bpe_encode: exact row-for-row equality against an independent
+    pure-pandas re-computation (same train/apply helpers, none of the
+    Spark plumbing — the helpers themselves are anchored by
+    hand-computed micro examples in tests/test_sketches.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pot_spark import registry
+    from pot_spark.queries.text_index import (
+        _BPE_TOP_WORDS,
+        _bpe_token_count,
+        _bpe_train,
+    )
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in registry.QUERIES["q_bpe_encode"](spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    freqs: dict[str, int] = {}
+    for text in pdf["text"]:
+        if text is None:
+            continue
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP_WORDS]
+    merges = _bpe_train(top)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, int] = {}
+    mismatches = 0
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None:
+            exp = (0, 0)
+        else:
+            ws = [w for w in text.split(" ") if w]
+            tot = 0
+            for w in ws:
+                if w not in cache:
+                    cache[w] = _bpe_token_count(w, merges, ranks)
+                tot += cache[w]
+            exp = (len(ws), tot)
+        if got.get(doc_id) != exp:
+            mismatches += 1
+    return {
+        "op": "q_bpe_encode",
+        "metric": "exact_row_mismatches_vs_pandas_reference",
+        "value": mismatches,
+        "bound": 0,
+        "rows": len(got),
+        "pass": mismatches == 0 and len(got) == len(pdf),
+    }
+
+
 MEASURES = [
     measure_hll,
     measure_approx_cd,
@@ -228,6 +286,7 @@ MEASURES = [
     _measure_stub("q_multimodal_features"),
     _measure_stub("q_multimodal_resize"),
     _measure_stub("q_multimodal_frames"),
+    measure_bpe_encode,
 ]
 
 

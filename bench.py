@@ -92,6 +92,13 @@ HEADLINE = [
     "q_attribution",
     "q_incremental_dedup",
     "q_rank_fusion",
+    "q_lsh_tuning",
+    "q_dedup_audit",
+    "q_feature_hash",
+    "q_embedding_audit",
+    "q_dedup_rate_by_source",
+    "q_quality_gate_report",
+    "q_bpe_encode",
 ]
 
 

@@ -122,6 +122,27 @@ NOTES = {
     "concentrates on discriminative shingles; verify is candidate-"
     "restricted; the df probe falls back to the direct map-side-combine "
     "join on head-free data.",
+    "q_sessionize": "gap sessionization: ONE hashpartitioning(user_id) "
+    "exchange serves the lag window, the running-sum session id, and the "
+    "per-session rollup — never a global sort.",
+    "q_attribution": "merge-as-of last-touch attribution: clicks and "
+    "purchases union into one per-user stream, one exchange, one running "
+    "last-non-null window — no per-purchase range scan.",
+    "q_incremental_dedup": "increment pre-aggregates per digest BEFORE the "
+    "LeftAnti join against the history digest index; both join inputs are "
+    "digest-distinct 32-byte keys (AQE picks broadcast while the history "
+    "index fits).",
+    "q_rank_fusion": "all three ranking windows share the lang exchange; "
+    "the fused top-10 filter plans as WindowGroupLimit (per-partition "
+    "heap), so the full per-language sort never materializes.",
+    "q_lsh_tuning": "all 15 band keys across 4 banding configs emit from "
+    "ONE signature aggregation via array+explode (no per-config union "
+    "recomputing the signatures); candidate volume is computed from "
+    "bucket sizes, never materialized pairs.",
+    "q_quality_gate_report": "all three quality gates are scan-side JVM "
+    "expressions (translate-based alpha counting — no regex on the hot "
+    "path); the single exchange is the source rollup with map-side "
+    "partials.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

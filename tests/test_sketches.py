@@ -229,3 +229,48 @@ def test_bpe_encode_empty_vocab_degrades_to_chars():
     merges = _bpe_train([], 4)
     assert merges == []
     assert _bpe_token_count("abc", merges, {}) == 3
+
+
+# --- BPE property-based invariants (pure Python, no Spark) ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=8)
+_corpus = st.lists(
+    st.tuples(_word, st.integers(min_value=1, max_value=20)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=_corpus, probe=_word)
+def test_bpe_count_bounds_and_determinism(corpus, probe):
+    from pot_spark.queries.text_index import _bpe_token_count, _bpe_train
+
+    merges = _bpe_train(corpus, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    n = _bpe_token_count(probe, merges, ranks)
+    assert 1 <= n <= len(probe)
+    assert n == _bpe_token_count(probe, merges, ranks)  # deterministic
+    # learned merges are distinct: a merged adjacency can never re-emerge
+    assert len(merges) == len(set(merges))
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=_corpus, probe=_word)
+def test_bpe_more_merges_never_increase_tokens(corpus, probe):
+    """Extending the merge list is monotone: the first k merges apply in
+    the same order before any later one is reachable, and every merge
+    application strictly reduces the symbol count."""
+    from pot_spark.queries.text_index import _bpe_token_count, _bpe_train
+
+    full = _bpe_train(corpus, 8)
+    prev = len(probe)
+    for k in range(len(full) + 1):
+        merges = full[:k]
+        ranks = {p: i for i, p in enumerate(merges)}
+        n = _bpe_token_count(probe, merges, ranks)
+        assert n <= prev
+        prev = n

@@ -742,3 +742,236 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21)
+
+
+# -- round-6 (cont.): the five partsupp TPC-H queries over a DERIVED
+#    partsupp --
+#
+# The fixtures carry no partsupp table, so Q2/Q9/Q11/Q16/Q20 were the
+# only TPC-H queries still missing. partsupp's JOIN STRUCTURE is fully
+# deterministic arithmetic in dbgen itself (each part gets 4 suppliers
+# by a partkey-indexed formula over the supplier count); we derive an
+# equivalent table as a CTE from `part` x a 4-row sequence, modulo
+# COUNT(supplier) so the derivation holds at every scale factor. The
+# CTE text is embedded verbatim in BOTH the Spark query and the DuckDB
+# oracle (one string), so parity needs no cross-engine trust in RNG.
+# ps_supplycost is carried as exact integer CENTS alongside the double
+# view: aggregates sum the cents (order-independent, no double drift,
+# and no double->bigint cast, which truncates in Spark but rounds in
+# DuckDB) and divide once at the end.
+#
+# Catalyst treats the CTE like any derived relation: the 4-row sequence
+# and 1-row supplier count are broadcast, so partsupp is produced by a
+# narrow map over the part scan -- no shuffle, and at 100 TB it is
+# exactly as partitioned as `part` itself.
+
+_PARTSUPP = """partsupp AS (
+    SELECT p.p_partkey AS ps_partkey,
+           (p.p_partkey + seq.i) % sc.n_supp AS ps_suppkey,
+           ((p.p_partkey * 13 + seq.i * 7) % 9999) + 1 AS ps_availqty,
+           ((p.p_partkey * 31 + seq.i * 17) % 90000) + 10000 AS ps_cost_cents,
+           CAST(((p.p_partkey * 31 + seq.i * 17) % 90000) + 10000 AS DOUBLE)
+               / 100.0 AS ps_supplycost
+    FROM part p
+    CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1
+                UNION ALL SELECT 2 UNION ALL SELECT 3) seq
+    CROSS JOIN (SELECT COUNT(*) AS n_supp FROM supplier) sc
+)"""
+
+_Q2 = f"""
+WITH {_PARTSUPP}
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+       ps.ps_supplycost
+FROM part p
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size BETWEEN 1 AND 15
+  AND p.p_type = 'ECONOMY'
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("q_sql_q2", oracle=_Q2)
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    supplier(s) in one region offering the region-minimum supplycost.
+    Shape under test: the correlated scalar MIN subquery over the same
+    partsupp ⋈ supplier ⋈ nation ⋈ region tree must DECORRELATE to a
+    grouped-min aggregate joined back on ps_partkey — one extra hash
+    join, never a per-part re-scan. The min-cost equality compares
+    doubles produced by the identical CTE expression on both sides of
+    the decorrelated join, so it is engine-exact. (p_brand stands in
+    for the missing p_mfgr in the projection; s_acctbal/s_name for the
+    missing address/phone/comment.)"""
+    for t in ("part", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2)
+
+
+_Q9 = f"""
+WITH {_PARTSUPP}
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                     * 100
+                     - CAST(ps.ps_cost_cents AS DECIMAL(18,2))
+                       * CAST(l.l_quantity AS DECIMAL(18,2)))
+                 AS DOUBLE) / 100.0
+            AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey AND ps.ps_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q_sql_q9", oracle=_Q9)
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per nation and order-year, the
+    profit (revenue minus supply cost) on one product family. The
+    classic 6-table star-with-two-facts query: lineitem joins partsupp
+    on the COMPOSITE (partkey, suppkey) key. Shape under test: the
+    p_name LIKE filter must reach the part scan and the derived
+    partsupp must stay a narrow map over part (no shuffle to build
+    it); part/supplier/nation broadcast, orders joins on the orderkey
+    shuffle. Profit terms are DECIMAL-exact (cents-based supplycost),
+    so the grouped sums are order-independent."""
+    for t in ("lineitem", "supplier", "part", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q9)
+
+
+_Q11 = f"""
+WITH {_PARTSUPP}
+SELECT ps.ps_partkey,
+       CAST(SUM(CAST(ps.ps_cost_cents AS DECIMAL(18,2))
+                * CAST(ps.ps_availqty AS DECIMAL(18,2))) / 100.0
+            AS DOUBLE) AS value
+FROM partsupp ps
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY ps.ps_partkey
+HAVING SUM(CAST(ps.ps_cost_cents AS DECIMAL(18,2))
+           * CAST(ps.ps_availqty AS DECIMAL(18,2))) * 2000 > (
+    SELECT SUM(CAST(ps2.ps_cost_cents AS DECIMAL(18,2))
+               * CAST(ps2.ps_availqty AS DECIMAL(18,2)))
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name = 'NATION_7'
+)
+ORDER BY value DESC, ps.ps_partkey
+"""
+
+
+@query("q_sql_q11", oracle=_Q11)
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose stock value within one
+    nation exceeds a fixed fraction of that nation's total stock value.
+    Shape under test: the uncorrelated scalar total is computed ONCE
+    and broadcast into the HAVING filter (Catalyst's ScalarSubquery),
+    not re-evaluated per group. Both the per-part and total sums are
+    exact DECIMAL cents·qty products, so the threshold comparison
+    (x * 2000 > total, the integer form of x > total * 0.0005) is
+    engine-exact with no double rounding at the cut line."""
+    for t in ("supplier", "nation", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q11)
+
+
+_Q16 = f"""
+WITH {_PARTSUPP}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q_sql_q16", oracle=_Q16)
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier counts
+    per (brand, type, size) over qualifying parts, excluding a
+    supplier blocklist. Shape under test: the NOT IN subquery must
+    become a null-aware broadcast anti join (the blocklist is tiny);
+    the brand/type/size predicates push to the part scan; COUNT
+    DISTINCT plans as the two-phase partial/final distinct aggregate.
+    (s_acctbal < 0 stands in for the original's complaints-comment
+    LIKE as the blocklist predicate; the fixture has no s_comment.)"""
+    for t in ("part", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q16)
+
+
+_Q20 = f"""
+WITH {_PARTSUPP}
+SELECT s.s_name, n.n_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      WHERE ps.ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND ps.ps_availqty > (
+          SELECT 0.5 * SUM(l.l_quantity)
+          FROM lineitem l
+          WHERE l.l_partkey = ps.ps_partkey
+            AND l.l_suppkey = ps.ps_suppkey
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      )
+  )
+ORDER BY s.s_name
+"""
+
+
+@query("q_sql_q20", oracle=_Q20)
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers (with their
+    nation) whose stock of one part family exceeds half of what they
+    actually shipped in a year. The deepest nesting in TPC-H: IN ( ...
+    IN (...) AND x > (correlated scalar agg) ). (The original's
+    single-nation filter is lifted to a nation projection — with the
+    fixture's 25 nations x derived partsupp the filtered result is
+    empty at test scale, which would be vacuous evidence; the
+    semi-join nesting, the hard part, is unchanged.) Shape under test:
+    the inner
+    correlated SUM over lineitem must decorrelate to a grouped
+    aggregate on (l_partkey, l_suppkey) joined back to partsupp —
+    never a per-(part,supplier) lineitem re-scan — and both IN
+    subqueries become semi joins. A NULL scalar (no shipments) fails
+    the > comparison in both engines, preserving TPC-H's
+    must-have-shipped semantics. l_quantity values are integral, so
+    the double SUM is exact and order-independent."""
+    for t in ("supplier", "nation", "part", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q20)

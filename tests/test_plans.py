@@ -811,3 +811,60 @@ def test_quality_gate_report_is_one_scan_rollup(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_quality_gate_report")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(source" in p
+
+
+def test_tpch_partsupp_derivation_is_narrow_over_part(spark, sf_dir):
+    """The derived partsupp CTE must be a narrow map over the part scan:
+    its only joins are the benign 1-row (supplier count) and 4-row
+    (sequence) broadcast cross joins — no Exchange between the part
+    scan and the partsupp output, so at 100 TB partsupp is exactly as
+    partitioned as part itself."""
+    p = _plan(spark, sf_dir, "q_sql_q9")
+    assert "CartesianProduct" not in p
+    # one hash shuffle total: the (nation, year) rollup — every other
+    # join broadcasts and the partsupp derivation adds none
+    assert len(re.findall(r"hashpartitioning\(", p)) == 1
+    assert "hashpartitioning(n_name" in p
+    # the part-family filter reaches the part scan
+    assert "Contains(p_name" in p or "p_name" in "".join(
+        l for l in p.splitlines() if "PushedFilters" in l
+    )
+
+
+def test_tpch_q2_min_cost_subquery_decorrelates(spark, sf_dir):
+    """Q2's correlated scalar MIN over partsupp x supplier x nation x
+    region must decorrelate to a grouped-min joined back on
+    ps_partkey, never a per-part re-scan of the subquery tree."""
+    p = _plan(spark, sf_dir, "q_sql_q2")
+    assert "CartesianProduct" not in p
+    assert "min(ps_supplycost" in p  # the decorrelated grouped min
+    assert p.count("BroadcastHashJoin") >= 4  # supp/nation/region stay broadcast
+
+
+def test_tpch_q11_total_is_scalar_subquery_not_per_group(spark, sf_dir):
+    """The HAVING threshold total must be computed once (scalar subquery
+    reuse), with the per-part rollup the only hash shuffle."""
+    p = _plan(spark, sf_dir, "q_sql_q11")
+    assert "CartesianProduct" not in p
+    assert "Subquery" in p  # the uncorrelated total, evaluated once
+    assert "hashpartitioning(ps_partkey" in p
+
+
+def test_tpch_q16_blocklist_is_null_aware_anti_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_sql_q16")
+    assert "LeftAnti" in p  # NOT IN -> anti join, not a per-row probe
+    assert "CartesianProduct" not in p
+    # brand/type/size predicates push to the part scan
+    pushed = "".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "p_size" in pushed and "Brand#13" in pushed
+
+
+def test_tpch_q20_nested_subqueries_decorrelate(spark, sf_dir):
+    """Both IN subqueries must become semi joins and the correlated
+    shipped-quantity SUM a grouped aggregate on (l_partkey, l_suppkey)
+    joined back — never a per-(part,supplier) lineitem re-scan."""
+    p = _plan(spark, sf_dir, "q_sql_q20")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    # the decorrelated inner aggregate groups by the correlation keys
+    assert re.search(r"hashpartitioning\(l_partkey[^)]*l_suppkey", p)

@@ -99,6 +99,14 @@ HEADLINE = [
     "q_dedup_rate_by_source",
     "q_quality_gate_report",
     "q_bpe_encode",
+    # round-6 (cont.): the five partsupp TPC-H queries (derived-partsupp
+    # CTE) — tracked so a decorrelation / narrow-derivation regression
+    # shows up as a timing cliff
+    "q_sql_q2",
+    "q_sql_q9",
+    "q_sql_q11",
+    "q_sql_q16",
+    "q_sql_q20",
 ]
 
 

@@ -159,3 +159,36 @@ def s_native_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the unbounded-state trap of plain dropDuplicates avoided). Oracle:
     the batch events table verbatim."""
     return run_streaming_query(spark, "s_native_dedup", sf_dir)
+
+
+@query(
+    "s_outer_join_stream",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           p.event_id AS purchase_id,
+           s.user_id
+    FROM events s
+    LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.user_id = s.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    """,
+)
+def s_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join executed as a real stream: signups
+    joined to same-user purchases within 1h, unmatched signups emitted
+    with NULL purchase_id when watermark-driven state eviction proves no
+    future match can arrive (machinery the inner s_theta_join_stream
+    never exercises). Delivery: the complete-then-flush sentinel source
+    — everything arrives before the watermark moves (nothing
+    late-drops), then the sentinel advances the watermark past every
+    join window so ALL unmatched rows flush, making the oracle the
+    plain batch LEFT JOIN. The sentinel's own unmatched row is removed
+    here on the SINK table (batch side — a filter inside the streaming
+    plan would push below the watermark node, runner.py:144 note)."""
+    from pyspark.sql import functions as F
+
+    out = run_streaming_query(spark, "s_outer_join", sf_dir)
+    return out.filter(F.col("s_type") != "__flush__").drop("s_type")

@@ -66,6 +66,63 @@ def _event_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _sentinel_event_stream(spark: SparkSession, events_file: str) -> DataFrame:
+    """The events table delivered COMPLETE in one microbatch, followed by
+    one ``__flush__`` sentinel batch 30 days past max(ts).
+
+    This is the delivery model for operators whose output is only
+    complete once the watermark passes every event (outer stream-stream
+    joins: an unmatched left row is emitted when state eviction proves
+    no future match can arrive). Everything arrives in batch 1 while the
+    watermark is still at epoch, so nothing is late-dropped; the
+    sentinel then advances the watermark past every event's join window
+    and the no-data microbatch flushes all remaining state. The batch
+    oracle is therefore the PLAIN batch join — no watermark boundary to
+    model (contrast _split_event_stream, which exists to test the
+    late-drop boundary itself)."""
+    import atexit
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_flush_")
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    t = pq.read_table(events_file)
+    batches = [t]
+    max_ts = pc.max(t.column("ts")).as_py()
+    if max_ts is not None:  # zero-row source: nothing to flush
+        flush_row = {
+            "event_id": [pc.max(t.column("event_id")).as_py() + 1],
+            "ts": [max_ts + datetime.timedelta(days=30)],
+            "user_id": [0],
+            "event_type": ["__flush__"],
+            "value": [0.0],
+            "props": [None],
+        }
+        batches.append(
+            pa.Table.from_pydict(
+                {f.name: flush_row[f.name] for f in t.schema}, schema=t.schema
+            )
+        )
+    now = _time.time()  # mtimes in the past: see _split_event_stream
+    for i, part in enumerate(batches):
+        path = os.path.join(stream_dir, f"{i:02d}-batch.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now - 120 + i * 20, now - 120 + i * 20))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _split_event_stream(spark: SparkSession, events_file: str) -> DataFrame:
     """The events table delivered as two INTERLEAVED arrival batches plus
     a watermark-flush sentinel — the late-data delivery model:
@@ -463,6 +520,53 @@ def build_stream_stream_join(stream: DataFrame) -> DataFrame:
     return joined.select("signup_id", "purchase_id", F.col("s_user").alias("user_id"))
 
 
+def build_stream_stream_left_join(stream: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every signup, matched to same-user
+    purchases within 1h where one exists, emitted with a NULL
+    purchase_id otherwise. The outer side exercises machinery the inner
+    join never touches: an unmatched left row is held in state until
+    the watermark proves no qualifying purchase can still arrive, then
+    emitted with nulls at state eviction. Both side filters pass the
+    ``__flush__`` sentinel through (each side's watermark is computed
+    AFTER its filter, and the global eviction watermark is the min of
+    the two — a sentinel visible to only one side would leave the other
+    watermark behind and strand every trailing unmatched signup in
+    state). The sentinel's own unmatched-left row is removed from the
+    SINK output (a batch filter — filtering inside the streaming plan
+    would be pushed below the watermark node and defeat it). State is
+    sharded by user_id; the watermark bounds it to the join window, so
+    at 100 TB/day state size tracks the 1h horizon, not the stream."""
+    s = (
+        stream.filter(F.col("event_type").isin("signup", "__flush__"))
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_type").alias("s_type"),
+        )
+        .withWatermark("s_ts", "10 minutes")
+    )
+    p = (
+        stream.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    return joined.select(
+        "signup_id", "purchase_id", F.col("s_user").alias("user_id"), "s_type"
+    )
+
+
 def build_stream_static_join(
     stream: DataFrame, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -526,6 +630,13 @@ LATE_SPLIT_BUILDERS = {
     "s_watermark_late": build_watermark_late,
 }
 
+# Append-mode builders fed by the complete-then-flush sentinel source
+# (_sentinel_event_stream) — operators whose output is only complete
+# once the watermark passes every event.
+SENTINEL_APPEND_BUILDERS = {
+    "s_outer_join": build_stream_stream_left_join,
+}
+
 # Stateful builders emit in update mode (the memory sink appends each
 # update); with the single-file source every key updates exactly once, so
 # the sink equals the batch result. A multi-batch source would need a
@@ -544,6 +655,8 @@ def run_streaming_query(
     final result as a DataFrame."""
     if name in LATE_SPLIT_BUILDERS:
         stream = _split_event_stream(spark, f"{sf_dir}/events.parquet")
+    elif name in SENTINEL_APPEND_BUILDERS:
+        stream = _sentinel_event_stream(spark, f"{sf_dir}/events.parquet")
     else:
         stream = _event_stream(
             spark,
@@ -552,6 +665,8 @@ def run_streaming_query(
         )
     if name in LATE_SPLIT_BUILDERS:
         plan, mode = LATE_SPLIT_BUILDERS[name](stream), "append"
+    elif name in SENTINEL_APPEND_BUILDERS:
+        plan, mode = SENTINEL_APPEND_BUILDERS[name](stream), "append"
     elif name in REPLAY_APPEND_BUILDERS:
         plan, mode = REPLAY_APPEND_BUILDERS[name](stream), "append"
     elif name in STATEFUL_BUILDERS:

@@ -278,3 +278,42 @@ def test_native_dedup_collapses_at_least_once_delivery(spark, sf_dir):
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_outer_join_stream_emits_unmatched_signups(spark, sf_dir):
+    """s_outer_join_stream's null emission is NON-VACUOUS: the stream
+    result contains unmatched signups (NULL purchase_id) produced by
+    watermark-driven state eviction, matched rows identical to the batch
+    inner join, and no sentinel leakage."""
+    from pyspark.sql import functions as F
+
+    from pot_spark.tables import load
+
+    out = registry.QUERIES["s_outer_join_stream"](spark, sf_dir).cache()
+    unmatched = out.filter(F.col("purchase_id").isNull()).count()
+    assert unmatched > 0  # eviction really emitted null rows
+    assert "s_type" not in out.columns  # sentinel marker stripped
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("signup_id", "purchase_id", F.col("s_user").alias("user_id"))
+    got = {tuple(r) for r in out.collect()}
+    expected = {tuple(r) for r in batch.collect()}
+    assert got == expected
+    # every signup is represented exactly as often as in the batch twin
+    assert out.count() == batch.count()

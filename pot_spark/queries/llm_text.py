@@ -1242,3 +1242,131 @@ def q_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*) AS BIGINT)"
         ).alias("pass_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filter: the CCNet-style quality gate — score every document
+# with the corpus-trained unigram LM, keep the least-perplexing three
+# quarters per language.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, t
+        FROM documents,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS u(t)
+    ),
+    vocab AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM toks GROUP BY t
+    ),
+    tot AS (SELECT SUM(n) AS big_n FROM vocab),
+    doc_tok AS (
+        SELECT doc_id, lang, t, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM toks GROUP BY doc_id, lang, t
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               ROUND(LN((SELECT big_n FROM tot))
+                     - SUM(CAST(m * LN(v.n) AS DECIMAL(28,12))) / SUM(m), 6)
+                   AS score
+        FROM doc_tok d JOIN vocab v ON v.t = d.t
+        GROUP BY d.doc_id, d.lang
+    ),
+    hist AS (
+        SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY lang, score
+    ),
+    cum AS (
+        SELECT lang, score, c,
+               SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum_c,
+               SUM(c) OVER (PARTITION BY lang) AS n_docs
+        FROM hist
+    )
+    SELECT lang,
+           CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(cum_c) AS BIGINT) AS n_kept,
+           MIN(score) AS cutoff_score
+    FROM cum
+    WHERE cum_c >= CAST(FLOOR((3 * n_docs + 3) / 4.0) AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality gate (CCNet-style): score each document with
+    the corpus-trained unigram LM (the exact q_unigram_logprob
+    formula), then keep the least-perplexing ~75% per language —
+    reported as a per-lang audit (docs scored, docs kept, realized
+    cutoff score). The cutoff is the smallest ROUNDED score whose
+    cumulative count reaches ceil(3n/4), ties included — a
+    deterministic order statistic with no interpolation, so the kept
+    set is engine-exact (scores are the hash-verified rounded decimals;
+    ceil is the integer form floor((3n+3)/4), never float-ceil which
+    overshoots on exact multiples; /4.0 is a power-of-two division,
+    exact in binary floating point).
+
+    Scale posture: the cumulative window runs over the (lang, rounded
+    score) HISTOGRAM — type-scale, not doc-scale — so there is no
+    per-lang global sort of the corpus; the doc-scale work is the same
+    two shuffles as q_unigram_logprob (Zipf token join absorbed by
+    pre-aggregation + AQE skew split).
+
+    No reference counterpart (SURVEY.md §2-A): reference has no
+    document pipeline at all."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").cast("double").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("big_n"))
+    doc_tok = toks.groupBy("doc_id", "lang", "t").agg(
+        F.count("*").cast("double").alias("m")
+    )
+    scored = (
+        doc_tok.join(vocab, "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum((F.col("m") * F.log("n")).cast("decimal(28,12)")).alias(
+                "_sum_mln"
+            ),
+            F.sum("m").alias("_sum_m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log("big_n") - F.col("_sum_mln") / F.col("_sum_m"), 6
+            ).alias("score"),
+        )
+    )
+    hist = scored.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "score",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n_docs"),
+    )
+    target = F.floor((3 * F.col("n_docs") + 3) / F.lit(4.0)).cast("bigint")
+    return (
+        cum.filter(F.col("cum_c") >= target)
+        .groupBy("lang")
+        .agg(
+            F.min("n_docs").cast("bigint").alias("n_docs"),
+            F.min("cum_c").cast("bigint").alias("n_kept"),
+            F.min("score").alias("cutoff_score"),
+        )
+    )

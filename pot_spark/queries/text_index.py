@@ -961,3 +961,109 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         encode, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity audit: distinct-n ratios per source — the standard
+# corpus-level self-repetition statistic (low distinct-n flags template
+# farms, decode loops in synthetic data, or over-deduplicated crawls).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_distinct_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, tok FROM t, unnest(toks) AS u(tok)
+    ),
+    bi AS (
+      SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+      WHERE len(toks) >= 2
+    ),
+    u_roll AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS d_tokens
+      FROM uni GROUP BY source
+    ),
+    b_roll AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS d_bigrams
+      FROM bi GROUP BY source
+    )
+    SELECT u.source, u.n_tokens, u.d_tokens,
+           CAST(u.d_tokens * 1000000 // u.n_tokens AS BIGINT)
+             AS distinct1_ppm,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           COALESCE(b.d_bigrams, 0) AS d_bigrams,
+           CAST(COALESCE(b.d_bigrams * 1000000 // b.n_bigrams, 0) AS BIGINT)
+             AS distinct2_ppm
+    FROM u_roll u LEFT JOIN b_roll b ON u.source = b.source
+    """,
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity audit per source: unique-token and
+    unique-bigram ratios (exact floored ppm — integer div on both
+    engines) over each source's token stream. The corpus-health twin of
+    q_boilerplate_ngrams: boilerplate finds WHICH grams repeat, this
+    measures HOW repetitive the stream is overall — the distinct-1/-2
+    statistic used to audit synthetic corpora for decode loops and
+    template farms.
+
+    Scale posture: both rollups are (source, gram)-keyed distinct
+    aggregates — Spark plans COUNT DISTINCT as the two-phase
+    partial/final expand, so the shuffle carries (source, gram) pairs
+    once, pre-combined map-side; sources with empty token streams keep
+    a zero bigram row via the left join (COALESCE'd identically in the
+    oracle). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    uni = t.select("source", F.explode("toks").alias("tok"))
+    bi = t.filter(F.size("toks") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    u_roll = uni.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("d_tokens"),
+    )
+    b_roll = bi.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.countDistinct("gram").cast("bigint").alias("d_bigrams"),
+    )
+    return (
+        u_roll.join(b_roll, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "d_tokens",
+            F.expr("CAST(d_tokens * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "distinct1_ppm"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("d_bigrams", F.lit(0)).cast("bigint").alias("d_bigrams"),
+            F.coalesce(
+                F.expr("CAST(d_bigrams * 1000000 DIV n_bigrams AS BIGINT)"),
+                F.lit(0),
+            ).alias("distinct2_ppm"),
+        )
+    )

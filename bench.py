@@ -107,6 +107,10 @@ HEADLINE = [
     "q_sql_q11",
     "q_sql_q16",
     "q_sql_q20",
+    # round-6 (cont.): corpus-quality ops — the perplexity gate is the
+    # heaviest new text op (two token-scale shuffles + histogram window)
+    "q_perplexity_filter",
+    "q_distinct_ngrams",
 ]
 
 

@@ -143,6 +143,19 @@ NOTES = {
     "expressions (translate-based alpha counting — no regex on the hot "
     "path); the single exchange is the source rollup with map-side "
     "partials.",
+    "q_sql_q9": "TPC-H Q9 over the DERIVED partsupp: the CTE is a narrow "
+    "map over the part scan (only benign 1-row/4-row broadcast cross "
+    "joins build it — partsupp inherits part's partitioning); every dim "
+    "broadcasts, the LIKE pushes as Contains, and the ONLY hash "
+    "exchange in the whole plan is the (nation, year) rollup.",
+    "q_perplexity_filter": "the per-lang 75th-percentile cutoff comes "
+    "from the (lang, rounded-score) HISTOGRAM, so the cumulative window "
+    "sorts type-scale rows, never the corpus; doc-scale work is the "
+    "same two shuffles as q_unigram_logprob.",
+    "q_distinct_ngrams": "both distinct-n rollups plan as two-phase "
+    "partial/final COUNT DISTINCT on (source, gram) — the shuffle "
+    "carries pre-combined pairs, and no token ever rides more than one "
+    "exchange.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

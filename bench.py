@@ -111,6 +111,11 @@ HEADLINE = [
     # heaviest new text op (two token-scale shuffles + histogram window)
     "q_perplexity_filter",
     "q_distinct_ngrams",
+    # round-6 (cont. 2): winnowing fingerprints (per-doc window + fp joins)
+    # and CDC log compaction (the max(struct) partial-agg plan)
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
+    "q_cdc_compact",
 ]
 
 

@@ -1698,3 +1698,203 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cross_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints: robust substring-overlap detection with a
+# worst-case guarantee — any shared token run of length >= w + k - 1 tokens
+# (k-gram size k=3, window w=4, so >= 6 tokens) produces at least one SHARED
+# selected fingerprint in both documents (Schleimer, Wilkerson & Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003).
+# This closes the gap between whole-chunk hashing (q_chunk_dedup: misses
+# overlaps that straddle chunk boundaries) and MinHash (probabilistic, no
+# worst-case guarantee): winnowing is deterministic, local, and its selected
+# density is bounded at 2/(w+1) of the k-gram stream.
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # winnow window: pick the min-hash k-gram of every w consecutive
+_POS_M = 1 << 20  # position lane of the packed tie-break key (docs capped at
+# 2^20 tokens; the fixture max is ~200 — at corpus scale pre-chunk longer docs)
+
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, fp) selected by exact winnowing over the corpus."""
+    return _winnow_sel_df(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _winnow_sel_df(docs: DataFrame) -> DataFrame:
+    """Winnowing selection over any (doc_id, text) DataFrame.
+
+    The rightmost-min tie rule is encoded arithmetically so Spark and the
+    DuckDB oracle agree bit-for-bit: key = h * 2^20 + (2^20-1 - pos); the
+    window MIN of that key picks the smallest hash and, on hash ties, the
+    LARGEST position (rightmost), per the paper's robust-winnowing rule.
+    h is a 32-bit md5 lane, so key < 2^52 — exact in a BIGINT.
+
+    Scale posture: the k-gram stream is never materialized — it pipelines
+    from the columnar scan into a per-doc window (partitioned by doc_id,
+    NO global window), and only the selected ~2/(w+1) fraction survives
+    the distinct. Everything after shuffles (doc_id, int64) pairs."""
+    docs = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("t", F.col("pos"), 3), " ")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w_n = Window.partitionBy("doc_id")
+    w_sel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(w_n).alias("n"),
+        F.min(
+            F.col("h") * _POS_M + (F.lit(_POS_M - 1) - F.col("pos"))
+        )
+        .over(w_sel)
+        .alias("sel_key"),
+    )
+    # full windows only: window starts run 1 .. n - w + 1
+    return (
+        keyed.filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+        .select("doc_id", F.expr(f"sel_key DIV {_POS_M}").alias("fp"))
+        .distinct()
+    )
+
+
+_WINNOW_SEL_SQL = f"""
+    WITH g0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS pos
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2]),
+                                    1, 8)) AS BIGINT) AS h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM g0
+    ),
+    keys AS (
+        SELECT doc_id, pos, n,
+               MIN(h * {_POS_M} + ({_POS_M - 1} - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel_key
+        FROM grams
+    ),
+    winnow_sel AS (
+        SELECT DISTINCT doc_id, sel_key // {_POS_M} AS fp
+        FROM keys WHERE pos <= n - {_WIN_W - 1}
+    )
+"""
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=_WINNOW_SEL_SQL
+    + """
+    , fps AS (SELECT fp, COUNT(*) AS nd FROM winnow_sel GROUP BY fp),
+    stats AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fp,
+               CAST(COUNT(*) FILTER (WHERE f.nd >= 2) AS BIGINT) AS n_shared
+        FROM winnow_sel s JOIN fps f USING (fp)
+        GROUP BY s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_fp, n_shared,
+           n_shared * 1000000 // n_fp AS shared_ppm
+    FROM stats
+    ORDER BY shared_ppm DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing overlap report: how much of each document's
+    selected fingerprint set also appears in at least one OTHER document
+    (boilerplate / template / plagiarized-span detector with the MOSS
+    worst-case guarantee — no 6-token shared run escapes).
+
+    Scale posture: per-doc windowed selection (no global window, one
+    shuffle on doc_id), then two rollups over (doc_id, int64) fingerprint
+    pairs — the text never shuffles. The fp-frequency join keys on fp, the
+    same partitioning its groupBy just produced, so AQE plans it without
+    an extra exchange on the fps side; output is top-20 bounded. No
+    reference counterpart (extension op, SURVEY.md §2-B-2)."""
+    sel = _winnow_sel(spark, sf_dir)
+    fps = sel.groupBy("fp").agg(F.count("*").alias("nd"))
+    stats = (
+        sel.join(fps, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.count(F.when(F.col("nd") >= 2, 1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    return (
+        stats.select(
+            "doc_id",
+            "n_fp",
+            "n_shared",
+            F.expr("n_shared * 1000000 DIV n_fp").alias("shared_ppm"),
+        )
+        .orderBy(F.desc("shared_ppm"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_winnow_pairs",
+    oracle=_WINNOW_SEL_SQL
+    + """
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM winnow_sel a JOIN winnow_sel b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY n_common DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top overlapping document pairs by shared winnowing fingerprints
+    (>= 2 shared selections filters accidental single-hash collisions).
+
+    Scale posture: the pair join is fp-bucketed — docs meet only inside a
+    fingerprint's posting list, never all-pairs. A Zipf-headed fp (one
+    fingerprint selected by millions of docs = a boilerplate span) is the
+    same df^2 hazard the shingle family has; the mitigation is identical
+    and composable: cap posting-list length before pairing (the df_cap
+    recipe of q_ngram_jaccard) — a fingerprint in >cap docs is boilerplate
+    by definition and its pairs carry no dedup signal. Fixture df is tiny
+    so the default plan carries no cap; the 10x smoke pins the growth."""
+    sel = _winnow_sel(spark, sf_dir)
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .orderBy(F.desc("n_common"), "doc_a", "doc_b")
+        .limit(20)
+    )

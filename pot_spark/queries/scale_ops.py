@@ -814,3 +814,95 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").cast("bigint").alias("out_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction: latest-wins replay of an ordered change log.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, event_type, op, value
+        FROM log
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE op = 'U') AS BIGINT) AS n_live,
+           CAST(COUNT(*) FILTER (WHERE op = 'D') AS BIGINT) AS n_tombstoned,
+           CAST(SUM(CASE WHEN op = 'U'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+               AS sum_live_value
+    FROM latest
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction (Kafka log-compaction / Debezium snapshot
+    rebuild): the events stream is read as an ordered upsert/delete log on
+    key (user_id, event_type) — op derived deterministically from the id
+    space — and replayed latest-wins: the newest record per key decides
+    whether the key is live (op=U, carrying its final value) or
+    tombstoned (op=D). Output: per-entity-type live/tombstone counts and
+    the sum of surviving values.
+
+    Scale posture — this is the op where the physical choice matters:
+    latest-wins is computed with ONE hash aggregation of
+    max(struct(ts, event_id, op, value)) per key (struct comparison is
+    lexicographic and (ts, event_id) is unique, so the max is exactly the
+    QUALIFY row_number()=1 row the oracle picks). Unlike the window-sort
+    formulation, max(struct) PARTIAL-AGGREGATES map-side: every input
+    partition reduces its keys to one candidate row before the exchange,
+    so the shuffle carries |keys| rows, not |log| rows — the difference
+    between shuffling 100 TB of log and shuffling the keyspace. A second
+    tiny rollup on event_type produces the report. Value sums go through
+    DECIMAL(28,6) so both engines add exactly. q_merge_upsert is the
+    single-batch MERGE statement; this is its multi-version log-replay
+    sibling. No reference counterpart (SURVEY.md §2-A)."""
+    return _cdc_compact_df(load(spark, sf_dir, "events"))
+
+
+def _cdc_compact_df(events: DataFrame) -> DataFrame:
+    """Latest-wins compaction over any events-shaped DataFrame (the
+    max(struct) plan q_cdc_compact documents; factored for the property
+    test that pins struct-ordering == row_number()=1 semantics)."""
+    log = events.select(
+        "user_id",
+        "event_type",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+            F.col("value"),
+        ).alias("rec"),
+    )
+    latest = log.groupBy("user_id", "event_type").agg(
+        F.max("rec").alias("last")
+    )
+    return (
+        latest.select("event_type", F.col("last.op").alias("op"), F.col("last.value").alias("value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("op") == "U", 1)).cast("bigint").alias("n_live"),
+            F.count(F.when(F.col("op") == "D", 1))
+            .cast("bigint")
+            .alias("n_tombstoned"),
+            F.sum(
+                F.when(F.col("op") == "U", F.col("value").cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("sum_live_value"),
+        )
+        .orderBy("event_type")
+    )

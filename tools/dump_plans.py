@@ -156,6 +156,13 @@ NOTES = {
     "partial/final COUNT DISTINCT on (source, gram) — the shuffle "
     "carries pre-combined pairs, and no token ever rides more than one "
     "exchange.",
+    "q_winnow_fingerprint": "the k-gram stream pipelines scan -> per-doc "
+    "window (partitioned by doc_id, no global window) and only the "
+    "selected ~2/(w+1) fraction survives into the fp rollup; every "
+    "post-selection exchange carries (doc_id, int64) pairs, never text.",
+    "q_cdc_compact": "latest-wins is ONE hash aggregate of max(struct) "
+    "with a partial_max map-side — the exchange carries one candidate "
+    "row per key, not the log; no Window/Sort node anywhere in the plan.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

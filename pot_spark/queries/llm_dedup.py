@@ -1827,16 +1827,20 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate / template / plagiarized-span detector with the MOSS
     worst-case guarantee — no 6-token shared run escapes).
 
-    Scale posture: per-doc windowed selection (no global window, one
-    shuffle on doc_id), then two rollups over (doc_id, int64) fingerprint
-    pairs — the text never shuffles. The fp-frequency join keys on fp, the
-    same partitioning its groupBy just produced, so AQE plans it without
-    an extra exchange on the fps side; output is top-20 bounded. No
-    reference counterpart (extension op, SURVEY.md §2-B-2)."""
+    Scale posture: ONE pass over the corpus — per-doc windowed selection
+    (no global window, one shuffle on doc_id), then the fp document
+    frequency comes from a count-over-window partitioned by fp on the
+    SAME selected rows (sel is distinct (doc_id, fp), so the window count
+    IS the doc frequency), not from a groupBy+self-join that would
+    re-compute the whole selection subtree a second time. Total plan:
+    scan → explode → doc_id window → fp window → doc_id rollup; every
+    post-selection exchange carries (doc_id, int64) pairs, never text;
+    output is top-20 bounded. No reference counterpart (extension op,
+    SURVEY.md §2-B-2)."""
     sel = _winnow_sel(spark, sf_dir)
-    fps = sel.groupBy("fp").agg(F.count("*").alias("nd"))
+    w_fp = Window.partitionBy("fp")
     stats = (
-        sel.join(fps, "fp")
+        sel.withColumn("nd", F.count("*").over(w_fp))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_fp"),
@@ -1880,8 +1884,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and composable: cap posting-list length before pairing (the df_cap
     recipe of q_ngram_jaccard) — a fingerprint in >cap docs is boilerplate
     by definition and its pairs carry no dedup signal. Fixture df is tiny
-    so the default plan carries no cap; the 10x smoke pins the growth."""
-    sel = _winnow_sel(spark, sf_dir)
+    so the default plan carries no cap; the 10x smoke pins the growth.
+    The selection is checkpointed so the scan→explode→window pipeline —
+    the expensive phase — runs ONCE, not once per join side (without the
+    barrier both sides of the self-join rebuild it from the scan)."""
+    sel = reliable_checkpoint(_winnow_sel(spark, sf_dir))
     a = sel.alias("a")
     b = sel.alias("b")
     return (

@@ -858,14 +858,19 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum of surviving values.
 
     Scale posture — this is the op where the physical choice matters:
-    latest-wins is computed with ONE hash aggregation of
+    latest-wins is computed with ONE aggregation of
     max(struct(ts, event_id, op, value)) per key (struct comparison is
     lexicographic and (ts, event_id) is unique, so the max is exactly the
-    QUALIFY row_number()=1 row the oracle picks). Unlike the window-sort
-    formulation, max(struct) PARTIAL-AGGREGATES map-side: every input
-    partition reduces its keys to one candidate row before the exchange,
-    so the shuffle carries |keys| rows, not |log| rows — the difference
-    between shuffling 100 TB of log and shuffling the keyspace. A second
+    QUALIFY row_number()=1 row the oracle picks). Spark plans it as a
+    partial/final SortAggregate — struct aggregation buffers aren't
+    hash-aggregable — but the property that matters survives: the
+    PARTIAL aggregate runs map-side (a per-partition sort on the grouping
+    key, no exchange beneath it), so every input partition reduces its
+    keys to one candidate row before the shuffle and the exchange carries
+    |keys| rows, not |log| rows — the difference between shuffling 100 TB
+    of log and shuffling the keyspace. The window-sort formulation the
+    oracle uses would instead exchange the FULL log before its sort. A
+    second
     tiny rollup on event_type produces the report. Value sums go through
     DECIMAL(28,6) so both engines add exactly. q_merge_upsert is the
     single-batch MERGE statement; this is its multi-version log-replay

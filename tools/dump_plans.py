@@ -156,13 +156,17 @@ NOTES = {
     "partial/final COUNT DISTINCT on (source, gram) — the shuffle "
     "carries pre-combined pairs, and no token ever rides more than one "
     "exchange.",
-    "q_winnow_fingerprint": "the k-gram stream pipelines scan -> per-doc "
-    "window (partitioned by doc_id, no global window) and only the "
-    "selected ~2/(w+1) fraction survives into the fp rollup; every "
-    "post-selection exchange carries (doc_id, int64) pairs, never text.",
-    "q_cdc_compact": "latest-wins is ONE hash aggregate of max(struct) "
-    "with a partial_max map-side — the exchange carries one candidate "
-    "row per key, not the log; no Window/Sort node anywhere in the plan.",
+    "q_winnow_fingerprint": "ONE scan: k-gram stream pipelines scan -> "
+    "per-doc window (partitioned by doc_id, no global window), fp doc "
+    "frequency is a count-over-window on the SAME selected rows (no "
+    "groupBy+self-join that would rebuild the selection subtree twice); "
+    "every post-selection exchange carries (doc_id, int64) pairs, never "
+    "text.",
+    "q_cdc_compact": "latest-wins is one max(struct) aggregate planned "
+    "as partial/final SortAggregate (struct buffers aren't "
+    "hash-aggregable) — the partial runs MAP-SIDE, so the exchange "
+    "carries one candidate row per key, not the log; no Window node, "
+    "no exchange-then-sort of the full log.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

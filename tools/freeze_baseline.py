@@ -25,7 +25,11 @@ import os
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHOR = "BENCH_r02.json"
-FILLS = ["BENCH_r05.json", "BENCH_r06_local.json"]  # earliest-first; first file covering a query wins
+FILLS = [  # earliest-first; first file covering a query wins
+    "BENCH_r05.json",
+    "BENCH_r06_local.json",
+    "BENCH_r06_local2.json",
+]
 
 
 def _queries(path: str) -> dict[str, float]:

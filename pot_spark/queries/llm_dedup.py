@@ -1827,20 +1827,21 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate / template / plagiarized-span detector with the MOSS
     worst-case guarantee — no 6-token shared run escapes).
 
-    Scale posture: ONE pass over the corpus — per-doc windowed selection
-    (no global window, one shuffle on doc_id), then the fp document
-    frequency comes from a count-over-window partitioned by fp on the
-    SAME selected rows (sel is distinct (doc_id, fp), so the window count
-    IS the doc frequency), not from a groupBy+self-join that would
-    re-compute the whole selection subtree a second time. Total plan:
-    scan → explode → doc_id window → fp window → doc_id rollup; every
-    post-selection exchange carries (doc_id, int64) pairs, never text;
-    output is top-20 bounded. No reference counterpart (extension op,
-    SURVEY.md §2-B-2)."""
-    sel = _winnow_sel(spark, sf_dir)
-    w_fp = Window.partitionBy("fp")
+    Scale posture: the expensive phase — scan → explode → per-doc
+    rolling-min window — runs ONCE (checkpointed selection; only
+    (doc_id, int64) pairs are materialized, never text). The fp document
+    frequency is a groupBy(fp) COUNT, deliberately NOT a
+    count-over-window: the partial (map-side) count collapses a Zipf
+    boilerplate fingerprint to one row per input partition before the
+    exchange, where a window partitioned by fp would land the head fp's
+    entire posting list on a single reducer with no partial anywhere.
+    The join back onto the selection is a plain equi-join on fp, which
+    AQE skew-splits if a head survives. Output is top-20 bounded. No
+    reference counterpart (extension op, SURVEY.md §2-B-2)."""
+    sel = reliable_checkpoint(_winnow_sel(spark, sf_dir))
+    fps = sel.groupBy("fp").agg(F.count("*").alias("nd"))
     stats = (
-        sel.withColumn("nd", F.count("*").over(w_fp))
+        sel.join(fps, "fp")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_fp"),
@@ -1859,13 +1860,23 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOSS_MAX_DF = 10  # MOSS's m: a fingerprint matching more than m documents
+# is template/boilerplate and is ignored for pairing (moss.pl's -m flag
+# semantics; the paper's "too-frequent fingerprints carry no signal")
+
+
 @query(
     "q_winnow_pairs",
     oracle=_WINNOW_SEL_SQL
-    + """
+    + f"""
+    , fps AS (
+        SELECT fp FROM winnow_sel GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {_MOSS_MAX_DF}
+    ),
+    sel_ok AS (SELECT s.doc_id, s.fp FROM winnow_sel s JOIN fps USING (fp))
     SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_common
-    FROM winnow_sel a JOIN winnow_sel b
+    FROM sel_ok a JOIN sel_ok b
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 2
@@ -1873,24 +1884,38 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winnow_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = _MOSS_MAX_DF
+) -> DataFrame:
     """Top overlapping document pairs by shared winnowing fingerprints
     (>= 2 shared selections filters accidental single-hash collisions).
+    Fingerprints matching more than ``max_df`` documents are ignored —
+    MOSS's own `m` parameter: a passage appearing in that many documents
+    is course boilerplate / a template, not copying, and its pairs carry
+    no signal.
 
     Scale posture: the pair join is fp-bucketed — docs meet only inside a
-    fingerprint's posting list, never all-pairs. A Zipf-headed fp (one
-    fingerprint selected by millions of docs = a boilerplate span) is the
-    same df^2 hazard the shingle family has; the mitigation is identical
-    and composable: cap posting-list length before pairing (the df_cap
-    recipe of q_ngram_jaccard) — a fingerprint in >cap docs is boilerplate
-    by definition and its pairs carry no dedup signal. Fixture df is tiny
-    so the default plan carries no cap; the 10x smoke pins the growth.
-    The selection is checkpointed so the scan→explode→window pipeline —
-    the expensive phase — runs ONCE, not once per join side (without the
-    barrier both sides of the self-join rebuild it from the scan)."""
+    fingerprint's posting list, never all-pairs — and max_df is what
+    makes that bucketing survive a Zipf head: candidate volume is
+    Σ df² over fingerprints with df <= max_df, so it is bounded by
+    max_df · |selected fingerprints| REGARDLESS of corpus shape (the
+    q_ngram_jaccard lesson, here as first-class op semantics rather than
+    an opt-in recipe, because MOSS itself defines the cap). The df
+    filter itself is a partial-aggregated groupBy count — skew-immune —
+    and the selection pipeline is checkpointed so it runs once, not once
+    per join side."""
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs df >= 2)")
     sel = reliable_checkpoint(_winnow_sel(spark, sf_dir))
-    a = sel.alias("a")
-    b = sel.alias("b")
+    fps = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_df))
+        .select("fp")
+    )
+    sel_ok = sel.join(fps, "fp", "left_semi")
+    a = sel_ok.alias("a")
+    b = sel_ok.alias("b")
     return (
         a.join(
             b,

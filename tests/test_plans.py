@@ -868,3 +868,57 @@ def test_tpch_q20_nested_subqueries_decorrelate(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the decorrelated inner aggregate groups by the correlation keys
     assert re.search(r"hashpartitioning\(l_partkey[^)]*l_suppkey", p)
+
+
+def test_winnow_selection_single_scan_per_doc_windows(spark, sf_dir):
+    """The winnowing selection pipeline reads the corpus ONCE and both
+    its windows (gram count, rolling min) partition by doc_id — no
+    global window, no second scan, text pruned to (doc_id, text)."""
+    from pot_spark.queries.llm_dedup import _winnow_sel
+
+    df = _winnow_sel(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "hashpartitioning(doc_id" in p
+    assert "CartesianProduct" not in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" in read and "source" not in read
+
+
+def test_winnow_fingerprint_df_count_is_partial_agg_not_window(spark, sf_dir):
+    """fp doc-frequency must be a partial-aggregated groupBy count (a
+    Zipf head collapses map-side), never a count-over-window that lands
+    a head fp's posting list on one reducer (post-checkpoint plan)."""
+    p = _plan(spark, sf_dir, "q_winnow_fingerprint")
+    assert "partial_count" in p
+    assert "hashpartitioning(fp" in p
+    assert "Window" not in p
+
+
+def test_winnow_pairs_moss_cap_restricts_postings(spark, sf_dir):
+    """Pairing must run over the MOSS-capped posting lists: a df filter
+    (2 <= nd <= m) feeding a LeftSemi restriction — the candidate volume
+    bound that survives a Zipf fingerprint head."""
+    from pot_spark.queries.llm_dedup import _MOSS_MAX_DF
+
+    p = _plan(spark, sf_dir, "q_winnow_pairs")
+    assert "LeftSemi" in p
+    assert f"<= {_MOSS_MAX_DF}" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_compact_partial_sortaggregate_no_window(spark, sf_dir):
+    """Latest-wins must partial-aggregate map-side (SortAggregate with
+    partial_max below the exchange — struct buffers aren't
+    hash-aggregable) and never plan the oracle's window-sort form, which
+    would exchange the full log before sorting it."""
+    p = _plan(spark, sf_dir, "q_cdc_compact")
+    assert "partial_max" in p
+    assert "SortAggregate" in p
+    assert "Window" not in p
+    first_exchange = p.index(") Exchange")
+    assert "partial_max" in p[:first_exchange] or "SortAggregate" in p[:first_exchange]

@@ -156,12 +156,12 @@ NOTES = {
     "partial/final COUNT DISTINCT on (source, gram) — the shuffle "
     "carries pre-combined pairs, and no token ever rides more than one "
     "exchange.",
-    "q_winnow_fingerprint": "ONE scan: k-gram stream pipelines scan -> "
-    "per-doc window (partitioned by doc_id, no global window), fp doc "
-    "frequency is a count-over-window on the SAME selected rows (no "
-    "groupBy+self-join that would rebuild the selection subtree twice); "
-    "every post-selection exchange carries (doc_id, int64) pairs, never "
-    "text.",
+    "q_winnow_fingerprint": "selection pipeline (scan -> explode -> "
+    "per-doc rolling-min window, no global window) runs ONCE behind the "
+    "checkpoint barrier; fp doc-frequency is a partial-aggregated "
+    "groupBy count — skew-immune where a count-over-window would land a "
+    "Zipf fp head's whole posting list on one reducer; every "
+    "post-selection exchange carries (doc_id, int64) pairs, never text.",
     "q_cdc_compact": "latest-wins is one max(struct) aggregate planned "
     "as partial/final SortAggregate (struct buffers aren't "
     "hash-aggregable) — the partial runs MAP-SIDE, so the exchange "

@@ -116,6 +116,10 @@ HEADLINE = [
     "q_winnow_fingerprint",
     "q_winnow_pairs",
     "q_cdc_compact",
+    # round-6 (cont. 3): rolling-distinct (bounded explode) and the
+    # sample-bounded ANN recall eval (broadcast probes + window heaps)
+    "q_rolling_dau",
+    "q_ann_recall",
 ]
 
 

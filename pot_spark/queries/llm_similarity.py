@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
@@ -859,4 +859,180 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("norm6"),
             6,
         ).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall measurement: IVF candidates vs exact ground truth on a
+# deterministic probe sample.
+# ---------------------------------------------------------------------------
+
+_RECALL_MOD = 25  # probe stride: vec_id % 25 == 0 ...
+_RECALL_Q = 20  # ... capped at the FIRST 20 such ids (vec_id < 500):
+# the sample size is absolute, so the exact ground-truth cost is fixed
+# regardless of corpus size — a modulus alone would grow probes (and the
+# brute-force scan volume) linearly with the corpus
+_RECALL_NPROBE = 2  # IVF cells scanned per probe
+_RECALL_K = 10  # recall@K
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS p FROM e
+               WHERE vec_id % {_RECALL_MOD} = 0
+                 AND vec_id < {_RECALL_MOD * _RECALL_Q}),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    comp AS (
+        SELECT label, d,
+               CAST(SUM(CAST(v[d] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+        FROM e, dims GROUP BY label, d
+    ),
+    pc AS (SELECT probe_id, d, p[d] AS pv FROM probes, dims),
+    cellscore AS (
+        SELECT probe_id, label,
+               CAST(SUM(CAST(c * pv AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(c * c AS DECIMAL(30,12))) AS DOUBLE) AS cc
+        FROM comp JOIN pc USING (d) GROUP BY probe_id, label
+    ),
+    toplab AS (
+        SELECT probe_id, label FROM (
+            SELECT probe_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY dot / sqrt(cc) DESC, label) AS r
+            FROM cellscore) WHERE r <= {_RECALL_NPROBE}
+    ),
+    exact AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+                       ORDER BY round(list_cosine_similarity(e.v, pr.p), 6)
+                                DESC, e.vec_id) AS r
+            FROM e, probes pr WHERE e.vec_id <> pr.probe_id
+        ) WHERE r <= {_RECALL_K}
+    ),
+    ivf AS (
+        SELECT probe_id, vec_id, n_cand FROM (
+            SELECT pr.probe_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+                       ORDER BY round(list_cosine_similarity(e.v, pr.p), 6)
+                                DESC, e.vec_id) AS r,
+                   COUNT(*) OVER (PARTITION BY pr.probe_id) AS n_cand
+            FROM e JOIN toplab tl ON e.label = tl.label
+                   JOIN probes pr ON pr.probe_id = tl.probe_id
+            WHERE e.vec_id <> pr.probe_id
+        ) WHERE r <= {_RECALL_K}
+    )
+    SELECT CAST(i.probe_id AS BIGINT) AS probe_id,
+           CAST(MAX(i.n_cand) AS BIGINT) AS n_cand,
+           CAST(COUNT(x.vec_id) AS BIGINT) AS hits_at_10,
+           CAST(COUNT(x.vec_id) * 100000 AS BIGINT) AS recall_ppm
+    FROM ivf i LEFT JOIN exact x
+      ON i.probe_id = x.probe_id AND i.vec_id = x.vec_id
+    GROUP BY i.probe_id
+    ORDER BY probe_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index (q_sim_ivf's per-label-centroid coarse
+    quantizer, nprobe=2 of 10 cells) against exact brute-force ground
+    truth, per probe of a deterministic sample (vec_id % 25 == 0) — the
+    eval every ANN deployment needs before trusting its index, as a
+    query (sibling of q_dedup_audit, which plays this role for the LSH
+    dedup family).
+
+    Scale posture: ground truth is sample-bounded BY CONTRACT — exact
+    scoring touches |sample| x corpus rows via a broadcast of the probe
+    vectors, the same shape as q_sim_topk_batch, and the sample size is
+    an absolute cap (first Q stride-selected ids), NOT a fraction of the
+    corpus: the 10x smoke on the modulus-only draft measured 9.9x
+    because probes grew with the data; the cap fixes the eval cost. The IVF side reuses the real
+    index path (broadcast centroid scores -> nprobe-cell scan). Both
+    top-10 cuts are per-probe window heaps (WindowGroupLimit), never a
+    global sort; centroid components use exact DECIMAL sums so cell
+    ranking is engine-identical (q_sim_ivf precedent, driver
+    hash-green)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double().alias("v"))
+    probes = e.filter(
+        (F.col("vec_id") % _RECALL_MOD == 0)
+        & (F.col("vec_id") < _RECALL_MOD * _RECALL_Q)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("v").alias("p"))
+
+    # per-(label, dim) centroid components via exact decimal sums
+    comp = (
+        e.select("label", F.posexplode("v").alias("d0", "x"))
+        .select("label", (F.col("d0") + 1).alias("d"), "x")
+        .groupBy("label", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    pc = probes.select(
+        "probe_id", F.posexplode("p").alias("d0", "pv")
+    ).select("probe_id", (F.col("d0") + 1).alias("d"), "pv")
+    cellscore = (
+        comp.join(F.broadcast(pc), "d")
+        .groupBy("probe_id", "label")
+        .agg(
+            F.sum((F.col("c") * F.col("pv")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("cc"),
+        )
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy(
+        (F.col("dot") / F.sqrt("cc")).desc(), "label"
+    )
+    toplab = (
+        cellscore.withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") <= _RECALL_NPROBE)
+        .select("probe_id", "label")
+    )
+
+    cos = F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6)
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    exact = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    ivf_scored = (
+        e.join(F.broadcast(toplab), "label")
+        .join(
+            F.broadcast(probes.withColumnRenamed("probe_id", "pid2")),
+            (F.col("probe_id") == F.col("pid2"))
+            & (F.col("vec_id") != F.col("pid2")),
+        )
+        .select("probe_id", "vec_id", cos.alias("cos_sim"))
+    )
+    ivf = (
+        ivf_scored.withColumn("r", F.row_number().over(w_rank))
+        .withColumn(
+            "n_cand", F.count("*").over(Window.partitionBy("probe_id"))
+        )
+        .filter(F.col("r") <= _RECALL_K)
+        .select("probe_id", "vec_id", "n_cand")
+    )
+    hit = exact.withColumn("hit", F.lit(1)).select("probe_id", "vec_id", "hit")
+    return (
+        ivf.join(hit, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.max("n_cand").cast("bigint").alias("n_cand"),
+            F.count("hit").cast("bigint").alias("hits_at_10"),
+            (F.count("hit") * 100000).cast("bigint").alias("recall_ppm"),
+        )
+        .orderBy("probe_id")
     )

@@ -878,6 +878,57 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_compact_df(load(spark, sf_dir, "events"))
 
 
+@query(
+    "s_cdc_compact",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id, ts AS last_ts,
+           op, value
+    FROM log
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def s_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch evaluation of the streaming CDC-compaction state: the
+    per-key latest record itself (the compacted SNAPSHOT q_cdc_compact
+    rolls up) — one row per (user_id, event_type) with the newest
+    (ts, event_id) record's op and value. Same map-side partial
+    max(struct) plan as q_cdc_compact; the real-stream twin
+    (streaming_exec.s_cdc_compact_stream via runner.build_stateful_cdc)
+    must converge to exactly these rows — asserted row-for-row by
+    tests/test_streaming.py::test_stream_matches_batch."""
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+            F.col("value"),
+        ).alias("rec"),
+    )
+    return (
+        log.groupBy("user_id", "event_type")
+        .agg(F.max("rec").alias("last"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.op").alias("op"),
+            F.col("last.value").alias("value"),
+        )
+    )
+
+
 def _cdc_compact_df(events: DataFrame) -> DataFrame:
     """Latest-wins compaction over any events-shaped DataFrame (the
     max(struct) plan q_cdc_compact documents; factored for the property

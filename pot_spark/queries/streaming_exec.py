@@ -192,3 +192,18 @@ def s_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_streaming_query(spark, "s_outer_join", sf_dir)
     return out.filter(F.col("s_type") != "__flush__").drop("s_type")
+
+
+@query("s_cdc_compact_stream", oracle=ORACLES["s_cdc_compact"])
+def s_cdc_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC log compaction executed as a real stream: the event
+    log replayed through applyInPandasWithState keeping the newest
+    (ts, event_id) record per (user_id, event_type) — the continuously
+    maintained compacted snapshot (one state row per live key, sharded
+    across executors by the group key), i.e. what a Kafka-compacted
+    topic's materialized view looks like as a streaming query. The sink
+    converges to exactly the per-key latest rows the batch twin
+    q_cdc_compact aggregates over; the oracle is the per-key
+    QUALIFY row_number()=1 snapshot. Batch twin plan note: scale_ops.py
+    q_cdc_compact (map-side partial max(struct))."""
+    return run_streaming_query(spark, "s_cdc_compact", sf_dir)

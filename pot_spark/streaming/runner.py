@@ -350,6 +350,78 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_cdc(stream: DataFrame) -> DataFrame:
+    """Streaming CDC log compaction: latest-wins upsert/delete state per
+    (user_id, event_type) via applyInPandasWithState — the stream twin
+    of q_cdc_compact's batch max(struct) plan. State per key = the
+    newest (ts, event_id) record with its op ('D' if event_id % 7 == 0
+    else 'U', the same deterministic derivation as the batch twin) and
+    value; a key re-emits whenever a newer record supersedes its state,
+    so the sink converges to the compacted snapshot (update semantics).
+    At scale the state store shards by key across executors and holds
+    ONE row per live key — the streaming materialized view of the log.
+    Batch twin: pot_spark.queries.scale_ops.q_cdc_compact."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def cdc_fn(key, pdf_iter, state: GroupState):
+        user_id, event_type = key
+        best = state.get if state.exists else None
+        for pdf in pdf_iter:
+            # batch candidate: the newest (ts, event_id) row
+            r = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (
+                int(pd.Timestamp(r["ts"]).value // 1000),
+                int(r["event_id"]),
+                "D" if int(r["event_id"]) % 7 == 0 else "U",
+                float(r["value"]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        changed = best is not None and (
+            not state.exists or (best[0], best[1]) > tuple(state.get[:2])
+        )
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "event_type": [event_type],
+                    "last_event_id": [best[1]],
+                    "last_ts": [pd.Timestamp(best[0] * 1000)],
+                    "op": [best[2]],
+                    "value": [best[3]],
+                }
+            )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        cdc_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
     """Day-windowed first-event dedup with STATE TTL: the key carries the
     event-time day bucket and every state entry sets an event-time
@@ -644,6 +716,7 @@ SENTINEL_APPEND_BUILDERS = {
 STATEFUL_BUILDERS = {
     "s_dedup_first": build_stateful_dedup,
     "q_dedup_daily_first": build_stateful_daily_dedup,
+    "s_cdc_compact": build_stateful_cdc,
 }
 
 

@@ -922,3 +922,28 @@ def test_cdc_compact_partial_sortaggregate_no_window(spark, sf_dir):
     assert "Window" not in p
     first_exchange = p.index(") Exchange")
     assert "partial_max" in p[:first_exchange] or "SortAggregate" in p[:first_exchange]
+
+
+def test_rolling_dau_bounded_explode_no_unbounded_window(spark, sf_dir):
+    """Rolling 7-day distinct users must be the bounded-explode plan:
+    partial-aggregated distinct over (day, user), a Generate (the <=7x
+    fan-out of deduplicated pairs), and NO window anywhere — a distinct
+    range-frame window doesn't exist, and a 7-way self-join would
+    re-scan the activity table."""
+    p = _plan(spark, sf_dir, "q_rolling_dau")
+    assert "Generate" in p  # the bounded explode
+    assert "Window" not in p
+    assert "partial_count(distinct" in p or "HashAggregate" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "user_id" in read and "event_type" not in read  # pruned scan
+
+
+def test_ann_recall_ground_truth_is_broadcast_probe_scan(spark, sf_dir):
+    """The exact side must be ONE corpus scan against broadcast probe
+    vectors (sample-bounded ground truth), the IVF side a broadcast
+    cell-restriction — never a shuffled corpus x corpus join."""
+    p = _plan(spark, sf_dir, "q_ann_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # per-probe top-k cuts run as window group limits, not global sorts
+    assert "WindowGroupLimit" in p

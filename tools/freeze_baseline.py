@@ -29,6 +29,7 @@ FILLS = [  # earliest-first; first file covering a query wins
     "BENCH_r05.json",
     "BENCH_r06_local.json",
     "BENCH_r06_local2.json",
+    "BENCH_r06_local3.json",
 ]
 
 

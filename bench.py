@@ -120,6 +120,7 @@ HEADLINE = [
     # sample-bounded ANN recall eval (broadcast probes + window heaps)
     "q_rolling_dau",
     "q_ann_recall",
+    "q_mmr_select",
 ]
 
 

@@ -1036,3 +1036,155 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR: maximal marginal relevance — diversity-aware top-k selection.
+# ---------------------------------------------------------------------------
+
+_MMR_C = 30  # bounded candidate pool (top-C by relevance)
+_MMR_K = 10  # selections
+_MMR_L = 0.5  # lambda: relevance vs diversity trade-off
+
+
+@query(
+    "q_mmr_select",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+    probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, v, round(list_cosine_similarity(v, probe.p), 6) AS rel
+        FROM e, probe WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_C}
+    ),
+    simm AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+        (SELECT 1 AS rank, vec_id AS picked, [vec_id] AS picked_ids,
+                rel AS score
+         FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        UNION ALL
+        SELECT s.rank + 1, nxt.vec_id, list_append(s.picked_ids, nxt.vec_id),
+               nxt.score
+        FROM sel s, LATERAL (
+            SELECT c.vec_id,
+                   {_MMR_L} * c.rel - {1 - _MMR_L} * (
+                       SELECT MAX(m.sim) FROM simm m
+                       WHERE m.a = c.vec_id
+                         AND list_contains(s.picked_ids, m.b)
+                   ) AS score
+            FROM cand c
+            WHERE NOT list_contains(s.picked_ids, c.vec_id)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ) nxt
+        WHERE s.rank < {_MMR_K}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(picked AS BIGINT) AS vec_id,
+           round(score, 6) AS mmr_score
+    FROM sel ORDER BY rank
+    """,
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance: greedily select 10 results that
+    balance relevance to the probe against redundancy with what's
+    already selected (score = λ·rel − (1−λ)·max sim-to-selected,
+    λ=0.5) — the standard diversity-aware retrieval / training-example
+    selection step (Carbonell & Goldstein, SIGIR 1998).
+
+    Scale posture — MMR is inherently sequential (each pick depends on
+    all previous picks), so the scalable shape is: (1) bound the
+    candidate pool FIRST with a distributed top-C relevance heap
+    (TakeOrderedAndProject over one broadcast-probe corpus scan — the
+    only part that sees the corpus); (2) compute the C×C pairwise-sim
+    matrix with Spark expressions (broadcast self-join, 870 rows, the
+    SAME F.aggregate dot product the hash-green sim family uses, so
+    similarity values are engine-exact after round-6); (3) run the
+    O(K·C) greedy over the bounded matrix in ONE Arrow batch
+    (applyInPandas, single group) that only COMPARES pre-rounded
+    doubles — it never recomputes float reductions, so the pandas side
+    cannot diverge from the DuckDB recursive-CTE oracle. Final score
+    rounding happens in Spark (HALF_UP, matching DuckDB round) rather
+    than Python (banker's)."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double().alias("v"))
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_C)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), "rel"
+    )
+    b = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    # LEFT join so a singleton candidate pool still yields its rel row
+    # (the oracle's recursion emits rank 1 even with no pairs)
+    simm = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"), "left")
+        .select(
+            "a",
+            "b",
+            "rel",
+            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+
+    out_schema = (
+        "rank bigint, vec_id bigint, mmr_score_raw double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf.groupby("a")["rel"].first().to_dict()
+        sim = {
+            (r.a, r.b): r.sim
+            for r in pdf.itertuples(index=False)
+            if pd.notna(r.b)
+        }
+        remaining = set(rel)
+        first = max(remaining, key=lambda i: (rel[i], -i))
+        picked = [first]
+        scores = [rel[first]]
+        remaining.discard(first)
+        while remaining and len(picked) < _MMR_K:
+            best, best_s = None, None
+            for i in sorted(remaining):
+                s = _MMR_L * rel[i] - (1 - _MMR_L) * max(
+                    sim[(i, p)] for p in picked
+                )
+                if best is None or s > best_s:
+                    best, best_s = i, s
+            picked.append(best)
+            scores.append(best_s)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(picked) + 1),
+                "vec_id": picked,
+                "mmr_score_raw": scores,
+            }
+        )
+
+    return (
+        simm.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(lambda _k, pdf: greedy(pdf), out_schema)
+        .select(
+            "rank", "vec_id", F.round("mmr_score_raw", 6).alias("mmr_score")
+        )
+        .orderBy("rank")
+    )

@@ -947,3 +947,14 @@ def test_ann_recall_ground_truth_is_broadcast_probe_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     # per-probe top-k cuts run as window group limits, not global sorts
     assert "WindowGroupLimit" in p
+
+
+def test_mmr_pool_is_distributed_heap_then_bounded_batch(spark, sf_dir):
+    """MMR's corpus-facing stage must be a TakeOrderedAndProject (the
+    top-C relevance heap); the greedy runs over the bounded C x C matrix
+    in one Arrow batch (FlatMapGroupsInPandas), never a corpus-scale
+    Python path or an unbounded cartesian."""
+    p = _plan(spark, sf_dir, "q_mmr_select")
+    assert "TakeOrderedAndProject" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p

@@ -564,10 +564,12 @@ _KM_K = 4
 _KM_ITERS = 2
 
 
-def _kmeans_sql() -> str:
+def _kmeans_cte() -> str:
+    """Shared exact-integer k-means CTE chain (through the final
+    assignment ``a{_KM_ITERS}``) — one definition of the clustering for
+    q_kmeans and q_semdedup, so both oracles agree on every tie-break."""
     parts = [
-        f"""
-    WITH e AS (
+        f"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
@@ -594,27 +596,24 @@ def _kmeans_sql() -> str:
         FROM iv JOIN a{i} a ON iv.vec_id = a.vec_id
         GROUP BY a.cluster, iv.d
     )""")
-    parts.append(f"""
-    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(sd) AS BIGINT) AS inertia
-    FROM a{_KM_ITERS} GROUP BY cluster""")
     return "".join(parts)
 
 
-@query("q_kmeans", oracle=_kmeans_sql())
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (k=4, 2 iterations) — the training
-    loop that produces IVF cells and PQ codebooks. Deterministic and
-    engine-exact: components are floor(x*1000) int64, distances and
-    inertia are exact integer sums, centroid updates floor the exact
-    mean, argmin ties break to the lower cluster id, and init is pinned
-    to vec_id 0..3 (k-means|| with a fixed seed at scale).
+def _kmeans_sql() -> str:
+    return f"""
+    WITH {_kmeans_cte()}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(sd) AS BIGINT) AS inertia
+    FROM a{_KM_ITERS} GROUP BY cluster"""
 
-    Scale posture per iteration: centroids are k x dim rows — always a
-    broadcast; assignment is one rollup of the exploded components
-    (shuffles on (vec_id, cluster), partial-agg'd map-side); the update
-    is one rollup on (cluster, d). Nothing driver-side between
-    iterations — the loop composes lazily and Spark pipelines it."""
+
+def _km_exact_parts(spark: SparkSession, sf_dir: str):
+    """Shared exact-integer k-means machinery: returns ``(iv, assign)``
+    where ``iv`` is the exploded (vec_id, d, x) int64 component table and
+    ``assign`` the final (vec_id, cluster, sd) assignment after
+    ``_KM_ITERS`` Lloyd iterations (init pinned to vec_id 0..k-1, argmin
+    ties to the lower cluster id) — one definition for q_kmeans and
+    q_semdedup, mirroring ``_kmeans_cte()`` on the oracle side."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     iv = e.select("vec_id", F.posexplode("v").alias("d0", "xd")).select(
         "vec_id",
@@ -642,6 +641,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("sd", "cluster")).alias("mn"))
             .select("vec_id", F.col("mn.cluster").alias("cluster"), F.col("mn.sd").alias("sd"))
         )
+    return iv, assign
+
+
+@query("q_kmeans", oracle=_kmeans_sql())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 iterations) — the training
+    loop that produces IVF cells and PQ codebooks. Deterministic and
+    engine-exact: components are floor(x*1000) int64, distances and
+    inertia are exact integer sums, centroid updates floor the exact
+    mean, argmin ties break to the lower cluster id, and init is pinned
+    to vec_id 0..3 (k-means|| with a fixed seed at scale).
+
+    Scale posture per iteration: centroids are k x dim rows — always a
+    broadcast; assignment is one rollup of the exploded components
+    (shuffles on (vec_id, cluster), partial-agg'd map-side); the update
+    is one rollup on (cluster, d). Nothing driver-side between
+    iterations — the loop composes lazily and Spark pipelines it."""
+    _iv, assign = _km_exact_parts(spark, sf_dir)
     return assign.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.sum("sd").cast("bigint").alias("inertia"),
@@ -1187,4 +1204,147 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "vec_id", F.round("mmr_score_raw", 6).alias("mmr_score")
         )
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside k-means cells (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). Cluster the embedding space, then compare pairs ONLY
+# within a cell; pairs above the cosine threshold mark the higher-id
+# member as a semantic duplicate (deterministic lowest-id keeper in
+# place of the paper's keep-farthest-from-centroid, so both engines
+# agree on ties). No reference counterpart (SURVEY.md §2-A).
+# ---------------------------------------------------------------------------
+
+_SD_TAU2_BP = 2025  # tau = 0.45 -> tau^2 in basis points (0.2025 * 10^4)
+
+
+def _semdedup_sql() -> str:
+    return f"""
+    WITH {_kmeans_cte()},
+    norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM iv GROUP BY vec_id),
+    vecs AS (
+        SELECT a.vec_id, a.cluster, n.n2,
+               list(iv.x ORDER BY iv.d) AS xs
+        FROM a{_KM_ITERS} a
+        JOIN iv ON iv.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id
+        GROUP BY a.vec_id, a.cluster, n.n2
+    ),
+    pairs AS (
+        SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                        d -> a.xs[d] * b.xs[d])) AS dot,
+               a.n2 AS na2, b.n2 AS nb2
+        FROM vecs a JOIN vecs b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    dup AS (
+        SELECT cluster, va, vb FROM pairs
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 10000
+              >= {_SD_TAU2_BP} * CAST(na2 AS HUGEINT) * nb2
+    ),
+    dropc AS (
+        SELECT cluster, COUNT(*) AS n_dropped
+        FROM (SELECT DISTINCT cluster, vb FROM dup) GROUP BY cluster
+    ),
+    dupc AS (SELECT cluster, COUNT(*) AS n_dup_pairs FROM dup GROUP BY cluster),
+    mem AS (SELECT cluster, COUNT(*) AS n_members FROM a{_KM_ITERS} GROUP BY cluster)
+    SELECT m.cluster,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(m.n_members - COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+    FROM mem m
+    LEFT JOIN dropc dc ON dc.cluster = m.cluster
+    LEFT JOIN dupc pc ON pc.cluster = m.cluster
+    ORDER BY m.cluster
+    """
+
+
+@query("q_semdedup", oracle=_semdedup_sql())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cell report: members, semantic-duplicate pairs
+    (cosine >= 0.45 on the exact-int vectors), dropped members (those
+    with a lower-id duplicate cluster-mate), and survivors.
+
+    Engine-exact: the cosine test is pure integer arithmetic —
+    dot^2 * 10^4 >= tau^2bp * |a|^2 * |b|^2 in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB), so no float ever decides a pair.
+
+    100 TB design: this is the published algorithm's own scale argument
+    — all-pairs is confined WITHIN a cell, so candidate volume is
+    sum(|cell|^2), controlled by choosing k proportional to N (the paper
+    uses k=11k cells for 134M embeddings; E[|cell|] stays ~10^4 and each
+    cell's pair block fits one executor). The pair join shuffles once on
+    cluster (packed int64 vectors, no per-dim explode), the dup graph is
+    output-bounded, and the final rollups are k-row aggregates. The k=4
+    fixture here is the same plan with the cell count turned down."""
+    iv, assign = _km_exact_parts(spark, sf_dir)
+    vecs = (
+        iv.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("dx"))
+        .select(
+            "vec_id",
+            F.transform("dx", lambda s: s["x"]).alias("xs"),
+            F.aggregate(
+                F.transform("dx", lambda s: s["x"] * s["x"]),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+    )
+    m = assign.select("vec_id", "cluster").join(vecs, "vec_id")
+    a = m.select(
+        "cluster",
+        F.col("vec_id").alias("va"),
+        F.col("xs").alias("xa"),
+        F.col("n2").alias("na2"),
+    )
+    b = m.select(
+        "cluster",
+        F.col("vec_id").alias("vb"),
+        F.col("xs").alias("xb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("va") < F.col("vb"))
+        .select("cluster", "va", "vb", dot.alias("dot"), "na2", "nb2")
+    )
+    dup = pairs.where(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast("decimal(38,0)") * F.col("dot") * F.lit(10000)
+            >= F.lit(_SD_TAU2_BP) * F.col("na2").cast("decimal(38,0)") * F.col("nb2")
+        )
+    )
+    dropc = (
+        dup.select("cluster", "vb")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    dupc = dup.groupBy("cluster").agg(F.count("*").alias("n_dup_pairs"))
+    mem = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        mem.join(dropc, "cluster", "left")
+        .join(dupc, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        )
+        .orderBy("cluster")
     )

@@ -1370,3 +1370,145 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("score").alias("cutoff_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection: importance resampling toward a target
+# domain (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"). Train unigram feature distributions on the
+# target slice and on the raw corpus, score every raw document by its
+# log importance weight, keep the top-scoring docs. No reference
+# counterpart (SURVEY.md §2-A).
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"
+_DSIR_TOPN = 25
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, tok
+        FROM documents,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS u(tok)
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf_r FROM toks GROUP BY tok),
+    tgt AS (
+        SELECT tok, COUNT(*) AS tf_t FROM toks
+        WHERE source = '{_DSIR_TARGET}' GROUP BY tok
+    ),
+    tot AS (SELECT (SELECT COUNT(*) FROM toks) AS r_total,
+                   (SELECT COUNT(*) FROM toks
+                    WHERE source = '{_DSIR_TARGET}') AS t_total,
+                   (SELECT COUNT(*) FROM vocab) AS v),
+    lam AS (
+        SELECT v.tok,
+               CAST(ln(COALESCE(t.tf_t, 0) + 1.0) - ln(v.tf_r + 1.0)
+                    AS DECIMAL(14,12)) AS lam
+        FROM vocab v LEFT JOIN tgt t ON t.tok = v.tok
+    ),
+    doc_tok AS (
+        SELECT doc_id, any_value(source) AS source, tok, COUNT(*) AS m
+        FROM toks GROUP BY doc_id, tok
+    ),
+    w AS (
+        SELECT dt.doc_id, any_value(dt.source) AS source,
+               CAST(SUM(dt.m) AS BIGINT) AS n_tokens,
+               SUM(CAST(dt.m AS DECIMAL(6,0)) * l.lam) AS s_lam
+        FROM doc_tok dt JOIN lam l ON l.tok = dt.tok
+        GROUP BY dt.doc_id
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(ROUND(s_lam + CAST(n_tokens AS DECIMAL(7,0)) *
+                 CAST(ln((SELECT r_total + v FROM tot) * 1.0)
+                      - ln((SELECT t_total + v FROM tot) * 1.0)
+                      AS DECIMAL(14,12)), 6) AS DOUBLE) AS log_weight
+    FROM w
+    WHERE source <> '{_DSIR_TARGET}'
+    ORDER BY log_weight DESC, doc_id
+    LIMIT {_DSIR_TOPN}
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{25} non-target documents by DSIR log importance weight
+    toward the '{src0}' slice: log w(doc) = sum_t m_t * [ln p_target(t)
+    - ln p_raw(t)] with add-one smoothing, decomposed as
+    sum m_t*(ln(tf_t+1) - ln(tf_r+1)) + n_tokens*(ln(R+V) - ln(T+V)) so
+    every per-token term is computed once on integer counts.
+
+    Engine-exact: each lambda term is a double of integer inputs cast to
+    decimal(28,12) BEFORE the weighted sum (the q_unigram_logprob
+    shuffle-stability trick), so partial-sum order cannot move the
+    rounded result and the top-N cut is deterministic on both engines.
+
+    100 TB design: two corpus passes fused into shuffles on token
+    (vocab/target counts) and (doc_id, token) (per-doc rollup) — all
+    partial-agg'd map-side; the lambda table joins on token (Zipf-
+    skewed: AQE skew split absorbs the head, and per-(doc,token)
+    pre-aggregation bounds any key's rows by the doc count); the final
+    top-N is a TakeOrdered k-row merge, never a global sort. The vocab
+    side is corpus-derived metadata (|V| << corpus), the selection
+    output is N rows — nothing driver-side in between."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf_r"))
+    tgt = (
+        toks.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf_t"))
+    )
+    # decimal(14,12) (|lambda| < 100) and decimal(6,0) m keep every
+    # m*lambda product under Spark's 38-digit precision cap EXACTLY —
+    # with wider types the cap silently rounds each product to 6
+    # fractional digits (decimal(38,6)), which moved sums by ~1e-6
+    lam = vocab.join(tgt, "tok", "left").select(
+        "tok",
+        (
+            F.log(F.coalesce("tf_t", F.lit(0)) + F.lit(1.0))
+            - F.log(F.col("tf_r") + F.lit(1.0))
+        )
+        .cast("decimal(14,12)")
+        .alias("lam"),
+    )
+    tot = toks.agg(
+        F.count("*").alias("r_total"),
+        F.sum((F.col("source") == _DSIR_TARGET).cast("bigint")).alias("t_total"),
+        F.count_distinct("tok").alias("v"),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.any_value("source").alias("source"), F.count("*").alias("m")
+    )
+    w = (
+        doc_tok.join(lam, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("m").cast("decimal(6,0)") * F.col("lam")).alias("s_lam"),
+        )
+    )
+    const = (F.log(F.col("r_total") + F.col("v")) - F.log(F.col("t_total") + F.col("v"))).cast(
+        "decimal(14,12)"
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .where(F.col("source") != _DSIR_TARGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("s_lam") + F.col("n_tokens") * const, 6)
+            .cast("double")
+            .alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(_DSIR_TOPN)
+    )

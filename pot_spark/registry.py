@@ -75,15 +75,27 @@ def _driver_verified_from_correctness_files() -> frozenset[str] | None:
     import glob
     import json
     import os
+    import time
 
     verified: set[str] = set()
     any_readable = False
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except Exception:  # noqa: BLE001 - unreadable file -> use fallback
+        # Retry transient read failures (observed once under system-wide
+        # fd pressure during a Spark JVM teardown): silently skipping ONE
+        # round's file would misclassify that round's passes as
+        # unverified and push the genuinely-new queries out of the
+        # driver's head-50 sample.
+        rows = None
+        for attempt in range(3):
+            try:
+                with open(path) as f:
+                    rows = json.load(f)
+                break
+            except Exception:  # noqa: BLE001 - transient fs/fd pressure
+                if attempt < 2:
+                    time.sleep(0.1)
+        if rows is None:
             continue
         any_readable = True
         for name, row in rows.items():

@@ -231,3 +231,55 @@ def test_prefix_filter_join_exact_and_pruned(spark, sf_dir):
         len(s) - math.ceil(0.7 * len(s)) + 1 for _, s in sets.values()
     )
     assert prefix_postings < full_postings // 2
+
+
+def test_dsir_select_matches_bruteforce(spark, sf_dir):
+    """DSIR selection must match an independent Python recomputation:
+    add-one-smoothed unigram log importance weights toward src0 with the
+    decimal(14,12) per-term quantization the engine uses, top-25
+    non-target docs by (weight desc, doc_id)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    q12 = Decimal("1e-12")
+    tf_r, tf_t = Counter(), Counter()
+    doc_toks = {}
+    src = {}
+    for r in rows:
+        toks = [t for t in r.text.lower().split(" ") if t != ""]
+        doc_toks[r.doc_id] = Counter(toks)
+        src[r.doc_id] = r.source
+        tf_r.update(toks)
+        if r.source == "src0":
+            tf_t.update(toks)
+    r_total, t_total, v = sum(tf_r.values()), sum(tf_t.values()), len(tf_r)
+    lam = {
+        w: Decimal(math.log(tf_t.get(w, 0) + 1.0) - math.log(n + 1.0)).quantize(
+            q12, rounding=ROUND_HALF_UP
+        )
+        for w, n in tf_r.items()
+    }
+    const = Decimal(math.log(r_total + v) - math.log(t_total + v)).quantize(
+        q12, rounding=ROUND_HALF_UP
+    )
+    scored = []
+    for doc_id, cnt in doc_toks.items():
+        if src[doc_id] == "src0" or not cnt:
+            continue
+        n_tokens = sum(cnt.values())
+        w = sum(m * lam[t] for t, m in cnt.items()) + n_tokens * const
+        w6 = float(w.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+        scored.append((doc_id, src[doc_id], n_tokens, w6))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    want = scored[:25]
+    got = [
+        (r.doc_id, r.source, r.n_tokens, r.log_weight)
+        for r in registry.QUERIES["q_dsir_select"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    # the cut must be non-degenerate: weights at the boundary differ
+    assert want[0][3] > want[-1][3]

@@ -958,3 +958,22 @@ def test_mmr_pool_is_distributed_heap_then_bounded_batch(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
+
+
+def test_semdedup_pairs_join_on_cluster_no_cartesian(spark, sf_dir):
+    """SemDeDup's pair stage must be an equi-join on cluster over PACKED
+    int64 vectors (one row per pair, dot via zip_with) — never a
+    cartesian product and never a per-dimension exploded pair join."""
+    p = _plan(spark, sf_dir, "q_semdedup")
+    assert "CartesianProduct" not in p
+    # the k-means centroid tables stay broadcast, as in q_kmeans
+    assert "BroadcastHashJoin" in p
+
+
+def test_dsir_select_is_takeordered_no_cartesian(spark, sf_dir):
+    """DSIR's final cut must plan as a TakeOrderedAndProject (k-row
+    heap merge, never a global sort); the only nested-loop join is the
+    broadcast of the 1-row totals aggregate."""
+    p = _plan(spark, sf_dir, "q_dsir_select")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -70,11 +70,10 @@ def test_ann_pq_matches_bruteforce(spark, sf_dir):
         )
 
 
-def test_kmeans_matches_bruteforce(spark, sf_dir):
-    ids, _, iv = _int_vectors(spark, sf_dir)
-    k, iters = 4, 2
-    order = np.argsort(ids)
-    ids, iv = ids[order], iv[order]
+def _bf_kmeans(ids, iv, k=4, iters=2):
+    """Independent Lloyd's loop on the int64 components: returns
+    (assign, sd) dicts keyed by vec_id (init = vec_id 0..k-1, argmin
+    ties to the lower cluster id, floored centroid means)."""
     cent = {c: iv[ids == c][0].copy() for c in range(k)}
     assign = None
     for it in range(iters):
@@ -88,6 +87,14 @@ def test_kmeans_matches_bruteforce(spark, sf_dir):
         for vid, v in zip(ids, iv):
             best = min((int(((v - cent[c]) ** 2).sum()), c) for c in range(k))
             assign[vid], sd[vid] = best[1], best[0]
+    return assign, sd
+
+
+def test_kmeans_matches_bruteforce(spark, sf_dir):
+    ids, _, iv = _int_vectors(spark, sf_dir)
+    order = np.argsort(ids)
+    ids, iv = ids[order], iv[order]
+    assign, sd = _bf_kmeans(ids, iv)
     want = {}
     for vid in ids:
         c = assign[vid]
@@ -99,3 +106,38 @@ def test_kmeans_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert sum(n for n, _ in got.values()) == len(ids)
+
+
+def test_semdedup_matches_bruteforce(spark, sf_dir):
+    """SemDeDup per-cell report must match an independent numpy pass:
+    same k-means cells, exact-integer cosine test (dot^2 * 10^4 >=
+    2025 * |a|^2 * |b|^2, dot > 0), lowest-id keeper."""
+    ids, _, iv = _int_vectors(spark, sf_dir)
+    order = np.argsort(ids)
+    ids, iv = ids[order], iv[order]
+    assign, _ = _bf_kmeans(ids, iv)
+    n2 = {vid: int((v.astype(object) ** 2).sum()) for vid, v in zip(ids, iv)}
+    members = {}
+    for vid in ids:
+        members.setdefault(assign[vid], []).append(vid)
+    vec = {vid: v for vid, v in zip(ids, iv)}
+    want = {}
+    for c, mem in members.items():
+        mem = sorted(mem)
+        dup_pairs = 0
+        dropped = set()
+        for i, a in enumerate(mem):
+            for b in mem[i + 1 :]:
+                dot = int(np.dot(vec[a].astype(object), vec[b].astype(object)))
+                if dot > 0 and dot * dot * 10000 >= 2025 * n2[a] * n2[b]:
+                    dup_pairs += 1
+                    dropped.add(b)
+        want[c] = (len(mem), len(dropped), len(mem) - len(dropped), dup_pairs)
+    got = {
+        r.cluster: (r.n_members, r.n_dropped, r.n_kept, r.n_dup_pairs)
+        for r in registry.QUERIES["q_semdedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(ids)
+    # the fixture must exercise the dup branch, not vacuously pass
+    assert sum(v[3] for v in got.values()) > 0

@@ -1930,3 +1930,100 @@ def q_winnow_pairs(
         .orderBy(F.desc("n_common"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better", the ExactSubstr method):
+# any fixed-length token window occurring more than once in the corpus is
+# a verbatim duplicated span. The paper builds a suffix array over the
+# concatenated corpus; the distributed equivalent profiles every W-token
+# window through one digest rollup — same duplicated-span set for spans
+# of exactly W tokens (longer shared runs show up as consecutive
+# duplicated windows). No reference counterpart (SURVEY.md §2-A).
+# ---------------------------------------------------------------------------
+
+_ES_W = 8  # window length in tokens (the paper uses 50 BPE tokens)
+
+
+@query(
+    "q_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {_ES_W - 1}),
+                   i -> md5(array_to_string(t[i:i + {_ES_W - 1}], ' ')))) AS h
+        FROM toks WHERE len(t) >= {_ES_W}
+    ),
+    df AS (SELECT h, COUNT(*) AS df FROM w GROUP BY h)
+    SELECT w.source,
+           CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (df.df >= 2) AS BIGINT) AS n_dup_windows,
+           CAST(COUNT(*) FILTER (df.df >= 2) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_ppm,
+           CAST(COUNT(DISTINCT w.h) FILTER (df.df >= 2) AS BIGINT)
+             AS n_dup_grams
+    FROM w JOIN df ON df.h = w.h
+    GROUP BY w.source ORDER BY w.source
+    """,
+)
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-substring duplication profile: every {_ES_W}-token
+    window is digested; a window is a duplicated span iff its digest
+    occurs >= 2 times corpus-wide (cross-doc or self-repetition — the
+    paper removes both). Reports windows, duplicated windows, floored
+    dup ppm, and distinct duplicated grams per source.
+
+    100 TB design: the window explode is scan-side codegen (slice +
+    array_join over the token array); only 16-byte digests ever shuffle
+    — the df rollup partial-aggregates map-side, and the back-join is
+    linear per occurrence (each window meets exactly its own df row —
+    never the df^2 blowup of a pair join, so no Zipf-head hazard). The
+    per-source report is a k-row rollup. The paper's span-merge step
+    (stitching consecutive duplicated windows into maximal runs) is a
+    per-doc sort over ONLY the duplicated positions — output-bounded,
+    omitted here because the profile is the gating metric."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= _ES_W)
+    w = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_ES_W - 1}),"
+                f" i -> md5(array_join(slice(t, i, {_ES_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    df = w.groupBy("h").agg(F.count("*").alias("df"))
+    dup = F.col("df") >= 2
+    return (
+        w.join(df, "h")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_windows"),
+            F.sum(dup.cast("bigint")).alias("n_dup_windows"),
+            F.count_distinct(F.when(dup, F.col("h"))).alias("n_dup_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000000 div n_windows").alias("dup_ppm"),
+            "n_dup_grams",
+        )
+        .orderBy("source")
+    )

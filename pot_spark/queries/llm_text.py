@@ -1512,3 +1512,191 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_weight").desc(), "doc_id")
         .limit(_DSIR_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1):
+# the published rule battery web-scale corpora are gated on before
+# training. Thresholds adapted to the fixture's token range; semantics
+# (integer-exact cross-multiplied ratios, no float thresholds) are the
+# production form. No reference counterpart (SURVEY.md §2-A).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    d AS (
+        SELECT source, len(tk) AS n,
+               len(array_to_string(tk, '')) AS c,
+               len(list_filter(tk,
+                   x -> len(translate(x,
+                        'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                        '')) < len(x))) AS n_alpha,
+               len(list_distinct(list_filter(tk, x -> x IN {_SW_SQL}))) AS n_sw,
+               len(list_filter(tk,
+                   x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+               CASE WHEN len(tk) >= 2 THEN list_max(list_transform(
+                   list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])),
+                   g -> len(list_filter(
+                       list_transform(generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i + 1]),
+                       b -> b = g)))) END AS maxbg
+        FROM t
+    ),
+    f AS (
+        SELECT source,
+               COALESCE(n BETWEEN 30 AND 100000, FALSE) AS wc_ok,
+               COALESCE(n >= 1 AND 3 * n <= c AND c <= 10 * n, FALSE) AS mwl_ok,
+               COALESCE(5 * n_alpha >= 4 * n, FALSE) AS alpha_ok,
+               COALESCE(n_sw >= 2, FALSE) AS stop_ok,
+               COALESCE(n >= 0 AND 10 * n_sym <= n, FALSE) AS sym_ok,
+               COALESCE(n >= 0 AND (n < 2 OR 10 * maxbg <= n), FALSE) AS rep_ok
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (NOT wc_ok) AS BIGINT) AS fail_wordcount,
+           CAST(COUNT(*) FILTER (NOT mwl_ok) AS BIGINT) AS fail_meanwordlen,
+           CAST(COUNT(*) FILTER (NOT alpha_ok) AS BIGINT) AS fail_alphaword,
+           CAST(COUNT(*) FILTER (NOT stop_ok) AS BIGINT) AS fail_stopword,
+           CAST(COUNT(*) FILTER (NOT sym_ok) AS BIGINT) AS fail_symbol,
+           CAST(COUNT(*) FILTER (NOT rep_ok) AS BIGINT) AS fail_repetition,
+           CAST(COUNT(*) FILTER (wc_ok AND mwl_ok AND alpha_ok AND stop_ok
+                                 AND sym_ok AND rep_ok) AS BIGINT) AS n_pass,
+           CAST(COUNT(*) FILTER (wc_ok AND mwl_ok AND alpha_ok AND stop_ok
+                                 AND sym_ok AND rep_ok) * 1000000
+                // COUNT(*) AS BIGINT) AS pass_ppm
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per source: word count in [30, 100k], mean
+    word length in [3, 10], >= 80% words with an alphabetic char, >= 2
+    distinct stop words, symbol-token ratio <= 0.1, top-bigram token
+    mass <= 0.2 (the paper's repetition family, its 2-gram member) —
+    per-rule failure counts, conjunctive pass count, floored pass ppm.
+
+    Engine-exact: every ratio threshold is an integer cross-multiply
+    (5*n_alpha >= 4*n, 10*maxbg <= n, ...) — no float ever decides a
+    gate; null/empty text COALESCEs to fail on both engines.
+
+    100 TB design: every rule including the top-bigram mode is a
+    scan-side array expression (the mode is O(d^2) per doc over ~d
+    distinct bigrams — executor-local arithmetic, cheaper than giving
+    the bigram explode a (doc, bigram) exchange); the ONLY shuffle is
+    the k-source rollup with map-side partials, so the gate report is
+    one pass over the corpus. Degenerate-on-clean rules (symbol, alpha)
+    earn their keep on hostile/junk feeds — the hostile sweep exercises
+    them."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "source",
+        F.size(tk).alias("n"),
+        F.length(F.concat_ws("", tk)).alias("c"),
+        F.size(
+            F.filter(
+                tk,
+                lambda x: F.length(
+                    F.translate(
+                        x,
+                        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                        "",
+                    )
+                )
+                < F.length(x),
+            )
+        ).alias("n_alpha"),
+        F.size(F.array_distinct(F.filter(tk, lambda x: x.isin(*STOPWORDS)))).alias(
+            "n_sw"
+        ),
+        F.size(
+            F.filter(tk, lambda x: x.contains("#") | x.contains("..."))
+        ).alias("n_sym"),
+        tk.alias("tk"),
+    )
+    # sequence(1, n-1) counts DOWN for n < 2 — gate the bigram build
+    bg = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+    )
+    maxbg = F.when(
+        F.col("n") >= 2,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda g: F.size(F.filter(bg, lambda b: b == g)),
+            )
+        ),
+    )
+    f = d.select(
+        "source",
+        F.coalesce(F.col("n").between(30, 100000), F.lit(False)).alias("wc_ok"),
+        # n >= 1: a zero-word doc has no mean word length (and DuckDB's
+        # array_to_string([]) is NULL where concat_ws gives '') — fail
+        F.coalesce(
+            (F.col("n") >= 1)
+            & (3 * F.col("n") <= F.col("c"))
+            & (F.col("c") <= 10 * F.col("n")),
+            F.lit(False),
+        ).alias("mwl_ok"),
+        F.coalesce(5 * F.col("n_alpha") >= 4 * F.col("n"), F.lit(False)).alias(
+            "alpha_ok"
+        ),
+        F.coalesce(F.col("n_sw") >= 2, F.lit(False)).alias("stop_ok"),
+        # n >= 0 guard: Spark's size(null) is -1, which would satisfy
+        # 10*n_sym <= n and n < 2 for NULL text — DuckDB's NULL len
+        # coalesces to fail, so pin both engines to fail
+        F.coalesce(
+            (F.col("n") >= 0) & (10 * F.col("n_sym") <= F.col("n")), F.lit(False)
+        ).alias("sym_ok"),
+        F.coalesce(
+            (F.col("n") >= 0)
+            & ((F.col("n") < 2) | (10 * maxbg <= F.col("n"))),
+            F.lit(False),
+        ).alias("rep_ok"),
+    )
+    def _fails(c):
+        return F.sum((~F.col(c)).cast("bigint"))
+
+    all_ok = (
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok")
+        & F.col("sym_ok")
+        & F.col("rep_ok")
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _fails("wc_ok").alias("fail_wordcount"),
+            _fails("mwl_ok").alias("fail_meanwordlen"),
+            _fails("alpha_ok").alias("fail_alphaword"),
+            _fails("stop_ok").alias("fail_stopword"),
+            _fails("sym_ok").alias("fail_symbol"),
+            _fails("rep_ok").alias("fail_repetition"),
+            F.sum(all_ok.cast("bigint")).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "fail_wordcount",
+            "fail_meanwordlen",
+            "fail_alphaword",
+            "fail_stopword",
+            "fail_symbol",
+            "fail_repetition",
+            "n_pass",
+            F.expr("n_pass * 1000000 div n_docs").alias("pass_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -283,3 +283,97 @@ def test_dsir_select_matches_bruteforce(spark, sf_dir):
     assert got == want
     # the cut must be non-degenerate: weights at the boundary differ
     assert want[0][3] > want[-1][3]
+
+
+def test_gopher_rules_match_bruteforce(spark, sf_dir):
+    """Per-source Gopher gate counts must match an independent Python
+    pass applying the same six integer-exact rules."""
+    rows = (
+        load(spark, sf_dir, "documents").select("source", "text").collect()
+    )
+    sw = ("the", "a", "of", "and", "to", "in", "is")
+    agg = {}
+    for r in rows:
+        tk = [t for t in (r.text or "").split(" ") if t != ""] if r.text is not None else None
+        if tk is None:
+            flags = (False,) * 6
+        else:
+            n = len(tk)
+            c = sum(len(t) for t in tk)
+            n_alpha = sum(1 for t in tk if any(ch.isascii() and ch.isalpha() for ch in t))
+            n_sw = len({t for t in tk if t in sw})
+            n_sym = sum(1 for t in tk if "#" in t or "..." in t)
+            bg = [f"{tk[i]} {tk[i+1]}" for i in range(n - 1)]
+            maxbg = max(Counter(bg).values()) if bg else None
+            flags = (
+                30 <= n <= 100000,
+                n >= 1 and 3 * n <= c <= 10 * n,
+                5 * n_alpha >= 4 * n,
+                n_sw >= 2,
+                10 * n_sym <= n,
+                n < 2 or 10 * maxbg <= n,
+            )
+        a = agg.setdefault(r.source, [0] * 8)
+        a[0] += 1
+        for i, ok in enumerate(flags):
+            a[1 + i] += 0 if ok else 1
+        a[7] += 1 if all(flags) else 0
+    want = {
+        s: tuple(a) + (a[7] * 1000000 // a[0],) for s, a in agg.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.fail_wordcount,
+            r.fail_meanwordlen,
+            r.fail_alphaword,
+            r.fail_stopword,
+            r.fail_symbol,
+            r.fail_repetition,
+            r.n_pass,
+            r.pass_ppm,
+        )
+        for r in registry.QUERIES["q_gopher_rules"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the fixture must exercise at least one failing rule, not pass vacuously
+    assert any(v[1] + v[4] + v[6] > 0 for v in got.values())
+
+
+def test_exact_substring_matches_bruteforce(spark, sf_dir):
+    """ExactSubstr window-duplication profile must match an independent
+    Python pass: 8-token windows, duplicated iff the gram text occurs
+    >= 2 times corpus-wide."""
+    W = 8
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    wins = []  # (source, doc_id, gram)
+    for r in rows:
+        if r.text is None:
+            continue
+        tk = [t for t in r.text.split(" ") if t != ""]
+        for i in range(len(tk) - W + 1):
+            wins.append((r.source, r.doc_id, " ".join(tk[i : i + W])))
+    df = Counter(g for _, _, g in wins)
+    agg = {}
+    for src, doc, g in wins:
+        a = agg.setdefault(src, [set(), 0, 0, set()])
+        a[0].add(doc)
+        a[1] += 1
+        if df[g] >= 2:
+            a[2] += 1
+            a[3].add(g)
+    want = {
+        s: (len(a[0]), a[1], a[2], a[2] * 1000000 // a[1], len(a[3]))
+        for s, a in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_windows, r.n_dup_windows, r.dup_ppm, r.n_dup_grams)
+        for r in registry.QUERIES["q_exact_substring"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # duplicated spans must exist in the fixture, or the op is untested
+    assert sum(v[2] for v in got.values()) > 0

@@ -977,3 +977,23 @@ def test_dsir_select_is_takeordered_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_dsir_select")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_gopher_rules_single_rollup_shuffle(spark, sf_dir):
+    """Every Gopher rule including the top-bigram mode must evaluate
+    scan-side (array expressions, no per-bigram exchange): the plan may
+    shuffle only for the k-source rollup and the final k-row sort."""
+    p = _plan(spark, sf_dir, "q_gopher_rules")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2  # rollup + sort
+    assert "CartesianProduct" not in p
+
+
+def test_exact_substring_shuffles_digests_linearly(spark, sf_dir):
+    """The ExactSubstr profile must join each window occurrence to its
+    OWN df row (linear, never a pair join): no cartesian product, and
+    the window explode happens scan-side (exactly one parquet scan
+    feeding both the df rollup and the back-join)."""
+    p = _plan(spark, sf_dir, "q_exact_substring")
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p or "Generate" in p

@@ -2027,3 +2027,116 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i + {_ES_W - 1}], ' ')) AS h
+        FROM toks, unnest(generate_series(1, len(t) - {_ES_W - 1})) AS u(i)
+        WHERE len(t) >= {_ES_W}
+    ),
+    df AS (SELECT h, COUNT(*) AS df FROM w GROUP BY h),
+    dup AS (
+        SELECT w.doc_id, w.pos FROM w JOIN df ON df.h = w.h WHERE df.df >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {_ES_W - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS is_new
+        FROM dup
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, span_id,
+               MAX(pos) + {_ES_W - 1} - MIN(pos) + 1 AS span_tokens,
+               COUNT(*) AS n_windows
+        FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(n_windows) AS BIGINT) AS n_dup_windows
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's span-merge step (Lee et al. 2021 §4): stitch each
+    document's duplicated {_ES_W}-token windows into maximal duplicated
+    token runs (interval union of the per-window [pos, pos+W-1] spans)
+    and report spans, duplicated-token mass, and the longest run per
+    affected document — the row a dedup pipeline uses to CUT the span
+    (the paper removes the span, not the document).
+
+    100 TB design: only DUPLICATED positions (output-bounded — df >= 2
+    windows, a tiny fraction of the corpus) ever reach the per-doc
+    window functions, and both window passes plus the final rollup share
+    the doc_id partitioning: one exchange over the dup positions. The
+    df stage is the same linear digest rollup as q_exact_substring. The
+    interval union is the q_interval_union running-max pattern — no
+    self-join, no per-span explode."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= _ES_W)
+    w = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_ES_W - 1}),"
+                f" i -> md5(array_join(slice(t, i, {_ES_W}), ' ')))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    df = w.groupBy("h").agg(F.count("*").alias("df"))
+    dup = (
+        w.join(df.where(F.col("df") >= 2), "h")
+        .select("doc_id", "pos")
+    )
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + _ES_W - 1).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sp = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("is_new")
+        .over(byp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_id"),
+    )
+    spans = sp.groupBy("doc_id", "span_id").agg(
+        (F.max("pos") + _ES_W - 1 - F.min("pos") + 1).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+            F.sum("n_windows").cast("bigint").alias("n_dup_windows"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1348,3 +1348,76 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _cluster_purity_sql() -> str:
+    return f"""
+    WITH {_kmeans_cte()},
+    lab AS (
+        SELECT a.cluster, e.label, COUNT(*) AS cnt
+        FROM a{_KM_ITERS} a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.label
+    ),
+    ranked AS (
+        SELECT cluster, label, cnt,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY cnt DESC, label ASC) AS rn,
+               SUM(cnt) OVER (PARTITION BY cluster) AS n_members,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_labels
+        FROM lab
+    )
+    SELECT cluster,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(label AS INTEGER) AS majority_label,
+           CAST(cnt AS BIGINT) AS n_majority,
+           CAST(cnt * 1000000 // n_members AS BIGINT) AS purity_ppm,
+           CAST(n_labels AS BIGINT) AS n_labels
+    FROM ranked WHERE rn = 1 ORDER BY cluster
+    """
+
+
+@query("q_cluster_purity", oracle=_cluster_purity_sql())
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval: per k-means cell, the majority ground-
+    truth label (ties to the lower label id), its member share in
+    floored ppm, and the distinct-label count — the purity metric that
+    gates whether an unsupervised index (IVF cells, SemDeDup cells) is
+    trusted for downstream routing. Shares the exact-int Lloyd machinery
+    with q_kmeans/q_semdedup so all three agree on every assignment.
+
+    100 TB design: the eval is two bounded rollups after the assignment
+    — (cluster, label) counts (map-side partials; at most k x |labels|
+    rows emerge), then k-row window ranking. Nothing pairwise, nothing
+    driver-side; the expensive part is the clustering itself, already
+    argued scale-safe at q_kmeans."""
+    _iv, assign = _km_exact_parts(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        assign.select("vec_id", "cluster")
+        .join(e, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    byc = Window.partitionBy("cluster")
+    ranked = lab.select(
+        "cluster",
+        "label",
+        "cnt",
+        F.row_number()
+        .over(byc.orderBy(F.desc("cnt"), F.asc("label")))
+        .alias("rn"),
+        F.sum("cnt").over(byc).alias("n_members"),
+        F.count("*").over(byc).alias("n_labels"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("cnt").cast("bigint").alias("n_majority"),
+            F.expr("cnt * 1000000 div n_members").cast("bigint").alias("purity_ppm"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )

@@ -962,3 +962,169 @@ def _cdc_compact_df(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ZS_BLOCKS = 128  # target block (file) count for both layouts
+_ZS_LOX, _ZS_HIX = 64, 79  # probe rectangle on the 256x256 (bx, by) grid
+_ZS_LOY, _ZS_HIY = 128, 143
+
+
+@query(
+    "q_zorder_skipping",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey,
+               CAST(floor(CAST(l_partkey AS DOUBLE)
+                          / (SELECT MAX(l_partkey) + 1 FROM lineitem)
+                          * {1 << _Z_BITS}) AS BIGINT) AS bx,
+               CAST(floor(CAST(l_suppkey AS DOUBLE)
+                          / (SELECT MAX(l_suppkey) + 1 FROM lineitem)
+                          * {1 << _Z_BITS}) AS BIGINT) AS by
+        FROM lineitem
+    ),
+    z AS (
+        SELECT l_orderkey, bx, by,
+               (
+                 {' + '.join(f"(((bx >> {i}) & 1) << {2 * i + 1}) + (((by >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS))}
+               ) AS zkey,
+               (SELECT (MAX(l_orderkey) + {_ZS_BLOCKS}) // {_ZS_BLOCKS}
+                FROM lineitem) AS nat_width
+        FROM b
+    ),
+    blocks AS (
+        SELECT 'natural' AS layout, l_orderkey // nat_width AS block,
+               bx, by FROM z
+        UNION ALL
+        SELECT 'zorder' AS layout,
+               zkey // {((1 << (2 * _Z_BITS)) + _ZS_BLOCKS - 1) // _ZS_BLOCKS}
+                 AS block,
+               bx, by FROM z
+    ),
+    stats AS (
+        SELECT layout, block, COUNT(*) AS n_rows,
+               MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+               MIN(by) AS min_by, MAX(by) AS max_by,
+               COUNT(*) FILTER (bx BETWEEN {_ZS_LOX} AND {_ZS_HIX}
+                                AND by BETWEEN {_ZS_LOY} AND {_ZS_HIY})
+                 AS n_match
+        FROM blocks GROUP BY layout, block
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) FILTER (max_bx >= {_ZS_LOX} AND min_bx <= {_ZS_HIX}
+                                 AND max_by >= {_ZS_LOY} AND min_by <= {_ZS_HIY})
+                AS BIGINT) AS blocks_hit,
+           CAST(SUM(CASE WHEN max_bx >= {_ZS_LOX} AND min_bx <= {_ZS_HIX}
+                         AND max_by >= {_ZS_LOY} AND min_by <= {_ZS_HIY}
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_match,
+           CAST((COUNT(*) - COUNT(*) FILTER (max_bx >= {_ZS_LOX}
+                AND min_bx <= {_ZS_HIX} AND max_by >= {_ZS_LOY}
+                AND min_by <= {_ZS_HIY})) * 1000000 // COUNT(*) AS BIGINT)
+             AS skip_ppm,
+           CAST(SUM(CASE WHEN max_bx >= {_ZS_LOX} AND min_bx <= {_ZS_HIX}
+                         AND max_by >= {_ZS_LOY} AND min_by <= {_ZS_HIY}
+                    THEN n_rows ELSE 0 END) * 1000
+                // greatest(SUM(n_match), 1) AS BIGINT) AS amp_x1000
+    FROM stats GROUP BY layout ORDER BY layout
+    """,
+)
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness audit: the same rows laid out two
+    ways — natural ingest order (orderkey ranges) vs Z-order (Morton-key
+    ranges, q_zorder_key's code) — each cut into ~{128} blocks with
+    per-block (bx, by) bounding boxes, then a 16x16 probe rectangle is
+    priced against both: blocks hit, rows scanned, floored skip ppm,
+    and scan amplification (rows scanned per matching row, x1000). The
+    number a lakehouse OPTIMIZE ZORDER decision is justified with.
+
+    100 TB design: block ids are KEY RANGES (orderkey div w / zkey div
+    w), so the audit needs NO global sort and no row_number — the whole
+    query is codegen'd integer arithmetic, one rollup shuffle on
+    (layout, block) with map-side partials, and a 2-row summary. The
+    two 1-row maxima are broadcast. Block row-counts vary like real
+    file sizes do; the skip/amplification ratios are layout properties,
+    not layout-cost properties."""
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        (F.max("l_partkey") + 1).alias("max_pk"),
+        (F.max("l_suppkey") + 1).alias("max_sk"),
+        ((F.max("l_orderkey") + _ZS_BLOCKS) / _ZS_BLOCKS)
+        .cast("bigint")
+        .alias("nat_width"),
+    )
+    scale = 1 << _Z_BITS
+    b = li.crossJoin(F.broadcast(mx)).select(
+        "l_orderkey",
+        F.floor(F.col("l_partkey").cast("double") / F.col("max_pk") * scale)
+        .cast("bigint")
+        .alias("bx"),
+        F.floor(F.col("l_suppkey").cast("double") / F.col("max_sk") * scale)
+        .cast("bigint")
+        .alias("by"),
+        "nat_width",
+    )
+    zkey = None
+    for i in range(_Z_BITS):
+        term = (
+            F.shiftleft(F.shiftrightunsigned("bx", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned("by", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        zkey = term if zkey is None else zkey + term
+    z = b.withColumn("zkey", zkey.cast("bigint"))
+    zw = ((1 << (2 * _Z_BITS)) + _ZS_BLOCKS - 1) // _ZS_BLOCKS
+    blocks = z.select(
+        F.lit("natural").alias("layout"),
+        F.expr("l_orderkey div nat_width").alias("block"),
+        "bx",
+        "by",
+    ).unionAll(
+        z.select(
+            F.lit("zorder").alias("layout"),
+            F.expr(f"zkey div {zw}").alias("block"),
+            "bx",
+            "by",
+        )
+    )
+    match = F.col("bx").between(_ZS_LOX, _ZS_HIX) & F.col("by").between(
+        _ZS_LOY, _ZS_HIY
+    )
+    stats = blocks.groupBy("layout", "block").agg(
+        F.count("*").alias("n_rows"),
+        F.min("bx").alias("min_bx"),
+        F.max("bx").alias("max_bx"),
+        F.min("by").alias("min_by"),
+        F.max("by").alias("max_by"),
+        F.sum(match.cast("bigint")).alias("n_match"),
+    )
+    hit = (
+        (F.col("max_bx") >= _ZS_LOX)
+        & (F.col("min_bx") <= _ZS_HIX)
+        & (F.col("max_by") >= _ZS_LOY)
+        & (F.col("min_by") <= _ZS_HIY)
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(hit.cast("bigint")).alias("blocks_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_match"),
+        )
+        .select(
+            "layout",
+            "n_blocks",
+            "blocks_hit",
+            "rows_scanned",
+            "rows_match",
+            F.expr("(n_blocks - blocks_hit) * 1000000 div n_blocks").alias(
+                "skip_ppm"
+            ),
+            F.expr("rows_scanned * 1000 div greatest(rows_match, 1)").alias(
+                "amp_x1000"
+            ),
+        )
+        .orderBy("layout")
+    )

@@ -377,3 +377,62 @@ def test_exact_substring_matches_bruteforce(spark, sf_dir):
     assert got == want
     # duplicated spans must exist in the fixture, or the op is untested
     assert sum(v[2] for v in got.values()) > 0
+
+
+def test_dup_spans_match_bruteforce(spark, sf_dir):
+    """Span merge must equal an independent interval-union pass over the
+    duplicated 8-token windows."""
+    W = 8
+    rows = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    wins = []  # (doc_id, pos, gram)
+    for r in rows:
+        if r.text is None:
+            continue
+        tk = [t for t in r.text.split(" ") if t != ""]
+        for i in range(len(tk) - W + 1):
+            wins.append((r.doc_id, i + 1, " ".join(tk[i : i + W])))
+    df = Counter(g for _, _, g in wins)
+    dup = {}
+    for doc, pos, g in wins:
+        if df[g] >= 2:
+            dup.setdefault(doc, []).append(pos)
+    want = {}
+    for doc, poss in dup.items():
+        poss.sort()
+        spans = []  # [start, end, n_windows]
+        for p in poss:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + W - 1)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + W - 1, 1])
+        lens = [e - s + 1 for s, e, _ in spans]
+        want[doc] = (len(spans), sum(lens), max(lens), sum(n for _, _, n in spans))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.max_span_tokens, r.n_dup_windows)
+        for r in registry.QUERIES["q_dup_spans"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the merge must actually merge somewhere (a span wider than W)
+    assert any(v[2] > W for v in got.values())
+
+
+def test_zorder_skipping_locality_property(spark, sf_dir):
+    """Both layouts must see the same matching rows, and the Z-order
+    layout must dominate: fewer blocks hit, fewer rows scanned, lower
+    amplification, higher skip rate."""
+    got = {
+        r.layout: r
+        for r in registry.QUERIES["q_zorder_skipping"](spark, sf_dir).collect()
+    }
+    nat, z = got["natural"], got["zorder"]
+    assert nat.rows_match == z.rows_match > 0
+    # key-range blocks: non-empty counts are data-dependent but must be
+    # comparable for the scan-cost comparison to be fair
+    assert abs(nat.n_blocks - z.n_blocks) * 10 <= max(nat.n_blocks, z.n_blocks)
+    assert z.blocks_hit < nat.blocks_hit
+    assert z.rows_scanned < nat.rows_scanned
+    assert z.skip_ppm > nat.skip_ppm
+    assert z.amp_x1000 < nat.amp_x1000

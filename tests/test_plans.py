@@ -997,3 +997,32 @@ def test_exact_substring_shuffles_digests_linearly(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_exact_substring")
     assert "CartesianProduct" not in p
     assert "Generate explode" in p or "Generate" in p
+
+
+def test_dup_spans_windows_share_doc_partitioning(spark, sf_dir):
+    """The span merge must run its two window passes and the per-doc
+    rollup on ONE doc_id exchange over only the duplicated positions —
+    and never materialize a pair join."""
+    p = _plan(spark, sf_dir, "q_dup_spans")
+    assert "CartesianProduct" not in p
+    # two window passes (running-max flag, running-sum span id)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    # one doc_id hash exchange feeds both windows + the rollup
+    assert len(re.findall(r"hashpartitioning\(doc_id", p)) >= 1
+
+
+def test_cluster_purity_bounded_rollups_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_cluster_purity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # centroids stay broadcast
+
+
+def test_zorder_skipping_no_sort_no_window_jvm_side(spark, sf_dir):
+    """The skipping audit prices layouts from KEY-RANGE block ids: no
+    global sort, no row_number window, no Python — pure codegen
+    arithmetic plus the (layout, block) rollup."""
+    p = _plan(spark, sf_dir, "q_zorder_skipping")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p

@@ -141,3 +141,29 @@ def test_semdedup_matches_bruteforce(spark, sf_dir):
     assert sum(v[0] for v in got.values()) == len(ids)
     # the fixture must exercise the dup branch, not vacuously pass
     assert sum(v[3] for v in got.values()) > 0
+
+
+def test_cluster_purity_matches_bruteforce(spark, sf_dir):
+    """Purity report must match an independent pass over the same
+    k-means assignment: majority label ties to the lower label id."""
+    from collections import Counter as _C
+
+    ids, labels, iv = _int_vectors(spark, sf_dir)
+    order = np.argsort(ids)
+    ids, labels, iv = ids[order], labels[order], iv[order]
+    assign, _ = _bf_kmeans(ids, iv)
+    per = {}
+    for vid, lab in zip(ids, labels):
+        per.setdefault(assign[vid], _C())[int(lab)] += 1
+    want = {}
+    for c, cnt in per.items():
+        n = sum(cnt.values())
+        maj, nm = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[c] = (n, maj, nm, nm * 1000000 // n, len(cnt))
+    got = {
+        r.cluster: (r.n_members, r.majority_label, r.n_majority, r.purity_ppm, r.n_labels)
+        for r in registry.QUERIES["q_cluster_purity"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # non-degenerate: at least one cluster is impure
+    assert any(v[3] < 1000000 for v in got.values())

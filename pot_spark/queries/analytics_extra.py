@@ -1019,3 +1019,213 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_clipped"),
         )
     )
+
+
+_KA_K = 10  # k-anonymity threshold
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH c1 AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value / 50) AS BIGINT) AS vb,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    resid AS (
+        SELECT event_type, day, SUM(cnt) AS rc
+        FROM c1 WHERE cnt < {_KA_K} GROUP BY 1, 2
+    )
+    SELECT c.event_type,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_l1_cohorts,
+           CAST(SUM(CASE WHEN c.cnt >= {_KA_K} THEN c.cnt ELSE 0 END)
+                AS BIGINT) AS n_released_l1,
+           CAST(COALESCE((SELECT SUM(rc) FROM resid r
+                          WHERE r.event_type = c.event_type
+                            AND r.rc >= {_KA_K}), 0) AS BIGINT)
+             AS n_released_l2,
+           CAST(COALESCE((SELECT SUM(rc) FROM resid r
+                          WHERE r.event_type = c.event_type
+                            AND r.rc < {_KA_K}), 0) AS BIGINT)
+             AS n_suppressed,
+           CAST(COALESCE((SELECT SUM(rc) FROM resid r
+                          WHERE r.event_type = c.event_type
+                            AND r.rc < {_KA_K}), 0) * 1000000
+                // SUM(c.cnt) AS BIGINT) AS suppressed_ppm
+    FROM c1 c GROUP BY c.event_type ORDER BY c.event_type
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release accounting (k = {10}) over the quasi-
+    identifier (event_type, day, value-band): fine cohorts of >= k rows
+    release as-is; smaller cohorts GENERALIZE one level (drop the value
+    band) and release if the regrouped cohort reaches k; the rest is
+    suppressed — the standard Mondrian-style ladder, reported per
+    event_type with floored suppressed ppm. Sibling of q_pii_scrub /
+    q_gdpr_erase in the privacy family.
+
+    100 TB design: pure cohort arithmetic — the row level is touched
+    once (the c1 rollup, map-side partials); the generalization and the
+    report are rollups OVER COHORT COUNTS (bounded by the QI
+    cardinality, << rows), so the ladder costs one corpus pass no
+    matter how many levels it has. Null QI values (hostile feeds) form
+    their own cohort on both engines and usually suppress — exactly
+    what a privacy release should do with malformed keys."""
+    ev = load(spark, sf_dir, "events")
+    c1 = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("vb"),
+    ).agg(F.count("*").alias("cnt"))
+    resid = (
+        c1.where(F.col("cnt") < _KA_K)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cnt").alias("rc"))
+    )
+    per_l2 = resid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rc") >= _KA_K, F.col("rc")).otherwise(0)).alias(
+            "n_released_l2"
+        ),
+        F.sum(F.when(F.col("rc") < _KA_K, F.col("rc")).otherwise(0)).alias(
+            "n_suppressed"
+        ),
+    )
+    per_l1 = c1.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_l1_cohorts"),
+        F.sum(F.when(F.col("cnt") >= _KA_K, F.col("cnt")).otherwise(0)).alias(
+            "n_released_l1"
+        ),
+    )
+    return (
+        per_l1.join(per_l2, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_l1_cohorts").cast("bigint").alias("n_l1_cohorts"),
+            F.col("n_released_l1").cast("bigint").alias("n_released_l1"),
+            F.coalesce("n_released_l2", F.lit(0))
+            .cast("bigint")
+            .alias("n_released_l2"),
+            F.coalesce("n_suppressed", F.lit(0))
+            .cast("bigint")
+            .alias("n_suppressed"),
+            F.expr("coalesce(n_suppressed, 0) * 1000000 div n_rows")
+            .cast("bigint")
+            .alias("suppressed_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+               COUNT(*) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS nl,
+                   COUNT(DISTINCT source) AS ns FROM obs),
+    cells AS (
+        SELECT rt.r, ct.c, COALESCE(obs.o, 0) AS o, tot.n, tot.nl, tot.ns
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+    ),
+    contrib AS (
+        SELECT n, nl, ns,
+               CAST(floor(
+                   (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                   * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                   / (CAST(n AS DOUBLE) * r * c) * 10000000000
+               ) AS BIGINT) AS q_e10
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nl AS BIGINT) AS n_langs,
+           CAST(ns AS BIGINT) AS n_sources,
+           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           round(CAST(SUM(q_e10) AS DOUBLE) / 10000000000, 6) AS chi2,
+           round(sqrt(CAST(SUM(q_e10) AS DOUBLE) / 10000000000
+                      / (n * least(nl - 1, ns - 1))), 6) AS cramers_v
+    FROM contrib
+    GROUP BY n, nl, ns
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between lang and source (+
+    Cramér's V effect size) — the corpus-drift / feed-balance alarm: a
+    source that suddenly ships one language moves this number before
+    any downstream metric does. Empty contingency cells contribute
+    their full expected mass (the cross of the marginals is built
+    explicitly, never inferred from observed pairs).
+
+    Engine-exact: each cell contribution uses the identity
+    (o−e)²/e = (o·N − r·c)²/(N·r·c) on IEEE doubles of integer counts
+    (every op correctly rounded — identical on both engines), then is
+    FLOORED at 1e-10 into an int64 before the global sum, so shuffle
+    order cannot move the statistic; chi2 and V are rounded from the
+    same integer sum.
+
+    100 TB design: one (lang, source) rollup over the corpus (map-side
+    partials), then everything is marginal-table arithmetic — the
+    cross join is |langs| x |sources| rows of broadcast 1-row/tiny
+    aggregates. Cost is the scan, not the statistic."""
+    docs = load(spark, sf_dir, "documents")
+    obs = (
+        docs.select(
+            F.coalesce("lang", F.lit("")).alias("lang"),
+            F.coalesce("source", F.lit("")).alias("source"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("lang").alias("nl"),
+        F.count_distinct("source").alias("ns"),
+    )
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "n",
+            "nl",
+            "ns",
+        )
+    )
+    num = F.col("o").cast("double") * F.col("n") - F.col("r").cast(
+        "double"
+    ) * F.col("c")
+    q_e10 = F.floor(
+        num * num / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+        * F.lit(10000000000)
+    ).cast("bigint")
+    return cells.select("n", "nl", "ns", q_e10.alias("q_e10")).groupBy(
+        "n", "nl", "ns"
+    ).agg(F.sum("q_e10").alias("s")).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nl").cast("bigint").alias("n_langs"),
+        F.col("ns").cast("bigint").alias("n_sources"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("s").cast("double") / 1e10, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("s").cast("double")
+                / 1e10
+                / (F.col("n") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

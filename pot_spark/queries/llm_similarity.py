@@ -1421,3 +1421,143 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 retrieval eval. DCG discounts 1/log2(i+1) are pre-quantized to
+# decimal(14,12) CONSTANTS (identical literals in both engines), so the
+# per-probe DCG is an exact decimal sum — shuffle-order-free — and only
+# the final dcg/idcg ratio touches IEEE division (correctly rounded,
+# engine-exact on identical inputs).
+# ---------------------------------------------------------------------------
+
+_NDCG_W = (
+    "1.000000000000", "0.630929753571", "0.500000000000", "0.430676558073",
+    "0.386852807235", "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318",
+)
+_NDCG_CUM = (
+    "1.000000000000", "1.630929753571", "2.130929753571", "2.561606311644",
+    "2.948459118879", "3.304666305987", "3.637999639320", "3.953464516106",
+    "4.254494511770", "4.543559338088",
+)
+_NDCG_K = 10
+
+
+def _ndcg_sql() -> str:
+    w_arr = ", ".join(f"CAST({w} AS DECIMAL(14,12))" for w in _NDCG_W)
+    cum_arr = ", ".join(f"CAST({c} AS DECIMAL(14,12))" for c in _NDCG_CUM)
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, label AS plabel, v AS p FROM e
+               WHERE vec_id % {_RECALL_MOD} = 0
+                 AND vec_id < {_RECALL_MOD * _RECALL_Q}),
+    nrel AS (
+        SELECT pr.probe_id, COUNT(*) AS n_rel
+        FROM probes pr JOIN e ON e.label = pr.plabel
+         AND e.vec_id <> pr.probe_id
+        GROUP BY pr.probe_id
+    ),
+    scored AS (
+        SELECT pr.probe_id,
+               CASE WHEN e.label = pr.plabel THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+                   ORDER BY round(list_cosine_similarity(e.v, pr.p), 6)
+                            DESC, e.vec_id) AS r
+        FROM e, probes pr WHERE e.vec_id <> pr.probe_id
+    ),
+    dcg AS (
+        SELECT probe_id,
+               SUM(rel * (LIST_VALUE({w_arr}))[r]) AS dcg,
+               CAST(SUM(rel) AS BIGINT) AS hits_at_10
+        FROM scored WHERE r <= {_NDCG_K} GROUP BY probe_id
+    )
+    SELECT d.probe_id,
+           CAST(n.n_rel AS BIGINT) AS n_rel,
+           d.hits_at_10,
+           CAST(d.dcg AS DOUBLE) AS dcg,
+           CAST(CASE WHEN n.n_rel = 0 THEN 0 ELSE floor(
+               CAST(d.dcg AS DOUBLE)
+               / CAST((LIST_VALUE({cum_arr}))[least(n.n_rel, {_NDCG_K})]
+                      AS DOUBLE) * 1000000) END AS BIGINT) AS ndcg_ppm
+    FROM dcg d JOIN nrel n USING (probe_id) ORDER BY d.probe_id
+    """
+
+
+@query("q_ndcg_eval", oracle=_ndcg_sql())
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per probe of the deterministic sample (q_ann_recall's
+    stride draw): exact-cosine top-10 ranking, binary relevance = same
+    ground-truth label, ideal DCG from the corpus-wide relevant count
+    capped at 10 — the graded retrieval metric reported next to
+    recall@k for any embedding index.
+
+    Scale posture: ground truth is sample-bounded by contract (broadcast
+    probe vectors x one corpus scan — q_sim_topk_batch's shape); the
+    per-probe top-10 is a WindowGroupLimit heap; nrel is one label-join
+    rollup. DCG is an exact decimal sum of pre-quantized constants, so
+    no shuffle order can move a ppm."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double().alias("v"))
+    probes = e.filter(
+        (F.col("vec_id") % _RECALL_MOD == 0)
+        & (F.col("vec_id") < _RECALL_MOD * _RECALL_Q)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("p"),
+    )
+    nrel = (
+        e.join(
+            F.broadcast(probes),
+            (F.col("label") == F.col("plabel"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    cos = F.round(_dot("v", "p") / (_norm("v") * _norm("p")), 6)
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    w_arr = F.expr(
+        "array(" + ", ".join(f"CAST({w} AS DECIMAL(14,12))" for w in _NDCG_W) + ")"
+    )
+    cum_arr = F.expr(
+        "array(" + ", ".join(f"CAST({c} AS DECIMAL(14,12))" for c in _NDCG_CUM) + ")"
+    )
+    top = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cos.alias("cos_sim"),
+            (F.col("label") == F.col("plabel")).cast("int").alias("rel"),
+        )
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _NDCG_K)
+    )
+    dcg = top.groupBy("probe_id").agg(
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("r"))).alias("dcg"),
+        F.sum("rel").cast("bigint").alias("hits_at_10"),
+    )
+    idcg = F.element_at(cum_arr, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int"))
+    return (
+        dcg.join(nrel, "probe_id")
+        .select(
+            "probe_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            "hits_at_10",
+            F.col("dcg").cast("double").alias("dcg"),
+            F.when(F.col("n_rel") == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("dcg").cast("double") / idcg.cast("double") * 1000000
+                )
+            )
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("probe_id")
+    )

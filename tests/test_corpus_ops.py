@@ -436,3 +436,79 @@ def test_zorder_skipping_locality_property(spark, sf_dir):
     assert z.rows_scanned < nat.rows_scanned
     assert z.skip_ppm > nat.skip_ppm
     assert z.amp_x1000 < nat.amp_x1000
+
+
+def test_k_anonymity_ladder_matches_bruteforce(spark, sf_dir):
+    """The release ladder must match an independent cohort pass: fine
+    cohorts >= k release, residuals regroup one level up, leftovers
+    suppress; every row lands in exactly one bucket."""
+    import datetime
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"),
+                F.floor(F.col("value") / 50).cast("bigint").alias("vb"))
+        .collect()
+    )
+    K = 10
+    c1 = Counter((r.event_type, r.day, r.vb) for r in rows)
+    agg = {}
+    for (et, day, vb), n in c1.items():
+        a = agg.setdefault(et, {"rows": 0, "cohorts": 0, "l1": 0, "resid": Counter()})
+        a["rows"] += n
+        a["cohorts"] += 1
+        if n >= K:
+            a["l1"] += n
+        else:
+            a["resid"][day] += n
+    want = {}
+    for et, a in agg.items():
+        l2 = sum(n for n in a["resid"].values() if n >= K)
+        sup = sum(n for n in a["resid"].values() if n < K)
+        want[et] = (a["rows"], a["cohorts"], a["l1"], l2, sup,
+                    sup * 1000000 // a["rows"])
+    got = {
+        r.event_type: (r.n_rows, r.n_l1_cohorts, r.n_released_l1,
+                       r.n_released_l2, r.n_suppressed, r.suppressed_ppm)
+        for r in registry.QUERIES["q_k_anonymity"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for v in got.values():
+        assert v[2] + v[3] + v[4] == v[0]  # every row lands in one bucket
+    # the ladder must exercise all three buckets somewhere
+    assert any(v[3] > 0 for v in got.values()) or any(v[4] > 0 for v in got.values())
+
+
+def test_chi2_independence_matches_bruteforce(spark, sf_dir):
+    """Chi2 must match an independent contingency pass including empty
+    cells, using the same floored 1e-10 integer summation."""
+    import math as _m
+
+    rows = (
+        load(spark, sf_dir, "documents").select("lang", "source").collect()
+    )
+    obs = Counter((r.lang or "", r.source or "") for r in rows)
+    langs = sorted({k[0] for k in obs})
+    srcs = sorted({k[1] for k in obs})
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (l, s), o in obs.items():
+        rt[l] += o
+        ct[s] += o
+    s_e10 = 0
+    for l in langs:
+        for s in srcs:
+            o = obs.get((l, s), 0)
+            num = float(o) * n - float(rt[l]) * ct[s]
+            s_e10 += _m.floor(num * num / (float(n) * rt[l] * ct[s]) * 1e10)
+    chi2 = round(s_e10 / 1e10, 6)
+    v = round(_m.sqrt(s_e10 / 1e10 / (n * min(len(langs) - 1, len(srcs) - 1))), 6)
+    got = registry.QUERIES["q_chi2_independence"](spark, sf_dir).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.n, g.n_langs, g.n_sources, g.dof) == (
+        n, len(langs), len(srcs), (len(langs) - 1) * (len(srcs) - 1)
+    )
+    assert g.chi2 == chi2
+    assert g.cramers_v == v

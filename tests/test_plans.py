@@ -1026,3 +1026,32 @@ def test_zorder_skipping_no_sort_no_window_jvm_side(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", p)) == 0
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
+
+
+def test_ndcg_probe_side_broadcasts(spark, sf_dir):
+    """The exact scoring is sample-bounded by contract: probe vectors
+    broadcast onto one corpus scan (never a shuffle of the corpus
+    against itself), top-10 via the per-probe rank heap."""
+    p = _plan(spark, sf_dir, "q_ndcg_eval")
+    assert "BroadcastNestedLoopJoin" in p  # the declared probe contract
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 1
+
+
+def test_k_anonymity_is_cohort_rollups_only(spark, sf_dir):
+    """The ladder must price cohorts, not rows: one row-level rollup,
+    then everything aggregates cohort counts — no Window, no join back
+    to the row level."""
+    p = _plan(spark, sf_dir, "q_k_anonymity")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2
+
+
+def test_chi2_is_marginal_arithmetic(spark, sf_dir):
+    """After the (lang, source) rollup the statistic is marginal-table
+    arithmetic on broadcast-sized relations — no sort-merge join, no
+    Python."""
+    p = _plan(spark, sf_dir, "q_chi2_independence")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p

@@ -167,3 +167,60 @@ def test_cluster_purity_matches_bruteforce(spark, sf_dir):
     assert got == want
     # non-degenerate: at least one cluster is impure
     assert any(v[3] < 1000000 for v in got.values())
+
+
+def test_ndcg_eval_matches_bruteforce(spark, sf_dir):
+    """nDCG@10 must match an independent numpy/Decimal pass: exact
+    cosine rounded to 6, rank ties to lower vec_id, decimal(14,12)
+    discount constants, IDCG from the capped corpus-wide relevant
+    count."""
+    from decimal import Decimal
+
+    from pot_spark.queries.llm_similarity import (
+        _NDCG_CUM,
+        _NDCG_K,
+        _NDCG_W,
+        _RECALL_MOD,
+        _RECALL_Q,
+    )
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: (int(r.label), np.array(r.embedding, dtype=np.float64)) for r in rows}
+    probes = [
+        v for v in sorted(vecs)
+        if v % _RECALL_MOD == 0 and v < _RECALL_MOD * _RECALL_Q
+    ]
+    W = [Decimal(w) for w in _NDCG_W]
+    CUM = [Decimal(c) for c in _NDCG_CUM]
+    want = {}
+    for p in probes:
+        plab, pv = vecs[p]
+        scored = []
+        for v, (lab, x) in vecs.items():
+            if v == p:
+                continue
+            cos = round(float(np.dot(x, pv)) / (np.linalg.norm(x) * np.linalg.norm(pv)), 6)
+            scored.append((-cos, v, lab))
+        scored.sort()
+        top = scored[:_NDCG_K]
+        rels = [1 if lab == plab else 0 for _, _, lab in top]
+        dcg = sum((W[i] for i, r in enumerate(rels) if r), Decimal(0))
+        n_rel = sum(1 for v, (lab, _) in vecs.items() if v != p and lab == plab)
+        if n_rel == 0:
+            ppm = 0
+        else:
+            idcg = CUM[min(n_rel, _NDCG_K) - 1]
+            ppm = int(float(dcg) / float(idcg) * 1000000)
+        want[p] = (n_rel, sum(rels), float(dcg), ppm)
+    got = {
+        r.probe_id: (r.n_rel, r.hits_at_10, r.dcg, r.ndcg_ppm)
+        for r in registry.QUERIES["q_ndcg_eval"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # non-degenerate: some probe is imperfect, some probe finds hits
+    assert any(v[3] < 1000000 for v in got.values())
+    assert any(v[1] > 0 for v in got.values())

@@ -121,6 +121,21 @@ HEADLINE = [
     "q_rolling_dau",
     "q_ann_recall",
     "q_mmr_select",
+    # round-6 (cont. 4): the published-selection pair (SemDeDup shares the
+    # kmeans plan; DSIR is two token-scale shuffles + a lambda join), the
+    # quality/dedup text ops (Gopher rules is the scan-side rule battery;
+    # ExactSubstr + span merge are the digest rollup family), and the
+    # eval/layout/privacy/drift ops — all plan-pinned in test_plans.py
+    "q_semdedup",
+    "q_dsir_select",
+    "q_gopher_rules",
+    "q_exact_substring",
+    "q_dup_spans",
+    "q_cluster_purity",
+    "q_zorder_skipping",
+    "q_ndcg_eval",
+    "q_k_anonymity",
+    "q_chi2_independence",
 ]
 
 

@@ -1622,20 +1622,49 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_sym"),
         tk.alias("tk"),
     )
-    # sequence(1, n-1) counts DOWN for n < 2 — gate the bigram build
+    # Top-bigram multiplicity (the mode count) as the longest run in the
+    # SORTED bigram array — O(d log d) staged projections instead of the
+    # O(d^2) distinct x filter scan (measured 6.9s -> 1.3s at sf0.1; the
+    # stages are separate selects because Spark does NOT common-
+    # subexpression-eliminate across lambda scopes). Every stage is
+    # gated on n >= 2: sequence(1, k) COUNTS DOWN for k < 1 and
+    # element_at(arr, 0) throws, so the guard is load-bearing.
     bg = F.expr(
         "transform(sequence(1, size(tk) - 1),"
         " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
     )
-    maxbg = F.when(
-        F.col("n") >= 2,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda g: F.size(F.filter(bg, lambda b: b == g)),
-            )
-        ),
+    d = (
+        d.withColumn("bs", F.when(F.col("n") >= 2, F.array_sort(bg)))
+        .withColumn(
+            "st",
+            F.when(
+                F.col("n") >= 2,
+                F.expr(
+                    "filter(transform(sequence(1, size(bs)),"
+                    " i -> CASE WHEN i = 1 OR element_at(bs, i)"
+                    " != element_at(bs, i - 1) THEN i END),"
+                    " x -> x is not null)"
+                ),
+            ),
+        )
+        .withColumn(
+            "st2",
+            F.when(
+                F.col("n") >= 2, F.expr("concat(st, array(size(bs) + 1))")
+            ),
+        )
+        .withColumn(
+            "maxbg",
+            F.when(
+                F.col("n") >= 2,
+                F.expr(
+                    "array_max(transform(sequence(1, size(st)),"
+                    " j -> element_at(st2, j + 1) - element_at(st2, j)))"
+                ),
+            ),
+        )
     )
+    maxbg = F.col("maxbg")
     f = d.select(
         "source",
         F.coalesce(F.col("n").between(30, 100000), F.lit(False)).alias("wc_ok"),

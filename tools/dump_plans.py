@@ -167,6 +167,27 @@ NOTES = {
     "hash-aggregable) — the partial runs MAP-SIDE, so the exchange "
     "carries one candidate row per key, not the log; no Window node, "
     "no exchange-then-sort of the full log.",
+    "q_semdedup": "all-pairs confined WITHIN a k-means cell: the pair "
+    "stage is ONE equi-join on cluster over PACKED int64 vectors "
+    "(zip_with dot — no per-dim explode), centroid tables broadcast; "
+    "candidate volume is sum(|cell|^2), controlled by k ∝ N.",
+    "q_dsir_select": "two token-scale shuffles (vocab + (doc,token) "
+    "rollups, both with map-side partials), the lambda table joins on "
+    "token, and the final cut is a TakeOrderedAndProject k-row heap — "
+    "never a global sort.",
+    "q_gopher_rules": "every rule incl. the per-doc top-bigram mode is "
+    "a scan-side array expression (O(d^2) executor-local arithmetic "
+    "beats a (doc,bigram) exchange); ONE parquet scan, the only hash "
+    "exchange is the source rollup.",
+    "q_exact_substring": "window explode is scan-side codegen; only "
+    "16-byte digests shuffle; the df back-join is LINEAR per occurrence "
+    "(each window meets its own df row — no Σ df² pair blowup).",
+    "q_dup_spans": "only DUPLICATED positions reach the per-doc stage: "
+    "both window passes (running-max flag, running-sum span id) and "
+    "the rollup share one hashpartitioning(doc_id) exchange.",
+    "q_zorder_skipping": "block ids are KEY RANGES — no global sort, "
+    "no row_number, no Window node anywhere; pure shift/and codegen "
+    "plus the (layout, block) rollup; the 1-row maxima broadcast.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

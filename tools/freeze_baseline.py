@@ -31,6 +31,7 @@ FILLS = [  # earliest-first; first file covering a query wins
     "BENCH_r06_local2.json",
     "BENCH_r06_local3.json",
     "BENCH_r06_local4.json",
+    "BENCH_r06_local5.json",
 ]
 
 

@@ -1566,3 +1566,111 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+_RP_OUT = 8  # output dimensions for the signed random projection
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    outs AS (SELECT unnest(generate_series(1, {_RP_OUT})) AS j),
+    iv AS (
+        SELECT vec_id, d, CAST(floor(v[d] * 1000) AS BIGINT) AS x
+        FROM e, dims
+    ),
+    signs AS (
+        SELECT d, j,
+               CASE WHEN substring(md5(d || '_' || j), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+               THEN 1 ELSE -1 END AS s
+        FROM dims, outs
+    ),
+    y AS (
+        SELECT iv.vec_id, sg.j, SUM(sg.s * iv.x) AS yj
+        FROM iv JOIN signs sg ON sg.d = iv.d
+        GROUP BY iv.vec_id, sg.j
+    ),
+    norms AS (
+        SELECT vec_id, SUM(x * x) AS x2 FROM iv GROUP BY vec_id
+    ),
+    per_vec AS (
+        SELECT y.vec_id,
+               (SUM(yj * yj) * 1000000) // ({_RP_OUT} * n.x2) AS ratio_ppm
+        FROM y JOIN norms n ON n.vec_id = y.vec_id
+        WHERE n.x2 > 0
+        GROUP BY y.vec_id, n.x2
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(p.ratio_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm,
+           CAST(MIN(p.ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(MAX(p.ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM per_vec p JOIN e ON e.vec_id = p.vec_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas/JL): project the exact-int
+    vectors from {16} to {8} dimensions with a deterministic ±1 matrix
+    (sign = md5(d_j) hex-digit parity — identical on both engines, no
+    RNG), then audit norm preservation per label: E[|y|²] = d_out·|x|²
+    for a ±1 matrix, so ratio_ppm = |y|²·10⁶ / (d_out·|x|²) should
+    concentrate at 10⁶ — the dimensionality-reduction sanity gate a
+    pipeline runs before trusting projected distances for ANN/dedup.
+
+    Engine-exact end to end: components, the projection, both norms and
+    every ratio are int64 arithmetic with floored ppm — no float
+    anywhere past the initial component quantization.
+
+    100 TB design: the sign matrix is d_in × d_out rows — always a
+    broadcast; the projection is one rollup of the exploded components
+    keyed (vec_id, j) with map-side partials (same shape as q_kmeans'
+    assignment); norms ride the same scan; the audit is a |labels|-row
+    rollup. One corpus-scale pass, two bounded shuffles."""
+    emb = load(spark, sf_dir, "embeddings")
+    iv, _assign = _km_exact_parts(spark, sf_dir)
+    dims = spark.range(1, _DIM + 1).select(F.col("id").cast("int").alias("d"))
+    outs = spark.range(1, _RP_OUT + 1).select(F.col("id").cast("int").alias("j"))
+    signs = dims.crossJoin(outs).select(
+        "d",
+        "j",
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("d"), F.col("j"))), 1, 1
+            ).isin(*"01234567"),
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    y = (
+        iv.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("yj"))
+    )
+    norms = iv.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("x2"))
+    per_vec = (
+        y.join(norms, "vec_id")
+        .where(F.col("x2") > 0)
+        .groupBy("vec_id", "x2")
+        .agg(F.sum(F.col("yj") * F.col("yj")).alias("y2"))
+        .select(
+            "vec_id",
+            F.expr(f"y2 * 1000000 div ({_RP_OUT} * x2)").alias("ratio_ppm"),
+        )
+    )
+    return (
+        per_vec.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr("sum(ratio_ppm) div count(*)").alias("mean_ratio_ppm"),
+            F.min("ratio_ppm").cast("bigint").alias("min_ratio_ppm"),
+            F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
+        )
+        .orderBy("label")
+    )

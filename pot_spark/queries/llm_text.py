@@ -1729,3 +1729,106 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_kneser_ney",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ),
+    cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY w1, w2
+    ),
+    fwd AS (SELECT w1, SUM(c) AS ctx, CAST(COUNT(*) AS DOUBLE) AS n1f
+            FROM cb GROUP BY w1),
+    bwd AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1b FROM cb GROUP BY w2),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM cb),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS m
+        FROM bi GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(CAST(m * LN(
+                 (GREATEST(cb.c - 0.75, 0)
+                  + 0.75 * f.n1f * (bw.n1b / (SELECT b FROM btot)))
+                 / f.ctx) AS DECIMAL(28,12)))
+                 / SUM(m), 6) AS avg_neg_logprob
+    FROM doc_bi d
+    JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+    JOIN fwd f ON f.w1 = d.w1
+    JOIN bwd bw ON bw.w2 = d.w2
+    GROUP BY d.doc_id
+    """,
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (D = 0.75): p(w2|w1) =
+    (max(c(w1w2) − D, 0) + D·N1+(w1·)·p_cont(w2)) / c(w1·), with the
+    continuation probability p_cont(w2) = N1+(·w2)/|bigram types| — the
+    smoothing that backs off to how many CONTEXTS a word follows, not
+    how often it occurs (the classic fix for 'Francisco': frequent but
+    only ever after 'San'). Per-doc average negative log-probability;
+    sibling of q_bigram_lm's simple interpolation.
+
+    Shuffle-stability: q_bigram_lm's exact trick — each m·ln(p) term is
+    cast to DECIMAL(28,12) before the sum, so partial-sum order cannot
+    move the rounded result; ln is the host's one libm.
+
+    Scale posture: ALL model tables (bigram counts, forward/backward
+    continuation counts, the 1-row type total) are type-scale, derived
+    from one bigram rollup; the scoring joins are keyed on types with
+    per-(doc, bigram) pre-aggregation bounding any hot key, and the
+    per-doc rollup is the only token-scale shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.when(
+                    F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    fwd = cb.groupBy("w1").agg(
+        F.sum("c").alias("ctx"), F.count("*").cast("double").alias("n1f")
+    )
+    bwd = cb.groupBy("w2").agg(F.count("*").cast("double").alias("n1b"))
+    btot = cb.agg(F.count("*").cast("double").alias("b"))
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("double").alias("m")
+    )
+    scored = (
+        doc_bi.join(cb, ["w1", "w2"])
+        .join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(btot))
+    )
+    p = (
+        F.greatest(F.col("c") - 0.75, F.lit(0.0))
+        + 0.75 * F.col("n1f") * (F.col("n1b") / F.col("b"))
+    ) / F.col("ctx")
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum((F.col("m") * F.log(p)).cast("decimal(28,12)"))
+            / F.sum("m"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

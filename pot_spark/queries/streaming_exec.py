@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pot_spark.queries.joins  # noqa: F401
 import pot_spark.queries.scale_ops  # noqa: F401
 import pot_spark.queries.streaming_windows  # noqa: F401
+import pot_spark.queries.timeseries  # noqa: F401
 from pot_spark.registry import ORACLES, query
 from pot_spark.streaming.runner import run_streaming_query
 
@@ -207,3 +208,15 @@ def s_cdc_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY row_number()=1 snapshot. Batch twin plan note: scale_ops.py
     q_cdc_compact (map-side partial max(struct))."""
     return run_streaming_query(spark, "s_cdc_compact", sf_dir)
+
+@query("s_ohlc_stream", oracle=ORACLES["q_ohlc_bars"])
+def s_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC bars executed under real Structured
+    Streaming: min_by/max_by (open/close ordered on (ts, event_id)) run
+    as stateful window aggregates with watermark-bounded state — the
+    financial-rollup shape, continuously maintained. Oracle = the batch
+    twin q_ohlc_bars'. Scale posture is the batch twin's (one
+    map-side-combinable aggregation keyed (user_id, hour)) plus the
+    runner's state story: each open window holds one (open, high, low,
+    close, n) tuple per (user, hour), retired by the watermark."""
+    return run_streaming_query(spark, "q_ohlc_bars", sf_dir)

@@ -674,7 +674,36 @@ def build_stream_static_join(
     )
 
 
+def build_ohlc(stream: DataFrame) -> DataFrame:
+    """Per-user hourly OHLC bars as a streaming aggregate: open/close via
+    min_by/max_by ordered on (ts, event_id) — the same single-aggregation
+    plan as the batch twin q_ohlc_bars, with watermark-bounded window
+    state instead of a static groupBy."""
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.min_by("value", order_key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order_key), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 BUILDERS = {
+    "q_ohlc_bars": build_ohlc,
     "s_tumbling": build_tumbling,
     "s_sliding": build_sliding,
     "s_session": build_session,

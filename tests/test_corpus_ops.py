@@ -512,3 +512,44 @@ def test_chi2_independence_matches_bruteforce(spark, sf_dir):
     )
     assert g.chi2 == chi2
     assert g.cramers_v == v
+
+
+def test_kneser_ney_matches_bruteforce(spark, sf_dir):
+    """Interpolated KN bigram scores must match an independent Python
+    pass: D = 0.75, continuation counts from the bigram-type table,
+    per-term decimal(28,12) quantization before the per-doc average."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    texts = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    cb, fwd_types, bwd_types, ctx = Counter(), Counter(), Counter(), Counter()
+    for ts in texts.values():
+        cb.update(zip(ts, ts[1:]))
+    for (w1, w2), c in cb.items():
+        fwd_types[w1] += 1
+        bwd_types[w2] += 1
+        ctx[w1] += c
+    B = len(cb)
+    q12 = Decimal("1e-12")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in registry.QUERIES["q_kneser_ney"](spark, sf_dir).collect()
+    }
+    q28 = Decimal("1e-12")
+    for doc_id, ts in texts.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        per = Counter(pairs)
+        s = Decimal(0)
+        for p, m in per.items():
+            w1, w2 = p
+            prob = (max(cb[p] - 0.75, 0.0) + 0.75 * fwd_types[w1] * (bwd_types[w2] / B)) / ctx[w1]
+            s += Decimal(m * math.log(prob)).quantize(q28, rounding=ROUND_HALF_UP)
+        n, score = got[doc_id]
+        assert n == len(pairs)
+        want = round(float(-s) / len(pairs), 6)
+        assert abs(score - want) < 2e-6, doc_id

@@ -1055,3 +1055,21 @@ def test_chi2_is_marginal_arithmetic(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_chi2_independence")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_kneser_ney_model_tables_are_type_scale(spark, sf_dir):
+    """All KN model tables derive from the one bigram rollup; scoring
+    joins are hash joins on types — no cartesian beyond the broadcast
+    1-row type total."""
+    p = _plan(spark, sf_dir, "q_kneser_ney")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_random_projection_broadcasts_signs(spark, sf_dir):
+    """The d_in x d_out sign matrix must broadcast into the component
+    stream; projection + norms are partial-agg'd rollups, no Python."""
+    p = _plan(spark, sf_dir, "q_random_projection")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

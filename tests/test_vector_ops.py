@@ -224,3 +224,48 @@ def test_ndcg_eval_matches_bruteforce(spark, sf_dir):
     # non-degenerate: some probe is imperfect, some probe finds hits
     assert any(v[3] < 1000000 for v in got.values())
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_random_projection_matches_bruteforce(spark, sf_dir):
+    """The SRP audit must match an independent numpy pass with the same
+    md5-parity sign matrix and floored integer ppm arithmetic — and the
+    JL norm-preservation property must hold on average (mean ratio
+    within 50% of 1e6 for every label)."""
+    import hashlib
+
+    from pot_spark.queries.llm_similarity import _DIM, _RP_OUT
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    signs = {
+        (d, j): 1 if hashlib.md5(f"{d}_{j}".encode()).hexdigest()[0] in "01234567" else -1
+        for d in range(1, _DIM + 1)
+        for j in range(1, _RP_OUT + 1)
+    }
+    agg = {}
+    for r in rows:
+        x = [int(math.floor(float(v) * 1000)) for v in r.embedding]
+        x2 = sum(c * c for c in x)
+        if x2 <= 0:
+            continue
+        y2 = 0
+        for j in range(1, _RP_OUT + 1):
+            yj = sum(signs[(d, j)] * x[d - 1] for d in range(1, _DIM + 1))
+            y2 += yj * yj
+        ratio = (y2 * 1000000) // (_RP_OUT * x2)
+        a = agg.setdefault(int(r.label), [0, 0, None, None])
+        a[0] += 1
+        a[1] += ratio
+        a[2] = ratio if a[2] is None else min(a[2], ratio)
+        a[3] = ratio if a[3] is None else max(a[3], ratio)
+    want = {l: (a[0], a[1] // a[0], a[2], a[3]) for l, a in agg.items()}
+    got = {
+        r.label: (r.n_vecs, r.mean_ratio_ppm, r.min_ratio_ppm, r.max_ratio_ppm)
+        for r in registry.QUERIES["q_random_projection"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for n, mean, lo, hi in got.values():
+        assert 500000 <= mean <= 1500000  # JL concentration, d_out = 8

@@ -2140,3 +2140,58 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_soft_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS dig
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT dig, COUNT(*) AS n FROM d GROUP BY dig)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.dig) AS BIGINT) AS n_distinct,
+           CAST(SUM(1000000 // c.n) AS BIGINT) AS sum_weight_ppm,
+           CAST(SUM(1000000 // c.n) // COUNT(*) AS BIGINT) AS eff_ppm
+    FROM d JOIN c ON c.dig = d.dig
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the reweight-don't-drop alternative, à la
+    SoftDeDup): every document keeps sampling weight 1/n where n is its
+    exact-duplicate cluster size, so a text duplicated n times carries
+    one document's total mass instead of n — reported per source as the
+    summed floored ppm weights and the effective-mass ratio (eff_ppm =
+    10⁶ means a source is all-unique; lower means its mass deflates
+    under soft dedup). Integer-exact: weights are floored integer ppm.
+
+    100 TB design: q_dedup_exact's shape — only 32-byte digests shuffle
+    (the digest rollup partial-aggs map-side); the weight join is
+    LINEAR per doc (each doc meets its own cluster-count row), and the
+    report is a k-source rollup. No text ever crosses the wire."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", F.md5("text").alias("dig"))
+    )
+    c = d.groupBy("dig").agg(F.count("*").alias("n"))
+    return (
+        d.join(c, "dig")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("dig").alias("n_distinct"),
+            F.sum(F.expr("1000000 div n")).alias("sum_weight_ppm"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.col("sum_weight_ppm").cast("bigint").alias("sum_weight_ppm"),
+            F.expr("sum_weight_ppm div n_docs").cast("bigint").alias("eff_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1221,9 +1221,11 @@ _SD_TAU2_BP = 2025  # tau = 0.45 -> tau^2 in basis points (0.2025 * 10^4)
 _SD_SALT = 32  # pair-join salt width (k cluster keys << cores otherwise)
 
 
-def _semdedup_sql() -> str:
-    return f"""
-    WITH {_kmeans_cte()},
+def _semdedup_cte() -> str:
+    """Shared SemDeDup CTE chain (through the duplicate-pair relation
+    ``dup``) — one definition of the within-cell cosine dedup for
+    q_semdedup and q_d4_select, so both oracles agree on every pair."""
+    return f"""{_kmeans_cte()},
     norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM iv GROUP BY vec_id),
     vecs AS (
         SELECT a.vec_id, a.cluster, n.n2,
@@ -1246,7 +1248,12 @@ def _semdedup_sql() -> str:
         WHERE dot > 0
           AND CAST(dot AS HUGEINT) * dot * 10000
               >= {_SD_TAU2_BP} * CAST(na2 AS HUGEINT) * nb2
-    ),
+    )"""
+
+
+def _semdedup_sql() -> str:
+    return f"""
+    WITH {_semdedup_cte()},
     dupstats AS (
         SELECT cluster, COUNT(*) AS n_dup_pairs,
                COUNT(DISTINCT vb) AS n_dropped
@@ -1290,8 +1297,39 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats + member counts) read it, and it feeds the expensive pair
     stage — without the barrier each branch re-runs the full iterative
     clustering chain."""
+    assign, dup = _semdedup_parts(spark, sf_dir)
+    # pair count + distinct dropped in ONE aggregate: a second branch
+    # over `dup` would re-run the whole pair pipeline (Spark reuses
+    # nothing across DataFrame branches without an explicit barrier)
+    dupstats = dup.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("vb").alias("n_dropped"),
+    )
+    mem = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        mem.join(dupstats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _semdedup_parts(spark: SparkSession, sf_dir: str):
+    """Shared SemDeDup machinery: returns ``(assign, dup)`` where
+    ``assign`` is the CHECKPOINTED Lloyd assignment (vec_id, cluster,
+    sd — sd is the exact squared distance to the winning centroid) and
+    ``dup`` the within-cell duplicate-pair relation (cluster, va, vb,
+    va < vb, integer-exact cosine >= tau) — one definition for
+    q_semdedup and q_d4_select, mirroring ``_semdedup_cte()``."""
     iv, assign = _km_exact_parts(spark, sf_dir)
-    assign = reliable_checkpoint(assign.select("vec_id", "cluster"))
+    assign = reliable_checkpoint(assign.select("vec_id", "cluster", "sd"))
     vecs = iv.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
@@ -1299,7 +1337,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.col("x") * F.col("x")).alias("n2"),
     )
-    m = assign.join(vecs, "vec_id")
+    m = assign.select("vec_id", "cluster").join(vecs, "vec_id")
     # salt the pair join: there are only k cluster keys, so an unsalted
     # equi-join lands each cell's whole O(|cell|^2) pair block on ONE
     # reducer (measured 2.8s -> 1.8s at sf0.1 with 4 cells on 32 cores;
@@ -1332,27 +1370,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(_SD_TAU2_BP) * F.col("na2").cast("decimal(38,0)") * F.col("nb2")
         )
     )
-    # pair count + distinct dropped in ONE aggregate: a second branch
-    # over `dup` would re-run the whole pair pipeline (Spark reuses
-    # nothing across DataFrame branches without an explicit barrier)
-    dupstats = dup.groupBy("cluster").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.count_distinct("vb").alias("n_dropped"),
-    )
-    mem = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    return (
-        mem.join(dupstats, "cluster", "left")
-        .select(
-            "cluster",
-            "n_members",
-            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
-            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
-        )
-        .orderBy("cluster")
-    )
+    return assign, dup
 
 
 def _cluster_purity_sql() -> str:
@@ -1673,4 +1691,112 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+# De-Duplication and Diversification"): SemDeDup inside k-means cells,
+# then SSL-prototype pruning — drop the most PROTOTYPICAL survivors
+# (closest to their cluster centroid), keeping the diverse tail.
+# ---------------------------------------------------------------------------
+
+_D4_PROTO_DIV = 4  # prototype-prune the closest 1/4 of each cell's survivors
+
+
+def _d4_sql() -> str:
+    return f"""
+    WITH {_semdedup_cte()},
+    dropped AS (SELECT DISTINCT vb AS vec_id FROM dup),
+    surv AS (
+        SELECT a.vec_id, a.cluster, a.sd
+        FROM a{_KM_ITERS} a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ),
+    ranked AS (
+        SELECT vec_id, cluster, sd,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY sd ASC, vec_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_surv
+        FROM surv
+    ),
+    mem AS (SELECT cluster, COUNT(*) AS n_members
+            FROM a{_KM_ITERS} GROUP BY cluster)
+    SELECT m.cluster,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(m.n_members - COALESCE(MAX(r.n_surv), 0) AS BIGINT)
+             AS n_semdedup_dropped,
+           CAST(COALESCE(MAX(r.n_surv), 0) // {_D4_PROTO_DIV} AS BIGINT)
+             AS n_proto_dropped,
+           CAST(COALESCE(MAX(r.n_surv), 0)
+                - COALESCE(MAX(r.n_surv), 0) // {_D4_PROTO_DIV} AS BIGINT)
+             AS n_kept,
+           CAST(COALESCE(MIN(CASE WHEN r.rn > r.n_surv // {_D4_PROTO_DIV}
+                                  THEN r.sd END), 0) AS BIGINT)
+             AS min_kept_sd
+    FROM mem m LEFT JOIN ranked r ON r.cluster = m.cluster
+    GROUP BY m.cluster, m.n_members
+    ORDER BY m.cluster
+    """
+
+
+@query("q_d4_select", oracle=_d4_sql())
+def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 selection report per cell: SemDeDup first (drop higher-id
+    cosine-duplicates), then prototype-prune the closest quarter of the
+    survivors to their centroid (rank by exact integer squared distance,
+    ties to lower vec_id) — members, semantic drops, prototype drops,
+    final keeps, and the smallest kept distance (the prune boundary).
+
+    Engine-exact: the prototypicality score IS the Lloyd assignment's
+    exact integer squared distance (shared machinery with q_kmeans /
+    q_semdedup — all oracles agree on every assignment and tie); the
+    prune count is integer floor division.
+
+    100 TB design: everything downstream of SemDeDup's pair stage is
+    per-cell windowing over SURVIVORS (bounded by cell size, shuffled
+    once on cluster) plus k-row rollups; the checkpoint shared with
+    q_semdedup keeps the iterative chain single-run. The paper's
+    embedding-space argument is unchanged from q_semdedup: k ∝ N keeps
+    cells executor-sized."""
+    assign, dup = _semdedup_parts(spark, sf_dir)
+    dropped = dup.select(F.col("vb").alias("vec_id")).distinct()
+    surv = assign.join(dropped, "vec_id", "left_anti")
+    byc = Window.partitionBy("cluster")
+    ranked = surv.select(
+        "cluster",
+        "sd",
+        F.row_number()
+        .over(byc.orderBy(F.asc("sd"), F.asc("vec_id")))
+        .alias("rn"),
+        F.count("*").over(byc).alias("n_surv"),
+    )
+    per_cell = ranked.groupBy("cluster").agg(
+        F.max("n_surv").alias("n_surv"),
+        F.min(
+            F.when(
+                F.col("rn") > F.expr(f"n_surv div {_D4_PROTO_DIV}"), F.col("sd")
+            )
+        ).alias("min_kept_sd"),
+    )
+    mem = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        mem.join(per_cell, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - F.coalesce("n_surv", F.lit(0)))
+            .cast("bigint")
+            .alias("n_semdedup_dropped"),
+            F.expr(f"coalesce(n_surv, 0) div {_D4_PROTO_DIV}")
+            .cast("bigint")
+            .alias("n_proto_dropped"),
+            F.expr(
+                f"coalesce(n_surv, 0) - coalesce(n_surv, 0) div {_D4_PROTO_DIV}"
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("min_kept_sd", F.lit(0)).cast("bigint").alias("min_kept_sd"),
+        )
+        .orderBy("cluster")
     )

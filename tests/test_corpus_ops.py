@@ -553,3 +553,36 @@ def test_kneser_ney_matches_bruteforce(spark, sf_dir):
         assert n == len(pairs)
         want = round(float(-s) / len(pairs), 6)
         assert abs(score - want) < 2e-6, doc_id
+
+
+def test_soft_dedup_matches_bruteforce(spark, sf_dir):
+    """Soft-dedup weights must equal 1e6 // cluster_size summed per
+    source, and a source's effective mass can never exceed its count."""
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    c = Counter(r.text for r in rows if r.text is not None)
+    agg = {}
+    for r in rows:
+        if r.text is None:
+            continue
+        a = agg.setdefault(r.source, [0, set(), 0])
+        a[0] += 1
+        a[1].add(r.text)
+        a[2] += 1000000 // c[r.text]
+    want = {
+        s: (a[0], len(a[1]), a[2], a[2] // a[0]) for s, a in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_distinct, r.sum_weight_ppm, r.eff_ppm)
+        for r in registry.QUERIES["q_soft_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for n_docs, n_distinct, sum_w, eff in got.values():
+        assert sum_w <= n_docs * 1000000
+        assert eff <= 1000000
+    # when the fixture has exact duplicates, the weights must deflate
+    if any(n > 1 for n in c.values()):
+        assert any(v[3] < 1000000 for v in got.values())

@@ -1073,3 +1073,19 @@ def test_random_projection_broadcasts_signs(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_d4_select_windows_survivors_only(spark, sf_dir):
+    """D4's prototype ranking must window over SemDeDup survivors on the
+    cluster partitioning — never a cartesian, centroids broadcast."""
+    p = _plan(spark, sf_dir, "q_d4_select")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 1
+
+
+def test_soft_dedup_weight_join_is_linear(spark, sf_dir):
+    """Each doc joins exactly its own digest-count row — no pair join,
+    no text on the wire (digests only in the join keys)."""
+    p = _plan(spark, sf_dir, "q_soft_dedup")
+    assert "CartesianProduct" not in p

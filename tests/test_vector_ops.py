@@ -269,3 +269,42 @@ def test_random_projection_matches_bruteforce(spark, sf_dir):
     assert got == want
     for n, mean, lo, hi in got.values():
         assert 500000 <= mean <= 1500000  # JL concentration, d_out = 8
+
+
+def test_d4_select_matches_bruteforce(spark, sf_dir):
+    """D4 per-cell accounting must match an independent pass: SemDeDup
+    drops (higher-id cosine dup), then prototype-prune the floor-quarter
+    of survivors closest to the centroid (sd asc, vec_id asc)."""
+    ids, _, iv = _int_vectors(spark, sf_dir)
+    order = np.argsort(ids)
+    ids, iv = ids[order], iv[order]
+    assign, sd = _bf_kmeans(ids, iv)
+    n2 = {vid: int((v.astype(object) ** 2).sum()) for vid, v in zip(ids, iv)}
+    vec = {vid: v for vid, v in zip(ids, iv)}
+    members = {}
+    for vid in ids:
+        members.setdefault(assign[vid], []).append(vid)
+    want = {}
+    for c, mem in members.items():
+        mem = sorted(mem)
+        dropped = set()
+        for i, a in enumerate(mem):
+            for b in mem[i + 1 :]:
+                dot = int(np.dot(vec[a].astype(object), vec[b].astype(object)))
+                if dot > 0 and dot * dot * 10000 >= 2025 * n2[a] * n2[b]:
+                    dropped.add(b)
+        surv = sorted((v for v in mem if v not in dropped),
+                      key=lambda v: (sd[v], v))
+        n_proto = len(surv) // 4
+        kept = surv[n_proto:]
+        min_kept = min((sd[v] for v in kept), default=0)
+        want[c] = (len(mem), len(dropped), n_proto, len(surv) - n_proto, min_kept)
+    got = {
+        r.cluster: (r.n_members, r.n_semdedup_dropped, r.n_proto_dropped,
+                    r.n_kept, r.min_kept_sd)
+        for r in registry.QUERIES["q_d4_select"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # both prune stages must fire somewhere
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())

@@ -136,6 +136,14 @@ HEADLINE = [
     "q_ndcg_eval",
     "q_k_anonymity",
     "q_chi2_independence",
+    # round-6 (cont. 5): the real-stream OHLC twin (stateful min_by/max_by
+    # window state), the KN LM (type-scale model tables), the JL audit
+    # (broadcast sign matrix), and the D4 / soft-dedup selection pair
+    "s_ohlc_stream",
+    "q_kneser_ney",
+    "q_random_projection",
+    "q_d4_select",
+    "q_soft_dedup",
 ]
 
 

@@ -13,6 +13,7 @@ utility; at scale an inline full-store tar per write is the wrong plan.
 
 from __future__ import annotations
 
+import errno
 import fcntl
 import io
 import json
@@ -26,6 +27,38 @@ from pot_spark.kv.store import PotStore
 # covers only the open→flock window of a concurrent writer (liveness
 # itself is the flock, not this age — see zip_store)
 _STAGING_GRACE_SEC = 60
+
+# reclaim horizon used ONLY when the filesystem does not support flock
+# (some NFS/SMB mounts raise ENOTSUP): without a liveness lock the old
+# mtime-age rule is the best available signal, and it must be long
+# enough that a legitimate in-progress zip is never unlinked mid-write
+_STAGING_MTIME_HORIZON_SEC = 3600
+
+_FLOCK_UNSUPPORTED_ERRNOS = tuple(
+    e
+    for e in (
+        getattr(errno, "ENOTSUP", None),
+        getattr(errno, "EOPNOTSUPP", None),
+        getattr(errno, "ENOSYS", None),
+        getattr(errno, "EINVAL", None),
+    )
+    if e is not None
+)
+
+
+def _try_flock(fileobj) -> bool:
+    """Take a non-blocking exclusive flock; True on success. On
+    filesystems without flock support (ENOTSUP et al.) returns False
+    WITHOUT raising, so callers degrade to the mtime-horizon protocol
+    instead of failing every archive attempt — the pre-flock design
+    worked everywhere, and a locking upgrade must not regress that."""
+    try:
+        fcntl.flock(fileobj, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return True
+    except OSError as exc:
+        if exc.errno in _FLOCK_UNSUPPORTED_ERRNOS:
+            return False
+        raise
 
 
 def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
@@ -64,17 +97,24 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
             continue
         full = os.path.join(out_dir, leftover)
         try:
-            if mtime - os.path.getmtime(full) <= _STAGING_GRACE_SEC:
+            age = mtime - os.path.getmtime(full)
+            if age <= _STAGING_GRACE_SEC:
                 continue
             with open(full, "rb") as probe:
-                fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                os.unlink(full)
+                if _try_flock(probe):
+                    os.unlink(full)
+                elif age > _STAGING_MTIME_HORIZON_SEC:
+                    # flock-less filesystem: fall back to the mtime rule
+                    os.unlink(full)
         except OSError:
             pass  # live writer holds the lock, or a concurrent sweep won
     out = open(staging, "wb")
     try:
-        # hold the liveness lock for the full write; released on close
-        fcntl.flock(out, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # hold the liveness lock for the full write; released on close.
+        # On flock-less filesystems this degrades (returns False) and
+        # liveness falls back to the mtime horizon above — degraded
+        # safety, but every archive attempt still succeeds
+        _try_flock(out)
         with tarfile.open(fileobj=out, mode="w:gz") as tar:
             for p in paths:
                 if p == dest_dir or p.startswith(dest_dir + "/"):

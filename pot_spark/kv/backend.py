@@ -65,17 +65,33 @@ class LocalFSBackend(CommitBackend):
         d = os.path.dirname(target)
         os.makedirs(d, exist_ok=True)
         staging = os.path.join(d, f".staged-{uuid.uuid4().hex}")
-        with open(staging, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        # the whole staging lifetime sits under one try/finally: an
+        # ENOSPC/I-O error mid-write must not leak a permanent
+        # .staged-* file into the commits dir
         try:
-            os.link(staging, target)
+            with open(staging, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(staging, target)
+            except FileExistsError:
+                return False
+            # durable commit point: fsync the directory so the link
+            # entry itself survives power loss — without this a
+            # put_if_absent that returned True can vanish, and a
+            # competing writer could later "win" the same generation
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return True
-        except FileExistsError:
-            return False
         finally:
-            os.unlink(staging)
+            try:
+                os.unlink(staging)
+            except FileNotFoundError:
+                pass
 
 
 class ConditionalPutBackend(CommitBackend):
@@ -178,3 +194,70 @@ class GCSBackend(CommitBackend):
             return True
         except self._precondition_failed:
             return False
+
+
+class FsspecBackend(CommitBackend):
+    """Portability fallback: commit through any fsspec-style filesystem
+    object — anything exposing ``open(path, "xb")`` with
+    exclusive-create semantics, ``makedirs(path, exist_ok=True)`` and
+    ``rm(path)``. Covers every storage a deployer can mount through
+    fsspec (local, NFS, SSHFS, adlfs, ...) with one class.
+
+    Tradeoff, stated plainly: the commit point is the exclusive CREATE,
+    so unlike :class:`LocalFSBackend` (stage + link) or
+    :class:`GCSBackend` (server-side conditional put) the payload is
+    written AFTER the claim — a writer that hard-crashes between create
+    and close can leave a truncated winner at the committed generation.
+    Failed writes roll back (the claim is removed on any in-process
+    error), but for filesystems where a native backend exists, prefer
+    it; for object stores whose fsspec layer emulates "xb" with a
+    non-atomic exists+put, this backend is NOT safe — use the
+    conditional-put backend instead."""
+
+    def __init__(self, fs, prefix: str = "/") -> None:
+        self.fs = fs
+        # "/" mounts the fs at the filesystem root (targets are
+        # store-absolute paths); a bucket-style prefix maps them under it
+        self._prefix = prefix if prefix == "/" else prefix.rstrip("/")
+
+    @classmethod
+    def from_url(cls, url: str) -> "FsspecBackend":
+        """Build from an fsspec URL (``file:///data/pots``,
+        ``ssh://host/path``, ...). Import-gated: fsspec is optional and
+        absent in this container."""
+        try:
+            import fsspec  # type: ignore
+        except ImportError as e:  # pragma: no cover - optional dependency
+            raise ImportError(
+                "FsspecBackend.from_url requires fsspec (pip install fsspec)"
+            ) from e
+        fs, _, paths = fsspec.get_fs_token_paths(url)
+        return cls(fs, paths[0])
+
+    def _key(self, target: str) -> str:
+        t = target.lstrip("/")
+        if self._prefix == "/":
+            return "/" + t
+        return f"{self._prefix}/{t}" if self._prefix else t
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        key = self._key(target)
+        parent = key.rsplit("/", 1)[0] if "/" in key else ""
+        if parent:
+            self.fs.makedirs(parent, exist_ok=True)
+        try:
+            f = self.fs.open(key, "xb")
+        except FileExistsError:
+            return False
+        try:
+            with f:
+                f.write(payload)
+            return True
+        except BaseException:
+            # roll the claim back so an in-process write failure does not
+            # permanently brick the generation with a truncated file
+            try:
+                self.fs.rm(key)
+            except OSError:
+                pass
+            raise

@@ -122,17 +122,24 @@ def _signatures(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-_SIGNATURES_SQL = f"""
+def _signatures_sql(where: str = "TRUE") -> str:
+    """Oracle-side mirror of :func:`_signatures`; ``where`` is an extra
+    doc-level predicate (the deterministic sample filters of the audit
+    ops) applied BEFORE shingling, exactly like the Spark side."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
         FROM documents
-        WHERE len(string_split(text,' ')) >= 3
+        WHERE len(string_split(text,' ')) >= 3 AND ({where})
     )
     SELECT doc_id,
            {', '.join(f'MIN({_mh_sql(j)}) AS mh{j}' for j in range(N_HASHES))},
            CAST(COUNT(*) AS BIGINT) AS n_shingles
     FROM sh GROUP BY doc_id
 """
+
+
+_SIGNATURES_SQL = _signatures_sql()
 
 
 @query(
@@ -180,7 +187,7 @@ def _band_pairs(spark: SparkSession, sf_dir: str, sh: DataFrame | None = None) -
     )
 
 
-def _band_pairs_sql() -> str:
+def _band_pairs_sql(where: str = "TRUE") -> str:
     rows = N_HASHES // N_BANDS
     selects = []
     for b in range(N_BANDS):
@@ -193,7 +200,7 @@ def _band_pairs_sql() -> str:
         )
     union = " UNION ALL ".join(selects)
     return f"""
-    WITH sig AS ({_SIGNATURES_SQL}),
+    WITH sig AS ({_signatures_sql(where)}),
     bands AS ({union})
     SELECT DISTINCT a.doc_id AS doc_a, a.n_shingles AS na,
                     b.doc_id AS doc_b, b.n_shingles AS nb
@@ -1547,13 +1554,24 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_dedup_audit's deterministic doc sample: stride + ABSOLUTE cap (the
+# q_ann_recall pattern — a fraction alone leaves the truth stage's
+# Σ df² growth quadratic in corpus size; the cap fixes the audit cost
+# regardless of scale). Applied identically to the banding and
+# ground-truth sides so recall/precision stay unbiased estimates.
+_AUDIT_MOD = 2
+_AUDIT_CAP = 2500
+_AUDIT_SAMPLE_SQL = f"doc_id % {_AUDIT_MOD} = 0 AND doc_id < {_AUDIT_CAP}"
+
+
 @query(
     "q_dedup_audit",
     oracle=f"""
-    WITH pairs AS ({_band_pairs_sql()}),
+    WITH pairs AS ({_band_pairs_sql(_AUDIT_SAMPLE_SQL)}),
     sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-        FROM documents WHERE len(string_split(text,' ')) >= 3
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3 AND ({_AUDIT_SAMPLE_SQL})
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     truth AS (
@@ -1587,19 +1605,34 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c, tt, hit h
     """,
 )
-def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int = _AUDIT_MOD,
+    sample_cap: int = _AUDIT_CAP,
+) -> DataFrame:
     """MinHash-LSH candidate-quality audit: banding candidates vs exact
     ground truth (all pairs with true shingle Jaccard >= 0.5). Reports
     recall_ppm (verified / truth — what the banding MISSES) and
     band_precision_ppm (verified / candidates — what the verify stage
     wastes). Recall < 10⁶ is the quantified false-negative rate of the
     production q_dedup_near plan. Ground truth uses the direct
-    inverted-index join (Σ df² exposure — this is the AUDIT, meant for a
-    sampled slice in production, exactly like its dedup-QA counterpart
-    jobs; the production dedup itself never runs it). All three counts
+    inverted-index join (Σ df² exposure), which is only safe because the
+    audit runs on a deterministic IN-OP doc sample — stride
+    ``doc_id % sample_mod == 0`` under an ABSOLUTE cap
+    ``doc_id < sample_cap`` (the q_ann_recall pattern), applied to BOTH
+    the banding and ground-truth sides before shingling so recall and
+    precision stay unbiased; the default invocation is therefore
+    fixed-cost at any corpus size instead of Σ df² over the corpus.
+    The sample predicate pushes into the parquet scan. All three counts
     are 1-row aggregates crossJoined at the end; ppm ratios are integer
     DIV with NULL on zero denominators on both engines."""
-    sh = reliable_checkpoint(_shingle_df(spark, sf_dir))
+    sh = reliable_checkpoint(
+        _shingle_df(spark, sf_dir).filter(
+            (F.col("doc_id") % sample_mod == 0)
+            & (F.col("doc_id") < sample_cap)
+        )
+    )
     cand = _band_pairs(spark, sf_dir, sh).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1757,13 +1790,23 @@ def _winnow_sel_df(docs: DataFrame) -> DataFrame:
     )
     w_n = Window.partitionBy("doc_id")
     w_sel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    # the packed-key invariant is ENFORCED, not assumed: a position at or
+    # past the 2^20 lane would borrow from the hash lane and silently
+    # break the rightmost-min rule, so the op fails loudly instead
+    # (pre-chunk longer docs — q_doc_chunk — before fingerprinting)
+    pos_ok = F.when(F.col("pos") < _POS_M, F.col("pos")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnowing: document exceeds {_POS_M} token positions; "
+                "pre-chunk longer docs before fingerprinting"
+            )
+        )
+    )
     keyed = grams.select(
         "doc_id",
         "pos",
         F.count("*").over(w_n).alias("n"),
-        F.min(
-            F.col("h") * _POS_M + (F.lit(_POS_M - 1) - F.col("pos"))
-        )
+        F.min(F.col("h") * _POS_M + (F.lit(_POS_M - 1) - pos_ok))
         .over(w_sel)
         .alias("sel_key"),
     )

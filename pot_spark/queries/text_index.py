@@ -906,9 +906,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a bounded, deterministic driver-side codebook — freq desc, word asc
     total order), then tokenize every document with an Arrow-batched
     mapInPandas pass and report per-doc word vs BPE-token counts (the
-    fertility statistic that prices a corpus in tokens). Per-batch word
-    memoization makes the encode cost O(distinct words) per batch under
-    Zipf, not O(tokens). Rows-only by declared contract (iterative merge
+    fertility statistic that prices a corpus in tokens). A task-lifetime
+    word memo — BOUNDED at 2^18 entries so a partition's distinct-word
+    tail can never grow executor memory unboundedly — makes the encode
+    cost ~O(distinct head words) under Zipf, not O(tokens). Rows-only by declared contract (iterative merge
     application is not SQL-expressible): evidence is exact-equality
     pytest coverage — hand-computed micro examples anchor the train and
     encode semantics, and a pure-pandas reference over sf0.001 must
@@ -932,6 +933,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         import pandas as pd
 
+        # word->token-count memo, shared across the task's Arrow batches
+        # but BOUNDED: Zipf makes the hot head carry nearly all the hit
+        # rate, so once the memo fills, misses are computed uncached
+        # rather than growing executor memory with the unbounded
+        # distinct-word tail of a 100 TB partition (advisor round 6)
+        _CACHE_MAX = 1 << 18  # ~256k words; few tens of MB worst case
         cache = {}
         for pdf in batches:
             n_words, n_bpe = [], []
@@ -946,7 +953,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c = cache.get(w)
                     if c is None:
                         c = _bpe_token_count(w, merges, ranks)
-                        cache[w] = c
+                        if len(cache) < _CACHE_MAX:
+                            cache[w] = c
                     tot += c
                 n_words.append(len(ws))
                 n_bpe.append(tot)

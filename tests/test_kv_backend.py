@@ -64,3 +64,42 @@ def test_gcs_backend_gates_on_import():
     # fail loudly with the install hint, not at first commit
     with pytest.raises(ImportError, match="google-cloud-storage"):
         GCSBackend("some-bucket")
+
+
+def test_fsspec_backend_contract(tmp_path):
+    """FsspecBackend over a local fsspec-shaped fs: exclusive create wins
+    once, losers get False, write failure rolls the claim back."""
+    from tests.test_kv_multiprocess import LocalFsspecShim
+
+    from pot_spark.kv.backend import FsspecBackend
+
+    be = FsspecBackend(LocalFsspecShim(), prefix=str(tmp_path))
+    assert be.put_if_absent("/c/1.json", b'{"generation": 1}') is True
+    assert be.put_if_absent("/c/1.json", b'{"generation": 9}') is False
+    with open(tmp_path / "c" / "1.json", "rb") as f:
+        assert json.load(f)["generation"] == 1
+
+    class ExplodingPayload(bytes):
+        pass
+
+    class BoomFS(LocalFsspecShim):
+        def open(self, path, mode="rb"):
+            f = super().open(path, mode)
+            if "x" in mode:
+                orig = f.write
+                f.write = lambda b: (_ for _ in ()).throw(OSError("enospc"))
+            return f
+
+    be2 = FsspecBackend(BoomFS(), prefix=str(tmp_path))
+    with pytest.raises(OSError):
+        be2.put_if_absent("/c/2.json", b"data")
+    # the failed claim was rolled back: a retry can still win
+    assert not os.path.exists(tmp_path / "c" / "2.json")
+    assert be.put_if_absent("/c/2.json", b'{"generation": 1}') is True
+
+
+def test_fsspec_from_url_gates_on_import():
+    from pot_spark.kv.backend import FsspecBackend
+
+    with pytest.raises(ImportError, match="fsspec"):
+        FsspecBackend.from_url("file:///tmp/x")

@@ -18,15 +18,42 @@ import tempfile
 
 import pytest
 
-BACKENDS = ["local", "object_store"]
+BACKENDS = ["local", "object_store", "fsspec"]
+
+
+class LocalFsspecShim:
+    """Minimal fsspec-shaped filesystem over the local FS: ``open`` with
+    "xb" is O_EXCL (atomic across processes), plus ``makedirs``/``rm`` —
+    exactly the duck-typed surface FsspecBackend consumes, so the races
+    exercise the FsspecBackend code path with real cross-process
+    exclusive-create semantics and no fsspec dependency."""
+
+    def makedirs(self, path, exist_ok=False):
+        import os
+
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def open(self, path, mode="rb"):
+        return open(path, mode)
+
+    def rm(self, path):
+        import os
+
+        os.remove(path)
 
 
 def _mk_store(root: str, backend_kind: str):
-    from pot_spark.kv.backend import ConditionalPutBackend, EmulatedObjectStoreClient
+    from pot_spark.kv.backend import (
+        ConditionalPutBackend,
+        EmulatedObjectStoreClient,
+        FsspecBackend,
+    )
     from pot_spark.kv.store import PotStore
 
     if backend_kind == "local":
         return PotStore(None, root)
+    if backend_kind == "fsspec":
+        return PotStore(None, root, backend=FsspecBackend(LocalFsspecShim()))
     # bucket mounted at the store root: conditional-put objects land
     # exactly where the store's readers list manifests
     return PotStore(

@@ -384,6 +384,40 @@ def test_zip_store_failure_removes_staging(store, monkeypatch):
     assert leftovers == []
 
 
+def test_zip_store_degrades_without_flock(store, monkeypatch):
+    """On filesystems where flock raises ENOTSUP (NFS/SMB mounts), the
+    archive must still succeed (advisor round 6: the locking upgrade
+    must not regress the pre-flock everywhere-works behavior), and the
+    sweep falls back to the mtime-horizon reclaim rule: past-horizon
+    leftovers reclaimed, younger ones kept."""
+    import errno
+    import os
+    import time as _time
+
+    from pot_spark.kv import archive as archive_mod
+
+    def no_flock(fileobj, flags):
+        raise OSError(errno.ENOTSUP, "flock not supported")
+
+    monkeypatch.setattr(archive_mod.fcntl, "flock", no_flock)
+    store.create("z/p", {"id": "k"})
+    bundle = zip_store(store)  # writer-side flock failure must not raise
+    assert os.path.exists(bundle)
+    out_dir = os.path.join(store.root, "archive")
+    ancient = os.path.join(out_dir, "bundle.tar.gz.staging-996-0ldfile0")
+    recent = os.path.join(out_dir, "bundle.tar.gz.staging-995-n3wfile0")
+    for p in (ancient, recent):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    old = _time.time() - 2 * archive_mod._STAGING_MTIME_HORIZON_SEC
+    os.utime(ancient, (old, old))
+    mid = _time.time() - 2 * archive_mod._STAGING_GRACE_SEC
+    os.utime(recent, (mid, mid))  # past grace but inside the horizon
+    zip_store(store)
+    assert not os.path.exists(ancient)  # mtime rule reclaims it
+    assert os.path.exists(recent)  # could be a live flock-less writer's
+
+
 def test_vacuum_grace_tracks_bucket_subdir_writes(store):
     """The grace window must key off the NEWEST mtime in the snapshot
     tree: a bucketed stage write lands in __b=<k> subdirs without

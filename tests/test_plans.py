@@ -1089,3 +1089,39 @@ def test_soft_dedup_weight_join_is_linear(spark, sf_dir):
     no text on the wire (digests only in the join keys)."""
     p = _plan(spark, sf_dir, "q_soft_dedup")
     assert "CartesianProduct" not in p
+
+
+def test_dedup_audit_truth_input_is_sampled(spark, sf_dir):
+    """The Σ df² ground-truth stage must see the deterministic in-op doc
+    sample, not the corpus: (a) the sample predicate pushes into the
+    parquet scan of the shingle relation the audit builds, and (b) the
+    audit's truth count is strictly below the unsampled truth count —
+    i.e. the registered default invocation is the SAMPLED plan."""
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from pot_spark.queries.llm_dedup import (
+        _AUDIT_CAP,
+        _AUDIT_MOD,
+        _shingle_df,
+        q_dedup_audit,
+    )
+
+    sampled_sh = _shingle_df(spark, sf_dir).filter(
+        (F.col("doc_id") % _AUDIT_MOD == 0) & (F.col("doc_id") < _AUDIT_CAP)
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sampled_sh.explain("formatted")
+    pushed = next(
+        l for l in buf.getvalue().splitlines() if "PushedFilters" in l
+    )
+    assert f"LessThan(doc_id,{_AUDIT_CAP})" in pushed
+
+    default_row = q_dedup_audit(spark, sf_dir).collect()[0]
+    full_row = q_dedup_audit(
+        spark, sf_dir, sample_mod=1, sample_cap=1 << 60
+    ).collect()[0]
+    assert 0 < default_row["n_truth"] < full_row["n_truth"]
+    assert default_row["n_candidates"] < full_row["n_candidates"]

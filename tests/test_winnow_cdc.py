@@ -150,3 +150,22 @@ def test_cdc_compact_equals_sequential_replay(spark, log):
             assert abs((gsv or 0.0) - sv) < 1e-6, et
         else:
             assert gsv is None
+
+
+def test_winnow_rejects_docs_past_position_lane(spark):
+    """The packed tie-break key reserves 2^20 for the position lane; a
+    doc with more token positions must fail LOUDLY (advisor round 6: the
+    invariant was prose-only), never silently corrupt fingerprints."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pot_spark.queries.llm_dedup import _POS_M, _winnow_sel_df
+
+    big = spark.range(1).select(
+        F.lit(7).alias("doc_id"),
+        F.array_join(F.array_repeat(F.lit("tok"), _POS_M + 4), " ").alias(
+            "text"
+        ),
+    )
+    with pytest.raises(Exception, match="pre-chunk"):
+        _winnow_sel_df(big).count()

@@ -306,30 +306,43 @@ def main() -> None:
     if regressions:
         print(f"bench REGRESSIONS >2x-of-median: {regressions}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "regressions": regressions,
-                "median_vs_baseline": round(med, 3),
-                # sum over only the queries present in the recorded
-                # baseline, so totals stay comparable as the headline
-                # list grows across rounds
-                "baseline_comparable_total": round(
-                    sum(t for n, t in timings.items() if n in base), 3
-                ),
-                # rig-health probe (see _calibrate): compare across
-                # rounds to separate ambient CPU steal from plan changes
-                "calib_sec_pre": calib_pre,
-                "calib_sec_post": _calibrate(),
-                "sf": sf_val,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "regressions": regressions,
+        "median_vs_baseline": round(med, 3),
+        # sum over only the queries present in the recorded
+        # baseline, so totals stay comparable as the headline
+        # list grows across rounds
+        "baseline_comparable_total": round(
+            sum(t for n, t in timings.items() if n in base), 3
+        ),
+        # rig-health probe (see _calibrate): compare across
+        # rounds to separate ambient CPU steal from plan changes
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": _calibrate(),
+        "sf": sf_val,
+    }
+    # full per-query record goes to a file; the driver's tail capture is
+    # 2 KB, which the ~90-entry queries dict overflows (round 6 recorded
+    # parsed: null) — so the FINAL printed line is a compact summary
+    # with only the slowest queries, flagged as truncated
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     )
+    compact = dict(
+        payload,
+        queries={k: round(v, 3) for k, v in sorted(slowest.items())},
+        queries_truncated=len(timings) > len(slowest),
+        n_queries=len(timings),
+        full_record="BENCH_LOCAL.json",
+    )
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -2,18 +2,27 @@
 """Freeze the consolidated bench baseline (BENCH_BASELINE.json).
 
 The original 2x-gate reference (BENCH_r02.json) predates the round-3+
-headline additions, so 20 of the 53 headline queries had no recorded
-baseline and the regression detector had no teeth for them. This tool
-merges, with provenance:
+headline additions, so many headline queries had no recorded baseline
+and the regression detector had no teeth for them. This tool merges,
+with provenance:
 
 - BENCH_r02 rows verbatim where they exist (the original gate is never
   loosened by re-recording on a possibly-faster round), plus
-- the earliest later bench round that covers each remaining query
-  (BENCH_r05 for the round-3..5 additions).
+- BENCH_r05 rows for the round-3..5 additions, plus
+- for the round-6 additions: the per-query MEDIAN across the five
+  round-6 local reruns. A single local run recorded on a loaded rig
+  (the runs' own calibration probes show +-30% ambient swing between
+  identical-code runs) makes a noisy row that can hide a genuine 1.5x
+  regression behind "still under 2x"; the five-run median squeezes the
+  ambient component out while staying a RECORDED number.
 
-Re-run with new round files listed in FILLS to extend coverage as the
-headline list grows. bench.py prefers BENCH_BASELINE.json and falls
-back to BENCH_r02.json.
+Each source run's calibration probe (calib_sec_pre/post) is recorded in
+the artifact so a future reader can judge how quiet the recording rigs
+were.
+
+Re-run with new round files listed in FILLS/MEDIAN_GROUPS to extend
+coverage as the headline list grows. bench.py prefers
+BENCH_BASELINE.json and falls back to BENCH_r02.json.
 
 Usage: python tools/freeze_baseline.py
 """
@@ -22,11 +31,15 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHOR = "BENCH_r02.json"
 FILLS = [  # earliest-first; first file covering a query wins
     "BENCH_r05.json",
+]
+# files whose per-query MEDIAN fills anything still uncovered
+MEDIAN_GROUP = [
     "BENCH_r06_local.json",
     "BENCH_r06_local2.json",
     "BENCH_r06_local3.json",
@@ -35,10 +48,14 @@ FILLS = [  # earliest-first; first file covering a query wins
 ]
 
 
-def _queries(path: str) -> dict[str, float]:
+def _load(path: str) -> dict:
     with open(os.path.join(ROOT, path)) as f:
         raw = json.load(f)
-    return (raw.get("parsed") or raw).get("queries", {})
+    return raw.get("parsed") or raw
+
+
+def _queries(path: str) -> dict[str, float]:
+    return _load(path).get("queries", {})
 
 
 def main() -> None:
@@ -52,14 +69,37 @@ def main() -> None:
             if name not in queries:
                 queries[name] = sec
                 sources[name] = fill
+    group_runs = {p: _queries(p) for p in MEDIAN_GROUP}
+    group_names = set()
+    for qs in group_runs.values():
+        group_names.update(qs)
+    group_label = f"median({MEDIAN_GROUP[0]}..x{len(MEDIAN_GROUP)})"
+    for name in sorted(group_names):
+        if name in queries:
+            continue
+        vals = [qs[name] for qs in group_runs.values() if name in qs]
+        queries[name] = round(statistics.median(vals), 3)
+        sources[name] = group_label
+    calibration = {
+        p: {
+            "calib_sec_pre": _load(p).get("calib_sec_pre"),
+            "calib_sec_post": _load(p).get("calib_sec_post"),
+        }
+        for p in [ANCHOR] + FILLS + MEDIAN_GROUP
+        if os.path.exists(os.path.join(ROOT, p))
+    }
     out = {
         "note": (
             "Consolidated recorded bench baseline: BENCH_r02 rows verbatim "
-            "(the original 2x gate), later-round rows only for queries r02 "
-            "never covered. Regenerate with tools/freeze_baseline.py."
+            "(the original 2x gate), BENCH_r05 rows for queries r02 never "
+            "covered, and the per-query MEDIAN of the five round-6 local "
+            "reruns for the round-6 additions (a single run's ambient "
+            "noise must not become the gate). Regenerate with "
+            "tools/freeze_baseline.py."
         ),
         "queries": dict(sorted(queries.items())),
         "sources": dict(sorted(sources.items())),
+        "source_calibration": calibration,
     }
     dest = os.path.join(ROOT, "BENCH_BASELINE.json")
     with open(dest, "w") as f:

@@ -1229,3 +1229,97 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_length_bias",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars, md5(text) AS digest
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    pre AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, COALESCE(doc_id, -1)) AS dec
+      FROM base
+    ),
+    keep AS (
+      SELECT digest, MIN(doc_id) AS keep_id, MIN(n_chars) AS n_chars
+      FROM base GROUP BY digest
+    ),
+    post AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, COALESCE(keep_id, -1)) AS dec
+      FROM keep
+    ),
+    pr AS (
+      SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_pre,
+             CAST(MAX(n_chars) AS BIGINT) AS max_pre
+      FROM pre GROUP BY dec
+    ),
+    po AS (
+      SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_post,
+             CAST(MAX(n_chars) AS BIGINT) AS max_post
+      FROM post GROUP BY dec
+    )
+    SELECT CAST(pr.dec AS BIGINT) AS decile, pr.n_pre, pr.max_pre,
+           COALESCE(po.n_post, 0) AS n_post, po.max_post,
+           pr.max_pre - po.max_post AS boundary_shift
+    FROM pr LEFT JOIN po ON po.dec = pr.dec
+    """,
+)
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup LENGTH-BIAS audit: the doc-length decile boundaries of the
+    corpus BEFORE vs AFTER exact keep-first dedup. Duplicates are not
+    length-uniform (boilerplate skews short), so dedup silently shifts
+    the length distribution the model trains on — boundary_shift per
+    decile is that shift, exactly. Equi-depth deciles come from
+    ntile(10) over the total order (n_chars, doc_id), so every boundary
+    is an exact data value, not an interpolated float.
+
+    Scale posture: the keep-one representative is (digest -> MIN doc_id,
+    MIN n_chars) — group members are verbatim copies, so MIN n_chars IS
+    the representative's value and no join back to the corpus is needed.
+    The two global ntiles sort-bound at 100 TB; the declared scale path
+    is the q_equidepth_bins cutover (approx_percentile boundaries +
+    scan-side binning) with identical output semantics. NULL n_chars /
+    NULL text rows are excluded up front on BOTH engines (the Spark
+    NULLS FIRST vs DuckDB NULLS LAST window divergence). No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "n_chars", F.md5("text").alias("digest"))
+    w_pre = Window.orderBy("n_chars", F.coalesce("doc_id", F.lit(-1)))
+    pre = base.select(
+        "n_chars", F.ntile(10).over(w_pre).alias("dec")
+    )
+    keep = base.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    w_post = Window.orderBy("n_chars", F.coalesce("keep_id", F.lit(-1)))
+    post = keep.select(
+        "n_chars", F.ntile(10).over(w_post).alias("dec")
+    )
+    pr = pre.groupBy("dec").agg(
+        F.count("*").cast("bigint").alias("n_pre"),
+        F.max("n_chars").cast("bigint").alias("max_pre"),
+    )
+    po = post.groupBy("dec").agg(
+        F.count("*").cast("bigint").alias("n_post"),
+        F.max("n_chars").cast("bigint").alias("max_post"),
+    )
+    return (
+        pr.join(po, "dec", "left")
+        .select(
+            F.col("dec").cast("bigint").alias("decile"),
+            "n_pre",
+            "max_pre",
+            F.coalesce("n_post", F.lit(0)).cast("bigint").alias("n_post"),
+            "max_post",
+            (F.col("max_pre") - F.col("max_post"))
+            .cast("bigint")
+            .alias("boundary_shift"),
+        )
+    )

@@ -2238,3 +2238,226 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-affix and duplication-impact audits: shared document
+# prefixes/suffixes (template headers/footers), the token cost of
+# duplication, and the quality profile of duplicated content.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_affix_dup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, source,
+             md5(array_to_string(toks[1:8], ' ')) AS pfx,
+             md5(array_to_string(toks[len(toks)-7:len(toks)], ' ')) AS sfx
+      FROM t WHERE len(toks) >= 8
+    ),
+    pc AS (SELECT pfx, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY pfx),
+    sc AS (SELECT sfx, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY sfx)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN pc.c > 1 THEN 1 END) AS BIGINT)
+             AS n_shared_prefix,
+           CAST(COUNT(CASE WHEN sc.c > 1 THEN 1 END) AS BIGINT)
+             AS n_shared_suffix,
+           CAST(COUNT(CASE WHEN pc.c > 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS prefix_dup_ppm,
+           CAST(COUNT(CASE WHEN sc.c > 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS suffix_dup_ppm
+    FROM d JOIN pc USING (pfx) JOIN sc USING (sfx)
+    GROUP BY d.source
+    """,
+)
+def q_affix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-AFFIX audit: per source, how many docs share their
+    first-8-token prefix (template headers: "subscribe to our
+    newsletter ...") or last-8-token suffix (footers, copyright lines)
+    with at least one other doc, corpus-wide. Exact-dedup misses these
+    (the body differs); this measures how much affix boilerplate a
+    stripping pass would find. Docs need >= 8 tokens to have a
+    well-defined affix.
+
+    Scale posture: affix digests are computed scan-side (two md5s per
+    doc, never the text on the wire); the two digest rollups and the two
+    digest-keyed back-joins are all linear per doc — identical shuffle
+    posture to q_dedup_exact, twice. A template-farm digest head skews
+    the back-join key, which AQE's skew split absorbs; candidate volume
+    is ONE row per doc either way (counts, not pairs). No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") >= 8)
+    d = t.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice("toks", 1, 8))).alias("pfx"),
+        F.md5(F.concat_ws(" ", F.slice("toks", -8, 8))).alias("sfx"),
+    )
+    pc = d.groupBy("pfx").agg(F.count("*").cast("bigint").alias("pc"))
+    sc = d.groupBy("sfx").agg(F.count("*").cast("bigint").alias("sc"))
+    return (
+        d.join(pc, "pfx")
+        .join(sc, "sfx")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("pc") > 1, 1))
+            .cast("bigint")
+            .alias("n_shared_prefix"),
+            F.count(F.when(F.col("sc") > 1, 1))
+            .cast("bigint")
+            .alias("n_shared_suffix"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_shared_prefix",
+            "n_shared_suffix",
+            F.expr(
+                "CAST(n_shared_prefix * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("prefix_dup_ppm"),
+            F.expr(
+                "CAST(n_shared_suffix * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("suffix_dup_ppm"),
+        )
+    )
+
+
+@query(
+    "q_dup_inflation",
+    oracle="""
+    WITH d AS (
+      SELECT lang, md5(text) AS digest,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per_digest AS (
+      SELECT lang, digest, CAST(SUM(n_tok) AS BIGINT) AS tot,
+             CAST(MIN(n_tok) AS BIGINT) AS uniq_tok
+      FROM d GROUP BY lang, digest
+    )
+    SELECT lang,
+           CAST(SUM(tot) AS BIGINT) AS total_tokens,
+           CAST(SUM(uniq_tok) AS BIGINT) AS unique_tokens,
+           CAST(CASE WHEN SUM(tot) = 0 THEN NULL
+                     ELSE (SUM(tot) - SUM(uniq_tok)) * 1000000 // SUM(tot)
+                END AS BIGINT) AS inflation_ppm
+    FROM per_digest GROUP BY lang
+    """,
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication TOKEN cost per language: total token occurrences vs
+    tokens surviving exact keep-one dedup (one representative per
+    (lang, digest) group — group members are verbatim-identical, so MIN
+    of their token counts IS the representative count). inflation_ppm is
+    the fraction of the training-token budget that duplicate copies
+    consume — q_dedup_rate_by_source prices dedup in DOCS; compute buys
+    tokens, so this is the number that goes in the cost model.
+
+    Scale posture: one scan computes digest + token count; the only
+    shuffle is the (lang, digest) rollup (32-byte keys, map-side
+    combined), then a lang-typed rollup. Zero joins, zero pairs. NULL
+    texts share the NULL digest group per lang with token count 0 on
+    both engines. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    per_digest = d.groupBy("lang", "digest").agg(
+        F.sum("n_tok").cast("bigint").alias("tot"),
+        F.min("n_tok").cast("bigint").alias("uniq_tok"),
+    )
+    return per_digest.groupBy("lang").agg(
+        F.sum("tot").cast("bigint").alias("total_tokens"),
+        F.sum("uniq_tok").cast("bigint").alias("unique_tokens"),
+        F.expr(
+            "CAST(CASE WHEN SUM(tot) = 0 THEN NULL ELSE "
+            "(SUM(tot) - SUM(uniq_tok)) * 1000000 DIV SUM(tot) END AS BIGINT)"
+        ).alias("inflation_ppm"),
+    )
+
+
+@query(
+    "q_quality_by_dup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest, n_chars,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (SELECT digest, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY digest),
+    b AS (
+      SELECT CASE WHEN c.df = 1 THEN 'unique'
+                  WHEN c.df <= 3 THEN 'dup_2_3'
+                  ELSE 'dup_4_plus' END AS bucket,
+             d.n_chars, d.n_tok
+      FROM d JOIN c USING (digest)
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(floor(AVG(n_chars)) AS BIGINT) AS avg_chars,
+           CAST(floor(AVG(n_tok)) AS BIGINT) AS avg_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def q_quality_by_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality profile BY duplication tier: are duplicated docs shorter
+    / lower-content than unique ones? Buckets docs by their verbatim
+    copy count (1 / 2-3 / 4+) and reports size statistics per bucket —
+    the audit that decides whether dedup shifts the corpus quality
+    distribution (q_length_bias's categorical sibling). floor(AVG) over
+    exact integer sums is engine-identical (IEEE division of exact
+    bigints, then floor).
+
+    Scale posture: digest rollup + one digest-keyed linear back-join
+    (q_dedup_exact posture) + a 3-row bucket rollup. NULL texts form the
+    NULL-digest group on both engines; NULL n_chars is skipped by AVG
+    identically on both. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    c = d.groupBy("digest").agg(F.count("*").cast("bigint").alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, "unique")
+        .when(F.col("df") <= 3, "dup_2_3")
+        .otherwise("dup_4_plus")
+    )
+    return (
+        d.join(c, "digest")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.floor(F.avg("n_chars")).cast("bigint").alias("avg_chars"),
+            F.floor(F.avg("n_tok")).cast("bigint").alias("avg_tokens"),
+        )
+    )

@@ -1800,3 +1800,134 @@ def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q_centroid_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, vec_id % 2 AS half,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    comp AS (
+      SELECT label, d, x
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS d
+      ) u, LATERAL (SELECT v[d] AS x) w
+      WHERE half = 0
+    ),
+    comp1 AS (
+      SELECT label, d, x
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS d
+      ) u, LATERAL (SELECT v[d] AS x) w
+      WHERE half = 1
+    ),
+    n AS (
+      SELECT label,
+             CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_even,
+             CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_odd
+      FROM e GROUP BY label
+    ),
+    ce AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY label, d
+    ),
+    co AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp1 GROUP BY label, d
+    ),
+    dots AS (
+      SELECT ce.label,
+             CAST(SUM(CAST(ce.c * co.c AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ce.c * ce.c AS DECIMAL(30,12))) AS DOUBLE) AS ee,
+             CAST(SUM(CAST(co.c * co.c AS DECIMAL(30,12))) AS DOUBLE) AS oo
+      FROM ce JOIN co ON ce.label = co.label AND ce.d = co.d
+      GROUP BY ce.label
+    )
+    SELECT n.label, n.n_even, n.n_odd,
+           ROUND(d.dot / (sqrt(d.ee) * sqrt(d.oo)), 6) AS centroid_cosine
+    FROM n JOIN dots d ON d.label = n.label
+    WHERE n.n_even > 0 AND n.n_odd > 0
+    """,
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline DRIFT audit: split each label's vectors into
+    two deterministic halves (vec_id parity — standing in for
+    yesterday's vs today's embedding batch) and report the cosine
+    between the two half-centroids. A label whose halves' centroids
+    diverge flags an embedding-model version change or an upstream
+    content shift before it poisons the ANN index — the vector-space
+    twin of q_corpus_drift.
+
+    Scale posture: one posexplode scan partial-aggregates to
+    (label, dim) centroid components — type-scale output (labels x
+    dims), everything after is free. Component sums and the cosine's
+    dot/norm sums accumulate in exact DECIMAL (order-independent across
+    partitions; q_ann_recall precedent), converted to double only for
+    the final IEEE-exact division and sqrt, rounded to 6dp on both
+    engines. Labels missing a half are excluded identically (no NULL
+    cosine rows). No reference counterpart (SURVEY.md §2-A)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        _as_double("embedding").alias("v"),
+    )
+    n = e.groupBy("label").agg(
+        F.count(F.when(F.col("half") == 0, 1))
+        .cast("bigint")
+        .alias("n_even"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("n_odd"),
+    )
+    comp = (
+        e.select("label", "half", F.posexplode("v").alias("d0", "x"))
+        .select("label", "half", (F.col("d0") + 1).alias("d"), "x")
+        .groupBy("label", "d")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("half") == 0, F.col("x")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.when(F.col("half") == 0, 1))
+            ).alias("ce"),
+            (
+                F.sum(
+                    F.when(F.col("half") == 1, F.col("x")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.when(F.col("half") == 1, 1))
+            ).alias("co"),
+        )
+    )
+    dots = comp.groupBy("label").agg(
+        F.sum((F.col("ce") * F.col("co")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("ce") * F.col("ce")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("ee"),
+        F.sum((F.col("co") * F.col("co")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("oo"),
+    )
+    return (
+        n.filter((F.col("n_even") > 0) & (F.col("n_odd") > 0))
+        .join(dots, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(
+                F.col("dot") / (F.sqrt("ee") * F.sqrt("oo")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -1832,3 +1832,105 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "q_ccnet_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, tok
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS t
+            FROM documents) d, unnest(t) AS u(tok)
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS n FROM toks GROUP BY tok),
+    big AS (SELECT CAST(SUM(n) AS DOUBLE) AS big_n FROM vocab),
+    dt AS (
+      SELECT doc_id, lang, tok, CAST(COUNT(*) AS DOUBLE) AS m
+      FROM toks GROUP BY doc_id, lang, tok
+    ),
+    scored AS (
+      SELECT dt.doc_id, dt.lang,
+             ROUND(LN(big.big_n)
+                   - SUM(CAST(dt.m * LN(v.n) AS DECIMAL(28,12))) / SUM(dt.m),
+                   6) AS nlp
+      FROM dt JOIN vocab v ON v.tok = dt.tok CROSS JOIN big
+      GROUP BY dt.doc_id, dt.lang, big.big_n
+    ),
+    binned AS (
+      SELECT lang, nlp,
+             ntile(3) OVER (
+               PARTITION BY lang
+               ORDER BY nlp, COALESCE(doc_id, -1)
+             ) AS bin
+      FROM scored
+    )
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(nlp) AS min_nlp, MAX(nlp) AS max_nlp
+    FROM binned GROUP BY lang, bin
+    """,
+)
+def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity binning: score every doc with the corpus
+    unigram LM (q_unigram_logprob's shuffle-stable avg-neg-logprob),
+    then split each language into head / middle / tail TERTILES of the
+    score distribution (ntile(3) over (rounded score, doc_id) — a total
+    order, so the bin boundary is engine- and partitioning-exact). CCNet
+    keeps head+middle and drops tail; the per-bin rows here are the
+    audit of where those cutoffs land per language.
+
+    Scale posture: the LM machinery is q_unigram_logprob's (two
+    shuffles, Zipf-skewed token join absorbed by AQE skew-split, per-
+    (doc,token) pre-agg bounds each key); the per-lang ntile is ONE
+    window over doc-scale rows partitioned by lang — at 100 TB the exact
+    tertile sort-bounds per language, and the documented scale path is
+    the same cutover every exact-percentile op here declares: fit
+    approximate boundaries (q_approx_percentile) and bin scan-side.
+    Ties are interchangeable rows, so per-bin counts and score bounds
+    are unique even when ties straddle a boundary. No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("double").alias("n"))
+    big = vocab.agg(F.sum("n").alias("big_n"))
+    dt = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").cast("double").alias("m")
+    )
+    scored = (
+        dt.join(vocab, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum((F.col("m") * F.log("n")).cast("decimal(28,12)")).alias(
+                "_s"
+            ),
+            F.sum("m").alias("_m"),
+        )
+        .crossJoin(F.broadcast(big))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log("big_n") - F.col("_s") / F.col("_m"), 6).alias(
+                "nlp"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "nlp", F.coalesce("doc_id", F.lit(-1))
+    )
+    return (
+        scored.withColumn("bin", F.ntile(3).over(w))
+        .groupBy("lang", F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("nlp").alias("min_nlp"),
+            F.max("nlp").alias("max_nlp"),
+        )
+    )

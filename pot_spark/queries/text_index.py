@@ -1075,3 +1075,286 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct2_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-growth / cross-source vocabulary audits: first-occurrence novelty,
+# Heaps-law vocabulary growth, and pairwise source vocabulary overlap — the
+# mixture-design statistics that decide whether adding a source buys new
+# content or re-buys what the corpus already has.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents WHERE len(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')) >= 3
+    ),
+    inc AS (
+      SELECT DISTINCT doc_id, source,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM inc GROUP BY gram
+    ),
+    nf AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_first
+      FROM firsts GROUP BY first_doc
+    ),
+    novel AS (
+      SELECT d.source, CAST(SUM(nf.n_first) AS BIGINT) AS n_novel
+      FROM nf JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    denom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_doc_grams
+      FROM inc GROUP BY source
+    )
+    SELECT de.source, de.n_doc_grams,
+           COALESCE(nv.n_novel, 0) AS n_novel,
+           CAST(COALESCE(nv.n_novel, 0) * 1000000 // de.n_doc_grams
+                AS BIGINT) AS novelty_ppm
+    FROM denom de LEFT JOIN novel nv ON de.source = nv.source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY: of the distinct (doc, trigram)
+    incidences a source contributes, how many are the gram's global
+    FIRST occurrence (min doc_id over the corpus). Low novelty means the
+    source re-buys content the corpus already holds — the curation
+    complement of q_dedup_rate_by_source (which needs verbatim dups;
+    this catches paraphrase-level re-crawls gram by gram).
+
+    Scale posture: one distinct over (doc, source, gram) — the same
+    shuffle as any gram-keyed rollup, map-side combined; the gram
+    first-occurrence table collapses to doc-scale (first_doc, n_first)
+    BEFORE touching documents again, so the only joins are a doc-keyed
+    linear join and a source-typed left join. No gram-keyed join back to
+    the corpus, no pair join. Docs with NULL doc_id can never be a
+    "first" (MIN skips NULL on both engines) but still count in the
+    denominator — identically on both engines. No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") >= 3)
+    inc = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    firsts = inc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nf = (
+        firsts.groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_first"))
+    )
+    novel = (
+        nf.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_first").cast("bigint").alias("n_novel"))
+    )
+    denom = inc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_doc_grams")
+    )
+    return denom.join(novel, "source", "left").select(
+        "source",
+        "n_doc_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.expr(
+            "CAST(COALESCE(n_novel, 0) * 1000000 DIV n_doc_grams AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
+# Heaps-law checkpoints: powers of two spanning the test scales and well
+# past them (saturated rows past the corpus are deterministic and cheap)
+_VOCAB_KS = [64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH ks AS (
+      SELECT UNNEST([{', '.join(str(k) for k in _VOCAB_KS)}]) AS k
+    ),
+    tok AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents) t, unnest(toks) AS u(tok)
+    ),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY doc_id
+    ),
+    v AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM ks JOIN firsts ON firsts.first_doc < ks.k GROUP BY k
+    ),
+    d AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM ks JOIN per_doc ON per_doc.doc_id < ks.k GROUP BY k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS checkpoint,
+           COALESCE(d.n_docs, 0) AS n_docs,
+           COALESCE(d.n_tokens, 0) AS n_tokens,
+           COALESCE(v.n_vocab, 0) AS n_vocab
+    FROM ks LEFT JOIN d ON d.k = ks.k LEFT JOIN v ON v.k = ks.k
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count after the
+    first k documents, at power-of-two checkpoints — the statistic that
+    says whether a corpus is still contributing new vocabulary or has
+    gone asymptotic (keep crawling vs stop). Membership in "first k" is
+    doc_id < k, so the curve is deterministic and engine-exact.
+
+    Scale posture: ONE pass builds the token first-occurrence table
+    (type-scale) and the per-doc token counts (doc-scale); each then
+    theta-joins the 8-row broadcast checkpoint table (a
+    BroadcastNestedLoopJoin over 8 literals — constant fan-out, NOT a
+    pair join) and rolls up by checkpoint. Checkpoints beyond the corpus
+    saturate instead of vanishing (LEFT join + COALESCE on both
+    engines). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_KS], "k bigint"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    v = (
+        firsts.join(F.broadcast(ks), firsts.first_doc < ks.k)
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_vocab"))
+    )
+    d = (
+        per_doc.join(F.broadcast(ks), per_doc.doc_id < ks.k)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        ks.join(d, "k", "left")
+        .join(v, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("checkpoint"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_vocab", F.lit(0)).cast("bigint").alias("n_vocab"),
+        )
+    )
+
+
+@query(
+    "q_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents) t, unnest(toks) AS u(tok)
+      WHERE source IS NOT NULL
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, x.v AS v_a, y.v AS v_b, c.n_common,
+           CAST(c.n_common * 1000000 // (x.v + y.v - c.n_common)
+                AS BIGINT) AS jaccard_ppm,
+           CAST(c.n_common * 1000000 // LEAST(x.v, y.v)
+                AS BIGINT) AS containment_ppm
+    FROM common c
+    JOIN sizes x ON x.source = c.source_a
+    JOIN sizes y ON y.source = c.source_b
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source VOCABULARY overlap: exact token-set Jaccard and
+    containment (vs the smaller vocabulary) for every source pair — the
+    mixture-design matrix that flags mirror feeds (containment near 10⁶)
+    before they are weighted as independent sources.
+
+    Scale posture: the token self-join is keyed on tok and bounded by
+    the SOURCE CARDINALITY, not the corpus — each token type contributes
+    at most C(n_sources, 2) pairs (sources are type-scale: tens, not
+    millions), so candidate volume is linear in vocabulary size. The
+    distinct (source, tok) stream map-side combines; sizes join back on
+    the type-scale source key. NULL sources cannot pair (strict
+    inequality drops them on both engines). No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    st = (
+        docs.filter(F.col("source").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("v"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("v").alias("v_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("v").alias("v_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (v_a + v_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(n_common * 1000000 DIV LEAST(v_a, v_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

@@ -586,3 +586,176 @@ def test_soft_dedup_matches_bruteforce(spark, sf_dir):
     # when the fixture has exact duplicates, the weights must deflate
     if any(n > 1 for n in c.values()):
         assert any(v[3] < 1000000 for v in got.values())
+
+
+# -- round-7 additions: novelty / affix / inflation / growth / bins ----------
+
+
+def _docs_rows(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text", "n_chars")
+        .collect()
+    )
+
+
+def _lower_toks(text):
+    return [t for t in text.lower().split(" ") if t != ""]
+
+
+def test_ngram_novelty_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    inc = set()
+    for r in rows:
+        toks = _lower_toks(r.text)
+        if len(toks) < 3:
+            continue
+        for i in range(len(toks) - 2):
+            inc.add((r.doc_id, r.source, " ".join(toks[i : i + 3])))
+    firsts = {}
+    for doc_id, _src, gram in inc:
+        if doc_id is None:
+            continue
+        if gram not in firsts or doc_id < firsts[gram]:
+            firsts[gram] = doc_id
+    src_of = {r.doc_id: r.source for r in rows}
+    novel = Counter()
+    for gram, fd in firsts.items():
+        novel[src_of[fd]] += 1
+    denom = Counter(src for _d, src, _g in inc)
+    got = {
+        r.source: (r.n_doc_grams, r.n_novel, r.novelty_ppm)
+        for r in registry.QUERIES["q_ngram_novelty"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(denom)
+    for src, nd in denom.items():
+        nn = novel.get(src, 0)
+        assert got[src] == (nd, nn, nn * 1_000_000 // nd), src
+
+
+def test_affix_dup_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    pfx, sfx, docs = Counter(), Counter(), []
+    for r in rows:
+        toks = _lower_toks(r.text)
+        if len(toks) < 8:
+            continue
+        p = hashlib.md5(" ".join(toks[:8]).encode()).hexdigest()
+        s = hashlib.md5(" ".join(toks[-8:]).encode()).hexdigest()
+        pfx[p] += 1
+        sfx[s] += 1
+        docs.append((r.source, p, s))
+    exp = {}
+    for src in {d[0] for d in docs}:
+        mine = [(p, s) for s0, p, s in docs if s0 == src]
+        n = len(mine)
+        np_ = sum(1 for p, _s in mine if pfx[p] > 1)
+        ns = sum(1 for _p, s in mine if sfx[s] > 1)
+        exp[src] = (n, np_, ns, np_ * 1_000_000 // n, ns * 1_000_000 // n)
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_shared_prefix,
+            r.n_shared_suffix,
+            r.prefix_dup_ppm,
+            r.suffix_dup_ppm,
+        )
+        for r in registry.QUERIES["q_affix_dup"](spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_dup_inflation_and_quality_buckets_consistent(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    n_docs = len(rows)
+    infl = {
+        r.lang: (r.total_tokens, r.unique_tokens)
+        for r in registry.QUERIES["q_dup_inflation"](spark, sf_dir).collect()
+    }
+    # totals add up to the corpus token count; unique <= total
+    tot_tokens = sum(len(_lower_toks(r.text)) for r in rows)
+    assert sum(t for t, _u in infl.values()) == tot_tokens
+    assert all(u <= t for t, u in infl.values())
+    buckets = registry.QUERIES["q_quality_by_dup"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in buckets) == n_docs
+    assert {r.bucket for r in buckets} <= {"unique", "dup_2_3", "dup_4_plus"}
+
+
+def test_vocab_growth_monotone_and_saturates(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    vocab_all = set()
+    for r in rows:
+        vocab_all.update(_lower_toks(r.text))
+    got = sorted(
+        registry.QUERIES["q_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    assert [r.checkpoint for r in got] == [64, 128, 256, 512, 1024, 2048, 4096, 8192]
+    for a, b in zip(got, got[1:]):
+        assert a.n_vocab <= b.n_vocab and a.n_docs <= b.n_docs
+    max_id = max(r.doc_id for r in rows if r.doc_id is not None)
+    saturated = [r for r in got if r.checkpoint > max_id]
+    assert saturated and all(r.n_vocab == len(vocab_all) for r in saturated)
+
+
+def test_vocab_overlap_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    vocab = {}
+    for r in rows:
+        if r.source is None:
+            continue
+        vocab.setdefault(r.source, set()).update(_lower_toks(r.text))
+    got = {
+        (r.source_a, r.source_b): (r.v_a, r.v_b, r.n_common, r.jaccard_ppm)
+        for r in registry.QUERIES["q_vocab_overlap"](spark, sf_dir).collect()
+    }
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = len(vocab[a] & vocab[b])
+            if common == 0:
+                assert (a, b) not in got
+                continue
+            va, vb = len(vocab[a]), len(vocab[b])
+            assert got[(a, b)] == (
+                va,
+                vb,
+                common,
+                common * 1_000_000 // (va + vb - common),
+            ), (a, b)
+
+
+def test_ccnet_bins_are_ordered_tertiles(spark, sf_dir):
+    got = registry.QUERIES["q_ccnet_bins"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rs] == list(range(1, len(rs) + 1))
+        # equi-depth: tertile counts differ by at most 1, nonincreasing
+        counts = [r.n_docs for r in rs]
+        assert max(counts) - min(counts) <= 1 and counts == sorted(
+            counts, reverse=True
+        )
+        # bins partition the score axis in order
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_nlp <= b.min_nlp, lang
+
+
+def test_length_bias_deciles_balanced(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    base = [r for r in rows if r.n_chars is not None and r.text is not None]
+    n_digests = len({r.text for r in base})
+    got = sorted(
+        registry.QUERIES["q_length_bias"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in got] == list(range(1, 11))
+    assert sum(r.n_pre for r in got) == len(base)
+    assert sum(r.n_post for r in got) == n_digests
+    pre_counts = [r.n_pre for r in got]
+    assert max(pre_counts) - min(pre_counts) <= 1
+    # boundaries are nondecreasing data values
+    for a, b in zip(got, got[1:]):
+        assert a.max_pre <= b.max_pre

@@ -1125,3 +1125,44 @@ def test_dedup_audit_truth_input_is_sampled(spark, sf_dir):
     ).collect()[0]
     assert 0 < default_row["n_truth"] < full_row["n_truth"]
     assert default_row["n_candidates"] < full_row["n_candidates"]
+
+
+def test_vocab_overlap_join_keyed_on_token(spark, sf_dir):
+    """The source-pair vocabulary join must be tok-keyed (bounded by
+    source cardinality per token), never a cartesian; sizes broadcast."""
+    p = _plan(spark, sf_dir, "q_vocab_overlap")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # distinct (source, tok) streams partial-aggregate before any join
+    assert "hashpartitioning(source" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_vocab_growth_checkpoints_broadcast(spark, sf_dir):
+    """The 8-row checkpoint table rides a broadcast nested-loop theta
+    join — constant fan-out per row, not a shuffle or cartesian blowup."""
+    p = _plan(spark, sf_dir, "q_vocab_growth")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_affix_dup_digest_joins_linear(spark, sf_dir):
+    """Affix audit shuffles digests only: both back-joins are keyed on
+    the md5 columns and no pair join exists (counts, not candidates)."""
+    p = _plan(spark, sf_dir, "q_affix_dup")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(pfx" in p and "hashpartitioning(sfx" in p
+
+
+def test_centroid_drift_single_explode_no_python(spark, sf_dir):
+    """Centroid components come from ONE posexplode pass, aggregated
+    JVM-side — no Python evaluation anywhere in the plan."""
+    p = _plan(spark, sf_dir, "q_centroid_drift")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
+
+
+def test_dup_inflation_no_joins(spark, sf_dir):
+    """Token-inflation is join-free: digest rollup then lang rollup."""
+    p = _plan(spark, sf_dir, "q_dup_inflation")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2

@@ -308,3 +308,36 @@ def test_d4_select_matches_bruteforce(spark, sf_dir):
     # both prune stages must fire somewhere
     assert any(v[1] > 0 for v in got.values())
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_centroid_drift_matches_numpy(spark, sf_dir):
+    """Half-centroid cosine must match a float64 numpy recomputation to
+    the 6-dp rounding the op declares."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    halves = {}
+    for r in rows:
+        if r.embedding is None or r.vec_id is None:
+            continue
+        halves.setdefault(r.label, ([], []))[r.vec_id % 2].append(
+            np.asarray(r.embedding, dtype=np.float64)
+        )
+    exp = {}
+    for label, (ev, od) in halves.items():
+        if not ev or not od:
+            continue
+        ce, co = np.mean(ev, axis=0), np.mean(od, axis=0)
+        cos = float(ce @ co / (np.linalg.norm(ce) * np.linalg.norm(co)))
+        exp[label] = (len(ev), len(od), cos)
+    got = {
+        r.label: (r.n_even, r.n_odd, r.centroid_cosine)
+        for r in registry.QUERIES["q_centroid_drift"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for label, (ne, no, cos) in exp.items():
+        gne, gno, gcos = got[label]
+        assert (gne, gno) == (ne, no)
+        assert abs(gcos - cos) < 2e-6, label

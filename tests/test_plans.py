@@ -1166,3 +1166,30 @@ def test_dup_inflation_no_joins(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_dup_inflation")
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_semdedup_salted_pair_join_and_one_lloyd_checkpoint(spark, sf_dir):
+    """Round-6 heavy tier pins (verdict r6 item 6): the SemDeDup pair
+    join must carry the salt key (reducer spread across _SD_SALT lanes),
+    the Lloyd assignment must come from its checkpoint (Scan
+    ExistingRDD), never re-derived from parquet (exactly the embeddings
+    scans, no more), and the pair stage must stay flat-column (no
+    per-dimension explode beyond the fixed Generate budget)."""
+    for name in ("q_semdedup", "q_d4_select"):
+        p = _plan(spark, sf_dir, name)
+        assert "salt" in p, name
+        assert "CartesianProduct" not in p, name
+        assert len(re.findall(r"Scan ExistingRDD", p)) >= 1, name
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, name
+        assert len(re.findall(r"\(\d+\) Generate", p)) <= 3, name
+
+
+def test_exact_substring_shuffles_are_digest_keyed(spark, sf_dir):
+    """ExactSubstr's exchanges carry only digests/keys — the df rollup
+    on the window digest h, the source report rollup, and the composite
+    dedup key. Text never rides a shuffle and no extra exchange exists."""
+    p = _plan(spark, sf_dir, "q_exact_substring")
+    ex = re.findall(r"hashpartitioning\(([^,#]+)", p)
+    assert len(ex) == 3, ex
+    assert "h" in ex and "source" in ex
+    assert "text" not in p.split("Exchange", 1)[1][:200]

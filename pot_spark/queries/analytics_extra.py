@@ -1323,3 +1323,151 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boundary_shift"),
         )
     )
+
+
+# Benford expected first-digit frequencies, floored to ppm in PYTHON so
+# the literals are identical on both engines (log10 never enters a plan)
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c WHERE cents >= 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(*) * 1000000 // n.total AS BIGINT) AS observed_ppm,
+           CAST(CASE digit {' '.join(f'WHEN {k} THEN {v}' for k, v in _BENFORD_PPM.items())} END
+                AS BIGINT) AS benford_ppm,
+           CAST(COUNT(*) * 1000000 // n.total
+                - CASE digit {' '.join(f'WHEN {k} THEN {v}' for k, v in _BENFORD_PPM.items())} END
+                AS BIGINT) AS delta_ppm
+    FROM d CROSS JOIN n
+    GROUP BY digit, n.total
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    synthetic-data / fraud detector: organically-grown magnitudes follow
+    log10(1+1/d); generated or tampered values don't. Expected
+    frequencies are Python-precomputed integer ppm LITERALS (log10 never
+    enters either engine's plan), the observed digit comes from the
+    decimal string of floor(price*100) (floor first: DuckDB's
+    double→int cast rounds where Spark truncates), and all ratios are
+    floored integer ppm.
+
+    Scale posture: one scan, digit extraction in codegen, a 9-row
+    rollup crossJoined with the 1-row total — nothing corpus-sized ever
+    shuffles. No reference counterpart (SURVEY.md §2-A)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.filter(F.col("o_totalprice").isNotNull()).select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    d = c.filter(F.col("cents") >= 1).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("total"))
+    expected = None
+    for k, v in _BENFORD_PPM.items():
+        expected = (
+            F.when(F.col("digit") == k, v)
+            if expected is None
+            else expected.when(F.col("digit") == k, v)
+        )
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count("*").cast("bigint").alias("n_values"))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("CAST(n_values * 1000000 DIV total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            expected.cast("bigint").alias("benford_ppm"),
+            (
+                F.expr("n_values * 1000000 DIV total")
+                - expected
+            )
+            .cast("bigint")
+            .alias("delta_ppm"),
+        )
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, n_tok,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_tok, COALESCE(doc_id, -1)
+             ) AS rk
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN SUM(n_tok) = 0 THEN NULL
+                     ELSE (2 * SUM(rk * n_tok) - (COUNT(*) + 1) * SUM(n_tok))
+                          * 1000000 // (COUNT(*) * SUM(n_tok))
+                END AS BIGINT) AS gini_ppm
+    FROM r GROUP BY lang
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per language — the
+    inequality statistic that flags a corpus mixing boilerplate stubs
+    with book-length outliers (high Gini = a few docs carry the token
+    mass; a packing/curriculum hazard). Computed with the exact
+    rank-sum identity G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over the total
+    order (n_tok, doc_id) — pure integer arithmetic, floored ppm, NULL
+    on empty languages on both engines.
+
+    Scale posture: one scan + one per-lang rank window + one per-lang
+    rollup. The per-lang sort bounds at 100 TB like every exact ranking
+    here; the declared cutover is binned Gini over the q_histogram
+    integer bins with identical output semantics. No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "n_tok", F.coalesce("doc_id", F.lit(-1))
+    )
+    r = t.select("lang", "n_tok", F.row_number().over(w).alias("rk"))
+    return r.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "CAST(CASE WHEN SUM(n_tok) = 0 THEN NULL ELSE "
+            "(2 * SUM(rk * n_tok) - (COUNT(*) + 1) * SUM(n_tok)) * 1000000 "
+            "DIV (COUNT(*) * SUM(n_tok)) END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

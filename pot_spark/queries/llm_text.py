@@ -1934,3 +1934,94 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nlp").alias("max_nlp"),
         )
     )
+
+
+# Context-length candidates priced by q_context_fit (a literal table on
+# both engines)
+_CTX_WINDOWS = [512, 1024, 2048, 4096]
+
+
+@query(
+    "q_context_fit",
+    oracle=f"""
+    WITH ws AS (SELECT UNNEST([{', '.join(str(w) for w in _CTX_WINDOWS)}]) AS w),
+    toks AS (
+      SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(ws.w AS BIGINT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(CASE WHEN n_tok > ws.w THEN 1 END) AS BIGINT)
+             AS n_docs_truncated,
+           CAST(SUM(CASE WHEN n_tok > ws.w THEN n_tok - ws.w ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           CAST(SUM(CASE WHEN n_tok > ws.w THEN n_tok - ws.w ELSE 0 END)
+                * 1000000 // SUM(n_tok) AS BIGINT) AS loss_ppm,
+           CAST(SUM(CASE WHEN n_tok <= ws.w THEN ws.w - n_tok ELSE 0 END)
+                AS BIGINT) AS pad_tokens
+    FROM ws CROSS JOIN toks
+    GROUP BY ws.w
+    """,
+)
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing table: for each candidate window (512 /
+    1024 / 2048 / 4096 tokens), what one-doc-per-sequence training
+    would cost — docs truncated, tokens lost to truncation (floored
+    ppm of the corpus), and padding needed for short docs. Reading the
+    rows picks the context length (or justifies packing, whose
+    mechanics q_seq_pack provides) — the capacity-planning complement
+    of q_seq_pack's layout.
+
+    Scale posture: per-doc token counts are scan-side; the 4-row window
+    table broadcasts (BroadcastNestedLoopJoin with constant fan-out 4),
+    and the rollup carries 4 groups. One corpus scan, one type-scale
+    shuffle. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = spark.createDataFrame([(w,) for w in _CTX_WINDOWS], "w bigint")
+    toks = docs.select(
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    return (
+        toks.crossJoin(F.broadcast(ws))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.count(F.when(F.col("n_tok") > F.col("w"), 1))
+            .cast("bigint")
+            .alias("n_docs_truncated"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > F.col("w"), F.col("n_tok") - F.col("w")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tokens_lost"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_tok > w THEN n_tok - w ELSE 0 END)"
+                " * 1000000 DIV SUM(n_tok) AS BIGINT)"
+            ).alias("loss_ppm"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") <= F.col("w"), F.col("w") - F.col("n_tok")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+        )
+        .select(
+            F.col("w").alias("context_len"),
+            "n_docs",
+            "total_tokens",
+            "n_docs_truncated",
+            "tokens_lost",
+            "loss_ppm",
+            "pad_tokens",
+        )
+    )

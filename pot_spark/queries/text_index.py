@@ -1358,3 +1358,91 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH freqs AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT lang,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents) d, unnest(toks) AS u(tok)
+      GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang,
+             CAST(ROUND(LN(row_number() OVER (
+               PARTITION BY lang ORDER BY f DESC, tok
+             )), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(f), 6) AS DECIMAL(18,6)) AS y
+      FROM freqs
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n AS vocab_size,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s WHERE n >= 2
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per language: least-squares slope of
+    ln(frequency) on ln(rank) over the full vocabulary. Natural text
+    sits near −1; template farms and synthetic decode loops bend the
+    curve — the corpus-health twin of q_distinct_ngrams at distribution
+    level. Both ln() outputs are ROUNDED to 6dp then fixed as
+    DECIMAL(18,6) BEFORE any aggregation, and all four regression sums
+    accumulate in exact DECIMAL(38,12) — shuffle order cannot move the
+    slope; the only doubles are the final division (IEEE-exact) and its
+    6dp round.
+
+    Scale posture: one (lang, tok) rollup (map-side combined), a
+    per-lang rank window over the TYPE-scale vocabulary, one per-lang
+    rollup. The corpus-facing cost is the token count; everything after
+    is vocabulary-sized. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = freqs.select(
+        "lang",
+        F.round(F.log(F.row_number().over(w)), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log("f"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "lang",
+        F.col("n").alias("vocab_size"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -1149,3 +1149,100 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    c AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS t
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, c.day, tot.n, tot.t,
+             abs(tot.n * c.cum - c.i * tot.t) AS absdev,
+             row_number() OVER (
+               PARTITION BY c.event_type
+               ORDER BY abs(tot.n * c.cum - c.i * tot.t) DESC, c.day
+             ) AS rn
+      FROM c JOIN tot USING (event_type)
+    )
+    SELECT event_type, n AS n_days, t AS total_events,
+           CAST(day AS VARCHAR) AS peak_day,
+           CAST(absdev AS BIGINT) AS peak_dev_scaled
+    FROM dev WHERE rn = 1
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume per type: the
+    day where the cumulative deviation from a flat rate peaks — the
+    standard "when did behavior shift" estimator, in the scaled integer
+    form |n·cum_i − i·total| (multiplying the classic Σ(x−mean) through
+    by n removes the mean division, so the statistic is EXACT integer
+    arithmetic and shuffle-order-proof; argmax ties break to the
+    earliest day on both engines).
+
+    Scale posture: one (event_type, day) rollup compresses the corpus
+    to type×days rows; the cumsum/rank windows and the deviation math
+    all run on that compressed relation partitioned by event_type. NULL
+    timestamps are excluded identically up front. No reference
+    counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    c = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number().over(w_day).alias("i"),
+        F.sum("x")
+        .over(w_day.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    dev = c.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "t",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("t")).alias(
+            "absdev"
+        ),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("absdev"), F.asc("day")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("t").alias("total_events"),
+            F.col("day").cast("string").alias("peak_day"),
+            F.col("absdev").cast("bigint").alias("peak_dev_scaled"),
+        )
+    )

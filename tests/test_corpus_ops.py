@@ -759,3 +759,113 @@ def test_length_bias_deciles_balanced(spark, sf_dir):
     # boundaries are nondecreasing data values
     for a, b in zip(got, got[1:]):
         assert a.max_pre <= b.max_pre
+
+
+# -- round-7 batch 2: benford / gini / zipf / cusum / context-fit ------------
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(
+            (len(_lower_toks(r.text)), r.doc_id if r.doc_id is not None else -1)
+        )
+    got = {
+        r.lang: (r.n_docs, r.total_tokens, r.gini_ppm)
+        for r in registry.QUERIES["q_gini"](spark, sf_dir).collect()
+    }
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        if tot == 0:
+            assert got[lang][2] is None
+            continue
+        num = 2 * sum((i + 1) * x for i, (x, _) in enumerate(xs)) - (n + 1) * tot
+        # floored-division semantics of integer DIV (negative -> floor)
+        exp = (num * 1_000_000) // (n * tot)
+        assert got[lang] == (n, tot, exp), lang
+
+
+def test_zipf_fit_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    freqs = {}
+    for r in rows:
+        for t in _lower_toks(r.text):
+            freqs.setdefault(r.lang, Counter())[t] += 1
+    got = {
+        r.lang: (r.vocab_size, r.zipf_slope)
+        for r in registry.QUERIES["q_zipf_fit"](spark, sf_dir).collect()
+    }
+    for lang, cnt in freqs.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(ranked)
+        if n < 2:
+            assert lang not in got
+            continue
+        xs = [round(math.log(i + 1), 6) for i in range(n)]
+        ys = [round(math.log(f), 6) for _t, f in ranked]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[lang][0] == n
+        assert abs(got[lang][1] - slope) < 5e-6, lang
+
+
+def test_cusum_drift_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        if r.day is None:
+            continue
+        daily.setdefault(r.event_type, Counter())[r.day] += 1
+    got = {
+        r.event_type: (r.n_days, r.total_events, r.peak_day, r.peak_dev_scaled)
+        for r in registry.QUERIES["q_cusum_drift"](spark, sf_dir).collect()
+    }
+    for etype, cnt in daily.items():
+        days = sorted(cnt)
+        n, tot = len(days), sum(cnt.values())
+        cum, best = 0, None
+        for i, day in enumerate(days, start=1):
+            cum += cnt[day]
+            dev = abs(n * cum - i * tot)
+            if best is None or dev > best[1]:
+                best = (day, dev)
+        assert got[etype] == (n, tot, str(best[0]), best[1]), etype
+
+
+def test_benford_digits_complete_and_consistent(spark, sf_dir):
+    rows = registry.QUERIES["q_benford"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total = sum(r.n_values for r in rows)
+    for r in rows:
+        assert r.observed_ppm == r.n_values * 1_000_000 // total
+        assert r.delta_ppm == r.observed_ppm - r.benford_ppm
+
+
+def test_context_fit_identities(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    lens = [len(_lower_toks(r.text)) for r in rows]
+    got = {
+        r.context_len: r
+        for r in registry.QUERIES["q_context_fit"](spark, sf_dir).collect()
+    }
+    assert sorted(got) == [512, 1024, 2048, 4096]
+    for w, r in got.items():
+        assert r.n_docs == len(lens)
+        assert r.total_tokens == sum(lens)
+        assert r.n_docs_truncated == sum(1 for x in lens if x > w)
+        assert r.tokens_lost == sum(x - w for x in lens if x > w)
+        assert r.pad_tokens == sum(w - x for x in lens if x <= w)
+    # monotone: larger windows lose fewer tokens, pad more
+    ws = sorted(got)
+    for a, b in zip(ws, ws[1:]):
+        assert got[a].tokens_lost >= got[b].tokens_lost
+        assert got[a].pad_tokens <= got[b].pad_tokens

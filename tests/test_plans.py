@@ -1193,3 +1193,39 @@ def test_exact_substring_shuffles_are_digest_keyed(spark, sf_dir):
     assert len(ex) == 3, ex
     assert "h" in ex and "source" in ex
     assert "text" not in p.split("Exchange", 1)[1][:200]
+
+
+def test_benford_nothing_corpus_sized_shuffles(spark, sf_dir):
+    """Digit extraction is codegen scan-side; only the 9-row digit
+    rollup and the 1-row total move."""
+    p = _plan(spark, sf_dir, "q_benford")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2
+
+
+def test_zipf_fit_windows_vocabulary_not_corpus(spark, sf_dir):
+    """The rank window runs over the (lang, tok) rollup output — the
+    corpus never reaches a Window node."""
+    p = _plan(spark, sf_dir, "q_zipf_fit")
+    # window input partitioning is lang-keyed, after the freq aggregate
+    assert "hashpartitioning(lang" in p
+    # lower node id = earlier in execution: the aggregate feeds the window
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert min(agg_ids) < min(win_ids)
+
+
+def test_cusum_windows_on_compressed_daily_relation(spark, sf_dir):
+    """CUSUM windows run on the (event_type, day) rollup, partitioned
+    by event_type — never on raw events."""
+    p = _plan(spark, sf_dir, "q_cusum_drift")
+    assert "hashpartitioning(event_type" in p
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert min(agg_ids) < min(win_ids)
+
+
+def test_context_fit_broadcasts_window_table(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_context_fit")
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

@@ -2461,3 +2461,145 @@ def q_quality_by_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.avg("n_tok")).cast("bigint").alias("avg_tokens"),
         )
     )
+
+
+@query(
+    "q_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NEAR_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, LEAST(MIN(b), a) AS rep FROM reach GROUP BY a
+    ),
+    d AS (
+        SELECT doc_id, md5(text) AS digest,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    keep1 AS (SELECT digest, MIN(doc_id) AS keep_id FROM d GROUP BY digest),
+    s1 AS (
+        SELECT d.doc_id, d.n_tok FROM d
+        JOIN keep1 ON d.digest = keep1.digest AND d.doc_id = keep1.keep_id
+    ),
+    s2 AS (
+        SELECT s1.doc_id, s1.n_tok FROM s1
+        LEFT JOIN clusters c ON s1.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.rep = s1.doc_id
+    ),
+    raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS nt FROM d),
+    st AS (
+        SELECT 0 AS stage_ord, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM d
+        UNION ALL
+        SELECT 1, 'exact', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'near', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+    )
+    SELECT CAST(st.stage_ord AS BIGINT) AS stage_ord, st.stage, st.n_docs,
+           st.n_tokens,
+           CAST(CASE WHEN raw.nd = 0 THEN NULL
+                     ELSE st.n_docs * 1000000 // raw.nd END AS BIGINT)
+             AS docs_kept_ppm,
+           CAST(CASE WHEN raw.nt = 0 THEN NULL
+                     ELSE st.n_tokens * 1000000 // raw.nt END AS BIGINT)
+             AS tokens_kept_ppm
+    FROM st CROSS JOIN raw
+    """,
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup funnel report: corpus → exact keep-first →
+    near-dup keep-representative, with doc and TOKEN retention in
+    floored ppm at each stage — the one table a curation review asks
+    for ("what does each dedup stage actually buy us?"). Stage 2 keeps
+    a stage-1 survivor iff it is outside every verified near-dup
+    cluster or IS its cluster's representative (q_dedup_cluster's
+    min-doc_id label, reused directly so funnel and cluster assignments
+    can never disagree).
+
+    Scale posture: composes the production pipelines it audits — exact
+    stage is the digest rollup + keyed self-join (linear); near stage is
+    LSH banding + semi-join-restricted verify + O(diameter) min-label
+    propagation (checkpointed; q_dedup_near/q_dedup_cluster's plans,
+    pinned in test_plans). The funnel's own arithmetic is three 1-row
+    aggregates unioned and crossJoined with the raw totals. NULL-text
+    docs drop at the exact stage on both engines (NULL digest joins
+    nothing); all-NULL doc_id groups likewise. No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    keep1 = d.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    # explicit aliases: d and keep1 share lineage, so unqualified column
+    # objects would resolve to the SAME attribute (a trivially-true
+    # digest=digest) and silently drop the digest clause from the join
+    s1 = (
+        d.alias("d")
+        .join(
+            keep1.alias("k"),
+            (F.col("d.digest") == F.col("k.digest"))
+            & (F.col("d.doc_id") == F.col("k.keep_id")),
+        )
+        .select(F.col("d.doc_id").alias("doc_id"), F.col("d.n_tok").alias("n_tok"))
+    )
+    clusters = q_dedup_cluster(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc"), F.col("cluster_rep").alias("rep")
+    )
+    s2 = (
+        s1.join(clusters, s1.doc_id == clusters.c_doc, "left")
+        .filter(F.col("c_doc").isNull() | (F.col("rep") == F.col("doc_id")))
+        .select("doc_id", "n_tok")
+    )
+
+    def _stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    st = (
+        _stage(d, 0, "raw")
+        .unionByName(_stage(s1, 1, "exact"))
+        .unionByName(_stage(s2, 2, "near"))
+    )
+    raw = d.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("nt"),
+    )
+    return st.crossJoin(F.broadcast(raw)).select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN nd = 0 THEN NULL "
+            "ELSE n_docs * 1000000 DIV nd END AS BIGINT)"
+        ).alias("docs_kept_ppm"),
+        F.expr(
+            "CAST(CASE WHEN nt = 0 THEN NULL "
+            "ELSE n_tokens * 1000000 DIV nt END AS BIGINT)"
+        ).alias("tokens_kept_ppm"),
+    )

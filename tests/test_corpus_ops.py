@@ -869,3 +869,46 @@ def test_context_fit_identities(spark, sf_dir):
     for a, b in zip(ws, ws[1:]):
         assert got[a].tokens_lost >= got[b].tokens_lost
         assert got[a].pad_tokens <= got[b].pad_tokens
+
+
+def test_dedup_funnel_matches_staged_recomputation(spark, sf_dir):
+    """The funnel's three stages must agree with recomputing each stage
+    from the already-verified building blocks (exact digests in Python,
+    clusters from q_dedup_cluster)."""
+    rows = _docs_rows(spark, sf_dir)
+    n_tok = {r.doc_id: len(_lower_toks(r.text)) for r in rows}
+    raw_docs, raw_tok = len(rows), sum(n_tok.values())
+    keep = {}
+    for r in rows:
+        dig = hashlib.md5(r.text.encode()).hexdigest() if r.text is not None else None
+        if dig is None or r.doc_id is None:
+            if dig is not None and (dig not in keep or keep[dig] is None):
+                keep.setdefault(dig, r.doc_id)
+            continue
+        if dig not in keep or (keep[dig] is None or r.doc_id < keep[dig]):
+            keep[dig] = r.doc_id
+    s1 = {v for k, v in keep.items() if k is not None and v is not None}
+    reps = {
+        r.doc_id: r.cluster_rep
+        for r in registry.QUERIES["q_dedup_cluster"](spark, sf_dir).collect()
+    }
+    s2 = {d for d in s1 if d not in reps or reps[d] == d}
+    got = {
+        r.stage: (r.n_docs, r.n_tokens, r.docs_kept_ppm)
+        for r in registry.QUERIES["q_dedup_funnel"](spark, sf_dir).collect()
+    }
+    assert got["raw"] == (
+        raw_docs,
+        raw_tok,
+        raw_docs * 1_000_000 // raw_docs,
+    )
+    assert got["exact"] == (
+        len(s1),
+        sum(n_tok[d] for d in s1),
+        len(s1) * 1_000_000 // raw_docs,
+    )
+    assert got["near"] == (
+        len(s2),
+        sum(n_tok[d] for d in s2),
+        len(s2) * 1_000_000 // raw_docs,
+    )

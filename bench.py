@@ -144,6 +144,19 @@ HEADLINE = [
     "q_random_projection",
     "q_d4_select",
     "q_soft_dedup",
+    # round-7 additions: the dedup funnel (composes exact + near-dup +
+    # clustering — the heaviest new op), the corpus-growth/overlap
+    # audits (distinct-gram and tok-keyed join shapes), the per-lang
+    # window ops (ntile tertiles / decile tiling), and the drift audit
+    # (decimal-exact centroid sums) — plan-pinned in test_plans.py
+    "q_dedup_funnel",
+    "q_ngram_novelty",
+    "q_ccnet_bins",
+    "q_zipf_fit",
+    "q_affix_dup",
+    "q_vocab_overlap",
+    "q_centroid_drift",
+    "q_length_bias",
 ]
 
 

@@ -38,13 +38,21 @@ ANCHOR = "BENCH_r02.json"
 FILLS = [  # earliest-first; first file covering a query wins
     "BENCH_r05.json",
 ]
-# files whose per-query MEDIAN fills anything still uncovered
-MEDIAN_GROUP = [
-    "BENCH_r06_local.json",
-    "BENCH_r06_local2.json",
-    "BENCH_r06_local3.json",
-    "BENCH_r06_local4.json",
-    "BENCH_r06_local5.json",
+# file groups whose per-query MEDIAN fills anything still uncovered,
+# earliest group first (a query takes its baseline from the first group
+# that covers it)
+MEDIAN_GROUPS = [
+    [
+        "BENCH_r06_local.json",
+        "BENCH_r06_local2.json",
+        "BENCH_r06_local3.json",
+        "BENCH_r06_local4.json",
+        "BENCH_r06_local5.json",
+    ],
+    [
+        "BENCH_r07_local.json",
+        "BENCH_r07_local2.json",
+    ],
 ]
 
 
@@ -69,23 +77,24 @@ def main() -> None:
             if name not in queries:
                 queries[name] = sec
                 sources[name] = fill
-    group_runs = {p: _queries(p) for p in MEDIAN_GROUP}
-    group_names = set()
-    for qs in group_runs.values():
-        group_names.update(qs)
-    group_label = f"median({MEDIAN_GROUP[0]}..x{len(MEDIAN_GROUP)})"
-    for name in sorted(group_names):
-        if name in queries:
-            continue
-        vals = [qs[name] for qs in group_runs.values() if name in qs]
-        queries[name] = round(statistics.median(vals), 3)
-        sources[name] = group_label
+    for group in MEDIAN_GROUPS:
+        group_runs = {p: _queries(p) for p in group}
+        group_names = set()
+        for qs in group_runs.values():
+            group_names.update(qs)
+        group_label = f"median({group[0]}..x{len(group)})"
+        for name in sorted(group_names):
+            if name in queries:
+                continue
+            vals = [qs[name] for qs in group_runs.values() if name in qs]
+            queries[name] = round(statistics.median(vals), 3)
+            sources[name] = group_label
     calibration = {
         p: {
             "calib_sec_pre": _load(p).get("calib_sec_pre"),
             "calib_sec_post": _load(p).get("calib_sec_post"),
         }
-        for p in [ANCHOR] + FILLS + MEDIAN_GROUP
+        for p in [ANCHOR] + FILLS + [f for g in MEDIAN_GROUPS for f in g]
         if os.path.exists(os.path.join(ROOT, p))
     }
     out = {

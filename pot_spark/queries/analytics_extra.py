@@ -1471,3 +1471,122 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (COUNT(*) * SUM(n_tok)) END AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH base AS (
+      SELECT source, n_chars AS x FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM base GROUP BY source),
+    vals AS (SELECT DISTINCT x FROM base),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base),
+    c AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM base GROUP BY source, x),
+    g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS gcnt FROM base GROUP BY x),
+    grid AS (
+      SELECT s.source, s.ns, v.x, COALESCE(c.cnt, 0) AS cnt
+      FROM srcs s CROSS JOIN vals v
+      LEFT JOIN c ON c.source = s.source AND c.x = v.x
+    ),
+    cum AS (
+      SELECT grid.source, grid.ns, grid.x,
+             SUM(grid.cnt) OVER (PARTITION BY grid.source ORDER BY grid.x
+                                 ROWS UNBOUNDED PRECEDING) AS s_cum,
+             SUM(g.gcnt) OVER (PARTITION BY grid.source ORDER BY grid.x
+                               ROWS UNBOUNDED PRECEDING) AS t_cum
+      FROM grid JOIN g ON g.x = grid.x
+    ),
+    dev AS (
+      SELECT source, ns, x,
+             abs(s_cum * (n.total - ns) - (t_cum - s_cum) * ns) AS dnum,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY abs(s_cum * (n.total - ns) - (t_cum - s_cum) * ns)
+                        DESC, x
+             ) AS rn
+      FROM cum CROSS JOIN n
+      WHERE n.total > ns
+    )
+    SELECT d.source, d.ns AS n_docs,
+           CAST(d.dnum * 1000000 // (d.ns * (n.total - d.ns)) AS BIGINT)
+             AS ks_ppm,
+           CAST(d.x AS BIGINT) AS ks_at
+    FROM dev d CROSS JOIN n WHERE d.rn = 1
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of each source's doc-length
+    distribution against the REST of the corpus: the max CDF gap in
+    floored ppm plus the length where it occurs — the
+    continuous-distribution drift test that complements q_corpus_drift's
+    categorical TV distance (a source whose length CDF diverges is
+    templated, truncated, or a different register, even when its
+    language mix looks normal). The statistic is the exact integer
+    rational |cum_s·n_rest − cum_rest·n_s| / (n_s·n_rest) evaluated at
+    every observed length — no floats until the final ppm floor; argmax
+    ties break to the smallest length on both engines.
+
+    Scale posture: the corpus compresses to (source, length) counts
+    before any window (bounded by sources × distinct lengths — a
+    type-scale grid, since n_chars is bounded); the CDF accumulations
+    are per-source windows over that grid. Single-source corpora yield
+    no rows (no rest to test against) identically on both engines. No
+    reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").alias("x"))
+    srcs = base.groupBy("source").agg(F.count("*").cast("bigint").alias("ns"))
+    vals = base.select("x").distinct()
+    n = base.agg(F.count("*").cast("bigint").alias("total"))
+    c = base.groupBy("source", "x").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    g = base.groupBy("x").agg(F.count("*").cast("bigint").alias("gcnt"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(c, ["source", "x"], "left")
+        .select("source", "ns", "x", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.join(g, "x").select(
+        "source",
+        "ns",
+        "x",
+        F.sum("cnt").over(w).alias("s_cum"),
+        F.sum("gcnt").over(w).alias("t_cum"),
+    )
+    dev = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("total") > F.col("ns"))
+        .select(
+            "source",
+            "ns",
+            "x",
+            "total",
+            F.abs(
+                F.col("s_cum") * (F.col("total") - F.col("ns"))
+                - (F.col("t_cum") - F.col("s_cum")) * F.col("ns")
+            ).alias("dnum"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("dnum"), F.asc("x"))
+    return (
+        dev.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.expr(
+                "CAST(dnum * 1000000 DIV (ns * (total - ns)) AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.col("x").cast("bigint").alias("ks_at"),
+        )
+    )

@@ -2603,3 +2603,99 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE n_tokens * 1000000 DIV nt END AS BIGINT)"
         ).alias("tokens_kept_ppm"),
     )
+
+
+@query(
+    "q_dedup_cost_plan",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    dfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+    prof AS (
+      SELECT CAST(SUM(df) AS BIGINT) AS s1,
+             CAST(SUM(df * df) AS BIGINT) AS s2,
+             CAST(SUM(LEAST(df, 32)) AS BIGINT) AS c1,
+             CAST(SUM(LEAST(df, 32) * LEAST(df, 32)) AS BIGINT) AS c2
+      FROM dfp
+    ),
+    dig AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)),
+    dprof AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS e1,
+             CAST(SUM(c * c) AS BIGINT) AS e2
+      FROM dig
+    )
+    SELECT st.strategy, st.est_candidate_pairs, st.est_shuffle_rows
+    FROM (
+      SELECT 'exact_digest' AS strategy,
+             CAST((dprof.e2 - dprof.e1) / 2 AS BIGINT) AS est_candidate_pairs,
+             dprof.e1 AS est_shuffle_rows
+      FROM dprof
+      UNION ALL
+      SELECT 'direct_inverted_index',
+             CAST((prof.s2 - prof.s1) / 2 AS BIGINT), prof.s1 FROM prof
+      UNION ALL
+      SELECT 'df_capped_m32',
+             CAST((prof.c2 - prof.c1) / 2 AS BIGINT), prof.c1 FROM prof
+    ) st
+    """,
+)
+def q_dedup_cost_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup STRATEGY cost calculator: before running any dedup at
+    100 TB, price each plan from the measured df profile — exact-digest
+    (pairs = Σ C(copies,2), shuffle = one digest per doc), the direct
+    shingle inverted-index join (pairs = Σ C(df,2) — the Σ df² exposure
+    this repo's adaptive ops probe for), and the df-capped variant
+    (df ≤ 32, MOSS's boilerplate cap). This turns the 1-row strategy
+    probe the adaptive dedup ops use internally
+    (llm_dedup.py:_resolve_strategy) into a user-facing planning table —
+    read the pairs column and pick the plan the cluster can afford.
+
+    Scale posture: two rollups (shingle df, text digest), each reduced
+    to a 1-row exact-integer profile before the 3-row union — nothing
+    pairwise is ever materialized; the calculator costs two linear
+    passes. No reference counterpart (SURVEY.md §2-A)."""
+    sh = _shingle_df(spark, sf_dir)
+    dfp = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    prof = dfp.agg(
+        F.sum("df").cast("bigint").alias("s1"),
+        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("s2"),
+        F.sum(F.least(F.col("df"), F.lit(32))).cast("bigint").alias("c1"),
+        F.sum(
+            F.least(F.col("df"), F.lit(32)) * F.least(F.col("df"), F.lit(32))
+        )
+        .cast("bigint")
+        .alias("c2"),
+    )
+    dig = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    dprof = dig.agg(
+        F.sum("c").cast("bigint").alias("e1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("e2"),
+    )
+    exact = dprof.select(
+        F.lit("exact_digest").alias("strategy"),
+        ((F.col("e2") - F.col("e1")) / 2)
+        .cast("bigint")
+        .alias("est_candidate_pairs"),
+        F.col("e1").alias("est_shuffle_rows"),
+    )
+    direct = prof.select(
+        F.lit("direct_inverted_index").alias("strategy"),
+        ((F.col("s2") - F.col("s1")) / 2)
+        .cast("bigint")
+        .alias("est_candidate_pairs"),
+        F.col("s1").alias("est_shuffle_rows"),
+    )
+    capped = prof.select(
+        F.lit("df_capped_m32").alias("strategy"),
+        ((F.col("c2") - F.col("c1")) / 2)
+        .cast("bigint")
+        .alias("est_candidate_pairs"),
+        F.col("c1").alias("est_shuffle_rows"),
+    )
+    return exact.unionByName(direct).unionByName(capped)

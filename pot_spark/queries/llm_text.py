@@ -2025,3 +2025,77 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_tokens",
         )
     )
+
+
+@query(
+    "q_lang_confusion",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+                  WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+                  WHEN list_contains(string_split(text, ' '), 'el')  THEN 'es'
+                  WHEN list_contains(string_split(text, ' '), 'le')  THEN 'fr'
+                  ELSE 'unknown' END AS pred_lang
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY lang, pred_lang
+    ),
+    rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM m GROUP BY lang),
+    ct AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS col_n
+           FROM m GROUP BY pred_lang)
+    SELECT m.lang, m.pred_lang, m.n,
+           CAST(m.n * 1000000 // rt.row_n AS BIGINT) AS recall_ppm,
+           CAST(m.n * 1000000 // ct.col_n AS BIGINT) AS precision_ppm
+    FROM m
+    JOIN rt ON rt.lang IS NOT DISTINCT FROM m.lang
+    JOIN ct ON ct.pred_lang = m.pred_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the labeled lang column against
+    q_lang_id's marker-token prediction, each cell with its share of
+    the true-language row (recall) and of the predicted column
+    (precision) in floored ppm — the eval table that says whether the
+    cheap classifier is good enough to gate a crawl, per language.
+
+    Scale posture: prediction is a scan-side CASE; one (lang,
+    pred_lang) rollup (≤ langs × 5 cells) and two type-scale marginal
+    joins (null-safe on the labeled side, where hostile data puts
+    NULLs). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred = (
+        F.when(F.array_contains(toks, "the"), "en")
+        .when(F.array_contains(toks, "der"), "de")
+        .when(F.array_contains(toks, "el"), "es")
+        .when(F.array_contains(toks, "le"), "fr")
+        .otherwise("unknown")
+    )
+    m = (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rt = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("row_n"))
+    ct = m.groupBy("pred_lang").agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    return (
+        m.join(F.broadcast(rt), m.lang.eqNullSafe(rt.lang))
+        .drop(rt.lang)
+        .join(F.broadcast(ct), "pred_lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.expr("CAST(n * 1000000 DIV row_n AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr("CAST(n * 1000000 DIV col_n AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+        )
+    )

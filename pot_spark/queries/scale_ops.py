@@ -1128,3 +1128,78 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_N_SHARDS = 32
+
+
+@query(
+    "q_shard_balance",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % {_N_SHARDS} AS shard,
+             n_chars
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_bytes
+      FROM s GROUP BY shard
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                   CAST(SUM(n_bytes) AS BIGINT) AS tb FROM per)
+    SELECT CAST(per.shard AS BIGINT) AS shard, per.n_docs, per.n_bytes,
+           CAST(per.n_docs * 1000000 // tot.td AS BIGINT) AS docs_ppm,
+           CAST(per.n_docs * 1000000 // tot.td - 1000000 // {_N_SHARDS}
+                AS BIGINT) AS skew_ppm
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-sharding balance audit: assign every doc to one of 32
+    output shards by its md5 bucket (the deterministic sharding a
+    100 TB writer actually uses) and report per-shard doc/byte loads
+    with the deviation from the ideal 1/N share in ppm — the check
+    that the shard function will not produce straggler output files.
+
+    Scale posture: shard assignment is a scan-side hash; one 32-group
+    rollup crossJoined with the 1-row totals. Rows with NULL doc_id are
+    excluded identically on both engines (they would all land in one
+    pseudo-shard and fake a skew alarm). No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % _N_SHARDS
+    )
+    per = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .groupBy(shard.cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bytes"),
+        )
+    )
+    # totals via a window over the 32-row rollup (ONE lineage — a
+    # second aggregate branch would re-run the corpus scan)
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy()
+    per = per.withColumn(
+        "td", F.sum("n_docs").over(w_all).cast("bigint")
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        F.expr("CAST(n_docs * 1000000 DIV td AS BIGINT)").alias("docs_ppm"),
+        F.expr(
+            f"CAST(n_docs * 1000000 DIV td - 1000000 DIV {_N_SHARDS}"
+            " AS BIGINT)"
+        ).alias("skew_ppm"),
+    )

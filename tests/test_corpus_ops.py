@@ -912,3 +912,114 @@ def test_dedup_funnel_matches_staged_recomputation(spark, sf_dir):
         sum(n_tok[d] for d in s2),
         len(s2) * 1_000_000 // raw_docs,
     )
+
+
+# -- round-7 batch 3: lang confusion / shard balance / KS / cost plan --------
+
+
+def test_lang_confusion_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+
+    def pred(text):
+        toks = text.split(" ")
+        for marker, lg in (("the", "en"), ("der", "de"), ("el", "es"), ("le", "fr")):
+            if marker in toks:
+                return lg
+        return "unknown"
+
+    cells = Counter((r.lang, pred(r.text)) for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for (lang, pl), n in cells.items():
+        rt[lang] += n
+        ct[pl] += n
+    got = {
+        (r.lang, r.pred_lang): (r.n, r.recall_ppm, r.precision_ppm)
+        for r in registry.QUERIES["q_lang_confusion"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, n in cells.items():
+        lang, pl = key
+        assert got[key] == (
+            n,
+            n * 1_000_000 // rt[lang],
+            n * 1_000_000 // ct[pl],
+        ), key
+
+
+def test_shard_balance_partitions_everything(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    n = sum(1 for r in rows if r.doc_id is not None)
+    got = registry.QUERIES["q_shard_balance"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in got) == n
+    assert all(0 <= r.shard < 32 for r in got)
+    for r in got:
+        assert r.docs_ppm == r.n_docs * 1_000_000 // n
+        assert r.skew_ppm == r.docs_ppm - 1_000_000 // 32
+
+
+def test_ks_test_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    base = [
+        (r.source, r.n_chars)
+        for r in rows
+        if r.source is not None and r.n_chars is not None
+    ]
+    total = len(base)
+    xs = sorted({x for _s, x in base})
+    got = {
+        r.source: (r.n_docs, r.ks_ppm, r.ks_at)
+        for r in registry.QUERIES["q_ks_test"](spark, sf_dir).collect()
+    }
+    for src in {s for s, _x in base}:
+        mine = [x for s, x in base if s == src]
+        ns, nr = len(mine), total - len(mine)
+        if nr == 0:
+            assert src not in got
+            continue
+        best = None
+        cs = cr = 0
+        from collections import Counter as _C
+
+        cnt_s, cnt_all = _C(mine), _C(x for _s, x in base)
+        for x in xs:
+            cs += cnt_s.get(x, 0)
+            cr += cnt_all.get(x, 0) - cnt_s.get(x, 0)
+            dnum = abs(cs * nr - cr * ns)
+            if best is None or dnum > best[0]:
+                best = (dnum, x)
+        assert got[src] == (
+            ns,
+            best[0] * 1_000_000 // (ns * nr),
+            best[1],
+        ), src
+
+
+def test_dedup_cost_plan_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    from pot_spark.queries.llm_dedup import _shingle_df
+
+    sh = Counter(
+        (r.doc_id, r.shingle)
+        for r in _shingle_df(spark, sf_dir).collect()
+    )
+    df = Counter()
+    for (_d, g), c in sh.items():
+        df[g] += c
+    s1 = sum(df.values())
+    s2 = sum(v * v for v in df.values())
+    c1 = sum(min(v, 32) for v in df.values())
+    c2 = sum(min(v, 32) ** 2 for v in df.values())
+    dig = Counter(
+        hashlib.md5(r.text.encode()).hexdigest() if r.text is not None else None
+        for r in rows
+    )
+    e1 = sum(dig.values())
+    e2 = sum(v * v for v in dig.values())
+    got = {
+        r.strategy: (r.est_candidate_pairs, r.est_shuffle_rows)
+        for r in registry.QUERIES["q_dedup_cost_plan"](spark, sf_dir).collect()
+    }
+    assert got["exact_digest"] == ((e2 - e1) // 2, e1)
+    assert got["direct_inverted_index"] == ((s2 - s1) // 2, s1)
+    assert got["df_capped_m32"] == ((c2 - c1) // 2, c1)

@@ -1229,3 +1229,27 @@ def test_context_fit_broadcasts_window_table(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_context_fit")
     assert "BroadcastNestedLoopJoin" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_ks_test_grid_is_type_scale(spark, sf_dir):
+    """KS accumulations run on the (source, length) grid, never raw
+    docs: the corpus compresses through aggregates before any window."""
+    p = _plan(spark, sf_dir, "q_ks_test")
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert min(agg_ids) < min(win_ids)
+    assert "hashpartitioning(source" in p
+
+
+def test_dedup_cost_plan_never_materializes_pairs(spark, sf_dir):
+    """The calculator prices pair volume from 1-row profiles — no join
+    of any kind except the final 3-row union."""
+    p = _plan(spark, sf_dir, "q_dedup_cost_plan")
+    assert "Join" not in p
+    assert "Union" in p
+
+
+def test_shard_balance_single_rollup(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_shard_balance")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

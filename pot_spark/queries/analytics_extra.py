@@ -1413,8 +1413,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT lang, doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                                  x -> x <> '')) AS BIGINT) AS n_tok
+             CAST(COALESCE(len(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')), 0) AS BIGINT)
+               AS n_tok
       FROM documents
     ),
     r AS (
@@ -1449,14 +1450,18 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer bins with identical output semantics. No reference
     counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
+    # NULL text counts as 0 tokens: without the COALESCE, NULL n_tok
+    # rows rank NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting
+    # every non-null rank (caught by the hostile-parity sweep)
     t = docs.select(
         "lang",
         "doc_id",
-        F.size(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        )
-        .cast("bigint")
-        .alias("n_tok"),
+        F.coalesce(
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("n_tok"),
     )
     w = Window.partitionBy("lang").orderBy(
         "n_tok", F.coalesce("doc_id", F.lit(-1))

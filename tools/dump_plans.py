@@ -188,6 +188,32 @@ NOTES = {
     "q_zorder_skipping": "block ids are KEY RANGES — no global sort, "
     "no row_number, no Window node anywhere; pure shift/and codegen "
     "plus the (layout, block) rollup; the 1-row maxima broadcast.",
+    "q_dedup_funnel": "composes the production plans it audits: digest "
+    "rollup + aliased keyed self-join (exact), checkpointed band-pairs "
+    "+ min-label propagation (near); the funnel's own math is three "
+    "1-row aggregates unioned against a broadcast totals row.",
+    "q_dedup_cost_plan": "pair volume is PRICED from two linear "
+    "profile rollups (shingle df, text digest) reduced to 1-row exact "
+    "integer profiles — zero joins, nothing pairwise materialized.",
+    "q_ngram_novelty": "one distinct (doc,src,gram) rollup; the gram "
+    "first-occurrence table collapses to doc-scale BEFORE re-touching "
+    "documents, so the only joins are doc-keyed linear + source-typed.",
+    "q_vocab_overlap": "tok-keyed self-join bounded by source "
+    "cardinality per token TYPE (≤C(n_sources,2) pairs/type); sizes "
+    "broadcast; distinct streams partial-aggregate map-side.",
+    "q_ks_test": "the corpus compresses to the (source, length) grid "
+    "through aggregates before any Window; CDF accumulations and the "
+    "argmax rank run per-source on that type-scale grid.",
+    "q_shard_balance": "scan-side md5 shard hash, ONE 32-group rollup; "
+    "totals come from a window OVER the rollup (one lineage — a second "
+    "aggregate branch would re-run the corpus scan).",
+    "q_ccnet_bins": "q_unigram_logprob's two token-scale shuffles feed "
+    "ONE per-lang ntile window over (rounded score, doc_id); at scale "
+    "the declared cutover is approx-percentile boundaries + scan-side "
+    "binning.",
+    "q_centroid_drift": "one posexplode pass partial-aggregates to "
+    "type-scale (label, dim) components; cosine sums are exact DECIMAL "
+    "so shuffle order cannot move the rounded result.",
 }
 
 # queries whose interesting plan hides behind checkpoint barriers by

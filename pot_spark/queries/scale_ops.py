@@ -1203,3 +1203,51 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("skew_ppm"),
     )
+
+
+_QUOTA_K = 2
+
+
+@query(
+    "s_user_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY event_id
+             ) AS rn
+      FROM events WHERE event_id IS NOT NULL
+    )
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS admitted_event_id
+    FROM r WHERE rn <= {_QUOTA_K}
+    """,
+)
+def s_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission quota: keep only the FIRST {K} events per (user_id,
+    event_type) — the batch evaluation of a streaming rate-limit /
+    free-tier gate (admit K, drop the rest). "First" is by event_id (the
+    globally unique arrival order key), so the admitted set is
+    deterministic; NULL event_ids are excluded on both engines (they
+    have no position in the arrival order — and rank NULLS FIRST in
+    Spark but NULLS LAST in DuckDB).
+
+    The streaming twin (s_user_quota_stream) runs this as a custom
+    stateful operator holding the K admitted ids per key — state is K
+    int64s per key, bounded regardless of stream length, and redelivery
+    (at-least-once source) admits nothing twice. Scale posture: one
+    window over the (user, type) partitioning; at 100 TB this is the
+    same single-exchange rank plan as q_lateral_topn."""
+    from pyspark.sql import Window as _W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    w = _W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA_K)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("bigint").alias("admitted_event_id"),
+        )
+    )

@@ -220,3 +220,13 @@ def s_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner's state story: each open window holds one (open, high, low,
     close, n) tuple per (user, hour), retired by the watermark."""
     return run_streaming_query(spark, "q_ohlc_bars", sf_dir)
+
+
+@query("s_user_quota_stream", oracle=ORACLES["s_user_quota"])
+def s_user_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission quota under real Structured Streaming: a custom
+    stateful operator (applyInPandasWithState) granting each (user_id,
+    event_type) its first K event_ids exactly once — K int64s of state
+    per key, bounded on an unbounded stream; duplicate delivery admits
+    nothing twice. Oracle = the batch twin s_user_quota's."""
+    return run_streaming_query(spark, "s_user_quota", sf_dir)

@@ -485,6 +485,74 @@ def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_quota(stream: DataFrame) -> DataFrame:
+    """Admission quota as a custom stateful operator: per (user_id,
+    event_type), admit only the K smallest event_ids ever seen and emit
+    each admission exactly once. State per key = the K admitted int64
+    ids — BOUNDED regardless of stream length (the property that keeps a
+    rate-limit gate viable on an unbounded stream), and redelivery of an
+    already-admitted event (at-least-once source) admits nothing twice
+    (pinned by tests/test_streaming.py's replayed-source test). Batch
+    twin: pot_spark.queries.scale_ops.s_user_quota. Emission contract
+    matches build_stateful_dedup: an admission is emitted when granted,
+    so the sink equals the batch result when arrival order follows
+    event_id (the runner's file source) — a reordering source would
+    displace an early grant and needs a foreachBatch upsert sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pot_spark.queries.scale_ops import _QUOTA_K
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("admitted_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"id{i}", T.LongType()) for i in range(_QUOTA_K)]
+    )
+
+    def quota_fn(key, pdf_iter, state: GroupState):
+        user_id, event_type = key
+        admitted = (
+            [x for x in state.get if x is not None] if state.exists else []
+        )
+        batch_ids: list[int] = []
+        for pdf in pdf_iter:
+            batch_ids.extend(int(x) for x in pdf["event_id"].dropna())
+        new = sorted(set(batch_ids) - set(admitted))
+        granted = new[: max(0, _QUOTA_K - len(admitted))]
+        if granted:
+            admitted = sorted(admitted + granted)
+            state.update(
+                tuple(
+                    admitted[i] if i < len(admitted) else None
+                    for i in range(_QUOTA_K)
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(granted),
+                    "event_type": [event_type] * len(granted),
+                    "admitted_event_id": granted,
+                }
+            )
+
+    return (
+        stream.filter(F.col("event_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            quota_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
     """The same first-event dedup on Spark 4's transformWithState API
     (StatefulProcessor + typed state handles) — the successor to
@@ -746,6 +814,7 @@ STATEFUL_BUILDERS = {
     "s_dedup_first": build_stateful_dedup,
     "q_dedup_daily_first": build_stateful_daily_dedup,
     "s_cdc_compact": build_stateful_cdc,
+    "s_user_quota": build_stateful_quota,
 }
 
 

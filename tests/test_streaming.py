@@ -317,3 +317,29 @@ def test_outer_join_stream_emits_unmatched_signups(spark, sf_dir):
     assert got == expected
     # every signup is represented exactly as often as in the batch twin
     assert out.count() == batch.count()
+
+
+def test_quota_admits_nothing_twice_under_replay(spark, sf_dir):
+    """The replayed (at-least-once) source delivers every event in TWO
+    microbatches; the quota operator's admitted-id state must grant each
+    key's K slots exactly once — the second delivery emits nothing, so
+    the sink still equals the batch twin."""
+    from pot_spark.streaming.runner import _event_stream, build_stateful_quota
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet", replay=True)
+    plan = build_stateful_quota(stream)
+    spark.catalog.dropTempView("sink_quota_replay")
+    q = (
+        plan.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sink_quota_replay")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    out = spark.table("sink_quota_replay")
+    batch = registry.QUERIES["s_user_quota"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)

@@ -2699,3 +2699,75 @@ def q_dedup_cost_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").alias("est_shuffle_rows"),
     )
     return exact.unionByName(direct).unionByName(capped)
+
+
+_SWEEP_THRESHOLDS = [30, 40, 50, 60, 70, 80, 90]
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, p.na, p.nb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY p.doc_a, p.doc_b, p.na, p.nb
+    ),
+    ts AS (SELECT UNNEST([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t)
+    SELECT CAST(ts.t AS BIGINT) AS threshold_pct,
+           CAST(COUNT(CASE WHEN 100 * i >= ts.t * (na + nb - i) THEN 1 END)
+                AS BIGINT) AS n_pairs
+    FROM ts CROSS JOIN inter
+    GROUP BY ts.t
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD sweep: how many verified candidate pairs
+    survive at every Jaccard cut from 0.3 to 0.9 — the tuning table for
+    the verify threshold (q_lsh_tuning picks the BANDING; this picks the
+    CUT: too low merges topical cousins, too high misses template
+    edits). The threshold test is pure integers (100·i ≥ t·(na+nb−i)) —
+    no float Jaccard ever compared, so the counts are engine-exact.
+
+    Scale posture: q_dedup_near's semi-join-restricted verify produces
+    the intersection counts ONCE; all 7 thresholds price from that one
+    relation via a 7-row broadcast conditional rollup — the sweep costs
+    one near-dup verify regardless of how many cuts are examined. No
+    reference counterpart (SURVEY.md §2-A)."""
+    sh = _shingle_df(spark, sf_dir)
+    pairs = reliable_checkpoint(_band_pairs(spark, sf_dir, sh))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa_c = sa.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+    sb_c = sb.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
+    inter = (
+        sa_c.join(pairs, "doc_a")
+        .join(sb_c, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "t bigint"
+    )
+    return (
+        inter.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(
+                F.when(
+                    F.lit(100) * F.col("i")
+                    >= F.col("t") * (F.col("na") + F.col("nb") - F.col("i")),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .select(F.col("t").cast("bigint").alias("threshold_pct"), "n_pairs")
+    )

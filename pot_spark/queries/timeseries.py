@@ -1246,3 +1246,204 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("absdev").cast("bigint").alias("peak_dev_scaled"),
         )
     )
+
+
+_ACF_LAGS = [1, 2, 3, 7]
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    lags AS (SELECT UNNEST([{', '.join(str(k) for k in _ACF_LAGS)}]) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+      FROM idx a
+      CROSS JOIN lags l
+      JOIN idx b ON b.event_type IS NOT DISTINCT FROM a.event_type
+                AND b.i = a.i + l.lag
+    ),
+    s AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,
+             CAST(SUM(xa * xb) AS BIGINT) AS sab,
+             CAST(SUM(xa * xa) AS BIGINT) AS saa,
+             CAST(SUM(xb * xb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS acf
+    FROM s
+    WHERE n >= 2 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume per type at lags
+    1/2/3/7 days — the seasonality detector (a strong lag-7 says weekly
+    cycle; near-zero everywhere says the volume is memoryless). Pearson
+    r between the series and its lag over aligned day-index pairs; all
+    five sums are EXACT integer aggregates of daily counts, so shuffle
+    order cannot move the statistic — doubles appear only in the final
+    IEEE division/sqrt, rounded to 6dp on both engines. Degenerate
+    series (constant either side, or fewer than 2 aligned pairs) yield
+    no row rather than a NaN, identically.
+
+    Scale posture: the corpus compresses to (event_type, day) counts
+    first; the lag alignment is a self-join on the per-type day INDEX
+    (row_number over the compressed relation) fanned out by a 4-row
+    broadcast lag table — type-scale all the way after the first
+    rollup. No reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag bigint")
+    a = idx.select(
+        F.col("event_type").alias("et"),
+        F.col("x").alias("xa"),
+        F.col("i").alias("ia"),
+    ).crossJoin(F.broadcast(lags))
+    b = idx.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("i").alias("ib"),
+    )
+    pairs = a.join(
+        b,
+        a.et.eqNullSafe(b.et_b) & (F.col("ib") == F.col("ia") + F.col("lag")),
+    )
+    s = pairs.groupBy(F.col("et").alias("event_type"), "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa") > 0)
+            & (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round(
+                (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+                    "double"
+                )
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+                    ).cast("double")
+                    * (
+                        F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE ts IS NOT NULL
+    ),
+    deltas AS (
+      SELECT CAST(s AS DATE) AS day, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT CAST(s AS DATE) AS day, e AS t, -1 AS d FROM iv
+    ),
+    cum AS (
+      SELECT day, t,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS load
+      FROM deltas
+    ),
+    best AS (
+      SELECT day, t, load,
+             row_number() OVER (
+               PARTITION BY day ORDER BY load DESC, t
+             ) AS rn
+      FROM cum
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(load AS BIGINT) AS peak_concurrent,
+           CAST(t AS VARCHAR) AS peak_at
+    FROM best WHERE rn = 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the classic SWEEP-LINE: each event
+    opens a 30-minute activity interval; +1/-1 boundary deltas sorted in
+    time and cumulative-summed give the live count at every boundary,
+    and the per-day max is the capacity-planning number (how many
+    concurrent sessions must the serving tier hold). Tie rule is
+    engine-pinned twice: simultaneous boundaries order (-1 before +1)
+    via the delta in the sort key, and equal peaks resolve to the
+    earliest time. The interval end is attributed to its START day so a
+    boundary never lands in a foreign partition.
+
+    Scale posture: the delta stream is 2 rows per event, partitioned by
+    day — the cumsum window and the argmax rank both run inside the day
+    partition (no global window); at 100 TB days shard across executors
+    and each day's sweep is independent. No reference counterpart
+    (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    deltas = iv.select(
+        F.col("s").cast("date").alias("day"),
+        F.col("s").alias("t"),
+        F.lit(1).alias("d"),
+    ).unionByName(
+        iv.select(
+            F.col("s").cast("date").alias("day"),
+            F.col("e").alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = deltas.select(
+        "day", "t", F.sum("d").over(w_cum).alias("load")
+    )
+    w_rank = Window.partitionBy("day").orderBy(F.desc("load"), F.asc("t"))
+    return (
+        cum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("load").cast("bigint").alias("peak_concurrent"),
+            F.col("t").cast("string").alias("peak_at"),
+        )
+    )

@@ -1023,3 +1023,88 @@ def test_dedup_cost_plan_matches_bruteforce(spark, sf_dir):
     assert got["exact_digest"] == ((e2 - e1) // 2, e1)
     assert got["direct_inverted_index"] == ((s2 - s1) // 2, s1)
     assert got["df_capped_m32"] == ((c2 - c1) // 2, c1)
+
+
+# -- round-7 batch 4: acf / peak concurrency / threshold sweep ---------------
+
+
+def test_acf_matches_bruteforce(spark, sf_dir):
+    import datetime as _dt
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        if r.day is None:
+            continue
+        daily.setdefault(r.event_type, Counter())[r.day] += 1
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in registry.QUERIES["q_acf"](spark, sf_dir).collect()
+    }
+    seen = set()
+    for etype, cnt in daily.items():
+        series = [cnt[d] for d in sorted(cnt)]
+        for lag in (1, 2, 3, 7):
+            xa = series[: len(series) - lag]
+            xb = series[lag:]
+            n = len(xa)
+            if n < 2:
+                continue
+            sa, sb = sum(xa), sum(xb)
+            sab = sum(a * b for a, b in zip(xa, xb))
+            saa, sbb = sum(a * a for a in xa), sum(b * b for b in xb)
+            va, vb = n * saa - sa * sa, n * sbb - sb * sb
+            if va <= 0 or vb <= 0:
+                continue
+            r = (n * sab - sa * sb) / math.sqrt(va * vb)
+            assert got[(etype, lag)][0] == n
+            assert abs(got[(etype, lag)][1] - r) < 2e-6, (etype, lag)
+            seen.add((etype, lag))
+    assert seen == set(got)
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    import datetime as _dt
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("ts")
+        .collect()
+    )
+    deltas = {}
+    for r in ev:
+        if r.ts is None:
+            continue
+        day = r.ts.date()
+        deltas.setdefault(day, []).append((r.ts, 1))
+        deltas[day].append((r.ts + _dt.timedelta(minutes=30), -1))
+    got = {
+        r.day: (r.peak_concurrent, r.peak_at)
+        for r in registry.QUERIES["q_peak_concurrency"](spark, sf_dir).collect()
+    }
+    assert set(got) == {str(d) for d in deltas}
+    for day, ds in deltas.items():
+        ds.sort(key=lambda p: (p[0], p[1]))  # -1 sorts before +1 on ties
+        load_, best = 0, None
+        for t, d in ds:
+            load_ += d
+            if best is None or load_ > best[0]:
+                best = (load_, t)
+        assert got[str(day)][0] == best[0], day
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["q_dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == [30, 40, 50, 60, 70, 80, 90]
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)  # higher cut, fewer pairs
+    # the 0.5 cut must agree with q_dedup_near's verified pair count
+    near = registry.QUERIES["q_dedup_near"](spark, sf_dir).count()
+    assert dict((r.threshold_pct, r.n_pairs) for r in rows)[50] == near

@@ -1253,3 +1253,35 @@ def test_shard_balance_single_rollup(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_shard_balance")
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_acf_aligns_on_compressed_index(spark, sf_dir):
+    """Lag alignment joins the per-type day INDEX of the compressed
+    daily relation — the corpus never reaches the self-join."""
+    p = _plan(spark, sf_dir, "q_acf")
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert min(agg_ids) < min(win_ids)
+    assert "CartesianProduct" not in p
+
+
+def test_peak_concurrency_sweeps_within_day(spark, sf_dir):
+    """Both the cumsum and the argmax windows run on the day
+    partitioning — no global window over the delta stream."""
+    p = _plan(spark, sf_dir, "q_peak_concurrency")
+    assert "hashpartitioning(day" in p
+    # cumsum + rank windows (the rank may split into partial/final
+    # Window pairs around a WindowGroupLimit — the top-1 never sorts
+    # more than each partition's group-limit survivors)
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 2
+    assert "WindowGroupLimit" in p
+
+
+def test_threshold_sweep_verifies_once(spark, sf_dir):
+    """All 7 thresholds price from ONE checkpointed verify pass: the
+    plan reads the checkpointed band pairs (ExistingRDD) and the
+    threshold table rides a broadcast — no second banding self-join."""
+    p = _plan(spark, sf_dir, "q_dedup_threshold_sweep")
+    assert "ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"LeftSemi", p)) >= 2

@@ -157,6 +157,14 @@ HEADLINE = [
     "q_vocab_overlap",
     "q_centroid_drift",
     "q_length_bias",
+    # round-7 (cont.): the one-verify-pass threshold sweep (the
+    # heaviest new op — a second banding join sneaking in shows up as a
+    # timing cliff), the compressed-relation time-series pair, and the
+    # stateful quota's batch twin
+    "q_dedup_threshold_sweep",
+    "q_acf",
+    "q_peak_concurrency",
+    "s_user_quota",
 ]
 
 

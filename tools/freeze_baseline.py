@@ -53,6 +53,10 @@ MEDIAN_GROUPS = [
         "BENCH_r07_local.json",
         "BENCH_r07_local2.json",
     ],
+    [
+        "BENCH_r07_local3.json",
+        "BENCH_r07_local4.json",
+    ],
 ]
 
 

@@ -103,3 +103,116 @@ def test_fsspec_from_url_gates_on_import():
 
     with pytest.raises(ImportError, match="fsspec"):
         FsspecBackend.from_url("file:///tmp/x")
+
+
+def test_gcs_backend_maps_preconditions(monkeypatch):
+    """Exercise GCSBackend's actual commit path against a faked
+    google-cloud-storage SDK: win on create, False on the 412
+    PreconditionFailed a losing conditional put raises, key =
+    prefix + store-absolute target with slashes normalized."""
+    import sys
+    import types
+
+    class FakePreconditionFailed(Exception):
+        pass
+
+    class FakeBlob:
+        def __init__(self, store, key):
+            self.store, self.key = store, key
+
+        def upload_from_string(self, payload, if_generation_match=None):
+            assert if_generation_match == 0  # the ONLY mode the commit uses
+            if self.key in self.store:
+                raise FakePreconditionFailed(self.key)
+            self.store[self.key] = payload
+
+    class FakeBucket:
+        def __init__(self, store):
+            self.store = store
+
+        def blob(self, key):
+            return FakeBlob(self.store, key)
+
+    objects: dict[str, bytes] = {}
+
+    class FakeClient:
+        def bucket(self, name):
+            assert name == "my-bucket"
+            return FakeBucket(objects)
+
+    gcloud = types.ModuleType("google.cloud")
+    gcloud.storage = types.SimpleNamespace(Client=FakeClient)
+    gapi = types.ModuleType("google.api_core")
+    gexc = types.SimpleNamespace(PreconditionFailed=FakePreconditionFailed)
+    gapi.exceptions = gexc
+    groot = types.ModuleType("google")
+    monkeypatch.setitem(sys.modules, "google", groot)
+    monkeypatch.setitem(sys.modules, "google.cloud", gcloud)
+    monkeypatch.setitem(sys.modules, "google.cloud.storage", gcloud.storage)
+    monkeypatch.setitem(sys.modules, "google.api_core", gapi)
+    monkeypatch.setitem(sys.modules, "google.api_core.exceptions", gexc)
+
+    from pot_spark.kv.backend import GCSBackend
+
+    be = GCSBackend("my-bucket", prefix="/pots/")
+    assert be.put_if_absent("/race/mp/commits/1.json", b"one") is True
+    assert objects == {"pots/race/mp/commits/1.json": b"one"}
+    # a losing writer's 412 maps to False, content untouched
+    assert be.put_if_absent("/race/mp/commits/1.json", b"two") is False
+    assert objects["pots/race/mp/commits/1.json"] == b"one"
+
+
+def test_gcs_backend_drives_store_occ(monkeypatch, tmp_path):
+    """PotStore's OCC protocol runs end-to-end through GCSBackend (faked
+    SDK over a dict 'bucket' that also materializes files locally so the
+    store's readers see the committed manifests): two sequential
+    writers, two generations, full replay."""
+    import os
+    import sys
+    import types
+
+    class FakePreconditionFailed(Exception):
+        pass
+
+    root = str(tmp_path)
+
+    class FakeBlob:
+        def __init__(self, key):
+            self.key = key
+
+        def upload_from_string(self, payload, if_generation_match=None):
+            path = "/" + self.key
+            if os.path.exists(path):
+                raise FakePreconditionFailed(self.key)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(payload)
+
+    class FakeBucket:
+        def blob(self, key):
+            return FakeBlob(key)
+
+    class FakeClient:
+        def bucket(self, name):
+            return FakeBucket()
+
+    gcloud = types.ModuleType("google.cloud")
+    gcloud.storage = types.SimpleNamespace(Client=FakeClient)
+    gapi = types.ModuleType("google.api_core")
+    gexc = types.SimpleNamespace(PreconditionFailed=FakePreconditionFailed)
+    gapi.exceptions = gexc
+    monkeypatch.setitem(sys.modules, "google", types.ModuleType("google"))
+    monkeypatch.setitem(sys.modules, "google.cloud", gcloud)
+    monkeypatch.setitem(sys.modules, "google.cloud.storage", gcloud.storage)
+    monkeypatch.setitem(sys.modules, "google.api_core", gapi)
+    monkeypatch.setitem(sys.modules, "google.api_core.exceptions", gexc)
+
+    from pot_spark.kv.backend import GCSBackend
+    from pot_spark.kv.store import PotStore
+
+    store = PotStore(None, root, backend=GCSBackend("any"))
+    store.create("gcs/pot", {"id": "a", "v": 1})
+    store.create("gcs/pot", {"id": "b", "v": 2})
+    content = store.get("gcs/pot")
+    assert set(content) == {"a", "b"}
+    assert len(store.get_at("gcs/pot", 1)) == 1

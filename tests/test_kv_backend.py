@@ -216,3 +216,29 @@ def test_gcs_backend_drives_store_occ(monkeypatch, tmp_path):
     content = store.get("gcs/pot")
     assert set(content) == {"a", "b"}
     assert len(store.get_at("gcs/pot", 1)) == 1
+
+
+def test_fsspec_from_url_resolves_prefix(monkeypatch, tmp_path):
+    """from_url must wire (fs, resolved path prefix) through the same
+    commit path the duck-typed constructor uses — exercised under a
+    faked fsspec module."""
+    import sys
+    import types
+
+    from tests.test_kv_multiprocess import LocalFsspecShim
+
+    def get_fs_token_paths(url):
+        assert url == f"file://{tmp_path}/pots"
+        return LocalFsspecShim(), "token", [f"{tmp_path}/pots"]
+
+    fake = types.ModuleType("fsspec")
+    fake.get_fs_token_paths = get_fs_token_paths
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+
+    from pot_spark.kv.backend import FsspecBackend
+
+    be = FsspecBackend.from_url(f"file://{tmp_path}/pots")
+    assert be.put_if_absent("/c/1.json", b"one") is True
+    assert be.put_if_absent("/c/1.json", b"two") is False
+    with open(tmp_path / "pots" / "c" / "1.json", "rb") as f:
+        assert f.read() == b"one"

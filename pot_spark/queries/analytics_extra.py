@@ -967,16 +967,15 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `value` need no tie-breaker because the value at a rank is
     invariant under permutations of equal values.
 
-    Plan shape: the BOUNDS branch pays the per-group sort (rank + count
-    windows over one event_type exchange) — the price of exactness; the
-    CLAMP branch never shuffles a raw row: scan -> broadcast-join the
+    Plan shape: the BOUNDS branch is exact but never sorts raw rows —
+    the value at an integer rank is tie-invariant, so it is read off the
+    per-type VALUE HISTOGRAM's cumulative counts (map-side combined
+    groupBy, then a window over distinct (event_type, value) rows: the
+    same type-scale posture as q_perplexity_filter's cutoff — a skewed
+    event_type sorts its distinct values, not its rows); the CLAMP
+    branch never shuffles a raw row either: scan -> broadcast-join the
     groups-sized bounds -> map-side partial aggregation, so the only
-    thing crossing the wire is per-group partials (the group count comes
-    from the final COUNT(*), not a window, precisely so this branch
-    needs no sort). Exact per-group percentiles require the sorted pass
-    at any scale; at 100 TB swap the bounds source to approx_percentile
-    (t-digest, mergeable map-side — see q_approx_percentile) and the
-    clamp branch — the one that touches every row — is unchanged.
+    thing crossing the wire is per-group partials.
 
     NULL values are filtered out up front ON BOTH SIDES: Spark's window
     ORDER BY defaults to NULLS FIRST and DuckDB's to NULLS LAST, so any
@@ -987,17 +986,28 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    w_rank = Window.partitionBy("event_type").orderBy("value")
-    w_n = Window.partitionBy("event_type")
-    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
-        "n", F.count("*").over(w_n)
+    hist = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bounds = ranked.groupBy("event_type").agg(
+    w_n = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum_c", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_n)
+    )
+    # value at rank r = smallest value whose cumulative count reaches r
+    bounds = cum.groupBy("event_type").agg(
         F.min(
-            F.when(F.col("rn") == F.expr("(n * 5 + 99) DIV 100"), F.col("value"))
+            F.when(
+                F.col("cum_c") >= F.expr("(n * 5 + 99) DIV 100"), F.col("value")
+            )
         ).alias("lo"),
         F.min(
-            F.when(F.col("rn") == F.expr("(n * 95 + 99) DIV 100"), F.col("value"))
+            F.when(
+                F.col("cum_c") >= F.expr("(n * 95 + 99) DIV 100"),
+                F.col("value"),
+            )
         ).alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
@@ -1273,42 +1283,37 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus BEFORE vs AFTER exact keep-first dedup. Duplicates are not
     length-uniform (boilerplate skews short), so dedup silently shifts
     the length distribution the model trains on — boundary_shift per
-    decile is that shift, exactly. Equi-depth deciles come from
-    ntile(10) over the total order (n_chars, doc_id), so every boundary
-    is an exact data value, not an interpolated float.
+    decile is that shift, exactly. Equi-depth deciles are EXACT ntile(10)
+    semantics, but computed from the n_chars HISTOGRAM via
+    _equidepth_tiles: ntile sizes are a function of n alone and tied
+    values are interchangeable, so every boundary is the exact data
+    value at the tile's last rank — derived from cumulative histogram
+    counts, with no doc-scale sort anywhere (the round-6/7 weak ruling
+    on prose-only cutovers; the window input is the distinct-length
+    relation, the same type-scale posture as q_ks_test's grid).
 
-    Scale posture: the keep-one representative is (digest -> MIN doc_id,
-    MIN n_chars) — group members are verbatim copies, so MIN n_chars IS
-    the representative's value and no join back to the corpus is needed.
-    The two global ntiles sort-bound at 100 TB; the declared scale path
-    is the q_equidepth_bins cutover (approx_percentile boundaries +
-    scan-side binning) with identical output semantics. NULL n_chars /
-    NULL text rows are excluded up front on BOTH engines (the Spark
-    NULLS FIRST vs DuckDB NULLS LAST window divergence). No reference
-    counterpart (SURVEY.md §2-A)."""
+    The keep-one representative is (digest -> MIN doc_id, MIN n_chars) —
+    group members are verbatim copies, so MIN n_chars IS the
+    representative's value and no join back to the corpus is needed.
+    NULL n_chars / NULL text rows are excluded up front on BOTH engines
+    (the Spark NULLS FIRST vs DuckDB NULLS LAST window divergence). No
+    reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
     base = docs.filter(
         F.col("n_chars").isNotNull() & F.col("text").isNotNull()
     ).select("doc_id", "n_chars", F.md5("text").alias("digest"))
-    w_pre = Window.orderBy("n_chars", F.coalesce("doc_id", F.lit(-1)))
-    pre = base.select(
-        "n_chars", F.ntile(10).over(w_pre).alias("dec")
+    pre_hist = base.groupBy("n_chars").agg(F.count("*").alias("c"))
+    keep = base.groupBy("digest").agg(F.min("n_chars").alias("n_chars"))
+    post_hist = keep.groupBy("n_chars").agg(F.count("*").alias("c"))
+    pr = _equidepth_tiles(pre_hist, "n_chars", 10).select(
+        F.col("tile").alias("dec"),
+        F.col("sz").alias("n_pre"),
+        F.col("maxv").cast("bigint").alias("max_pre"),
     )
-    keep = base.groupBy("digest").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.min("n_chars").alias("n_chars"),
-    )
-    w_post = Window.orderBy("n_chars", F.coalesce("keep_id", F.lit(-1)))
-    post = keep.select(
-        "n_chars", F.ntile(10).over(w_post).alias("dec")
-    )
-    pr = pre.groupBy("dec").agg(
-        F.count("*").cast("bigint").alias("n_pre"),
-        F.max("n_chars").cast("bigint").alias("max_pre"),
-    )
-    po = post.groupBy("dec").agg(
-        F.count("*").cast("bigint").alias("n_post"),
-        F.max("n_chars").cast("bigint").alias("max_post"),
+    po = _equidepth_tiles(post_hist, "n_chars", 10).select(
+        F.col("tile").alias("dec"),
+        F.col("sz").alias("n_post"),
+        F.col("maxv").cast("bigint").alias("max_post"),
     )
     return (
         pr.join(po, "dec", "left")
@@ -1321,6 +1326,56 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_pre") - F.col("max_post"))
             .cast("bigint")
             .alias("boundary_shift"),
+        )
+    )
+
+
+def _equidepth_tiles(counted: DataFrame, value: str, k: int) -> DataFrame:
+    """ntile(k) per-tile (count, max value) computed EXACTLY from the
+    value HISTOGRAM — never from a doc-scale sort. ntile's bucket sizes
+    are a pure function of n (q = n div k; tile i holds q+1 rows for
+    i <= n mod k, else q), and because tied values are interchangeable
+    under any tie-break, the value at rank r is determined by the
+    cumulative histogram alone: the smallest value whose cum count
+    reaches r. So each tile's MAX is the value at its last rank hi_i =
+    i*q + least(i, n mod k), and the whole computation is one map-side
+    combined groupBy + one window over DISTINCT values (type-scale: the
+    value domain, not the corpus) + a broadcast of the k-row bound
+    table. Output is bit-identical to ntile(k) + groupBy, at any scale.
+
+    ``counted`` must have columns (value, c) — one row per distinct
+    value with its occurrence count."""
+    w_cum = Window.orderBy(value).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counted.select(value, F.sum("c").over(w_cum).alias("cum_c"))
+    n = counted.agg(F.sum("c").cast("bigint").alias("n")).select(
+        F.coalesce("n", F.lit(0)).alias("n")
+    )
+    bounds = (
+        n.select(
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("tile"), "n"
+        )
+        .select(
+            "tile",
+            (
+                F.expr("n DIV %d" % k)
+                + F.when(F.col("tile") <= F.expr("n %% %d" % k), 1).otherwise(0)
+            ).alias("sz"),
+            (
+                F.col("tile") * F.expr("n DIV %d" % k)
+                + F.least(F.col("tile"), F.expr("n %% %d" % k))
+            ).alias("hi"),
+        )
+        .filter(F.col("sz") > 0)
+    )
+    # value at rank hi_i = MIN value with cum_c >= hi (histogram rows x k)
+    return (
+        cum.join(F.broadcast(bounds), F.col("cum_c") >= F.col("hi"))
+        .groupBy("tile")
+        .agg(
+            F.min("sz").cast("bigint").alias("sz"),
+            F.min(value).alias("maxv"),
         )
     )
 
@@ -1444,18 +1499,21 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (n_tok, doc_id) — pure integer arithmetic, floored ppm, NULL
     on empty languages on both engines.
 
-    Scale posture: one scan + one per-lang rank window + one per-lang
-    rollup. The per-lang sort bounds at 100 TB like every exact ranking
-    here; the declared cutover is binned Gini over the q_histogram
-    integer bins with identical output semantics. No reference
-    counterpart (SURVEY.md §2-A)."""
+    Scale posture: the rank-sum is TIE-INVARIANT (tied lengths are
+    interchangeable: Σ r·x over a tied run of value x with count c
+    starting after cumulative count C is x·(c·C + c(c+1)/2) no matter
+    how the tie-break assigns ranks), so the exact statistic is computed
+    from the per-lang LENGTH HISTOGRAM — the only window runs over
+    (lang, distinct n_tok) rows, type-scale like q_ks_test's grid, never
+    over docs. A 90%-one-lang corpus therefore sorts that lang's
+    distinct-length rows on one reducer, not half the corpus. No
+    reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
     # NULL text counts as 0 tokens: without the COALESCE, NULL n_tok
     # rows rank NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting
     # every non-null rank (caught by the hostile-parity sweep)
     t = docs.select(
         "lang",
-        "doc_id",
         F.coalesce(
             F.size(
                 F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
@@ -1463,17 +1521,32 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_tok"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        "n_tok", F.coalesce("doc_id", F.lit(-1))
+    hist = t.groupBy("lang", "n_tok").agg(
+        F.count("*").cast("bigint").alias("c")
     )
-    r = t.select("lang", "n_tok", F.row_number().over(w).alias("rk"))
-    return r.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # per tied run: ranks C+1..C+c, so SUM(rk*n_tok) contribution is
+    # n_tok * (c*C + c*(c+1)/2) — exact bigint arithmetic throughout
+    runs = hist.select(
+        "lang",
+        "n_tok",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("c_prev"),
+    )
+    return runs.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_tok") * F.col("c")).cast("bigint").alias(
+            "total_tokens"
+        ),
         F.expr(
-            "CAST(CASE WHEN SUM(n_tok) = 0 THEN NULL ELSE "
-            "(2 * SUM(rk * n_tok) - (COUNT(*) + 1) * SUM(n_tok)) * 1000000 "
-            "DIV (COUNT(*) * SUM(n_tok)) END AS BIGINT)"
+            "CAST(CASE WHEN SUM(n_tok * c) = 0 THEN NULL ELSE "
+            "(2 * SUM(n_tok * (c * c_prev + (c * (c + 1)) DIV 2)) "
+            "- (SUM(c) + 1) * SUM(n_tok * c)) * 1000000 "
+            "DIV (SUM(c) * SUM(n_tok * c)) END AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

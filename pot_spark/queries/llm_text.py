@@ -1883,11 +1883,15 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the LM machinery is q_unigram_logprob's (two
     shuffles, Zipf-skewed token join absorbed by AQE skew-split, per-
-    (doc,token) pre-agg bounds each key); the per-lang ntile is ONE
-    window over doc-scale rows partitioned by lang — at 100 TB the exact
-    tertile sort-bounds per language, and the documented scale path is
-    the same cutover every exact-percentile op here declares: fit
-    approximate boundaries (q_approx_percentile) and bin scan-side.
+    (doc,token) pre-agg bounds each key); the tertiles are EXACT
+    ntile(3) semantics computed from the (lang, rounded-score) HISTOGRAM
+    — q_perplexity_filter's accepted type-scale relation — because
+    ntile's bucket sizes are a function of n alone and tied scores are
+    interchangeable: bin b spans ranks [lo_b, hi_b] with lo/hi pure
+    integer arithmetic on n, and the score at any rank is the smallest
+    score whose cumulative histogram count reaches it. The only windows
+    run over histogram rows (never docs), so a 90%-one-lang corpus
+    sorts that lang's distinct rounded scores, not half the corpus.
     Ties are interchangeable rows, so per-bin counts and score bounds
     are unique even when ties straddle a boundary. No reference
     counterpart (SURVEY.md §2-A)."""
@@ -1922,16 +1926,61 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        "nlp", F.coalesce("doc_id", F.lit(-1))
+    hist = scored.groupBy("lang", "nlp").agg(
+        F.count("*").cast("bigint").alias("c")
     )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("nlp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("lang", "nlp", F.sum("c").over(w_cum).alias("cum_c"))
+    langs = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    bounds = (
+        langs.select(
+            "lang", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("bin"), "n"
+        )
+        .select(
+            "lang",
+            "bin",
+            (
+                F.expr("n DIV 3")
+                + F.when(F.col("bin") <= F.expr("n % 3"), 1).otherwise(0)
+            ).alias("sz"),
+            (
+                (F.col("bin") - 1) * F.expr("n DIV 3")
+                + F.least(F.col("bin") - 1, F.expr("n % 3"))
+                + 1
+            ).alias("lo"),
+            (
+                F.col("bin") * F.expr("n DIV 3")
+                + F.least(F.col("bin"), F.expr("n % 3"))
+            ).alias("hi"),
+        )
+        .filter(F.col("sz") > 0)
+    )
+    # min/max score of bin b = score at rank lo_b / hi_b: the smallest
+    # histogram score whose cumulative count reaches the rank. The join
+    # is NULL-SAFE: a NULL lang is a real partition on both engines (the
+    # ntile form kept it; a plain equi-join would silently drop it).
     return (
-        scored.withColumn("bin", F.ntile(3).over(w))
-        .groupBy("lang", F.col("bin").cast("bigint").alias("bin"))
+        cum.alias("h")
+        .join(
+            F.broadcast(bounds.alias("b")),
+            F.col("h.lang").eqNullSafe(F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("h.lang").alias("lang"),
+            F.col("bin").cast("bigint").alias("bin"),
+        )
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.min("nlp").alias("min_nlp"),
-            F.max("nlp").alias("max_nlp"),
+            F.min("sz").cast("bigint").alias("n_docs"),
+            F.min(F.when(F.col("cum_c") >= F.col("lo"), F.col("nlp"))).alias(
+                "min_nlp"
+            ),
+            F.min(F.when(F.col("cum_c") >= F.col("hi"), F.col("nlp"))).alias(
+                "max_nlp"
+            ),
         )
     )
 

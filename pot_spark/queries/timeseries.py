@@ -1408,11 +1408,19 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest time. The interval end is attributed to its START day so a
     boundary never lands in a foreign partition.
 
-    Scale posture: the delta stream is 2 rows per event, partitioned by
-    day — the cumsum window and the argmax rank both run inside the day
-    partition (no global window); at 100 TB days shard across executors
-    and each day's sweep is independent. No reference counterpart
-    (SURVEY.md §2-A)."""
+    Scale posture: boundary deltas PRE-AGGREGATE to one (day, t, Σd)
+    row per distinct timestamp BEFORE any window (map-side combine
+    bounds the shuffle and the reducer-side sort by distinct boundary
+    times per day, not by events — the r7 weak ruling on
+    low-cardinality `day` partitions holding a whole day's event
+    stream). The collapse is exact: within one timestamp the row-level
+    sweep orders -1 before +1, so the running count dips then rises and
+    its per-timestamp maximum is always the POST-timestamp value — the
+    cumsum over Σd visits exactly the candidate peaks, and the
+    earliest-time tie rule is unchanged. The cumsum and argmax windows
+    then run inside the day partition; at 100 TB days shard across
+    executors and each day's sweep is independent. No reference
+    counterpart (SURVEY.md §2-A)."""
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = ev.select(
         F.col("ts").alias("s"),
@@ -1429,12 +1437,13 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
+    merged = deltas.groupBy("day", "t").agg(F.sum("d").alias("d"))
     w_cum = (
         Window.partitionBy("day")
-        .orderBy("t", "d")
+        .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = deltas.select(
+    cum = merged.select(
         "day", "t", F.sum("d").over(w_cum).alias("load")
     )
     w_rank = Window.partitionBy("day").orderBy(F.desc("load"), F.asc("t"))

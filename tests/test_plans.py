@@ -672,17 +672,20 @@ def test_boilerplate_ngrams_no_cartesian_and_partial_agg(spark, sf_dir):
 
 
 def test_winsorize_clamp_branch_never_shuffles_raw_rows(spark, sf_dir):
-    # only the BOUNDS branch may sort (rank + count windows over one
-    # event_type exchange); the clamp branch must be scan -> broadcast
-    # join -> partial agg, with nothing but per-group partials crossing
-    # the wire (exactly: 1 Sort, 2 Windows, 2 Exchanges, broadcast join)
+    # the BOUNDS branch sorts only the per-type value HISTOGRAM (an
+    # aggregate feeds both windows — no raw-row rank); the clamp branch
+    # must be scan -> broadcast join -> partial agg, with nothing but
+    # per-group partials crossing the wire
     p = _plan(spark, sf_dir, "q_winsorize")
     tree = p.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+    assert "row_number" not in tree
     assert len(re.findall(r"\(\d+\) Sort\b", tree)) == 1
     assert len(re.findall(r"\(\d+\) Window\b", tree)) == 2
-    assert len(re.findall(r"\(\d+\) Exchange\b", tree)) == 2
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", tree)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", tree)]
+    assert agg_ids and min(agg_ids) < min(win_ids)
 
 
 def test_window_ewma_single_window_no_joins(spark, sf_dir):
@@ -1267,7 +1270,9 @@ def test_acf_aligns_on_compressed_index(spark, sf_dir):
 
 def test_peak_concurrency_sweeps_within_day(spark, sf_dir):
     """Both the cumsum and the argmax windows run on the day
-    partitioning — no global window over the delta stream."""
+    partitioning — no global window over the delta stream — and the
+    boundary deltas PRE-AGGREGATE to (day, t, sum d) before any window,
+    so the per-day sort is bounded by distinct timestamps, not events."""
     p = _plan(spark, sf_dir, "q_peak_concurrency")
     assert "hashpartitioning(day" in p
     # cumsum + rank windows (the rank may split into partial/final
@@ -1275,6 +1280,40 @@ def test_peak_concurrency_sweeps_within_day(spark, sf_dir):
     # more than each partition's group-limit survivors)
     assert len(re.findall(r"\(\d+\) Window", p)) >= 2
     assert "WindowGroupLimit" in p
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and min(agg_ids) < min(win_ids)
+
+
+def test_length_bias_windows_over_histogram(spark, sf_dir):
+    """The deciles come from _equidepth_tiles: cumulative windows over
+    the n_chars HISTOGRAM (an aggregate feeds every window) — the ntile
+    doc-scale sort is gone (r7 weak ruling)."""
+    p = _plan(spark, sf_dir, "q_length_bias")
+    assert "ntile" not in p
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+
+
+def test_gini_windows_over_histogram(spark, sf_dir):
+    """The rank-sum is tie-invariant, so the exact Gini runs on the
+    per-lang length histogram — no doc-scale row_number (r7 weak
+    ruling)."""
+    p = _plan(spark, sf_dir, "q_gini")
+    assert "row_number" not in p
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+
+
+def test_ccnet_bins_windows_over_histogram(spark, sf_dir):
+    """Tertiles come from the (lang, rounded-score) histogram + a
+    broadcast bound table — no per-lang doc-scale ntile sort (r7 weak
+    ruling), and the bin bounds ride a broadcast."""
+    p = _plan(spark, sf_dir, "q_ccnet_bins")
+    assert "ntile" not in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_threshold_sweep_verifies_once(spark, sf_dir):

@@ -31,6 +31,7 @@ the protocol — not the local-FS primitive — carries the guarantee.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from abc import ABC, abstractmethod
 
@@ -199,26 +200,46 @@ class GCSBackend(CommitBackend):
 class FsspecBackend(CommitBackend):
     """Portability fallback: commit through any fsspec-style filesystem
     object — anything exposing ``open(path, "xb")`` with
-    exclusive-create semantics, ``makedirs(path, exist_ok=True)`` and
-    ``rm(path)``. Covers every storage a deployer can mount through
-    fsspec (local, NFS, SSHFS, adlfs, ...) with one class.
+    exclusive-create semantics, ``exists``, ``mv``,
+    ``makedirs(path, exist_ok=True)`` and ``rm(path)``. Covers every
+    storage a deployer can mount through fsspec (local, NFS, SSHFS,
+    adlfs, ...) with one class.
 
-    Tradeoff, stated plainly: the commit point is the exclusive CREATE,
-    so unlike :class:`LocalFSBackend` (stage + link) or
-    :class:`GCSBackend` (server-side conditional put) the payload is
-    written AFTER the claim — a writer that hard-crashes between create
-    and close can leave a truncated winner at the committed generation.
-    Failed writes roll back (the claim is removed on any in-process
-    error), but for filesystems where a native backend exists, prefer
-    it; for object stores whose fsspec layer emulates "xb" with a
-    non-atomic exists+put, this backend is NOT safe — use the
-    conditional-put backend instead."""
+    Protocol (two sidecars, both dot-named and suffix-free so manifest
+    listers never see them):
 
-    def __init__(self, fs, prefix: str = "/") -> None:
+    1. CLAIM — exclusive-create ``.<name>.claim`` decides the single
+       winner for this generation (losers get False).
+    2. PUBLISH — the winner writes the full payload to a staging key,
+       then atomically ``mv``s it onto the target. Readers therefore
+       observe either NO manifest or a COMPLETE one; a writer that
+       hard-crashes mid-write can never leave a truncated file at the
+       committed generation (the round-7 advice finding — the old
+       commit point was the exclusive create itself, payload after).
+    3. A late claimant re-checks the target after claiming: a winner
+       removes its claim only AFTER the mv, so acquiring a freed claim
+       implies the target is already visible — the re-check prevents a
+       second mv from overwriting a committed manifest.
+
+    Crash handling: a dead writer leaves a claim with no target —
+    a LIVENESS stall (everyone gets False), never corruption. When the
+    filesystem exposes ``modified``, claims older than
+    ``claim_horizon_s`` with no target are reclaimed (same
+    mtime-horizon degrade as the archive lock, archive.py); without
+    ``modified`` the claim must be removed manually and put_if_absent
+    says so in the docstring contract. In-process write failures roll
+    back both sidecars. For object stores whose fsspec layer emulates
+    "xb" with a non-atomic exists+put, this backend is NOT safe — use
+    the conditional-put backend instead."""
+
+    def __init__(
+        self, fs, prefix: str = "/", claim_horizon_s: float = 300.0
+    ) -> None:
         self.fs = fs
         # "/" mounts the fs at the filesystem root (targets are
         # store-absolute paths); a bucket-style prefix maps them under it
         self._prefix = prefix if prefix == "/" else prefix.rstrip("/")
+        self.claim_horizon_s = claim_horizon_s
 
     @classmethod
     def from_url(cls, url: str) -> "FsspecBackend":
@@ -240,24 +261,75 @@ class FsspecBackend(CommitBackend):
             return "/" + t
         return f"{self._prefix}/{t}" if self._prefix else t
 
+    def _claim_age(self, claim: str) -> float | None:
+        """Seconds since the claim's last modification, or None when the
+        fs cannot say (no ``modified`` support) — None disables reclaim."""
+        modified = getattr(self.fs, "modified", None)
+        if modified is None:
+            return None
+        try:
+            mtime = modified(claim)
+        except (OSError, NotImplementedError):
+            return None
+        ts = mtime.timestamp() if hasattr(mtime, "timestamp") else float(mtime)
+        return time.time() - ts
+
     def put_if_absent(self, target: str, payload: bytes) -> bool:
         key = self._key(target)
-        parent = key.rsplit("/", 1)[0] if "/" in key else ""
+        parent, name = key.rsplit("/", 1) if "/" in key else ("", key)
         if parent:
             self.fs.makedirs(parent, exist_ok=True)
-        try:
-            f = self.fs.open(key, "xb")
-        except FileExistsError:
-            return False
-        try:
-            with f:
-                f.write(payload)
-            return True
-        except BaseException:
-            # roll the claim back so an in-process write failure does not
-            # permanently brick the generation with a truncated file
+        claim = f"{parent}/.{name}.claim" if parent else f".{name}.claim"
+        # one retry: the second pass only runs after reclaiming a
+        # horizon-expired dead claim
+        for _ in range(2):
+            if self.fs.exists(key):
+                return False
             try:
-                self.fs.rm(key)
+                cf = self.fs.open(claim, "xb")
+            except FileExistsError:
+                if self.fs.exists(key):
+                    return False  # committed while we looked
+                age = self._claim_age(claim)
+                if age is None or age < self.claim_horizon_s:
+                    return False  # live (or unknowable) writer in flight
+                try:  # dead writer: claim past horizon, no target
+                    self.fs.rm(claim)
+                except OSError:
+                    pass
+                continue
+            cf.close()
+            # a freed claim is only acquirable AFTER the previous
+            # winner's mv — re-check so we never mv over a committed
+            # manifest (claim removal below happens only post-publish)
+            if self.fs.exists(key):
+                try:
+                    self.fs.rm(claim)
+                except OSError:
+                    pass
+                return False
+            stage = (
+                f"{parent}/.{name}.stage-{uuid.uuid4().hex}"
+                if parent
+                else f".{name}.stage-{uuid.uuid4().hex}"
+            )
+            try:
+                with self.fs.open(stage, "wb") as f:
+                    f.write(payload)
+                # commit point: atomic move of COMPLETE content
+                self.fs.mv(stage, key)
+            except BaseException:
+                # roll both sidecars back so an in-process failure
+                # neither bricks the generation nor leaks staging files
+                for p in (stage, claim):
+                    try:
+                        self.fs.rm(p)
+                    except OSError:
+                        pass
+                raise
+            try:
+                self.fs.rm(claim)
             except OSError:
                 pass
-            raise
+            return True
+        return False

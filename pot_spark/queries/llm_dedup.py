@@ -1626,7 +1626,15 @@ def q_dedup_audit(
     fixed-cost at any corpus size instead of Σ df² over the corpus.
     The sample predicate pushes into the parquet scan. All three counts
     are 1-row aggregates crossJoined at the end; ppm ratios are integer
-    DIV with NULL on zero denominators on both engines."""
+    DIV with NULL on zero denominators on both engines.
+
+    ORACLE SCOPE: the registered oracle SQL is baked with the DEFAULT
+    _AUDIT_MOD/_AUDIT_CAP — calling this function with non-default
+    sample_mod/sample_cap changes the Spark result and INVALIDATES the
+    registered oracle comparison. Parameterized invocations are a
+    programmatic API only (tests exercise them with their own ground
+    truth); any harness comparing against oracle_sql() must call with
+    defaults."""
     sh = reliable_checkpoint(
         _shingle_df(spark, sf_dir).filter(
             (F.col("doc_id") % sample_mod == 0)

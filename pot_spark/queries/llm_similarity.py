@@ -1908,14 +1908,25 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("co"),
         )
     )
+    # RAGGED-dimension rule (r7 advice): a dim present in only one half
+    # contributes to NONE of the three sums — the oracle's inner join on
+    # (label, d) drops such dims from dot AND both norms, so the norm
+    # sums must carry the same both-non-null guard (dot already does,
+    # since NULL*x is NULL under SUM). Fixed-dimension corpora are
+    # unaffected; ragged ones now agree across engines.
+    both = F.col("ce").isNotNull() & F.col("co").isNotNull()
     dots = comp.groupBy("label").agg(
         F.sum((F.col("ce") * F.col("co")).cast("decimal(30,12)"))
         .cast("double")
         .alias("dot"),
-        F.sum((F.col("ce") * F.col("ce")).cast("decimal(30,12)"))
+        F.sum(
+            F.when(both, F.col("ce") * F.col("ce")).cast("decimal(30,12)")
+        )
         .cast("double")
         .alias("ee"),
-        F.sum((F.col("co") * F.col("co")).cast("decimal(30,12)"))
+        F.sum(
+            F.when(both, F.col("co") * F.col("co")).cast("decimal(30,12)")
+        )
         .cast("double")
         .alias("oo"),
     )

@@ -783,7 +783,10 @@ def test_gini_matches_bruteforce(spark, sf_dir):
             assert got[lang][2] is None
             continue
         num = 2 * sum((i + 1) * x for i, (x, _) in enumerate(xs)) - (n + 1) * tot
-        # floored-division semantics of integer DIV (negative -> floor)
+        # DIV parity note: Spark's integer DIV truncates toward zero,
+        # DuckDB's // floors — they agree here ONLY because the Gini
+        # numerator is provably >= 0 (rank-sum of a sorted sequence).
+        # Do NOT reuse this bare-DIV pattern for signed numerators.
         exp = (num * 1_000_000) // (n * tot)
         assert got[lang] == (n, tot, exp), lang
 

@@ -67,8 +67,10 @@ def test_gcs_backend_gates_on_import():
 
 
 def test_fsspec_backend_contract(tmp_path):
-    """FsspecBackend over a local fsspec-shaped fs: exclusive create wins
-    once, losers get False, write failure rolls the claim back."""
+    """FsspecBackend over a local fsspec-shaped fs: the claim sidecar
+    wins once, losers get False, the committed manifest is complete
+    content (mv commit point), write failure rolls both sidecars back,
+    and no sidecar survives a successful commit."""
     from tests.test_kv_multiprocess import LocalFsspecShim
 
     from pot_spark.kv.backend import FsspecBackend
@@ -78,24 +80,67 @@ def test_fsspec_backend_contract(tmp_path):
     assert be.put_if_absent("/c/1.json", b'{"generation": 9}') is False
     with open(tmp_path / "c" / "1.json", "rb") as f:
         assert json.load(f)["generation"] == 1
-
-    class ExplodingPayload(bytes):
-        pass
+    # sidecars cleaned up; nothing dot-named for the lister to trip on
+    assert sorted(os.listdir(tmp_path / "c")) == ["1.json"]
 
     class BoomFS(LocalFsspecShim):
+        # fail the STAGING write (payload path), not the claim create:
+        # the commit point is now the mv of complete staged content
         def open(self, path, mode="rb"):
             f = super().open(path, mode)
-            if "x" in mode:
-                orig = f.write
+            if ".stage-" in path and "w" in mode:
                 f.write = lambda b: (_ for _ in ()).throw(OSError("enospc"))
             return f
 
     be2 = FsspecBackend(BoomFS(), prefix=str(tmp_path))
     with pytest.raises(OSError):
         be2.put_if_absent("/c/2.json", b"data")
-    # the failed claim was rolled back: a retry can still win
+    # the failed write rolled back claim AND stage: a retry can still win
     assert not os.path.exists(tmp_path / "c" / "2.json")
+    assert sorted(os.listdir(tmp_path / "c")) == ["1.json"]
     assert be.put_if_absent("/c/2.json", b'{"generation": 1}') is True
+
+
+def test_fsspec_backend_truncated_writer_never_commits(tmp_path):
+    """The round-7 advice scenario: a writer that hard-crashes after
+    claiming but before publishing leaves NO manifest at the generation
+    (liveness stall, not corruption); after the claim horizon a new
+    writer reclaims and commits complete content."""
+    from tests.test_kv_multiprocess import LocalFsspecShim
+
+    from pot_spark.kv.backend import FsspecBackend
+
+    class CrashFS(LocalFsspecShim):
+        def mv(self, src, dst):  # die at the commit point
+            raise KeyboardInterrupt("kill -9")
+
+    be_crash = FsspecBackend(CrashFS(), prefix=str(tmp_path))
+    with pytest.raises(KeyboardInterrupt):
+        be_crash.put_if_absent("/c/1.json", b'{"generation": 1}')
+    # no manifest and no truncated file — readers see "not committed"
+    assert not os.path.exists(tmp_path / "c" / "1.json")
+
+    # simulate a REALLY dead writer: claim left behind, past the horizon
+    be_live = FsspecBackend(LocalFsspecShim(), prefix=str(tmp_path))
+    claim = tmp_path / "c" / ".1.json.claim"
+    claim.write_bytes(b"")
+    old = 1_000_000_000  # 2001 — far past any horizon
+    os.utime(claim, (old, old))
+    assert be_live.put_if_absent("/c/1.json", b'{"generation": 1}') is True
+    with open(tmp_path / "c" / "1.json", "rb") as f:
+        assert json.load(f)["generation"] == 1
+
+    # a LIVE claim (fresh mtime) is honored: everyone gets False
+    claim2 = tmp_path / "c" / ".2.json.claim"
+    claim2.write_bytes(b"")
+    assert be_live.put_if_absent("/c/2.json", b'{"generation": 1}') is False
+
+    # without `modified` support reclaim is disabled (conservative)
+    class NoMtimeFS(LocalFsspecShim):
+        modified = None
+
+    be_nom = FsspecBackend(NoMtimeFS(), prefix=str(tmp_path))
+    assert be_nom.put_if_absent("/c/2.json", b'{"generation": 1}') is False
 
 
 def test_fsspec_from_url_gates_on_import():

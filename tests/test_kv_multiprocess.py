@@ -41,6 +41,24 @@ class LocalFsspecShim:
 
         os.remove(path)
 
+    def exists(self, path):
+        import os
+
+        return os.path.exists(path)
+
+    def mv(self, src, dst):
+        import os
+
+        os.replace(src, dst)
+
+    def modified(self, path):
+        import datetime
+        import os
+
+        return datetime.datetime.fromtimestamp(
+            os.path.getmtime(path), tz=datetime.timezone.utc
+        )
+
 
 def _mk_store(root: str, backend_kind: str):
     from pot_spark.kv.backend import (
@@ -73,8 +91,8 @@ def _writer(args):
 
 
 @pytest.mark.parametrize("backend_kind", BACKENDS)
-def test_cross_process_writers_all_commit(backend_kind):
-    root = tempfile.mkdtemp(prefix=f"pot_mp_{backend_kind}_")
+def test_cross_process_writers_all_commit(backend_kind, tmp_path):
+    root = tempfile.mkdtemp(prefix=f"pot_mp_{backend_kind}_", dir=tmp_path)
     with mp.get_context("spawn").Pool(4) as pool:
         results = pool.map(_writer, [(root, i, backend_kind) for i in range(4)])
 
@@ -90,11 +108,11 @@ def test_cross_process_writers_all_commit(backend_kind):
 
 
 @pytest.mark.parametrize("backend_kind", BACKENDS)
-def test_cross_process_norewrite_single_winner(backend_kind):
+def test_cross_process_norewrite_single_winner(backend_kind, tmp_path):
     """The reference's 5-client race (client_test.go:175-245), across
     processes: exactly one norewrite create wins, the rest see
     NoRewriteViolated, and the surviving value is the winner's."""
-    root = tempfile.mkdtemp(prefix=f"pot_mp_nr_{backend_kind}_")
+    root = tempfile.mkdtemp(prefix=f"pot_mp_nr_{backend_kind}_", dir=tmp_path)
     with mp.get_context("spawn").Pool(5) as pool:
         results = pool.map(_nr_writer, [(root, i, backend_kind) for i in range(5)])
 
@@ -118,11 +136,11 @@ def _nr_writer(args):
         return i, False
 
 
-def test_mixed_backends_interoperate():
+def test_mixed_backends_interoperate(tmp_path):
     """A pot written through the object-store backend is read and
     extended by a local-FS-backend store (and vice versa): the manifest
     layout is backend-independent — only the publish primitive differs."""
-    root = tempfile.mkdtemp(prefix="pot_mp_mixed_")
+    root = tempfile.mkdtemp(prefix="pot_mp_mixed_", dir=tmp_path)
     obj = _mk_store(root, "object_store")
     local = _mk_store(root, "local")
     obj.create("mix/p", {"id": "a", "v": 1})

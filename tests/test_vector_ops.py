@@ -341,3 +341,28 @@ def test_centroid_drift_matches_numpy(spark, sf_dir):
         gne, gno, gcos = got[label]
         assert (gne, gno) == (ne, no)
         assert abs(gcos - cos) < 2e-6, label
+
+
+def test_centroid_drift_ragged_dims_match_oracle_semantics(spark, tmp_path):
+    """r7 advice regression: a dimension present in only ONE half must
+    drop out of the dot AND both norm sums (the oracle's inner join on
+    (label, d)). Even half has 3-dim vectors, odd half 4-dim: the
+    cosine must be computed over dims 1..3 of both centroids only."""
+    rows = [
+        (0, [1.0, 0.0, 2.0], 7),        # even half, 3 dims
+        (2, [3.0, 4.0, 0.0], 7),
+        (1, [0.5, 1.5, 2.5, 9.0], 7),   # odd half, 4 dims (d=4 ragged)
+        (3, [1.5, 0.5, 1.5, 3.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = registry.QUERIES["q_centroid_drift"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.label, r.n_even, r.n_odd) == (7, 2, 2)
+    ce = np.mean([[1.0, 0.0, 2.0], [3.0, 4.0, 0.0]], axis=0)
+    co = np.mean([[0.5, 1.5, 2.5], [1.5, 0.5, 1.5]], axis=0)  # d=4 dropped
+    cos = float(ce @ co / (np.linalg.norm(ce) * np.linalg.norm(co)))
+    assert abs(r.centroid_cosine - cos) < 2e-6

@@ -902,6 +902,22 @@ def q_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_DIRECT_BUDGET = 256
 
 
+def _direct_affordable(sum_df2: float, n_rows: int) -> bool:
+    """THE shared costing rule: a direct inverted-index self-join is
+    affordable iff its candidate volume Σ df² stays within
+    _CONTAINMENT_DIRECT_BUDGET rows per index row Σ df. The single
+    source of truth for both the in-op probe (_auto_strategy) and the
+    user-facing calculator (q_dedup_cost_plan /
+    choose_dedup_strategy) — extracted per the round-7 advice so the
+    two can never price the same plan differently.
+
+    A non-finite or negative Σ df² (overflow/garbage) is UNaffordable:
+    the prefix plan is the one that survives a Zipf head."""
+    if not (0.0 <= sum_df2 < float("inf")):
+        return False
+    return sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
+
+
 def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     """Pick 'direct' vs 'prefix' from the measured df distribution: one
     1-row aggregate over the (possibly capped view of the) df rollup —
@@ -915,8 +931,8 @@ def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     sum_df2 would pass the budget test and pick the direct plan exactly
     when the prefix plan is needed. Double loses low-order precision at
     that magnitude but the comparison only needs order-of-magnitude
-    accuracy; a defensive guard still routes any non-finite/negative
-    probe result to 'prefix' (the plan that survives the head)."""
+    accuracy; the shared _direct_affordable guard still routes any
+    non-finite/negative probe result to 'prefix'."""
     src = df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
     row = src.agg(
         F.sum(F.col("df").cast("double") * F.col("df")).alias("sum_df2"),
@@ -924,13 +940,21 @@ def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     ).collect()[0]
     sum_df2 = row["sum_df2"] or 0.0
     n_rows = row["n_rows"] or 0
-    if not (0.0 <= sum_df2 < float("inf")):
-        return "prefix"
-    return (
-        "direct"
-        if sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
-        else "prefix"
-    )
+    return "direct" if _direct_affordable(sum_df2, n_rows) else "prefix"
+
+
+def choose_dedup_strategy(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> str:
+    """User-facing strategy chooser: runs the EXACT probe the adaptive
+    dedup ops run internally — the (lang, shingle) df rollup through
+    _auto_strategy/_direct_affordable — and returns 'direct' or
+    'prefix'. Read q_dedup_cost_plan for the priced table; call this
+    for the decision. Both consume the same profile and the same
+    budget rule, so they cannot diverge (round-7 advice item)."""
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    return _resolve_strategy("auto", df_tbl, df_cap)
 
 
 def _resolve_strategy(
@@ -2617,10 +2641,11 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_cost_plan",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
       FROM documents WHERE len(string_split(text,' ')) >= 3
     ),
-    dfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+    dfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM sh
+            GROUP BY lang, shingle),
     prof AS (
       SELECT CAST(SUM(df) AS BIGINT) AS s1,
              CAST(SUM(df * df) AS BIGINT) AS s2,
@@ -2656,16 +2681,22 @@ def q_dedup_cost_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle inverted-index join (pairs = Σ C(df,2) — the Σ df² exposure
     this repo's adaptive ops probe for), and the df-capped variant
     (df ≤ 32, MOSS's boilerplate cap). This turns the 1-row strategy
-    probe the adaptive dedup ops use internally
-    (llm_dedup.py:_resolve_strategy) into a user-facing planning table —
-    read the pairs column and pick the plan the cluster can afford.
+    probe the adaptive dedup ops use internally into a user-facing
+    planning table — read the pairs column and pick the plan the
+    cluster can afford. The df profile is the SAME (lang, shingle)
+    granularity the in-op probe reads, and the affordability decision
+    is the SAME _direct_affordable budget rule — one costing function,
+    two call sites (round-7 advice item; choose_dedup_strategy() is the
+    programmatic chooser, test_cost_plan_agrees_with_op_probe the pin).
 
     Scale posture: two rollups (shingle df, text digest), each reduced
     to a 1-row exact-integer profile before the 3-row union — nothing
     pairwise is ever materialized; the calculator costs two linear
     passes. No reference counterpart (SURVEY.md §2-A)."""
-    sh = _shingle_df(spark, sf_dir)
-    dfp = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    dfp = sh.groupBy("lang", "shingle").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
     prof = dfp.agg(
         F.sum("df").cast("bigint").alias("s1"),
         F.sum(F.col("df") * F.col("df")).cast("bigint").alias("s2"),

@@ -119,3 +119,28 @@ def test_containment_df_cap_only_shrinks(spark, sf_dir):
         for r in q_containment_dedup(spark, sf_dir, df_cap=10**9).collect()
     }
     assert huge == exact
+
+
+def test_cost_plan_agrees_with_op_probe(spark, sf_dir):
+    """The user-facing calculator and the in-op adaptive probe price the
+    same (lang, shingle) df profile through the same _direct_affordable
+    budget rule — reconstruct sum(df^2) from the calculator's direct row
+    and assert its affordability verdict equals the op's probe decision
+    (round-7 advice item 6)."""
+    rows = {
+        r.strategy: r
+        for r in registry.QUERIES["q_dedup_cost_plan"](spark, sf_dir).collect()
+    }
+    direct = rows["direct_inverted_index"]
+    s1 = direct.est_shuffle_rows
+    s2 = 2 * direct.est_candidate_pairs + s1  # pairs = (s2 - s1) / 2
+    affordable = d._direct_affordable(float(s2), s1)
+    df_tbl = (
+        d._shingle_df(spark, sf_dir, with_lang=True)
+        .groupBy("lang", "shingle")
+        .agg(F.count("*").alias("df"))
+    )
+    probe = d._resolve_strategy("auto", df_tbl)
+    assert (probe == "direct") == affordable
+    # the public chooser IS the probe
+    assert d.choose_dedup_strategy(spark, sf_dir) == probe

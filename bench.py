@@ -165,7 +165,42 @@ HEADLINE = [
     "q_acf",
     "q_peak_concurrency",
     "s_user_quota",
+    # round-8 additions: the histogram-rewritten gini (tracked so a
+    # regression back to the doc-scale rank window shows as a cliff),
+    # the three-explode width sweep (heaviest new op), the banded
+    # candidate-graph histogram, the no-pairs diversity identity, and
+    # the token-pass Heaps fit
+    "q_gini",
+    "q_shingle_size_sweep",
+    "q_dup_graph_degree",
+    "q_intra_label_diversity",
+    "q_heaps_fit",
 ]
+
+
+def _rotation_cohort(here: str, all_names: list[str]) -> tuple[list[str], int]:
+    """Non-headline coverage rotation (VERDICT r7 item 5): the queries
+    outside HEADLINE are split into two deterministic cohorts (sorted
+    name order, alternating), and each driver round benches one cohort —
+    so EVERY registered query gets a measured sf0.1 row at most 2 rounds
+    old, without doubling the per-round bench budget. The upcoming round
+    number is inferred from the highest driver-recorded BENCH_r{N}.json
+    at the repo root (the driver writes one per completed round);
+    its parity picks the cohort. Headline stays the 2x-gate tier;
+    rotation rows are coverage evidence, recorded in BENCH_LOCAL.json
+    and diffed against any baseline row they have."""
+    import glob
+    import re
+
+    rest = sorted(n for n in all_names if n not in HEADLINE)
+    rounds = []
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f))
+        if m:
+            rounds.append(int(m.group(1)))
+    upcoming = (max(rounds) + 1) if rounds else 0
+    parity = upcoming % 2
+    return [q for i, q in enumerate(rest) if i % 2 == parity], upcoming
 
 
 def _calibrate() -> float:
@@ -266,6 +301,37 @@ def main() -> None:
         if best is not None and name not in errors:
             timings[name] = round(best, 3)
 
+    # rotation tier: half the non-headline inventory per round (see
+    # _rotation_cohort) — fewer reps (these are coverage rows, not the
+    # 2x gate; the headline tier keeps best-of-3)
+    here_early = os.path.dirname(os.path.abspath(__file__))
+    rotation: dict[str, float] = {}
+    rotation_errors: dict[str, str] = {}
+    cohort_parity = -1
+    if os.environ.get("SPARK_GRAFT_BENCH_ROTATION", "1") != "0":
+        cohort, upcoming = _rotation_cohort(here_early, list(registry.QUERIES))
+        cohort_parity = upcoming % 2
+        rot_reps = max(1, reps - 1)
+        for name in cohort:
+            fn = registry.QUERIES[name]
+            best = None
+            for _ in range(rot_reps):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # noqa: BLE001
+                    rotation_errors[name] = (
+                        f"{type(e).__name__}: {str(e)[:200]}"
+                    )
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            if best is not None and name not in rotation_errors:
+                rotation[name] = round(best, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -346,6 +412,12 @@ def main() -> None:
         "calib_sec_pre": calib_pre,
         "calib_sec_post": _calibrate(),
         "sf": sf_val,
+        # coverage-rotation tier (half the non-headline inventory per
+        # round — every registered query measured within 2 rounds)
+        "rotation_queries": rotation,
+        "rotation_errors": rotation_errors,
+        "rotation_cohort": cohort_parity,
+        "rotation_total_sec": round(sum(rotation.values()), 3),
     }
     # full per-query record goes to a file; the driver's tail capture is
     # 2 KB, which the ~90-entry queries dict overflows (round 6 recorded
@@ -362,6 +434,11 @@ def main() -> None:
         queries_truncated=len(timings) > len(slowest),
         n_queries=len(timings),
         full_record="BENCH_LOCAL.json",
+        # the full rotation dict lives in BENCH_LOCAL.json only — the
+        # driver's 2 KB tail capture cannot hold ~90 more entries
+        rotation_queries={},
+        rotation_errors={},
+        n_rotation=len(rotation),
     )
     print(json.dumps(compact))
 

@@ -1668,3 +1668,236 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("bigint").alias("ks_at"),
         )
     )
+
+
+@query(
+    "q_rank_sum_test",
+    oracle="""
+    WITH base AS (
+      SELECT source, n_chars AS x FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS gcnt FROM base GROUP BY x),
+    gc AS (
+      SELECT x, gcnt,
+             SUM(gcnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - gcnt
+               AS c_before
+      FROM g
+    ),
+    c AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM base GROUP BY source, x),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+             FROM base GROUP BY source),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base),
+    r2 AS (
+      SELECT c.source,
+             CAST(SUM(c.cnt * (2 * gc.c_before + gc.gcnt + 1)) AS BIGINT)
+               AS two_r
+      FROM c JOIN gc ON gc.x = c.x
+      GROUP BY c.source
+    )
+    SELECT s.source, s.ns AS n_docs,
+           CAST(n.total - s.ns AS BIGINT) AS n_rest,
+           CAST(r2.two_r - s.ns * (s.ns + 1) AS BIGINT) AS u2,
+           ROUND(CAST(r2.two_r - s.ns * (s.ns + 1) AS DOUBLE)
+                 / (s.ns * (n.total - s.ns)) - 1.0, 6) AS rank_biserial
+    FROM srcs s
+    JOIN r2 ON r2.source = s.source
+    CROSS JOIN n
+    WHERE n.total > s.ns
+    """,
+)
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test of each source's doc-length
+    distribution against the REST of the corpus — the location-shift
+    companion to q_ks_test's max-CDF-gap (KS sees any shape change;
+    rank-sum quantifies the direction and size of a median shift).
+    Everything is exact integers via midranks read off the GLOBAL value
+    histogram: the midrank of value x is C_before + (g+1)/2, so
+    2*R_source = sum(cnt * (2*C_before + g + 1)) and the doubled
+    U statistic u2 = 2R - ns(ns+1) stays integral (no float ranks, no
+    tie-correction drift). The effect size is the rank-biserial
+    r = u2/(ns*n_rest) - 1 in [-1, 1], an IEEE-exact division rounded
+    to 6dp — never an integer DIV on a signed numerator (the engines'
+    truncate-vs-floor mismatch).
+
+    Scale posture: the corpus compresses to (source, length) and
+    (length) histograms before the one cumulative window, which runs
+    over DISTINCT lengths (the q_ks_test grid posture). Single-source
+    corpora emit nothing. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").alias("x"))
+    g = base.groupBy("x").agg(F.count("*").cast("bigint").alias("gcnt"))
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = g.select(
+        "x",
+        "gcnt",
+        (F.sum("gcnt").over(w_cum) - F.col("gcnt")).alias("c_before"),
+    )
+    c = base.groupBy("source", "x").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    srcs = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ns")
+    )
+    n = base.agg(F.count("*").cast("bigint").alias("total"))
+    r2 = (
+        c.join(gc, "x")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (2 * F.col("c_before") + F.col("gcnt") + 1)
+            )
+            .cast("bigint")
+            .alias("two_r")
+        )
+    )
+    return (
+        srcs.join(r2, "source")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("total") > F.col("ns"))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            (F.col("total") - F.col("ns")).cast("bigint").alias("n_rest"),
+            (F.col("two_r") - F.col("ns") * (F.col("ns") + 1))
+            .cast("bigint")
+            .alias("u2"),
+            F.round(
+                (F.col("two_r") - F.col("ns") * (F.col("ns") + 1)).cast(
+                    "double"
+                )
+                / (F.col("ns") * (F.col("total") - F.col("ns")))
+                - 1.0,
+                6,
+            ).alias("rank_biserial"),
+        )
+    )
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(COALESCE(len(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')), 0) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    pos AS (SELECT lang, n_tok FROM t WHERE n_tok > 0),
+    h AS (SELECT lang, n_tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pos GROUP BY lang, n_tok)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(c * n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(c * n_tok * LN(CAST(n_tok AS DOUBLE))
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                   / SUM(c * n_tok)
+                 + LN(CAST(SUM(c) AS DOUBLE))
+                 - LN(CAST(SUM(c * n_tok) AS DOUBLE)), 6) AS theil
+    FROM h GROUP BY lang
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of token-count inequality per language — the
+    decomposable inequality statistic that complements q_gini (Theil is
+    additive across subgroups, so per-lang values roll up to a corpus
+    figure; Gini does not). Uses the identity
+    T = sum(c*x*ln x)/S + ln(n) - ln(S) over the per-lang length
+    HISTOGRAM (S = total tokens): the x*ln(x) terms are deterministic
+    doubles fixed in DECIMAL before summation, the rest is exact
+    integer sums under IEEE ln/division, rounded to 6dp. Zero-token
+    documents are excluded on both engines (x ln x has no limit
+    contribution but T's population must be positive-valued).
+
+    Scale posture: identical to the round-8 q_gini — the only
+    aggregation below the rollup is the (lang, n_tok) histogram;
+    nothing doc-scale is sorted or windowed. No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.coalesce(
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    h = t.groupBy("lang", "n_tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return h.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias(
+            "total_tokens"
+        ),
+        F.round(
+            F.sum(
+                (
+                    F.col("c")
+                    * F.col("n_tok")
+                    * F.log(F.col("n_tok").cast("double"))
+                ).cast("decimal(38,12)")
+            ).cast("double")
+            / F.sum(F.col("c") * F.col("n_tok"))
+            + F.log(F.sum("c").cast("double"))
+            - F.log(F.sum(F.col("c") * F.col("n_tok")).cast("double")),
+            6,
+        ).alias("theil"),
+    )
+
+
+@query(
+    "q_simpson_diversity",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang FROM documents WHERE source IS NOT NULL
+    ),
+    sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM base GROUP BY source, lang)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(CASE WHEN SUM(c) < 2 THEN NULL
+                     ELSE SUM(c * (c - 1)) * 1000000
+                          // (SUM(c) * (SUM(c) - 1))
+                END AS BIGINT) AS simpson_ppm
+    FROM sl GROUP BY source
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration of each source's language mix: the exact
+    probability (ppm) that two documents drawn WITHOUT replacement from
+    the source share a language — sum c(c-1) / n(n-1), pure integer
+    arithmetic (the unbiased finite-population form, so no float
+    squares and no DIV sign trap: every term is non-negative).
+    Near-10^6 means a monolingual feed; a drop over time in a feed
+    that should be monolingual flags language-ID drift. NULL lang is a
+    real category, exactly as in q_js_divergence's grid.
+
+    Scale posture: one (source, lang) scan-side rollup, then a
+    source-level rollup of type-scale rows. Single-doc sources yield
+    NULL (undefined without a second draw) on both engines. No
+    reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    sl = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return sl.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.expr(
+            "CAST(CASE WHEN SUM(c) < 2 THEN NULL "
+            "ELSE SUM(c * (c - 1)) * 1000000 "
+            "DIV (SUM(c) * (SUM(c) - 1)) END AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )

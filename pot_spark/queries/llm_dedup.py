@@ -2810,3 +2810,141 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("t").cast("bigint").alias("threshold_pct"), "n_pairs")
     )
+
+
+def _shingles_sql_w(w: int) -> str:
+    """Width-parameterized oracle twin of _SHINGLES_SQL (w=3 is the
+    canonical one used by the production dedup ops)."""
+    join = " || ' ' || ".join(
+        f"string_split(text,' ')[i+{r}]" if r else "string_split(text,' ')[i]"
+        for r in range(w)
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len(string_split(text,' ')) - {w - 1}), "
+        f"i -> {join}))"
+    )
+
+
+_SWEEP_WIDTHS = [2, 3, 4]
+
+
+@query(
+    "q_shingle_size_sweep",
+    oracle=f"""
+    WITH {', '.join(f'''sh{w} AS (
+      SELECT lang, unnest({_shingles_sql_w(w)}) AS shingle
+      FROM documents WHERE len(string_split(text,' ')) >= {w}
+    ), df{w} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS df FROM sh{w} GROUP BY lang, shingle
+    ), p{w} AS (
+      SELECT {w} AS w, CAST(COUNT(*) AS BIGINT) AS n_shingle_types,
+             CAST(SUM(df) AS BIGINT) AS index_rows,
+             CAST((SUM(df * df) - SUM(df)) / 2 AS BIGINT) AS est_pairs
+      FROM df{w}
+    )''' for w in _SWEEP_WIDTHS)}
+    SELECT CAST(w AS BIGINT) AS w, n_shingle_types, index_rows, est_pairs
+    FROM ({' UNION ALL '.join(f'SELECT * FROM p{w}' for w in _SWEEP_WIDTHS)})
+    """,
+)
+def q_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-WIDTH tuning sweep: for w = 2/3/4-token shingles, the
+    distinct-shingle count, inverted-index size (sum df) and the direct
+    self-join's candidate volume (sum C(df,2)) — the table that says
+    whether widening shingles is worth the index growth before a dedup
+    run is priced (narrow shingles collide more: est_pairs explodes;
+    wide shingles miss edits). Same (lang, shingle) granularity and the
+    same sum-df-squared pair formula as q_dedup_cost_plan /
+    _direct_affordable, so the sweep rows are directly comparable with
+    the production width's cost row.
+
+    Scale posture: three scan-side explodes (one per width), each
+    map-side combined to a df rollup and reduced to a 1-row profile —
+    pairs are PRICED from the profile, never materialized (the
+    q_dedup_cost_plan posture, three widths wide). No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    outs = []
+    for w in _SWEEP_WIDTHS:
+        toks = docs.select(
+            "lang", _tokens().alias("toks")
+        ).filter(F.size("toks") >= w)
+        sh = toks.select(
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+                        lambda i: F.array_join(
+                            F.slice("toks", i, w), " "
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        dfp = sh.groupBy("lang", "shingle").agg(
+            F.count("*").cast("bigint").alias("df")
+        )
+        outs.append(
+            dfp.agg(
+                F.lit(w).cast("bigint").alias("w"),
+                F.count("*").cast("bigint").alias("n_shingle_types"),
+                F.sum("df").cast("bigint").alias("index_rows"),
+                (
+                    (
+                        F.sum(F.col("df") * F.col("df")) - F.sum("df")
+                    )
+                    / 2
+                )
+                .cast("bigint")
+                .alias("est_pairs"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+@query(
+    "q_dup_graph_degree",
+    oracle=f"""
+    WITH pairs AS ({_band_pairs_sql()}),
+    ends AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM ends GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def q_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree HISTOGRAM of the LSH candidate graph: how many documents
+    participate in exactly d banding candidate pairs — the shape that
+    separates healthy near-dup structure (small cliques: low, bounded
+    degrees) from a banding collapse or boilerplate hub (one document
+    colliding with thousands). Read alongside q_lsh_tuning: tuning
+    predicts collision rates, this measures the realized graph before
+    the verify stage pays for it.
+
+    Scale posture: candidate pairs are the banded (never all-pairs)
+    q_dedup_near relation; the degree rollup is linear in pairs and the
+    histogram rollup linear in docs — both map-side combined. The pair
+    set is checkpointed so the two endpoints' unions read one
+    materialization. No reference counterpart (SURVEY.md §2-A)."""
+    pairs = reliable_checkpoint(
+        _band_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -1942,3 +1942,112 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+@query(
+    "q_intra_label_diversity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    comp AS (
+      SELECT vec_id, label, d, v[d] AS x
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS d
+      ) u
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE))
+               AS nrm
+      FROM comp GROUP BY vec_id, label
+    ),
+    unit AS (
+      SELECT c.label, c.d, c.x / n.nrm AS ux
+      FROM comp c JOIN norms n ON n.vec_id = c.vec_id
+      WHERE n.nrm > 0
+    ),
+    su AS (
+      SELECT label, d,
+             CAST(SUM(CAST(ux AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM unit GROUP BY label, d
+    ),
+    sq AS (
+      SELECT label,
+             CAST(SUM(CAST(s * s AS DECIMAL(30,12))) AS DOUBLE) AS ssq
+      FROM su GROUP BY label
+    ),
+    cnt AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM norms WHERE nrm > 0 GROUP BY label
+    )
+    SELECT c.label, c.n AS n_vecs,
+           ROUND((q.ssq - c.n) / (c.n * (c.n - 1.0)), 6) AS avg_cosine
+    FROM cnt c JOIN sq q ON q.label = c.label
+    WHERE c.n >= 2
+    """,
+)
+def q_intra_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average pairwise cosine WITHIN each label, computed WITHOUT
+    materializing a single pair: for unit vectors,
+    sum_{i != j} u_i . u_j = |sum u|^2 - n, so the mean pairwise cosine
+    is (|sum u|^2 - n) / (n(n-1)) — the redundancy dial per label
+    (near 1: the label is one template; near 0: diverse) that SemDeDup
+    thresholds pairwise, priced here as one exact aggregate. Per-vector
+    norms, per-(label, dim) component sums, and the final square-sum
+    all fix deterministic double terms in DECIMAL before summation
+    (the q_centroid_drift pattern), so partition order cannot move the
+    6dp result; zero-norm vectors are excluded on both engines (no
+    unit direction).
+
+    Scale posture: one posexplode pass -> per-vector norm rollup ->
+    (label, dim) rollup (type-scale) -> label rollup. The identity
+    replaces the O(n^2)-per-label pair join with three linear
+    aggregations — THE reason this op scales where a verbatim SemDeDup
+    audit cannot. No reference counterpart (SURVEY.md §2-A)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select("vec_id", "label", _as_double("embedding").alias("v"))
+    comp = e.select(
+        "vec_id", "label", F.posexplode("v").alias("d0", "x")
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "x")
+    norms = comp.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    unit = (
+        comp.join(norms.filter(F.col("nrm") > 0).select("vec_id", "nrm"), "vec_id")
+        .select("label", "d", (F.col("x") / F.col("nrm")).alias("ux"))
+    )
+    su = unit.groupBy("label", "d").agg(
+        F.sum(F.col("ux").cast("decimal(28,12)")).cast("double").alias("s")
+    )
+    sq = su.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("ssq")
+    )
+    cnt = (
+        norms.filter(F.col("nrm") > 0)
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        cnt.filter(F.col("n") >= 2)
+        .join(sq, "label")
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round(
+                (F.col("ssq") - F.col("n"))
+                / (F.col("n") * (F.col("n") - F.lit(1.0))),
+                6,
+            ).alias("avg_cosine"),
+        )
+    )

@@ -2148,3 +2148,296 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, tok
+        FROM (SELECT lang,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS toks
+              FROM documents) t, unnest(toks) AS u(tok)
+    ),
+    vc AS (
+        SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS hapax_ppm,
+           ROUND(LN(SUM(c))
+                 - SUM(CAST(c * LN(c) AS DECIMAL(28,12))) / SUM(c),
+                 6) AS entropy
+    FROM vc GROUP BY lang
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UNIGRAM Shannon entropy plus the hapax-legomenon
+    ratio — the distribution-level diversity dial (q_char_entropy is the
+    per-document twin): entropy collapses on template farms, and a
+    hapax_ppm drop flags decode loops recycling the same vocabulary.
+    Uses the shuffle-stable form H = ln(N) - sum(c*ln c)/N with the
+    c*ln(c) terms fixed in DECIMAL before summation (partial-aggregation
+    order cannot move the result); the hapax ratio is integer ppm.
+
+    Scale posture: one (lang, tok) rollup with map-side combine — the
+    per-lang aggregation runs over the TYPE-scale vocabulary, never the
+    corpus. No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    vc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    return vc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN c = 1 THEN 1 END) * 1000000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum((F.col("c") * F.log("c")).cast("decimal(28,12)"))
+            / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_tok_len_profile",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, LEAST(len(tok), 20) AS tok_len
+        FROM (SELECT lang,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS toks
+              FROM documents) t, unnest(toks) AS u(tok)
+    ),
+    g AS (
+        SELECT lang, tok_len, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY lang, tok_len
+    )
+    SELECT lang, CAST(tok_len AS BIGINT) AS tok_len, n_tokens,
+           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER (PARTITION BY lang)
+                AS BIGINT) AS ppm
+    FROM g
+    """,
+)
+def q_tok_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-LENGTH profile per language (lengths capped at 20 so junk
+    blobs share one bucket): the subword-budget audit — a language whose
+    mass sits at length 15+ fragments into many BPE pieces per word, and
+    a spike at length 1 flags tokenizer-hostile spacing. The within-lang
+    share is integer ppm over the type-scale (lang, capped-length)
+    histogram; the only window runs over <=20 rows per language.
+
+    Scale posture: scan-side length + cap, one map-side combined rollup;
+    nothing after the groupBy exceeds langs x 20 rows. No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .select("lang", F.least(F.length("tok"), F.lit(20)).alias("tok_len"))
+        .groupBy("lang", "tok_len")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        F.col("tok_len").cast("bigint").alias("tok_len"),
+        "n_tokens",
+        F.expr("n_tokens * 1000000").cast("bigint").alias("_num"),
+        F.sum("n_tokens").over(w).alias("_den"),
+    ).select(
+        "lang",
+        "tok_len",
+        "n_tokens",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("ppm"),
+    )
+
+
+@query(
+    "q_js_divergence",
+    oracle="""
+    WITH base AS (
+        SELECT source, lang FROM documents WHERE source IS NOT NULL
+    ),
+    sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM base GROUP BY source, lang),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+          FROM base GROUP BY source),
+    l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS g
+          FROM base GROUP BY lang),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM base),
+    grid AS (
+        SELECT s.source, s.ns, l.lang, l.g, COALESCE(sl.n, 0) AS n
+        FROM s CROSS JOIN l
+        LEFT JOIN sl ON sl.source = s.source
+                    AND sl.lang IS NOT DISTINCT FROM l.lang
+    ),
+    terms AS (
+        SELECT source, ns,
+               CAST(n AS DOUBLE) / ns AS p,
+               CAST(g AS DOUBLE) / (SELECT big_n FROM tot) AS q
+        FROM grid
+    )
+    SELECT source, CAST(MIN(ns) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(
+               0.5 * (CASE WHEN p > 0
+                           THEN p * LN(p / (0.5 * (p + q))) ELSE 0 END)
+               + 0.5 * q * LN(q / (0.5 * (p + q)))
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS js_nats
+    FROM terms GROUP BY source
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's LANGUAGE MIX from the
+    corpus mix, in nats — the bounded, symmetric drift statistic that
+    complements q_corpus_drift's total-variation distance (JS punishes
+    a source concentrating mass on a rare language harder than TV
+    does). Per-(source, lang) terms are deterministic double arithmetic
+    on exact integer ratios, fixed in DECIMAL before the final sum so
+    partial-aggregation order cannot move the 6dp result; p=0 grid
+    cells contribute only their q-half (the 0*ln0 = 0 limit, made
+    explicit on both engines). NULL lang is a real category (null-safe
+    grid join).
+
+    Scale posture: the corpus compresses to (source, lang) counts at
+    scan; the grid is sources x langs — type-scale, broadcast-sized.
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("source").isNotNull()).select("source", "lang")
+    sl = base.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    s = base.groupBy("source").agg(F.count("*").cast("bigint").alias("ns"))
+    lng = base.groupBy("lang").agg(F.count("*").cast("bigint").alias("g"))
+    tot = base.agg(F.count("*").cast("bigint").alias("big_n"))
+    grid = (
+        s.crossJoin(F.broadcast(lng))
+        .alias("gr")
+        .join(
+            F.broadcast(sl).alias("sl"),
+            (F.col("gr.source") == F.col("sl.source"))
+            & F.col("gr.lang").eqNullSafe(F.col("sl.lang")),
+            "left",
+        )
+        .select(
+            F.col("gr.source").alias("source"),
+            "ns",
+            "g",
+            F.coalesce(F.col("sl.n"), F.lit(0)).alias("n"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n").cast("double") / F.col("ns")
+    q = F.col("g").cast("double") / F.col("big_n")
+    m = 0.5 * (p + q)
+    term = (
+        0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / m)
+    ).cast("decimal(28,12)")
+    return grid.groupBy("source").agg(
+        F.min("ns").cast("bigint").alias("n_docs"),
+        F.round(F.sum(term).cast("double"), 6).alias("js_nats"),
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+    WITH assigned AS (
+        SELECT md5(text) AS digest,
+               CASE
+                 WHEN lane % 100 < 80 THEN 'train'
+                 WHEN lane % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM (SELECT text,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':split'), 1, 8)) AS BIGINT)
+                       AS lane
+              FROM documents)
+    ),
+    train_d AS (
+        SELECT DISTINCT digest FROM assigned
+        WHERE split = 'train' AND digest IS NOT NULL
+    ),
+    ev AS (SELECT split, digest FROM assigned WHERE split <> 'train')
+    SELECT ev.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(t.digest) AS BIGINT) AS n_leaked,
+           CAST(COUNT(t.digest) * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+    FROM ev LEFT JOIN train_d t ON t.digest = ev.digest
+    GROUP BY ev.split
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit: how many val/test documents share an
+    exact content digest with ANY train document — the eval-integrity
+    check every pretraining pipeline runs after splitting, because a
+    random split of an UNdeduplicated corpus puts copies of the same
+    page on both sides and inflates eval scores. Reuses q_train_split's
+    deterministic salted-md5 80/10/10 assignment verbatim (same lane,
+    same boundaries) so the audited split IS the shipped split; NULL
+    text never matches (md5(NULL) is NULL and equi-joins drop it on
+    both engines) but still counts in n_docs.
+
+    Scale posture: split assignment is scan-side; the only join is a
+    32-byte digest left-join of eval rows against the distinct train
+    digests (q_dedup_exact's shuffle posture). No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(lane % 100 < 80, "train")
+        .when(lane % 100 < 90, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select(
+        F.md5("text").alias("digest"), split.alias("split")
+    )
+    train_d = (
+        assigned.filter(
+            (F.col("split") == "train") & F.col("digest").isNotNull()
+        )
+        .select("digest")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = assigned.filter(F.col("split") != "train")
+    return (
+        ev.join(train_d, "digest", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("hit").cast("bigint").alias("n_leaked"),
+            F.expr(
+                "CAST(COUNT(hit) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+    )

@@ -1446,3 +1446,225 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "q_heaps_fit",
+    oracle=f"""
+    WITH ks AS (
+      SELECT UNNEST([{', '.join(str(k) for k in _VOCAB_KS)}]) AS k
+    ),
+    tok AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents) t, unnest(toks) AS u(tok)
+    ),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY doc_id
+    ),
+    v AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM ks JOIN firsts ON firsts.first_doc < ks.k GROUP BY k
+    ),
+    d AS (
+      SELECT k, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM ks JOIN per_doc ON per_doc.doc_id < ks.k GROUP BY k
+    ),
+    pts AS (
+      SELECT DISTINCT d.n_tokens, v.n_vocab
+      FROM d JOIN v ON v.k = d.k
+      WHERE d.n_tokens > 0 AND v.n_vocab > 0
+    ),
+    xy AS (
+      SELECT CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS x,
+             CAST(ROUND(LN(CAST(n_vocab AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM xy
+    )
+    SELECT n AS n_points,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_ln_k
+    FROM s WHERE n >= 2
+    """,
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * N^beta over the q_vocab_growth
+    checkpoints: the least-squares line of ln(vocab) on ln(tokens) —
+    beta near 0.5 is natural text, beta collapsing toward 0 says the
+    crawl has gone asymptotic (new data is re-paying for old
+    vocabulary), beta near 1 flags id/hash-like token soup. Saturated
+    checkpoints past the corpus repeat the same (N, V) point and are
+    DEDUPLICATED before the fit (they would otherwise over-weight the
+    tail); the intercept is reported as ln(K) — pure arithmetic on the
+    decimal-fixed sums — rather than K itself, because exp() is libm
+    and not engine-exact. Regression sums follow q_zipf_fit: 6dp-fixed
+    DECIMAL inputs, DECIMAL(38,12) accumulation, IEEE division, 6dp
+    round.
+
+    Scale posture: q_vocab_growth's (first-occurrence table x 8-row
+    broadcast checkpoint join) feeds an 8-point regression — the
+    corpus-facing cost is one token pass. No reference counterpart
+    (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k bigint")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    v = (
+        firsts.join(F.broadcast(ks), firsts.first_doc < ks.k)
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_vocab"))
+    )
+    d = (
+        per_doc.join(F.broadcast(ks), per_doc.doc_id < ks.k)
+        .groupBy("k")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    pts = (
+        d.join(v, "k")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0))
+        .select("n_tokens", "n_vocab")
+        .distinct()
+    )
+    xy = pts.select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("n_vocab").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.filter(F.col("n") >= 2).select(
+        F.col("n").alias("n_points"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ).alias("heaps_ln_k"),
+    )
+
+
+_DRIFT_MIN_DF = 10  # min combined doc frequency before a token is scored
+_DRIFT_TOPN = 20
+
+
+@query(
+    "q_term_drift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, doc_id % 2 AS half, tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents WHERE doc_id IS NOT NULL) t, unnest(toks) AS u(tok)
+    ),
+    df AS (
+      SELECT tok,
+             CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS df_even,
+             CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS df_odd
+      FROM dt GROUP BY tok
+    )
+    SELECT tok, df_even, df_odd,
+           ROUND(ABS(LN((df_even + 1.0) / (df_odd + 1.0))), 6) AS drift
+    FROM df
+    WHERE df_even + df_odd >= {_DRIFT_MIN_DF}
+    ORDER BY drift DESC, tok
+    LIMIT {_DRIFT_TOPN}
+    """,
+)
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency DRIFT movers: the {_DRIFT_TOPN} tokens whose
+    document frequency shifts hardest between the even and odd doc_id
+    halves (standing in for yesterday's vs today's crawl batch) —
+    add-one-smoothed |log df ratio|, the token-level early warning that
+    a source changed templates or a topic burst entered the feed
+    (q_vocab_overlap sees set-level drift; this names the tokens).
+    Tokens below {_DRIFT_MIN_DF} combined df are excluded (rare-word
+    noise swamps the log ratio). The ratio is deterministic double
+    arithmetic on exact integer df counts, rounded to 6dp; the top-N
+    order is the total order (drift desc, tok), so the selected SET is
+    engine-exact.
+
+    Scale posture: distinct (doc, half, tok) pre-aggregation bounds the
+    df rollup by doc frequency, and the top-20 is a
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    df = dt.groupBy("tok").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias(
+            "df_even"
+        ),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias(
+            "df_odd"
+        ),
+    )
+    return (
+        df.filter(F.col("df_even") + F.col("df_odd") >= _DRIFT_MIN_DF)
+        .select(
+            "tok",
+            "df_even",
+            "df_odd",
+            F.round(
+                F.abs(
+                    F.log(
+                        (F.col("df_even") + F.lit(1.0))
+                        / (F.col("df_odd") + F.lit(1.0))
+                    )
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.asc("tok"))
+        .limit(_DRIFT_TOPN)
+    )

@@ -1456,3 +1456,233 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("string").alias("peak_at"),
         )
     )
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
+                // (COUNT(*) * SUM(c)) AS BIGINT) AS fano_ppm
+    FROM daily GROUP BY event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, variance-to-mean ratio) of daily event
+    volume per type, in ppm: ~10^6 is Poisson-like arrivals, far above
+    flags bursty/bot traffic, far below a rate limiter — the dispersion
+    companion to q_acf's memory test. The population-variance form
+    (D*sum(c^2) - (sum c)^2) / (D * sum c) is EXACT integer arithmetic
+    (numerator non-negative by Cauchy-Schwarz, so the engines' integer
+    division semantics agree) over observed days only.
+
+    Scale posture: the corpus compresses to (event_type, day) counts at
+    scan (map-side combine); the Fano rollup runs on type x days rows.
+    No reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000 "
+            "DIV (COUNT(*) * SUM(c)) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    idx AS (
+      SELECT event_type, day, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS i,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS sl,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(c) OVER (PARTITION BY event_type) AS s
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, day, i, n,
+             CAST(sl * (n - i) - (s - sl) * i AS BIGINT) AS dnum,
+             CAST(i * (n - i) AS BIGINT) AS w
+      FROM idx WHERE i < n
+    ),
+    ranked AS (
+      SELECT event_type, day, n, dnum, w,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+                        / (w * n) DESC, day
+             ) AS rn
+      FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(day AS VARCHAR) AS split_day,
+           ROUND(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) / (w * n), 6)
+             AS g_stat,
+           ROUND(CAST(dnum AS DOUBLE) / w, 6) AS mean_delta
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation CHANGEPOINT on daily event volume per type:
+    the split day maximizing the scaled mean-shift statistic
+    G(t) = (nL*nR/n) * (meanL - meanR)^2 — the "when did the rate step"
+    estimator that complements q_cusum_drift (CUSUM finds drift from a
+    flat rate; this finds the single best two-segment split and reports
+    the step size). The cross-multiplied numerator
+    dnum = SL*nR - SR*nL is EXACT integer arithmetic; G enters doubles
+    only as the final dnum^2/(nL*nR*n) — the same IEEE expression on
+    both engines — and argmax ties break to the earliest day. The
+    boundary i = n is excluded (no right segment).
+
+    Scale posture: all windows run on the (event_type, day) compressed
+    relation (q_cusum_drift's posture); prefix sums give every split's
+    two segment sums in one pass — no self-join of the series. No
+    reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_day).alias("i"),
+        F.sum("c")
+        .over(w_day.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sl"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("c").over(w_all).alias("s"),
+    )
+    g = idx.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.col("sl") * (F.col("n") - F.col("i"))
+            - (F.col("s") - F.col("sl")) * F.col("i")
+        )
+        .cast("bigint")
+        .alias("dnum"),
+        (F.col("i") * (F.col("n") - F.col("i"))).cast("bigint").alias("w"),
+    )
+    gs = (
+        F.col("dnum").cast("double") * F.col("dnum").cast("double")
+    ) / (F.col("w") * F.col("n"))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        gs.desc(), F.asc("day")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").cast("string").alias("split_day"),
+            F.round(gs, 6).alias("g_stat"),
+            F.round(
+                F.col("dnum").cast("double") / F.col("w"), 6
+            ).alias("mean_delta"),
+        )
+    )
+
+
+@query(
+    "q_dow_seasonality",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events WHERE ts IS NOT NULL),
+    dows AS (SELECT UNNEST(generate_series(0, 6)) AS dow),
+    obs AS (
+      SELECT event_type, isodow(ts) - 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, dow
+    ),
+    grid AS (
+      SELECT t.event_type, d.dow, COALESCE(o.n_events, 0) AS n_events
+      FROM types t CROSS JOIN dows d
+      LEFT JOIN obs o ON o.event_type IS NOT DISTINCT FROM t.event_type
+                     AND o.dow = d.dow
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, n_events,
+           CAST(n_events * 1000000
+                // SUM(n_events) OVER (PARTITION BY event_type)
+                AS BIGINT) AS ppm
+    FROM grid
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: the full 7-row
+    grid (absent weekdays ARE the signal — a feed silent on weekends is
+    batch-driven, not organic) with each day's integer-ppm share of the
+    type's volume. Weekday numbering is pinned to 0=Monday on both
+    engines (Spark weekday(); DuckDB isodow()-1 — Spark's dayofweek()
+    and DuckDB's dayofweek() disagree on Sunday, so neither is used).
+
+    Scale posture: one (event_type, dow) scan-side rollup; the 7-row
+    grid rides a broadcast and the share window runs over 7 rows per
+    type. No reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    obs = (
+        ev.select("event_type", F.weekday("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    types = ev.select("event_type").distinct()
+    dows = types.sparkSession.range(7).select(
+        F.col("id").cast("int").alias("dow")
+    )
+    grid = (
+        types.crossJoin(F.broadcast(dows))
+        .alias("g")
+        .join(
+            obs.alias("o"),
+            F.col("g.event_type").eqNullSafe(F.col("o.event_type"))
+            & (F.col("g.dow") == F.col("o.dow")),
+            "left",
+        )
+        .select(
+            F.col("g.event_type").alias("event_type"),
+            F.col("g.dow").alias("dow"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    return grid.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_events",
+        F.expr("n_events * 1000000").alias("_num"),
+        F.sum("n_events").over(w).alias("_den"),
+    ).select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("ppm"),
+    )

@@ -154,14 +154,40 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil_image_module():
+    """Import-gated PIL binding (absent in this container — the gate is
+    exercised in tests under a faked module, the same pattern as the
+    GCS/fsspec commit backends)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB decoder. Real image/audio libs are not installed in this
-    container; a deterministic fake keeps the pipeline testable. Raises
-    NotImplementedError for media types the fake doesn't model."""
-    if media_type not in ("image/fake", "audio/fake"):
-        raise NotImplementedError(f"no decoder for {media_type!r}")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return arr
+    """Decoder with a REAL-decode gate: the deterministic fake handles
+    the fixture's synthetic media types, and any real image/* type
+    routes through PIL (grayscale uint8 pixels) WHEN the library is
+    importable — the stub stays the fallback, so this container (no
+    PIL) keeps the plumbing testable while a production deploy gets
+    actual pixels with zero code change. Raises NotImplementedError
+    for types nothing can decode (a loud skip beats silent garbage
+    features)."""
+    if media_type in ("image/fake", "audio/fake"):
+        return np.frombuffer(payload, dtype=np.uint8)
+    if media_type.startswith("image/"):
+        image_mod = _pil_image_module()
+        if image_mod is None:
+            raise NotImplementedError(
+                f"no decoder for {media_type!r} (PIL not installed)"
+            )
+        import io as _io
+
+        img = image_mod.open(_io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8).ravel()
+    raise NotImplementedError(f"no decoder for {media_type!r}")
 
 
 def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1111,3 +1111,170 @@ def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
     # the 0.5 cut must agree with q_dedup_near's verified pair count
     near = registry.QUERIES["q_dedup_near"](spark, sf_dir).count()
     assert dict((r.threshold_pct, r.n_pairs) for r in rows)[50] == near
+
+
+# -- round-8 batch: rank-sum / changepoint / leakage / heaps / entropy -------
+
+
+def test_rank_sum_matches_bruteforce(spark, sf_dir):
+    """Doubled-U via global-histogram midranks must equal the classic
+    midrank computation over the raw values."""
+    rows = _docs_rows(spark, sf_dir)
+    base = [
+        (r.source, r.n_chars)
+        for r in rows
+        if r.source is not None and r.n_chars is not None
+    ]
+    xs = sorted(x for _, x in base)
+    # midrank of each value: average of its 1-based rank range, doubled
+    two_mid = {}
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j] == xs[i]:
+            j += 1
+        two_mid[xs[i]] = (i + 1) + j  # 2 * (i+1 + j) / 2
+        i = j
+    got = {
+        r.source: (r.n_docs, r.n_rest, r.u2, r.rank_biserial)
+        for r in registry.QUERIES["q_rank_sum_test"](spark, sf_dir).collect()
+    }
+    srcs = {s for s, _ in base}
+    n = len(base)
+    for s in srcs:
+        mine = [x for src, x in base if src == s]
+        ns = len(mine)
+        if n == ns:
+            assert s not in got
+            continue
+        two_r = sum(two_mid[x] for x in mine)
+        u2 = two_r - ns * (ns + 1)
+        g = got[s]
+        assert (g[0], g[1], g[2]) == (ns, n - ns, u2), s
+        assert abs(g[3] - (u2 / (ns * (n - ns)) - 1.0)) < 2e-6, s
+
+
+def test_changepoint_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily = Counter(
+        (r.event_type, r.day) for r in ev if r.day is not None
+    )
+    series = {}
+    for (t, d), c in daily.items():
+        series.setdefault(t, []).append((d, c))
+    got = {
+        r.event_type: (r.n_days, r.split_day, r.g_stat, r.mean_delta)
+        for r in registry.QUERIES["q_changepoint"](spark, sf_dir).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        nd = len(pts)
+        if nd < 2:
+            assert t not in got
+            continue
+        s = sum(c for _, c in pts)
+        best = None
+        sl = 0
+        for i in range(1, nd):
+            sl += pts[i - 1][1]
+            dnum = sl * (nd - i) - (s - sl) * i
+            w = i * (nd - i)
+            g = (float(dnum) * float(dnum)) / (w * nd)
+            key = (-g, pts[i - 1][0])
+            if best is None or key < best[0]:
+                best = (key, pts[i - 1][0], g, dnum / w)
+        assert got[t][0] == nd
+        assert got[t][1] == str(best[1]), t
+        assert abs(got[t][2] - round(best[2], 6)) < 2e-6, t
+        assert abs(got[t][3] - round(best[3], 6)) < 2e-6, t
+
+
+def test_split_leakage_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+
+    def lane(doc_id):
+        return int(
+            hashlib.md5(f"{doc_id}:split".encode()).hexdigest()[:8], 16
+        ) % 100
+
+    train_d, ev = set(), []
+    for r in rows:
+        digest = (
+            hashlib.md5(r.text.encode()).hexdigest()
+            if r.text is not None
+            else None
+        )
+        lp = lane(r.doc_id)
+        split = "train" if lp < 80 else ("val" if lp < 90 else "test")
+        if split == "train":
+            if digest is not None:
+                train_d.add(digest)
+        else:
+            ev.append((split, digest))
+    got = {
+        r.split: (r.n_docs, r.n_leaked, r.leak_ppm)
+        for r in registry.QUERIES["q_split_leakage"](spark, sf_dir).collect()
+    }
+    for split in ("val", "test"):
+        mine = [d for s, d in ev if s == split]
+        if not mine:
+            assert split not in got
+            continue
+        leaked = sum(1 for d in mine if d is not None and d in train_d)
+        assert got[split] == (
+            len(mine),
+            leaked,
+            leaked * 1_000_000 // len(mine),
+        ), split
+
+
+def test_heaps_fit_matches_lstsq(spark, sf_dir):
+    """The decimal-sum regression must agree with numpy lstsq over the
+    deduped (ln N, ln V) points from q_vocab_growth."""
+    import numpy as np
+
+    growth = registry.QUERIES["q_vocab_growth"](spark, sf_dir).collect()
+    pts = sorted(
+        {
+            (r.n_tokens, r.n_vocab)
+            for r in growth
+            if r.n_tokens > 0 and r.n_vocab > 0
+        }
+    )
+    assert len(pts) >= 2
+    xs = np.array([round(math.log(n), 6) for n, _ in pts])
+    ys = np.array([round(math.log(v), 6) for _, v in pts])
+    a = np.vstack([xs, np.ones_like(xs)]).T
+    beta, lnk = np.linalg.lstsq(a, ys, rcond=None)[0]
+    row = registry.QUERIES["q_heaps_fit"](spark, sf_dir).collect()[0]
+    assert row.n_points == len(pts)
+    assert abs(row.heaps_beta - beta) < 5e-6
+    assert abs(row.heaps_ln_k - lnk) < 5e-6
+    # sublinear growth: beta below 1 always; the tiny sf0.001 fixture can
+    # legitimately fit a flat segment (vocab saturates between the two
+    # live checkpoints), so 0.0 is allowed
+    assert 0.0 <= row.heaps_beta < 1.0
+
+
+def test_token_entropy_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    freqs = {}
+    for r in rows:
+        for t in _lower_toks(r.text):
+            freqs.setdefault(r.lang, Counter())[t] += 1
+    got = {
+        r.lang: (r.n_tokens, r.vocab_size, r.hapax_ppm, r.entropy)
+        for r in registry.QUERIES["q_token_entropy"](spark, sf_dir).collect()
+    }
+    for lang, cnt in freqs.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        g = got[lang]
+        assert (g[0], g[1], g[2]) == (n, v, hapax * 1_000_000 // v), lang
+        assert abs(g[3] - h) < 2e-6, lang

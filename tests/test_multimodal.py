@@ -49,3 +49,49 @@ def test_resize_block_mean_known_payload():
     vals = [float(x) for x in out.loc[0, "thumb"].split(",")]
     assert vals[:8] == [float(x) for x in range(8)]
     assert len(vals) == 64
+
+
+def test_real_image_decode_gate(monkeypatch):
+    """The PIL gate: real image/* types raise a loud NotImplementedError
+    when PIL is absent, and route through PIL.Image.open().convert('L')
+    when a (faked) module is importable — the stub fixture types never
+    touch the gate."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from pot_spark.queries import udfs
+
+    # fixture types bypass the gate entirely
+    assert udfs._decode_payload(b"abc", "image/fake").tolist() == [
+        97, 98, 99,
+    ]
+    # no PIL in this container: loud skip, not silent garbage
+    with pytest.raises(NotImplementedError, match="PIL not installed"):
+        udfs._decode_payload(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError, match="no decoder"):
+        udfs._decode_payload(b"RIFF", "audio/wav")
+
+    class FakeImg:
+        def __init__(self, payload):
+            self.payload = payload
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.frombuffer(self.payload, dtype=np.uint8).reshape(2, 2)
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            return FakeImg(buf.read())
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+    out = udfs._decode_payload(bytes([1, 2, 3, 4]), "image/png")
+    assert out.tolist() == [1, 2, 3, 4]  # decoded via the gate, raveled

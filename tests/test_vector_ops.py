@@ -366,3 +366,41 @@ def test_centroid_drift_ragged_dims_match_oracle_semantics(spark, tmp_path):
     co = np.mean([[0.5, 1.5, 2.5], [1.5, 0.5, 1.5]], axis=0)  # d=4 dropped
     cos = float(ce @ co / (np.linalg.norm(ce) * np.linalg.norm(co)))
     assert abs(r.centroid_cosine - cos) < 2e-6
+
+
+def test_intra_label_diversity_matches_pairwise_numpy(spark, sf_dir):
+    """The |sum u|^2 - n identity must equal the literal O(n^2) mean of
+    pairwise cosines per label."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    units = {}
+    for r in rows:
+        if r.embedding is None or r.vec_id is None:
+            continue
+        v = np.asarray(r.embedding, dtype=np.float64)
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            units.setdefault(r.label, []).append(v / nrm)
+    got = {
+        r.label: (r.n_vecs, r.avg_cosine)
+        for r in registry.QUERIES["q_intra_label_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    for label, us in units.items():
+        n = len(us)
+        if n < 2:
+            assert label not in got
+            continue
+        s = 0.0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    s += float(us[i] @ us[j])
+        want = s / (n * (n - 1))
+        gn, gcos = got[label]
+        assert gn == n
+        assert abs(gcos - want) < 5e-6, label

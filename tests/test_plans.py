@@ -1324,3 +1324,61 @@ def test_threshold_sweep_verifies_once(spark, sf_dir):
     assert "ExistingRDD" in p
     assert "BroadcastNestedLoopJoin" in p
     assert len(re.findall(r"LeftSemi", p)) >= 2
+
+
+def test_intra_label_diversity_never_materializes_pairs(spark, sf_dir):
+    """The |sum u|^2 identity: no pair join anywhere — the only joins
+    are the per-vector norm attach (vec_id-keyed) and the final label
+    rollup join."""
+    p = _plan(spark, sf_dir, "q_intra_label_diversity")
+    assert "CartesianProduct" not in p
+    # every join is equi-keyed (norm attach on vec_id, rollup on label)
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_term_drift_top20_never_global_sorts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_term_drift")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rank_sum_windows_over_histogram(spark, sf_dir):
+    """Midranks come from the global VALUE histogram — an aggregate
+    feeds the one cumulative window (q_ks_test grid posture)."""
+    p = _plan(spark, sf_dir, "q_rank_sum_test")
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+    assert "row_number" not in p
+
+
+def test_changepoint_windows_over_daily_rollup(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_changepoint")
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+    assert "hashpartitioning(event_type" in p
+
+
+def test_shingle_size_sweep_prices_never_joins(spark, sf_dir):
+    """Pairs are priced from 1-row profiles: no join of any kind — just
+    three explode+rollup branches unioned."""
+    p = _plan(spark, sf_dir, "q_shingle_size_sweep")
+    assert "Join" not in p
+    assert "Union" in p
+
+
+def test_dup_graph_degree_reads_checkpointed_pairs(spark, sf_dir):
+    """Both endpoint unions read ONE checkpointed candidate-pair
+    materialization (never re-running the banding self-join twice)."""
+    p = _plan(spark, sf_dir, "q_dup_graph_degree")
+    assert "ExistingRDD" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_heaps_fit_checkpoint_join_is_broadcast(spark, sf_dir):
+    """The 8-row checkpoint table rides a BroadcastNestedLoopJoin
+    (theta join on first_doc < k) — constant fan-out, not a pair
+    join."""
+    p = _plan(spark, sf_dir, "q_heaps_fit")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

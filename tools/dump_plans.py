@@ -102,10 +102,10 @@ NOTES = {
     "q_window_median": "one user-partitioned window (no global sort); "
     "the 7-row frame is collected, sorted, and element-SELECTED inside "
     "the window stage — zero joins, zero extra exchanges.",
-    "q_winsorize": "only the bounds branch sorts (rank+count windows over "
-    "one event_type exchange); the clamp branch is scan -> broadcast join "
-    "-> partial agg — raw rows never shuffle (1 Sort, 2 Windows, 2 "
-    "Exchanges).",
+    "q_winsorize": "r8: the bounds branch sorts only the per-type VALUE "
+    "HISTOGRAM (aggregate below both windows — no raw-row rank); the "
+    "clamp branch is scan -> broadcast join -> partial agg — raw rows "
+    "never shuffle.",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "
     "counts; the 1-row totals aggregate broadcasts into the projection.",
     "q_containment_dedup": "adaptive containment (round 5): a 1-row df-"
@@ -207,10 +207,28 @@ NOTES = {
     "q_shard_balance": "scan-side md5 shard hash, ONE 32-group rollup; "
     "totals come from a window OVER the rollup (one lineage — a second "
     "aggregate branch would re-run the corpus scan).",
-    "q_ccnet_bins": "q_unigram_logprob's two token-scale shuffles feed "
-    "ONE per-lang ntile window over (rounded score, doc_id); at scale "
-    "the declared cutover is approx-percentile boundaries + scan-side "
-    "binning.",
+    "q_ccnet_bins": "r8: q_unigram_logprob's two token-scale shuffles "
+    "feed the (lang, rounded-score) HISTOGRAM; exact ntile(3) bounds "
+    "read off cumulative counts + a broadcast 3-row bound table — no "
+    "doc-scale sort anywhere.",
+    "q_length_bias": "r8: exact ntile(10) deciles from the n_chars "
+    "histogram (_equidepth_tiles) — windows run over distinct lengths, "
+    "never docs; digest rollup collapses dups before the post histogram.",
+    "q_gini": "r8: tie-invariant rank-sum identity on the per-lang "
+    "length histogram — the only window input is (lang, distinct "
+    "n_tok); exact bigint arithmetic to the final ppm DIV.",
+    "q_peak_concurrency": "r8: boundary deltas pre-aggregate to "
+    "(day, t, sum d) with map-side combine BEFORE the day-partitioned "
+    "cumsum; argmax rides WindowGroupLimit.",
+    "q_intra_label_diversity": "pairwise-cosine mean via |sum u|^2 - n: "
+    "three linear rollups (vec norm, (label,dim) unit sums, label "
+    "square-sum) — no pair join exists in the plan.",
+    "q_shingle_size_sweep": "three explode->df-rollup->1-row-profile "
+    "branches unioned; est pairs are arithmetic on the profiles — "
+    "plan contains no Join node.",
+    "q_dup_graph_degree": "both endpoint unions read ONE checkpointed "
+    "band-pair materialization (ExistingRDD); degree and histogram "
+    "rollups are map-side combined.",
     "q_centroid_drift": "one posexplode pass partial-aggregates to "
     "type-scale (label, dim) components; cosine sums are exact DECIMAL "
     "so shuffle order cannot move the rounded result.",

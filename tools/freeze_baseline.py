@@ -57,6 +57,13 @@ MEDIAN_GROUPS = [
         "BENCH_r07_local3.json",
         "BENCH_r07_local4.json",
     ],
+    # round-8: two local runs; rotation-tier rows (the non-headline
+    # coverage cohort) are merged in by _queries so every measured
+    # query gets a recorded baseline row the round it is first benched
+    [
+        "BENCH_r08_local.json",
+        "BENCH_r08_local2.json",
+    ],
 ]
 
 
@@ -67,7 +74,11 @@ def _load(path: str) -> dict:
 
 
 def _queries(path: str) -> dict[str, float]:
-    return _load(path).get("queries", {})
+    d = _load(path)
+    out = dict(d.get("queries", {}))
+    # rotation tier (round 8+): coverage rows for non-headline queries
+    out.update(d.get("rotation_queries", {}))
+    return out
 
 
 def main() -> None:

@@ -2948,3 +2948,39 @@ def q_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "q_dup_cluster_hist",
+    oracle="""
+    WITH dig AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs
+    FROM dig GROUP BY n_copies
+    """,
+)
+def q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CLUSTER-SIZE histogram: how many digest clusters
+    have exactly k verbatim copies, and how many documents they carry —
+    the shape that distinguishes a mirror problem (mass in a few huge
+    clusters: fix the crawler) from organic boilerplate (a long tail of
+    pairs: dedup normally). q_dedup_exact lists the clusters;
+    q_dup_inflation totals per lang; this is the distribution those
+    decisions actually need.
+
+    Scale posture: one 32-byte digest rollup (q_dedup_exact's shuffle),
+    then a histogram rollup over cluster-count values — type-scale.
+    NULL text forms its own digest group on both engines (md5(NULL)
+    groups as NULL). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    dig = docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.count("*").cast("bigint").alias("n_copies")
+    )
+    return dig.groupBy("n_copies").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("n_copies") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

@@ -1668,3 +1668,91 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift"), F.asc("tok"))
         .limit(_DRIFT_TOPN)
     )
+
+
+# tokenizer-budget candidates priced by q_vocab_coverage
+_COVERAGE_KS = [256, 1024, 4096, 16384]
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH ks AS (
+      SELECT UNNEST([{', '.join(str(k) for k in _COVERAGE_KS)}]) AS k
+    ),
+    vc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+            FROM documents) t, unnest(toks) AS u(tok)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM vc
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM vc)
+    SELECT CAST(ks.k AS BIGINT) AS vocab_budget,
+           tot.v AS vocab_size,
+           CAST(COALESCE(SUM(CASE WHEN ranked.rk <= ks.k THEN ranked.f END),
+                         0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(SUM(CASE WHEN ranked.rk <= ks.k THEN ranked.f END),
+                         0) * 1000000 // tot.n AS BIGINT) AS coverage_ppm
+    FROM ks CROSS JOIN tot LEFT JOIN ranked ON ranked.rk <= ks.k
+    GROUP BY ks.k, tot.v, tot.n
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-BUDGET coverage table: what fraction of corpus token
+    mass the top-k vocabulary covers at candidate budgets — the sizing
+    decision every word-level tokenizer (and the BPE base-vocab choice)
+    starts from: a budget whose coverage has plateaued is wasted
+    embedding rows; one still climbing forces UNK/byte-fallback mass.
+    The rank order is the total order (frequency desc, token), so the
+    top-k SET and the cumulative mass are engine-exact integers.
+
+    Scale posture: one (tok) rollup with map-side combine; the rank
+    window runs over the TYPE-scale vocabulary (q_zipf_fit posture) and
+    the 4-row budget table rides a broadcast theta-join — the corpus-
+    facing cost is the token count. Budgets past the vocabulary
+    saturate to full coverage instead of vanishing. No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+    vc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    ranked = vc.select("f", F.row_number().over(w).alias("rk"))
+    tot = vc.agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
+    # the 4-row budget table is the broadcast side (each vocab row fans
+    # out to at most 4 budgets); broadcasting `ranked` instead would
+    # ship the whole vocabulary to every executor
+    cov = (
+        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("f").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(cov, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("vocab_budget"),
+            F.col("v").alias("vocab_size"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST(COALESCE(covered_tokens, 0) * 1000000 DIV n AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -1002,13 +1002,16 @@ def test_dedup_cost_plan_matches_bruteforce(spark, sf_dir):
     rows = _docs_rows(spark, sf_dir)
     from pot_spark.queries.llm_dedup import _shingle_df
 
+    # r8: the calculator prices the SAME (lang, shingle) granularity
+    # the in-op adaptive probe reads (one costing function, two call
+    # sites — test_cost_plan_agrees_with_op_probe pins the decision)
     sh = Counter(
-        (r.doc_id, r.shingle)
-        for r in _shingle_df(spark, sf_dir).collect()
+        (r.doc_id, r.lang, r.shingle)
+        for r in _shingle_df(spark, sf_dir, with_lang=True).collect()
     )
     df = Counter()
-    for (_d, g), c in sh.items():
-        df[g] += c
+    for (_d, lang, g), c in sh.items():
+        df[(lang, g)] += c
     s1 = sum(df.values())
     s2 = sum(v * v for v in df.values())
     c1 = sum(min(v, 32) for v in df.values())

@@ -1382,3 +1382,11 @@ def test_heaps_fit_checkpoint_join_is_broadcast(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_heaps_fit")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_vocab_coverage_broadcasts_budgets_not_vocab(spark, sf_dir):
+    """The 4-row budget table is the broadcast side of the theta join;
+    the vocabulary is never shipped to executors wholesale."""
+    p = _plan(spark, sf_dir, "q_vocab_coverage")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

@@ -2441,3 +2441,83 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_ppm"),
         )
     )
+
+
+@query(
+    "q_char_class_profile",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(text) AS BIGINT) AS total,
+             CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS letters,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS digits,
+             CAST(len(text)
+                  - len(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                  AS BIGINT) AS ws,
+             CAST(len(text) - len(regexp_replace(text, '[<>&]', '', 'g'))
+                  AS BIGINT) AS markup
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN SUM(total) = 0 THEN NULL
+                ELSE SUM(letters) * 1000000 // SUM(total) END AS BIGINT)
+             AS letter_ppm,
+           CAST(CASE WHEN SUM(total) = 0 THEN NULL
+                ELSE SUM(digits) * 1000000 // SUM(total) END AS BIGINT)
+             AS digit_ppm,
+           CAST(CASE WHEN SUM(total) = 0 THEN NULL
+                ELSE SUM(ws) * 1000000 // SUM(total) END AS BIGINT)
+             AS ws_ppm,
+           CAST(CASE WHEN SUM(total) = 0 THEN NULL
+                ELSE SUM(markup) * 1000000 // SUM(total) END AS BIGINT)
+             AS markup_ppm
+    FROM d GROUP BY source
+    """,
+)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-CLASS fingerprint per source: the ppm of ASCII letters,
+    digits, whitespace, and markup (<>&) in each feed's character mass —
+    the cheap pre-parse audit that separates prose (high letters, ~15%
+    whitespace) from tables/logs (digit-heavy), from HTML that escaped
+    the extractor (markup > 0 is a boilerplate-stripper bug upstream).
+    Classes are ASCII regexes on purpose: Java and RE2 Unicode
+    character-class semantics differ, ASCII classes do not — the counts
+    are engine-exact integers (length minus stripped length), ratios
+    floored ppm.
+
+    Scale posture: pure scan-side regexp arithmetic (whole-stage
+    codegen), one source rollup; nothing corpus-sized shuffles. No
+    reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def _cnt(pat: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    d = docs.filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "source",
+        F.length("text").cast("bigint").alias("total"),
+        _cnt("[A-Za-z]").alias("letters"),
+        _cnt("[0-9]").alias("digits"),
+        _cnt("[ \t\n\r]").alias("ws"),
+        _cnt("[<>&]").alias("markup"),
+    )
+    ppm = lambda c: F.expr(  # noqa: E731 - local ppm shorthand
+        f"CAST(CASE WHEN SUM(total) = 0 THEN NULL "
+        f"ELSE SUM({c}) * 1000000 DIV SUM(total) END AS BIGINT)"
+    ).alias(f"{c.rstrip('s') if c != 'ws' else 'ws'}_ppm")
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("total").cast("bigint").alias("n_chars"),
+        ppm("letters"),
+        ppm("digits"),
+        ppm("ws"),
+        ppm("markup"),
+    )

@@ -1686,3 +1686,67 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr("CAST(_num DIV _den AS BIGINT)").alias("ppm"),
     )
+
+
+@query(
+    "q_user_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    h AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM per_user GROUP BY x),
+    runs AS (
+      SELECT x, c,
+             SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c
+               AS c_prev
+      FROM h
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_users,
+           CAST(SUM(x * c) AS BIGINT) AS n_events,
+           CAST(CASE WHEN SUM(x * c) = 0 THEN NULL
+                ELSE (2 * SUM(x * (c * c_prev + (c * (c + 1)) // 2))
+                      - (SUM(c) + 1) * SUM(x * c)) * 1000000
+                     // (SUM(c) * SUM(x * c))
+                END AS BIGINT) AS gini_ppm
+    FROM runs
+    """,
+)
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the
+    concentration-of-activity dial (near 0: organic traffic; near 10^6:
+    a handful of accounts generate everything — bots, scrapers, or one
+    integration hammering the API). Same tie-invariant grouped rank-sum
+    identity as the round-8 q_gini: the exact statistic reads off the
+    activity HISTOGRAM (distinct events-per-user counts), so the only
+    window runs over type-scale rows no matter how many users exist.
+    Pure bigint arithmetic, floored ppm.
+
+    Scale posture: one (user_id) rollup (the q_sessionize shuffle),
+    one (count-value) histogram rollup, one cumulative window over
+    distinct activity levels. NULL user_id excluded on both engines.
+    No reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    h = per_user.groupBy("x").agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = h.select(
+        "x", "c", (F.sum("c").over(w_cum) - F.col("c")).alias("c_prev")
+    )
+    return runs.agg(
+        F.sum("c").cast("bigint").alias("n_users"),
+        F.sum(F.col("x") * F.col("c")).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN SUM(x * c) = 0 THEN NULL ELSE "
+            "(2 * SUM(x * (c * c_prev + (c * (c + 1)) DIV 2)) "
+            "- (SUM(c) + 1) * SUM(x * c)) * 1000000 "
+            "DIV (SUM(c) * SUM(x * c)) END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -1281,3 +1281,148 @@ def test_token_entropy_matches_bruteforce(spark, sf_dir):
         g = got[lang]
         assert (g[0], g[1], g[2]) == (n, v, hapax * 1_000_000 // v), lang
         assert abs(g[3] - h) < 2e-6, lang
+
+
+def test_theil_index_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    by_lang = {}
+    for r in rows:
+        x = len(_lower_toks(r.text)) if r.text is not None else 0
+        if x > 0:
+            by_lang.setdefault(r.lang, []).append(x)
+    got = {
+        r.lang: (r.n_docs, r.total_tokens, r.theil)
+        for r in registry.QUERIES["q_theil_index"](spark, sf_dir).collect()
+    }
+    for lang, xs in by_lang.items():
+        n, s = len(xs), sum(xs)
+        t = sum(x * math.log(x) for x in xs) / s + math.log(n) - math.log(s)
+        g = got[lang]
+        assert (g[0], g[1]) == (n, s), lang
+        assert abs(g[2] - t) < 2e-6, lang
+
+
+def test_js_divergence_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    base = [(r.source, r.lang) for r in rows if r.source is not None]
+    langs = Counter(l for _, l in base)
+    big_n = len(base)
+    got = {
+        r.source: (r.n_docs, r.js_nats)
+        for r in registry.QUERIES["q_js_divergence"](spark, sf_dir).collect()
+    }
+    for src in {s for s, _ in base}:
+        mine = Counter(l for s, l in base if s == src)
+        ns = sum(mine.values())
+        js = 0.0
+        for lang, g in langs.items():
+            p = mine.get(lang, 0) / ns
+            q = g / big_n
+            m = 0.5 * (p + q)
+            js += 0.5 * (p * math.log(p / m) if p > 0 else 0.0)
+            js += 0.5 * q * math.log(q / m)
+        assert got[src][0] == ns
+        assert abs(got[src][1] - js) < 2e-6, src
+
+
+def test_simpson_diversity_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.simpson_ppm)
+        for r in registry.QUERIES["q_simpson_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    by_src = {}
+    for r in rows:
+        if r.source is not None:
+            by_src.setdefault(r.source, Counter())[r.lang] += 1
+    for src, cnt in by_src.items():
+        n = sum(cnt.values())
+        want = (
+            sum(c * (c - 1) for c in cnt.values()) * 1_000_000
+            // (n * (n - 1))
+            if n >= 2
+            else None
+        )
+        assert got[src] == (n, len(cnt), want), src
+
+
+def test_vocab_coverage_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    freqs = Counter()
+    for r in rows:
+        freqs.update(_lower_toks(r.text))
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freqs.values())
+    got = {
+        r.vocab_budget: (r.vocab_size, r.covered_tokens, r.coverage_ppm)
+        for r in registry.QUERIES["q_vocab_coverage"](spark, sf_dir).collect()
+    }
+    assert set(got) == {256, 1024, 4096, 16384}
+    for k, (v, cov, ppm) in got.items():
+        want = sum(f for _, f in ranked[:k])
+        assert v == len(ranked)
+        assert cov == want, k
+        assert ppm == want * 1_000_000 // total
+    # coverage is monotone in the budget
+    covs = [got[k][1] for k in sorted(got)]
+    assert covs == sorted(covs)
+
+
+def test_dup_cluster_hist_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    dig = Counter(
+        hashlib.md5(r.text.encode()).hexdigest() if r.text is not None else None
+        for r in rows
+    )
+    sizes = Counter(dig.values())
+    got = {
+        r.n_copies: (r.n_clusters, r.n_docs)
+        for r in registry.QUERIES["q_dup_cluster_hist"](spark, sf_dir).collect()
+    }
+    assert got == {k: (v, k * v) for k, v in sizes.items()}
+
+
+def test_char_class_profile_matches_bruteforce(spark, sf_dir):
+    import re as _re
+
+    rows = _docs_rows(spark, sf_dir)
+    agg = {}
+    for r in rows:
+        if r.source is None or r.text is None:
+            continue
+        t = r.text
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += len(_re.findall("[A-Za-z]", t))
+        a[3] += len(_re.findall("[0-9]", t))
+        a[4] += len(_re.findall("[ \t\n\r]", t))
+        a[5] += len(_re.findall("[<>&]", t))
+    got = {
+        r.source: (
+            r.n_docs, r.n_chars, r.letter_ppm, r.digit_ppm, r.ws_ppm,
+            r.markup_ppm,
+        )
+        for r in registry.QUERIES["q_char_class_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    for src, (nd, nc, le, di, ws, mk) in agg.items():
+        want = (
+            nd, nc,
+            *(x * 1_000_000 // nc if nc else None for x in (le, di, ws, mk)),
+        )
+        assert got[src] == want, src
+
+
+def test_user_activity_gini_matches_bruteforce(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id").collect()
+    per_user = Counter(r.user_id for r in ev if r.user_id is not None)
+    xs = sorted(per_user.values())
+    n, tot = len(xs), sum(xs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * tot
+    want = (num * 1_000_000) // (n * tot) if tot else None
+    row = registry.QUERIES["q_user_activity_gini"](spark, sf_dir).collect()[0]
+    assert (row.n_users, row.n_events, row.gini_ppm) == (n, tot, want)

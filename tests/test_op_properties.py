@@ -269,3 +269,44 @@ def test_watermark_late_on_out_of_order_arrivals(spark):
     assert got == {t: tuple(v) for t, v in want.items()}
     # the adversarial data must actually produce late drops
     assert sum(v[1] for v in want.values()) > 0
+
+
+_hist_values = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # value
+        st.integers(min_value=1, max_value=7),  # multiplicity
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=_hist_values, k=st.sampled_from([1, 2, 3, 7, 10]))
+def test_equidepth_tiles_equals_ntile_model(spark, vals, k):
+    """The round-8 cornerstone: _equidepth_tiles over the (value, count)
+    histogram must be BIT-IDENTICAL to ntile(k) + groupBy over the raw
+    rows — any multiset, any k, ties and negative values included."""
+    from pot_spark.queries.analytics_extra import _equidepth_tiles
+
+    raw = sorted(v for v, m in vals for _ in range(m))
+    n = len(raw)
+    q, rem = divmod(n, k)
+    want = {}
+    pos = 0
+    for tile in range(1, k + 1):
+        sz = q + (1 if tile <= rem else 0)
+        if sz == 0:
+            continue
+        pos += sz
+        want[tile] = (sz, raw[pos - 1])  # count + value at the last rank
+    from collections import Counter
+
+    counted = spark.createDataFrame(
+        list(Counter(raw).items()), "x long, c long"
+    )
+    got = {
+        r.tile: (r.sz, r.maxv)
+        for r in _equidepth_tiles(counted, "x", k).collect()
+    }
+    assert got == want

@@ -1687,19 +1687,31 @@ _COVERAGE_KS = [256, 1024, 4096, 16384]
             FROM documents) t, unnest(toks) AS u(tok)
       GROUP BY tok
     ),
-    ranked AS (
-      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM vc
+    fh AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt FROM vc GROUP BY f),
+    cum AS (
+      SELECT f, cnt,
+             SUM(cnt) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_types,
+             SUM(f * cnt) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_mass
+      FROM fh
     ),
-    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
-                   CAST(COUNT(*) AS BIGINT) AS v FROM vc)
+    tot AS (SELECT CAST(SUM(f * cnt) AS BIGINT) AS n,
+                   CAST(SUM(cnt) AS BIGINT) AS v FROM fh),
+    hit AS (
+      SELECT ks.k,
+             CAST(MIN(cum.cum_mass - (cum.cum_types - ks.k) * cum.f)
+                  AS BIGINT) AS covered
+      FROM ks JOIN cum
+        ON cum.cum_types >= ks.k AND cum.cum_types - cum.cnt < ks.k
+      GROUP BY ks.k
+    )
     SELECT CAST(ks.k AS BIGINT) AS vocab_budget,
            tot.v AS vocab_size,
-           CAST(COALESCE(SUM(CASE WHEN ranked.rk <= ks.k THEN ranked.f END),
-                         0) AS BIGINT) AS covered_tokens,
-           CAST(COALESCE(SUM(CASE WHEN ranked.rk <= ks.k THEN ranked.f END),
-                         0) * 1000000 // tot.n AS BIGINT) AS coverage_ppm
-    FROM ks CROSS JOIN tot LEFT JOIN ranked ON ranked.rk <= ks.k
-    GROUP BY ks.k, tot.v, tot.n
+           CAST(COALESCE(hit.covered, tot.n, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(hit.covered, tot.n, 0) * 1000000 // tot.n
+                AS BIGINT) AS coverage_ppm
+    FROM ks CROSS JOIN tot LEFT JOIN hit ON hit.k = ks.k
     """,
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,15 +1720,20 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision every word-level tokenizer (and the BPE base-vocab choice)
     starts from: a budget whose coverage has plateaued is wasted
     embedding rows; one still climbing forces UNK/byte-fallback mass.
-    The rank order is the total order (frequency desc, token), so the
-    top-k SET and the cumulative mass are engine-exact integers.
+    The top-k token MASS is tie-invariant (tokens sharing a frequency
+    are interchangeable: however the boundary tie is broken, each
+    selected boundary type contributes the same f), so the exact value
+    reads off the FREQUENCY histogram's descending cumulative counts:
+    covered(k) = cum_mass - (cum_types - k) * f at the boundary
+    frequency — the round-8 histogram technique applied to a top-k sum.
 
-    Scale posture: one (tok) rollup with map-side combine; the rank
-    window runs over the TYPE-scale vocabulary (q_zipf_fit posture) and
-    the 4-row budget table rides a broadcast theta-join — the corpus-
-    facing cost is the token count. Budgets past the vocabulary
-    saturate to full coverage instead of vanishing. No reference
-    counterpart (SURVEY.md §2-A)."""
+    Scale posture: one (tok) rollup with map-side combine, then a
+    frequency-histogram rollup; the only window runs over DISTINCT
+    frequency values (Zipf: roughly sqrt-of-token-count many — far
+    smaller than the vocabulary a rank window would sort). The 4-row
+    budget table broadcasts onto the boundary lookup. Budgets past the
+    vocabulary saturate to full coverage instead of vanishing. No
+    reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
     vc = (
         docs.select(
@@ -1727,32 +1744,51 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    w = Window.orderBy(F.desc("f"), F.asc("tok"))
-    ranked = vc.select("f", F.row_number().over(w).alias("rk"))
-    tot = vc.agg(
-        F.sum("f").cast("bigint").alias("n"),
-        F.count("*").cast("bigint").alias("v"),
+    fh = vc.groupBy("f").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("f")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = fh.select(
+        "f",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_types"),
+        F.sum(F.col("f") * F.col("cnt")).over(w).alias("cum_mass"),
+    )
+    tot = fh.agg(
+        F.sum(F.col("f") * F.col("cnt")).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("v"),
     )
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
-    # the 4-row budget table is the broadcast side (each vocab row fans
-    # out to at most 4 budgets); broadcasting `ranked` instead would
-    # ship the whole vocabulary to every executor
-    cov = (
-        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+    # boundary lookup: the one histogram row whose cumulative type count
+    # first reaches k (<=1 row per budget; k past the vocab matches none
+    # and saturates to the full mass via the left join)
+    hit = (
+        cum.join(
+            F.broadcast(ks),
+            (F.col("cum_types") >= F.col("k"))
+            & (F.col("cum_types") - F.col("cnt") < F.col("k")),
+        )
         .groupBy("k")
-        .agg(F.sum("f").cast("bigint").alias("covered_tokens"))
+        .agg(
+            F.min(
+                F.col("cum_mass")
+                - (F.col("cum_types") - F.col("k")) * F.col("f")
+            )
+            .cast("bigint")
+            .alias("covered")
+        )
     )
     return (
         ks.crossJoin(F.broadcast(tot))
-        .join(cov, "k", "left")
+        .join(hit, "k", "left")
         .select(
             F.col("k").cast("bigint").alias("vocab_budget"),
             F.col("v").alias("vocab_size"),
-            F.coalesce("covered_tokens", F.lit(0))
+            F.coalesce("covered", "n", F.lit(0))
             .cast("bigint")
             .alias("covered_tokens"),
             F.expr(
-                "CAST(COALESCE(covered_tokens, 0) * 1000000 DIV n AS BIGINT)"
+                "CAST(COALESCE(covered, n, 0) * 1000000 DIV n AS BIGINT)"
             ).alias("coverage_ppm"),
         )
     )

@@ -1385,8 +1385,13 @@ def test_heaps_fit_checkpoint_join_is_broadcast(spark, sf_dir):
 
 
 def test_vocab_coverage_broadcasts_budgets_not_vocab(spark, sf_dir):
-    """The 4-row budget table is the broadcast side of the theta join;
-    the vocabulary is never shipped to executors wholesale."""
+    """The 4-row budget table is the broadcast side of the boundary
+    lookup; the vocabulary is never rank-sorted or shipped wholesale —
+    the window runs over the frequency histogram (aggregate below)."""
     p = _plan(spark, sf_dir, "q_vocab_coverage")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+    assert "row_number" not in p
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)

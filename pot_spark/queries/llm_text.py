@@ -612,10 +612,17 @@ def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs/engines — no RNG). This is the "cap the over-represented
     source" step of corpus mixture building: kept_chars depends on WHICH
     50 docs the hash order selects, so the oracle verifies the selection
-    itself, not just counts. Scale note: partitionBy(lang) has group
-    cardinality = #languages; at corpus scale the window becomes the
-    two-level top-k (salted local top-50 per (lang, salt), then re-rank
-    the 50xS survivors) — same selection, no single-reducer language.
+    itself, not just counts.
+
+    Scale posture (r8): the rank filter `rn <= 50` sits DIRECTLY on the
+    window so Catalyst inserts a WindowGroupLimit — every partition
+    keeps at most 50 rows per language BEFORE the exchange, and the
+    reducer-side sort handles 50 x partitions rows, not the language's
+    documents (the previous form aggregated over the full ranked
+    relation, which blocked the group-limit pushdown and sort-bounded
+    on a skewed lang — the r7 weak pattern). The drop count comes from
+    a separate map-side-combined total, joined on the type-scale lang
+    relation.
 
     No reference counterpart (SURVEY.md §2-A)."""
     docs = load(spark, sf_dir, "documents")
@@ -623,19 +630,41 @@ def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))),
         "doc_id",
     )
-    ranked = docs.select(
-        "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    kept = (
+        docs.select(
+            "lang", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            # all-NULL kept n_chars must still report 0 (the previous
+            # conditional-sum form summed explicit 0s for dropped rows)
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
     )
-    return ranked.groupBy("lang").agg(
-        F.sum(F.when(F.col("rn") <= 50, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("rn") <= 50, F.col("n_chars")).otherwise(0))
-        .cast("bigint")
-        .alias("kept_chars"),
-        F.sum(F.when(F.col("rn") <= 50, 0).otherwise(1))
-        .cast("bigint")
-        .alias("n_dropped"),
+    totals = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total")
+    )
+    return (
+        totals.alias("t")
+        .join(
+            kept.alias("kp"),
+            F.col("t.lang").eqNullSafe(F.col("kp.lang")),
+            "left",
+        )
+        .select(
+            F.col("t.lang").alias("lang"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
     )
 
 

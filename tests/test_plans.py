@@ -1395,3 +1395,12 @@ def test_vocab_coverage_broadcasts_budgets_not_vocab(spark, sf_dir):
     agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p)]
     win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p)]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+
+
+def test_group_cap_sample_uses_window_group_limit(spark, sf_dir):
+    """The rank filter sits directly on the window, so Catalyst inserts
+    a WindowGroupLimit: each partition forwards at most 50 rows per
+    language — the reducer sorts survivors, never a whole language
+    (r8 rewrite of the blocked-pushdown conditional-aggregate form)."""
+    p = _plan(spark, sf_dir, "q_group_cap_sample")
+    assert "WindowGroupLimit" in p

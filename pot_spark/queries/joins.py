@@ -616,3 +616,82 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           CASE WHEN s.ts IS NOT NULL AND p.ts - s.ts <= INTERVAL 1 HOUR
+                THEN s.ts END AS signup_ts,
+           CAST(CASE WHEN s.ts IS NOT NULL
+                      AND p.ts - s.ts <= INTERVAL 1 HOUR
+                THEN (epoch_us(p.ts) - epoch_us(s.ts)) // 1000000
+                END AS BIGINT) AS staleness_s,
+           CAST(CASE WHEN s.ts IS NOT NULL
+                      AND p.ts - s.ts <= INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END AS BIGINT) AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS BOUND: each purchase matches the
+    latest at-or-before signup ONLY if it is at most 1 hour old —
+    otherwise the match is rejected (NULL signup, matched = 0). This is
+    the operator variant every feature-store lookup needs (a price /
+    model-score / attribute older than the tolerance must NOT silently
+    join as if fresh — q_asof_join keeps it, this rejects it), with the
+    realized staleness in whole seconds for SLA audits.
+
+    Same scalable MERGE-AS-OF plan as q_asof_join (tag, union, one
+    user-keyed window pass — never a per-user cross product); the
+    tolerance is a post-window filter in codegen, so the plan cost is
+    identical to the unbounded as-of. Staleness uses exact microsecond
+    integer arithmetic (epoch_us DIV — DuckDB epoch() returns
+    fractional-second doubles, a known cross-engine trap)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.last(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    staleness = (
+        F.unix_micros("ts") - F.unix_micros("signup_ts")
+    ).cast("bigint")
+    fresh = F.col("signup_ts").isNotNull() & (
+        staleness <= 3600 * 1_000_000
+    )
+    return (
+        s.unionByName(p)
+        .withColumn("signup_ts", signup_ts)
+        .filter(F.col("side") == 1)
+        .withColumn("stale_us", staleness)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(fresh, F.col("signup_ts")).alias("signup_ts"),
+            F.when(fresh, F.expr("stale_us DIV 1000000"))
+            .cast("bigint")
+            .alias("staleness_s"),
+            F.when(fresh, 1).otherwise(0).cast("bigint").alias("matched"),
+        )
+    )

@@ -1750,3 +1750,103 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (SUM(c) * SUM(x * c)) END AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "q_session_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_us(ts)
+              - epoch_us(lag(ts) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts, COALESCE(event_id, -1)))) // 1000000
+               AS gap_s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    h AS (SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g WHERE gap_s IS NOT NULL GROUP BY gap_s),
+    cum AS (
+      SELECT gap_s, c,
+             SUM(c) OVER (ORDER BY gap_s ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER () AS n
+      FROM h
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum_c >= (50 * n + 99) // 100
+                         THEN gap_s END) AS BIGINT) AS p50_gap_s,
+           CAST(MIN(CASE WHEN cum_c >= (90 * n + 99) // 100
+                         THEN gap_s END) AS BIGINT) AS p90_gap_s,
+           CAST(MIN(CASE WHEN cum_c >= (99 * n + 99) // 100
+                         THEN gap_s END) AS BIGINT) AS p99_gap_s,
+           CAST(SUM(CASE WHEN gap_s > 1800 THEN c ELSE 0 END) * 1000000
+                // MIN(n) AS BIGINT) AS over_30m_ppm
+    FROM cum
+    """,
+)
+def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event GAP distribution across all users — the data-driven
+    basis for the sessionization timeout: exact p50/p90/p99 gap in whole
+    seconds plus the share of gaps beyond the 30-minute cut
+    q_sessionize ships (if over_30m_ppm is large, the timeout is
+    splitting real sessions). Percentiles are order statistics read off
+    the GAP HISTOGRAM's cumulative counts (value at rank
+    ceil(p*n/100) = (p*n+99) div 100 — integer arithmetic, never
+    float-ceil), so the doc-scale work is one user-keyed lag window and
+    everything after runs on distinct gap values. Gaps use exact
+    microsecond integer arithmetic (epoch_us DIV — DuckDB's epoch()
+    returns fractional doubles, a known trap).
+
+    Scale posture: the lag window partitions by user_id
+    (high-cardinality, the q_sessionize shuffle); the histogram
+    compresses gaps to distinct second values before the one global
+    cumulative window (type-scale — gap seconds are bounded by the
+    observation span). No reference counterpart (SURVEY.md §2-A)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.coalesce("event_id", F.lit(-1))
+    )
+    g = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(w))
+                )
+            ).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    h = g.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "gap_s",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def _at(p):
+        return F.min(
+            F.when(
+                F.col("cum_c") >= F.expr(f"({p} * n + 99) DIV 100"),
+                F.col("gap_s"),
+            )
+        ).cast("bigint")
+
+    return cum.agg(
+        F.min("n").cast("bigint").alias("n_gaps"),
+        _at(50).alias("p50_gap_s"),
+        _at(90).alias("p90_gap_s"),
+        _at(99).alias("p99_gap_s"),
+        F.expr(
+            "CAST(SUM(CASE WHEN gap_s > 1800 THEN c ELSE 0 END) * 1000000 "
+            "DIV MIN(n) AS BIGINT)"
+        ).alias("over_30m_ppm"),
+    )

@@ -1426,3 +1426,68 @@ def test_user_activity_gini_matches_bruteforce(spark, sf_dir):
     want = (num * 1_000_000) // (n * tot) if tot else None
     row = registry.QUERIES["q_user_activity_gini"](spark, sf_dir).collect()[0]
     assert (row.n_users, row.n_events, row.gini_ppm) == (n, tot, want)
+
+
+def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    )
+    signups = {}
+    for r in ev:
+        if r.event_type == "signup":
+            signups.setdefault(r.user_id, []).append(r.ts)
+    got = {
+        r.purchase_id: (r.signup_ts, r.staleness_s, r.matched)
+        for r in registry.QUERIES["q_asof_tolerance"](spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cands = [t for t in signups.get(r.user_id, []) if t <= r.ts]
+        best = max(cands) if cands else None
+        stale = (r.ts - best).total_seconds() if best else None
+        if best is not None and stale <= 3600:
+            want = (best, int(stale), 1)
+        else:
+            want = (None, None, 0)
+        assert got[r.event_id] == want, r.event_id
+        n_checked += 1
+    assert n_checked == len(got)
+    # the tolerance must actually reject something on this fixture OR
+    # match something — both branches exercised across fixtures
+    assert any(m == 0 for _, _, m in got.values()) or all(
+        m == 1 for _, _, m in got.values()
+    )
+
+
+def test_session_gap_stats_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        if r.ts is None or r.user_id is None:
+            continue
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id if r.event_id is not None else -1)
+        )
+    gaps = []
+    for evs in by_user.values():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            micros = int((b - a).total_seconds() * 1_000_000)
+            gaps.append(micros // 1_000_000)
+    gaps.sort()
+    n = len(gaps)
+    row = registry.QUERIES["q_session_gap_stats"](spark, sf_dir).collect()[0]
+    assert row.n_gaps == n
+    for p, attr in ((50, "p50_gap_s"), (90, "p90_gap_s"), (99, "p99_gap_s")):
+        want = gaps[(p * n + 99) // 100 - 1]
+        assert getattr(row, attr) == want, attr
+    over = sum(1 for g in gaps if g > 1800)
+    assert row.over_30m_ppm == over * 1_000_000 // n

@@ -64,6 +64,7 @@ MEDIAN_GROUPS = [
         "BENCH_r08_local.json",
         "BENCH_r08_local2.json",
         "BENCH_r08_local3.json",
+        "BENCH_r08_local4.json",
     ],
 ]
 

@@ -225,7 +225,14 @@ class FsspecBackend(CommitBackend):
     a LIVENESS stall (everyone gets False), never corruption. When the
     filesystem exposes ``modified``, claims older than
     ``claim_horizon_s`` with no target are reclaimed (same
-    mtime-horizon degrade as the archive lock, archive.py); without
+    mtime-horizon degrade as the archive lock, archive.py). Each claim
+    carries its writer's nonce, and the winner re-verifies claim
+    ownership (and target absence) immediately before the publishing
+    ``mv`` — so a writer stalled past the horizon but still alive
+    (GC pause, network stall) whose claim was reclaimed aborts with
+    False instead of mv'ing over the reclaimer's committed manifest
+    (the round-8 advice finding: reclaim must keep the single-winner
+    contract even when the "dead" writer resumes). Without
     ``modified`` the claim must be removed manually and put_if_absent
     says so in the docstring contract. In-process write failures roll
     back both sidecars. For object stores whose fsspec layer emulates
@@ -274,6 +281,19 @@ class FsspecBackend(CommitBackend):
         ts = mtime.timestamp() if hasattr(mtime, "timestamp") else float(mtime)
         return time.time() - ts
 
+    def _owns_claim(self, claim: str, nonce: bytes) -> bool:
+        """True iff the claim file still exists and carries ``nonce``
+        (written by this writer at claim time). A reclaimed-and-replaced
+        claim holds the reclaimer's nonce; a missing claim means the
+        reclaimer already published and cleaned up. Read failures count
+        as lost ownership — returning False never commits, which is the
+        safe side of the put-if-absent contract."""
+        try:
+            with self.fs.open(claim, "rb") as f:
+                return f.read() == nonce
+        except (OSError, FileNotFoundError):
+            return False
+
     def put_if_absent(self, target: str, payload: bytes) -> bool:
         key = self._key(target)
         parent, name = key.rsplit("/", 1) if "/" in key else ("", key)
@@ -285,6 +305,7 @@ class FsspecBackend(CommitBackend):
         for _ in range(2):
             if self.fs.exists(key):
                 return False
+            nonce = uuid.uuid4().hex.encode()
             try:
                 cf = self.fs.open(claim, "xb")
             except FileExistsError:
@@ -298,7 +319,10 @@ class FsspecBackend(CommitBackend):
                 except OSError:
                     pass
                 continue
-            cf.close()
+            try:
+                cf.write(nonce)
+            finally:
+                cf.close()
             # a freed claim is only acquirable AFTER the previous
             # winner's mv — re-check so we never mv over a committed
             # manifest (claim removal below happens only post-publish)
@@ -316,14 +340,33 @@ class FsspecBackend(CommitBackend):
             try:
                 with self.fs.open(stage, "wb") as f:
                     f.write(payload)
+                # Ownership re-check right before publishing: a writer
+                # stalled past claim_horizon_s may have had its claim
+                # reclaimed by a newer writer (round-8 advice). The
+                # claim carries this writer's nonce; if the claim is
+                # gone or holds someone else's nonce, the reclaimer
+                # owns the generation now — abort instead of mv'ing
+                # over what it committed (or is about to commit).
+                if not self._owns_claim(claim, nonce) or self.fs.exists(key):
+                    try:
+                        self.fs.rm(stage)
+                    except OSError:
+                        pass
+                    return False
                 # commit point: atomic move of COMPLETE content
                 self.fs.mv(stage, key)
             except BaseException:
                 # roll both sidecars back so an in-process failure
                 # neither bricks the generation nor leaks staging files
-                for p in (stage, claim):
+                # (the claim only if still ours — a reclaimer's claim
+                # must survive our rollback)
+                try:
+                    self.fs.rm(stage)
+                except OSError:
+                    pass
+                if self._owns_claim(claim, nonce):
                     try:
-                        self.fs.rm(p)
+                        self.fs.rm(claim)
                     except OSError:
                         pass
                 raise

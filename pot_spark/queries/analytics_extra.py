@@ -1483,9 +1483,13 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           -- HUGEINT per-row product: rk*n_tok and the *1e6 numerator
+           -- exceed int64 on huge languages (round-8 advice)
            CAST(CASE WHEN SUM(n_tok) = 0 THEN NULL
-                     ELSE (2 * SUM(rk * n_tok) - (COUNT(*) + 1) * SUM(n_tok))
-                          * 1000000 // (COUNT(*) * SUM(n_tok))
+                     ELSE (2 * SUM(CAST(rk AS HUGEINT) * n_tok)
+                           - (COUNT(*) + 1) * SUM(CAST(n_tok AS HUGEINT)))
+                          * 1000000
+                          // (COUNT(*) * SUM(CAST(n_tok AS HUGEINT)))
                 END AS BIGINT) AS gini_ppm
     FROM r GROUP BY lang
     """,
@@ -1542,11 +1546,20 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tok") * F.col("c")).cast("bigint").alias(
             "total_tokens"
         ),
+        # DECIMAL(38,0) + doubled identity 2*(c*C + c(c+1)/2) =
+        # 2*c*C + c*(c+1) (round-8 advice): exact to 10^38 like the
+        # oracle's HUGEINT, loud (error/NULL) beyond — never a silent
+        # int64 wrap on a language whose rank-sum numerator passes 9e18.
         F.expr(
-            "CAST(CASE WHEN SUM(n_tok * c) = 0 THEN NULL ELSE "
-            "(2 * SUM(n_tok * (c * c_prev + (c * (c + 1)) DIV 2)) "
-            "- (SUM(c) + 1) * SUM(n_tok * c)) * 1000000 "
-            "DIV (SUM(c) * SUM(n_tok * c)) END AS BIGINT)"
+            "CAST(CASE WHEN SUM(CAST(n_tok AS DECIMAL(38,0)) * c) = 0 "
+            "THEN NULL ELSE "
+            "(SUM(CAST(n_tok AS DECIMAL(38,0)) "
+            "* (2 * CAST(c AS DECIMAL(38,0)) * c_prev "
+            "+ CAST(c AS DECIMAL(38,0)) * (c + 1))) "
+            "- (SUM(c) + 1) * SUM(CAST(n_tok AS DECIMAL(38,0)) * c)) "
+            "* 1000000 "
+            "DIV (SUM(c) * SUM(CAST(n_tok AS DECIMAL(38,0)) * c)) "
+            "END AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

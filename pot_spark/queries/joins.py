@@ -265,7 +265,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, linear per partition: the scalable merge-asof plan.
     """
     ev = load(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").select(
+    # NULL-key guard (round-8 advice): the window's partitionBy groups
+    # all NULL user_ids together, so a NULL-user signup would match a
+    # NULL-user purchase — but the ASOF equi-join semantics (and the
+    # DuckDB oracle) never match NULL keys. Dropping NULL-key rows from
+    # the MATCH side (side 0) keeps NULL-key purchases in the output
+    # (left-join semantics) with a NULL signup_ts, exactly the oracle's
+    # behavior.
+    s = ev.filter(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select(
         "user_id", "ts", F.lit(None).cast("long").alias("purchase_id"), F.lit(0).alias("side")
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -421,7 +430,13 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("signup_id"),
         F.lit(1).alias("side"),
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    # NULL-key guard (round-8 advice, same as q_asof_join): drop
+    # NULL-user rows from the MATCH side so the shared NULL window
+    # partition can never produce a cross-NULL match the ASOF
+    # equi-join oracle would not.
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
         "user_id", "ts", F.lit(None).cast("long").alias("signup_id"), F.lit(0).alias("side")
     )
     unioned = s.unionByName(p)
@@ -653,7 +668,12 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (epoch_us DIV — DuckDB epoch() returns
     fractional-second doubles, a known cross-engine trap)."""
     ev = load(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").select(
+    # NULL-key guard (round-8 advice, same as q_asof_join): NULL-user
+    # signups may not feed the running last() — ASOF equi-join keys
+    # never match NULL. NULL-user purchases stay (left-join) unmatched.
+    s = ev.filter(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "ts",
         F.lit(None).cast("long").alias("purchase_id"),

@@ -599,8 +599,11 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS BIGINT)
-             AS kept_chars,
+           -- COALESCE: a lang whose <=50 kept docs ALL have NULL
+           -- n_chars sums to NULL here but 0 on the Spark side
+           -- (round-8 advice) — both engines must report 0
+           CAST(COALESCE(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END), 0)
+                AS BIGINT) AS kept_chars,
            CAST(SUM(CASE WHEN rn <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM ranked
     GROUP BY lang

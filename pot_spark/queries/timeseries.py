@@ -1470,8 +1470,13 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(c) AS BIGINT) AS n_events,
-           CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
-                // (COUNT(*) * SUM(c)) AS BIGINT) AS fano_ppm
+           -- HUGEINT per-row product: c*c in BIGINT would raise
+           -- out-of-range on huge daily volumes (round-8 advice)
+           CAST((COUNT(*) * SUM(CAST(c AS HUGEINT) * c)
+                 - SUM(CAST(c AS HUGEINT)) * SUM(CAST(c AS HUGEINT)))
+                * 1000000
+                // (COUNT(*) * SUM(CAST(c AS HUGEINT))) AS BIGINT)
+             AS fano_ppm
     FROM daily GROUP BY event_type
     """,
 )
@@ -1493,12 +1498,20 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # DECIMAL(38,0) accumulation (round-8 advice): the *1000000 Fano
+    # numerator D*Σc² − (Σc)² exceeds int64 once daily volumes reach
+    # ~1e6 days × 1e6 events/day; non-ANSI Spark would wrap silently
+    # while DuckDB widens to HUGEINT. Decimal128 keeps the arithmetic
+    # exact to 10^38 (matching DuckDB's HUGEINT headroom) and overflows
+    # to NULL — loud, never wrong.
     return daily.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.sum("c").cast("bigint").alias("n_events"),
         F.expr(
-            "CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000 "
-            "DIV (COUNT(*) * SUM(c)) AS BIGINT)"
+            "CAST((COUNT(*) * SUM(CAST(c AS DECIMAL(38,0)) * c) "
+            "- SUM(CAST(c AS DECIMAL(38,0))) * SUM(CAST(c AS DECIMAL(38,0)))) "
+            "* 1000000 "
+            "DIV (COUNT(*) * SUM(CAST(c AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("fano_ppm"),
     )
 
@@ -1705,10 +1718,16 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(SUM(c) AS BIGINT) AS n_users,
            CAST(SUM(x * c) AS BIGINT) AS n_events,
+           -- HUGEINT per-row products + the doubled identity
+           -- 2*(c*C + c(c+1)/2) = 2*c*C + c*(c+1): exact to 10^38 on
+           -- skewed corpora where the *1e6 rank-sum numerator exceeds
+           -- int64 (round-8 advice)
            CAST(CASE WHEN SUM(x * c) = 0 THEN NULL
-                ELSE (2 * SUM(x * (c * c_prev + (c * (c + 1)) // 2))
-                      - (SUM(c) + 1) * SUM(x * c)) * 1000000
-                     // (SUM(c) * SUM(x * c))
+                ELSE (SUM(CAST(x AS HUGEINT)
+                          * (2 * CAST(c AS HUGEINT) * c_prev
+                             + CAST(c AS HUGEINT) * (c + 1)))
+                      - (SUM(c) + 1) * SUM(CAST(x AS HUGEINT) * c)) * 1000000
+                     // (SUM(c) * SUM(CAST(x AS HUGEINT) * c))
                 END AS BIGINT) AS gini_ppm
     FROM runs
     """,
@@ -1740,14 +1759,23 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = h.select(
         "x", "c", (F.sum("c").over(w_cum) - F.col("c")).alias("c_prev")
     )
+    # DECIMAL(38,0) accumulation + the doubled rank-sum identity
+    # 2*(c*c_prev + c(c+1)/2) = 2*c*c_prev + c*(c+1) (round-8 advice):
+    # the *1e6 numerator exceeds int64 once n_events*n_users ~ 9e12;
+    # decimal128 keeps it exact to 10^38 — the same headroom as the
+    # oracle's HUGEINT — and overflows loudly to an error/NULL, never
+    # a silent wrap.
     return runs.agg(
         F.sum("c").cast("bigint").alias("n_users"),
         F.sum(F.col("x") * F.col("c")).cast("bigint").alias("n_events"),
         F.expr(
-            "CAST(CASE WHEN SUM(x * c) = 0 THEN NULL ELSE "
-            "(2 * SUM(x * (c * c_prev + (c * (c + 1)) DIV 2)) "
-            "- (SUM(c) + 1) * SUM(x * c)) * 1000000 "
-            "DIV (SUM(c) * SUM(x * c)) END AS BIGINT)"
+            "CAST(CASE WHEN SUM(CAST(x AS DECIMAL(38,0)) * c) = 0 THEN NULL "
+            "ELSE (SUM(CAST(x AS DECIMAL(38,0)) "
+            "* (2 * CAST(c AS DECIMAL(38,0)) * c_prev "
+            "+ CAST(c AS DECIMAL(38,0)) * (c + 1))) "
+            "- (SUM(c) + 1) * SUM(CAST(x AS DECIMAL(38,0)) * c)) * 1000000 "
+            "DIV (SUM(c) * SUM(CAST(x AS DECIMAL(38,0)) * c)) "
+            "END AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

@@ -143,6 +143,51 @@ def test_fsspec_backend_truncated_writer_never_commits(tmp_path):
     assert be_nom.put_if_absent("/c/2.json", b'{"generation": 1}') is False
 
 
+def test_fsspec_stalled_writer_cannot_overwrite_reclaimer(tmp_path):
+    """Round-8 advice (backend.py claim-horizon reclaim): a writer
+    stalled past claim_horizon_s whose claim was reclaimed by a newer
+    writer must NOT publish when it resumes — exactly one caller may
+    return True. The stall is simulated by pausing the first writer at
+    the staging write, letting a reclaimer run to completion, then
+    resuming: the resumed writer must see its claim nonce replaced,
+    abort with False, and leave the reclaimer's manifest intact."""
+    from tests.test_kv_multiprocess import LocalFsspecShim
+
+    from pot_spark.kv.backend import FsspecBackend
+
+    results = {}
+
+    class StallFS(LocalFsspecShim):
+        """Pauses writer #1 between claim and publish by running the
+        reclaimer inside the stalled writer's staging-write call."""
+
+        def open(self, path, mode="rb"):
+            if ".stage-" in path and "w" in mode and "stalled" not in results:
+                results["stalled"] = True
+                # age the stalled writer's claim past the horizon, then
+                # let a second writer reclaim and commit while writer #1
+                # is "paused" here
+                claim = tmp_path / "c" / ".1.json.claim"
+                os.utime(claim, (1_000_000_000, 1_000_000_000))
+                be2 = FsspecBackend(LocalFsspecShim(), prefix=str(tmp_path))
+                results["reclaimer"] = be2.put_if_absent(
+                    "/c/1.json", b'{"writer": "reclaimer"}'
+                )
+            return super().open(path, mode)
+
+    be1 = FsspecBackend(StallFS(), prefix=str(tmp_path))
+    results["stalled_writer"] = be1.put_if_absent(
+        "/c/1.json", b'{"writer": "stalled"}'
+    )
+    # exactly one winner: the reclaimer; the resumed writer lost
+    assert results["reclaimer"] is True
+    assert results["stalled_writer"] is False
+    with open(tmp_path / "c" / "1.json", "rb") as f:
+        assert json.load(f)["writer"] == "reclaimer"
+    # no staging/claim litter from the aborted writer
+    assert sorted(os.listdir(tmp_path / "c")) == ["1.json"]
+
+
 def test_fsspec_from_url_gates_on_import():
     from pot_spark.kv.backend import FsspecBackend
 

@@ -10,8 +10,6 @@ O(candidates), with the buckets computable incrementally at ingest.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,35 +71,104 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
 
 
-# Deterministic pseudo-random hyperplanes: h[t][j][d] = sin(1 + t*1009 + j*101 + d)
-# (no RNG — replayable on any engine/executor).
+# Deterministic pseudo-random hyperplanes with INTEGER components:
+# w[t][j][d] = ((1 + t*1009 + j*101 + d) * 2654435761) % 2003 - 1001
+# (Knuth multiplicative hash — no RNG, no libm; replayable bit-exactly
+# on any engine/executor, which is what lets the LSH bucketing carry a
+# DuckDB oracle: sin()-derived planes were last-ulp engine-dependent
+# at the dot >= 0 boundary).
 _N_TABLES = 4
 _N_BITS = 6
 _DIM = 64
+_LSH_MUL = 2654435761
+_LSH_MOD = 2003
 
 
-def _hyperplane(t: int, j: int) -> list[float]:
-    return [math.sin(1.0 + t * 1009 + j * 101 + d) for d in range(_DIM)]
+def _hyperplane(t: int, j: int) -> list[int]:
+    return [
+        ((1 + t * 1009 + j * 101 + d) * _LSH_MUL) % _LSH_MOD - 1001
+        for d in range(_DIM)
+    ]
 
 
-@query("q_sim_ann_lsh")  # algorithmic pruning -> rows-only check
+def _lsh_sql() -> str:
+    """DuckDB twin of the integer LSH: identical floor(x*1000) vector
+    quantization, identical hash-derived integer hyperplanes, identical
+    bucket arithmetic — bit-for-bit the same candidate set, then the
+    same rounded exact cosine re-rank as q_sim_topk."""
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    iv AS (
+        SELECT vec_id, d, CAST(floor(v[d] * 1000) AS BIGINT) AS x
+        FROM e, dims
+    ),
+    w AS (
+        SELECT t.t, j.j, dims.d,
+               ((1 + t.t * {1009} + j.j * {101} + (dims.d - 1))
+                * {_LSH_MUL}) % {_LSH_MOD} - 1001 AS w
+        FROM (SELECT unnest(generate_series(0, {_N_TABLES - 1})) AS t) t,
+             (SELECT unnest(generate_series(0, {_N_BITS - 1})) AS j) j,
+             dims
+    ),
+    dots AS (
+        SELECT iv.vec_id, w.t, w.j, SUM(iv.x * w.w) AS dot
+        FROM iv JOIN w ON iv.d = w.d
+        GROUP BY iv.vec_id, w.t, w.j
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS b
+        FROM dots GROUP BY vec_id, t
+    ),
+    probe AS (SELECT t, b FROM buckets WHERE vec_id = 0),
+    cand AS (
+        SELECT DISTINCT buckets.vec_id AS vec_id
+        FROM buckets JOIN probe
+          ON buckets.t = probe.t AND buckets.b = probe.b
+        WHERE buckets.vec_id <> 0
+    ),
+    pv AS (SELECT v AS p FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.v, pv.p), 6) AS cos_sim
+    FROM cand JOIN e ON e.vec_id = cand.vec_id, pv
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("q_sim_ann_lsh", oracle=_lsh_sql())
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 4 tables x 6-bit signatures. A vector
     lands in one bucket per table; the probe scans only its bucket
     collisions and re-ranks them exactly. At scale the bucket ids are
     precomputed at ingest and the per-query join touches ~n/2^bits rows
-    per table instead of n."""
+    per table instead of n.
+
+    Hash-checked (round 9): the bucketing runs on floor(x*1000) int64
+    components against integer hyperplanes, so the candidate set is
+    bit-identical cross-engine (the q_ann_pq determinism pattern); the
+    re-rank is the exact rounded cosine q_sim_topk already pins. The
+    pruning is still genuinely approximate vs brute force — the exact
+    re-rank + bucket-collision contract stays pinned by
+    test_ann_lsh_scores_exact_and_candidates_subset
+    (tests/test_sketches.py)."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double().alias("v")
+        "vec_id", _as_double().alias("v")
+    )
+    emb = emb.withColumn(
+        "ix", F.transform("v", lambda x: F.floor(x * 1000).cast("long"))
     )
 
     def bucket_col(t: int) -> Column:
         bits = []
         for j in range(_N_BITS):
-            plane = F.array(*[F.lit(x) for x in _hyperplane(t, j)])
+            plane = F.array(*[F.lit(wv) for wv in _hyperplane(t, j)])
             dot = F.aggregate(
-                F.zip_with("v", plane, lambda x, y: x * y),
-                F.lit(0.0),
+                F.zip_with("ix", plane, lambda x, y: x * y),
+                F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
             bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))

@@ -18,7 +18,6 @@ registry.load_all_query_modules()
 # driver records a weaker rows-only check for these by design
 ROWS_ONLY = {
     "q_approx_cd",
-    "q_sim_ann_lsh",
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_multimodal_frames",

@@ -91,11 +91,12 @@ def test_approx_topk_exact_when_under_capacity(spark, sf_dir):
 
 
 def test_ann_lsh_scores_exact_and_candidates_subset(spark, sf_dir):
-    """q_sim_ann_lsh is rows-only; its accuracy story: every returned
+    """q_sim_ann_lsh's accuracy story (hash-checked since round 9, but
+    the approximation contract still needs its own pin): every returned
     cosine must EQUAL the brute-force cosine for that vector (the
     re-rank is exact — LSH only prunes candidates), and the ANN top-10
     candidates must each share a bucket with the probe (the pruning
-    contract)."""
+    contract), recomputed here from the integer-quantized components."""
     ann = {
         r.vec_id: r.cos_sim
         for r in registry.QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
@@ -156,10 +157,14 @@ def test_ann_lsh_scores_exact_and_candidates_subset(spark, sf_dir):
     }
 
     def sig(v, t):
+        import math
+
+        # the op buckets floor(x*1000) int64 components, not raw floats
+        iv = [math.floor(a * 1000) for a in v]
         out = 0
         for j in range(_N_BITS):
             plane = _hyperplane(t, j)
-            if sum(a * b for a, b in zip(v, plane)) >= 0:
+            if sum(a * b for a, b in zip(iv, plane)) >= 0:
                 out |= 1 << j
         return out
 

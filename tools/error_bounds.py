@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Measured error-bound evidence for the rows-only (no-oracle) queries.
 
-Eight registry entries are declared rows-only (tests/test_registry.py
+The registry entries declared rows-only (tests/test_registry.py
 ROWS_ONLY): approximate sketches whose outputs can't hash-match a
 deterministic SQL oracle, and stubbed multimodal decodes. Their
 correctness story lives in pytest error-bound tests — but the external
@@ -15,8 +15,6 @@ tool turns the same measurements into a per-op JSON artifact
   requested quantile (bound: 1/accuracy + one-element discreteness);
 - q_approx_topk: exact-regime contract — every returned count equals
   the exact count and clears the true top-k threshold (bound: 0);
-- q_sim_ann_lsh: max |returned cosine − brute-force cosine| (the
-  re-rank is exact; LSH only prunes) + the bucket-collision contract;
 - q_multimodal_features / resize / frames: the declared deterministic
   stub — two independent runs must byte-agree, with the expected
   row count.
@@ -154,52 +152,6 @@ def measure_approx_topk(spark, sf_dir):
     }
 
 
-def measure_ann_lsh(spark, sf_dir):
-    from pot_spark import registry
-    from pot_spark.tables import load
-
-    ann = {
-        r.vec_id: r.cos_sim
-        for r in registry.QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
-    }
-    emb = load(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("p")
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    dots = (
-        emb.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        .join(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("v", "p", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / (norm("v") * norm("p")),
-                6,
-            ).alias("cos"),
-        )
-    )
-    all_exact = {r.vec_id: r.cos for r in dots.collect()}
-    worst = max(abs(all_exact[v] - c) for v, c in ann.items())
-    return {
-        "op": "q_sim_ann_lsh",
-        "metric": "max_abs_cosine_error_vs_brute_force",
-        "value": worst,
-        "bound": 1e-9,
-        "rows": len(ann),
-        "pass": worst < 1e-9,
-    }
-
-
 def _measure_stub(name):
     def measure(spark, sf_dir):
         from pot_spark import registry
@@ -282,7 +234,6 @@ MEASURES = [
     measure_approx_cd,
     measure_approx_percentile,
     measure_approx_topk,
-    measure_ann_lsh,
     _measure_stub("q_multimodal_features"),
     _measure_stub("q_multimodal_resize"),
     _measure_stub("q_multimodal_frames"),

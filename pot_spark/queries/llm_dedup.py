@@ -1586,16 +1586,25 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIT_MOD = 2
 _AUDIT_CAP = 2500
 _AUDIT_SAMPLE_SQL = f"doc_id % {_AUDIT_MOD} = 0 AND doc_id < {_AUDIT_CAP}"
+# the dense variant's params: stride-free (every doc) under a tighter
+# absolute cap — similar audit cost, but it exercises the mod=1 path
+# and gives the registry a SECOND (query, oracle) pair so non-default
+# invocations have a registered check of their own (round-8 advice /
+# r7 low: a parameterized call must never be compared against the
+# default-baked oracle)
+_AUDIT_DENSE_MOD = 1
+_AUDIT_DENSE_CAP = 1200
 
 
-@query(
-    "q_dedup_audit",
-    oracle=f"""
-    WITH pairs AS ({_band_pairs_sql(_AUDIT_SAMPLE_SQL)}),
+def _audit_sql(sample_sql: str) -> str:
+    """The audit oracle, parameterized by the doc-sample predicate so
+    each registered variant bakes ITS OWN sample into the SQL."""
+    return f"""
+    WITH pairs AS ({_band_pairs_sql(sample_sql)}),
     sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
         FROM documents
-        WHERE len(string_split(text,' ')) >= 3 AND ({_AUDIT_SAMPLE_SQL})
+        WHERE len(string_split(text,' ')) >= 3 AND ({sample_sql})
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     truth AS (
@@ -1627,8 +1636,10 @@ _AUDIT_SAMPLE_SQL = f"doc_id % {_AUDIT_MOD} = 0 AND doc_id < {_AUDIT_CAP}"
                      ELSE h.n_verified * 1000000 // c.n_candidates END
                 AS BIGINT) AS band_precision_ppm
     FROM cand c, tt, hit h
-    """,
-)
+    """
+
+
+@query("q_dedup_audit", oracle=_audit_sql(_AUDIT_SAMPLE_SQL))
 def q_dedup_audit(
     spark: SparkSession,
     sf_dir: str,
@@ -1709,6 +1720,31 @@ def q_dedup_audit(
             .cast("bigint")
             .alias("band_precision_ppm"),
         )
+    )
+
+
+@query(
+    "q_dedup_audit_dense",
+    oracle=_audit_sql(
+        f"doc_id % {_AUDIT_DENSE_MOD} = 0 AND doc_id < {_AUDIT_DENSE_CAP}"
+    ),
+)
+def q_dedup_audit_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_audit at non-default sample parameters (stride-free,
+    tighter absolute cap) as its OWN registered (query, oracle) pair —
+    the parameterized audit API gets a first-class correctness check
+    instead of silently reusing the default-baked oracle (round-8
+    advice item: a non-default invocation compared against the default
+    oracle would hash-mismatch by construction). The dense sample also
+    exercises the contiguous-doc_id path: adjacent crawl docs are the
+    likeliest near-duplicates, so this variant's recall reflects the
+    hardest (densest-truth) audit slice. Same plan shape and scale
+    posture as q_dedup_audit."""
+    return q_dedup_audit(
+        spark,
+        sf_dir,
+        sample_mod=_AUDIT_DENSE_MOD,
+        sample_cap=_AUDIT_DENSE_CAP,
     )
 
 

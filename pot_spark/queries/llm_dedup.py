@@ -53,13 +53,16 @@ _SHINGLES_SQL = """
 """
 
 
-def _mh(j: int) -> Column:
-    """MinHash function j over the exploded shingle column: lane j%4 (8 hex
-    chars = 32 bits) of the salted md5. One md5 yields 4 independent
-    lanes, so 8 hash functions cost 2 md5 evaluations per shingle (Spark's
-    subexpression elimination shares the md5 across lanes) — hashing is
-    the dominant signature-build cost at corpus scale."""
-    h = F.md5(F.concat(F.lit(f"{j // 4}:"), F.col("shingle")))
+def _mh(j: int, shingle: Column | None = None) -> Column:
+    """MinHash function j over a shingle column (default: the exploded
+    ``shingle`` column; pass a lambda variable for the per-row streaming
+    form): lane j%4 (8 hex chars = 32 bits) of the salted md5. One md5
+    yields 4 independent lanes, so 8 hash functions cost 2 md5
+    evaluations per shingle (Spark's subexpression elimination shares
+    the md5 across lanes) — hashing is the dominant signature-build cost
+    at corpus scale."""
+    s = shingle if shingle is not None else F.col("shingle")
+    h = F.md5(F.concat(F.lit(f"{j // 4}:"), s))
     return F.conv(F.substring(h, (j % 4) * 8 + 1, 8), 16, 10).cast("bigint")
 
 
@@ -268,6 +271,115 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return inter.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# near-duplicate ADMISSION GATE threshold: a doc is rejected when a
+# previously seen band-sharing doc matches on >= 6 of the 8 minhash
+# lanes (estimated Jaccard >= 0.75) — stricter than the banding alone
+# (2 lanes) so the gate verifies the retained signature, not just the
+# key collision
+_GATE_MIN_LANES = 6
+
+
+def _near_gate_sql() -> str:
+    """Oracle for the near-dup admission gate: a doc is admitted iff NO
+    earlier doc (smaller doc_id = earlier arrival) shares an LSH band
+    key AND matches on >= _GATE_MIN_LANES minhash lanes. The sequential
+    streaming gate reduces to exactly this relation because every
+    arrival's signature is retained (admitted or not), so 'earlier'
+    is a pure doc_id comparison."""
+    rows = N_HASHES // N_BANDS
+    mh_list = ", ".join(f"mh{j}" for j in range(N_HASHES))
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {mh_list}, md5('{b}' || ',' || {cols}) AS band_key"
+            f" FROM sig"
+        )
+    union = " UNION ALL ".join(band_selects)
+    lanes = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_HASHES)
+    )
+    return f"""
+    WITH sig AS ({_signatures_sql()}),
+    bands AS ({union}),
+    rej AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE {lanes} >= {_GATE_MIN_LANES}
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS admitted
+    FROM sig s LEFT JOIN rej r ON r.doc_id = s.doc_id
+    """
+
+
+@query("s_dedup_near_gate", oracle=_near_gate_sql())
+def s_dedup_near_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ADMISSION GATE, batch twin: each signature-able
+    doc is admitted iff no earlier doc (smaller doc_id = earlier
+    arrival) shares an LSH band key AND matches on >= 6/8 minhash lanes
+    (estimated Jaccard >= 0.75). This is the batch evaluation of the
+    continuously-ingesting corpus gate s_dedup_near_stream runs under
+    real Structured Streaming (state = band-key -> retained signature
+    set); tests/test_streaming.py pins stream == batch, and this oracle
+    checks both.
+
+    Semantics note: rejected docs still retain their signatures (a doc
+    colliding with an already-rejected near-dup is itself rejected) —
+    the seen-based form every arrival-order-free batch reduction needs,
+    and the transitive behavior a dup CLUSTER wants (only its first
+    member is admitted).
+
+    Scale posture: the banding self-join is q_dedup_near's candidate
+    join (band-key equi-join, never all-pairs); the lane comparison is
+    8 integer equality tests per candidate pair in codegen; the verdict
+    join is a distinct-doc_id LEFT join AQE broadcasts. State in the
+    streaming twin is bounded by the TTL horizon (see runner.py)."""
+    from pot_spark.session import reliable_checkpoint as _ckpt
+
+    # the banding self-join reads sig twice and the verdict join a third
+    # time: checkpoint so the signature aggregation runs once
+    sig = _ckpt(_signatures(spark, sf_dir).drop("n_shingles"))
+    rows = N_HASHES // N_BANDS
+    keys = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        )
+    bands = sig.select(
+        "doc_id",
+        *[f"mh{j}" for j in range(N_HASHES)],
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    lanes = None
+    for j in range(N_HASHES):
+        t = (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int")
+        lanes = t if lanes is None else lanes + t
+    rej = (
+        a.join(
+            b_,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(lanes >= _GATE_MIN_LANES)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return sig.select("doc_id").join(rej, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("hit").isNull(), 1).otherwise(0).cast("bigint").alias("admitted"),
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # below — import them here so importing THIS module standalone works,
 # instead of relying on load_all_query_modules()'s import ordering
 import pot_spark.queries.joins  # noqa: F401
+import pot_spark.queries.llm_dedup  # noqa: F401
 import pot_spark.queries.scale_ops  # noqa: F401
 import pot_spark.queries.streaming_windows  # noqa: F401
 import pot_spark.queries.timeseries  # noqa: F401
@@ -220,6 +221,28 @@ def s_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner's state story: each open window holds one (open, high, low,
     close, n) tuple per (user, hour), retired by the watermark."""
     return run_streaming_query(spark, "q_ohlc_bars", sf_dir)
+
+
+@query("s_dedup_near_stream", oracle=ORACLES["s_dedup_near_gate"])
+def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ADMISSION GATE executed as a real
+    stream: documents arrive in ingest order across microbatches; a doc
+    is admitted only if its MinHash band keys match no retained
+    signature (>= 6/8 lanes) — the online complement of the batch dedup
+    pipeline, i.e. what a continuously-ingesting corpus runs instead of
+    re-deduping from scratch. The stateful operator keys state by
+    band_key (retained signature set per band, TTL-bounded — runner.py
+    build_near_dedup_gate); the per-doc verdict is the stateless
+    all-bands-clean conjunction over the sink's (band, doc) collision
+    flags, applied here (the s_outer_join_stream post-sink pattern).
+    Oracle = the batch twin s_dedup_near_gate's; stream == batch is
+    additionally pinned by tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    sink = run_streaming_query(spark, "s_dedup_near_gate", sf_dir)
+    return sink.groupBy("doc_id").agg(
+        (1 - F.max("collided")).cast("bigint").alias("admitted")
+    )
 
 
 @query("s_user_quota_stream", oracle=ORACLES["s_user_quota"])

@@ -553,6 +553,204 @@ def build_stateful_quota(stream: DataFrame) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _doc_stream(
+    spark: SparkSession,
+    docs_file: str,
+    n_chunks: int = 3,
+    replay: bool = False,
+) -> DataFrame:
+    """documents.parquet as a file-source stream delivered in doc_id
+    order across ``n_chunks`` microbatches (name + mtime pinned, the
+    _split_event_stream trick) — the arrival model of a continuous
+    crawl where doc_id is the ingest sequence number. The admission
+    gate's stream==batch contract needs ordered delivery: 'earlier' in
+    the batch oracle is a doc_id comparison, so the stream must not
+    deliver a later doc before an earlier one ACROSS batches (within a
+    batch the operator sorts). With ``replay=True`` every chunk is
+    delivered a second time after the first full pass — the
+    at-least-once delivery model the gate's verdicts must be idempotent
+    under."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_docs_")
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    t = pq.read_table(docs_file)
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = max(1, t.num_rows)
+    step = (n + n_chunks - 1) // n_chunks
+    now = _time.time()
+    passes = 2 if replay else 1
+    for p in range(passes):
+        for i in range(n_chunks):
+            part = t.slice(i * step, step)
+            seq = p * n_chunks + i
+            path = os.path.join(stream_dir, f"{seq:02d}-docs.parquet")
+            pq.write_table(part, path)
+            os.utime(path, (now - 240 + seq * 20, now - 240 + seq * 20))
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+
+
+def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming near-duplicate ADMISSION GATE: an arriving document is
+    admitted only if none of its MinHash LSH band keys holds a retained
+    signature matching on >= _GATE_MIN_LANES of the 8 minhash lanes.
+    The stateful operator is keyed by band_key — state = the retained
+    (doc_id, signature) set for that band, sharded across executors by
+    the band key and bounded by a processing-time TTL when ``ttl_ms``
+    is set (a band silent past the horizon evicts its retained
+    signatures; at corpus scale the TTL is the dedup horizon — the
+    admission index only remembers the retention window, exactly like a
+    production crawl gate; the deterministic test path runs
+    timeout-free, see the timeoutConf note below). Each (band, doc) emits a collided flag; the
+    per-doc admission verdict is the stateless conjunction over its 4
+    bands, computed on the sink output (s_dedup_near_stream) — keeping
+    the streaming query a SINGLE stateful operator.
+
+    The per-row signature uses array_min over the shingle array — the
+    same set-min as the batch explode+groupBy aggregation, but stateless
+    and therefore legal before a stateful operator in a streaming plan.
+
+    Batch twin: pot_spark.queries.llm_dedup.s_dedup_near_gate (rejected
+    docs retain their signatures — the seen-based, arrival-order-free
+    reduction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pot_spark.queries.llm_dedup import (
+        _GATE_MIN_LANES,
+        N_BANDS,
+        N_HASHES,
+        _mh,
+        _shingles,
+    )
+
+    rows = N_HASHES // N_BANDS
+    toks = F.split("text", " ")
+    docs = stream.select(
+        "doc_id", F.size(toks).alias("ntok"), _shingles(toks).alias("sh")
+    ).filter(F.col("ntok") >= 3)
+    def _mh_of(j: int):
+        # a default-arg lambda (lambda s, j=j: ...) would be TWO-arity,
+        # which F.transform reads as (element, index) — bind j here so
+        # the higher-order lambda stays single-argument
+        return lambda s: _mh(j, s)
+
+    sig_cols = [
+        F.array_min(F.transform("sh", _mh_of(j))).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = docs.select("doc_id", *sig_cols)
+    keys = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        )
+    bands = sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"mh{j}").cast("string") for j in range(N_HASHES)]
+        ).alias("sig"),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("band_key", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("collided", T.IntegerType()),
+        ]
+    )
+    # retained signatures: parallel arrays (doc ids + comma-joined lane
+    # strings) — flat types only, no nested-array state serialization
+    state_schema = T.StructType(
+        [
+            T.StructField("doc_ids", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def gate_fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        (band_key,) = key
+        if state.exists:
+            doc_ids, sigs = list(state.get[0]), list(state.get[1])
+        else:
+            doc_ids, sigs = [], []
+        parsed = [tuple(int(x) for x in s.split(",")) for s in sigs]
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        out_doc: list[int] = []
+        out_col: list[int] = []
+        for row in batch.sort_values("doc_id").itertuples(index=False):
+            d = int(row.doc_id)
+            s = tuple(int(x) for x in row.sig.split(","))
+            collided = any(
+                did < d
+                and sum(a == b for a, b in zip(sg, s)) >= _GATE_MIN_LANES
+                for did, sg in zip(doc_ids, parsed)
+            )
+            out_doc.append(d)
+            out_col.append(1 if collided else 0)
+            if d not in doc_ids:  # idempotent under at-least-once replay
+                doc_ids.append(d)
+                parsed.append(s)
+                sigs.append(row.sig)
+        state.update((doc_ids, sigs))
+        if ttl_ms is not None:
+            # TTL: the retention horizon of the admission index — a
+            # band key unseen for ttl_ms drops its retained signatures
+            state.setTimeoutDuration(ttl_ms)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "band_key": [band_key] * len(out_doc),
+                    "doc_id": out_doc,
+                    "collided": out_col,
+                }
+            )
+
+    return bands.groupBy("band_key").applyInPandasWithState(
+        gate_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        # NoTimeout unless a TTL is requested: with ProcessingTimeTimeout
+        # armed, the engine keeps scheduling no-data microbatches to
+        # chase pending timeouts, so processAllAvailable never drains —
+        # the deterministic test path runs timeout-free, production
+        # passes ttl_ms (the dedup horizon) and a real trigger interval
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
 def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
     """The same first-event dedup on Spark 4's transformWithState API
     (StatefulProcessor + typed state handles) — the successor to
@@ -817,6 +1015,16 @@ STATEFUL_BUILDERS = {
     "s_user_quota": build_stateful_quota,
 }
 
+# Stateful builders fed by the ORDERED documents source (_doc_stream)
+# instead of the events source; update mode. The key is the batch twin.
+# NOTE: the sink holds per-(band, doc) flags — the per-doc admission
+# verdict is the stateless rollup s_dedup_near_stream applies on top
+# (streaming_exec.py), so raw run_streaming_query output is NOT the
+# batch twin's shape for these.
+DOC_STATEFUL_BUILDERS = {
+    "s_dedup_near_gate": build_near_dedup_gate,
+}
+
 
 def run_streaming_query(
     spark: SparkSession, name: str, sf_dir: str, timeout_s: float = 120.0
@@ -828,13 +1036,17 @@ def run_streaming_query(
         stream = _split_event_stream(spark, f"{sf_dir}/events.parquet")
     elif name in SENTINEL_APPEND_BUILDERS:
         stream = _sentinel_event_stream(spark, f"{sf_dir}/events.parquet")
+    elif name in DOC_STATEFUL_BUILDERS:
+        stream = _doc_stream(spark, f"{sf_dir}/documents.parquet")
     else:
         stream = _event_stream(
             spark,
             f"{sf_dir}/events.parquet",
             replay=name in REPLAY_APPEND_BUILDERS,
         )
-    if name in LATE_SPLIT_BUILDERS:
+    if name in DOC_STATEFUL_BUILDERS:
+        plan, mode = DOC_STATEFUL_BUILDERS[name](stream), "update"
+    elif name in LATE_SPLIT_BUILDERS:
         plan, mode = LATE_SPLIT_BUILDERS[name](stream), "append"
     elif name in SENTINEL_APPEND_BUILDERS:
         plan, mode = SENTINEL_APPEND_BUILDERS[name](stream), "append"

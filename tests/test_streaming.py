@@ -343,3 +343,113 @@ def test_quota_admits_nothing_twice_under_replay(spark, sf_dir):
     out = spark.table("sink_quota_replay")
     batch = registry.QUERIES["s_user_quota"](spark, sf_dir)
     assert _sorted_rows(out) == _sorted_rows(batch)
+
+
+def test_near_dedup_gate_stream_matches_batch(spark, sf_dir):
+    """The round-9 streaming near-duplicate admission gate: the real
+    streamed run (ordered doc chunks -> band-key state machine -> sink
+    rollup) must equal the batch twin the DuckDB oracle verifies, with
+    both verdicts (admit / reject) actually exercised."""
+    streamed = registry.QUERIES["s_dedup_near_stream"](spark, sf_dir)
+    batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
+    rows = _sorted_rows(streamed)
+    assert rows == _sorted_rows(batch)
+    # _sorted_rows orders columns alphabetically: (admitted, doc_id)
+    verdicts = {r[0] for r in rows}
+    assert verdicts == {0, 1}, "fixture must exercise both admit and reject"
+
+
+def test_near_dedup_gate_matches_sequential_bruteforce(spark, sf_dir):
+    """The gate's CONTRACT, recomputed independently in pure Python: walk
+    docs in arrival (doc_id) order, retain every arrival's signature per
+    band key, reject a doc iff any retained signature in any of its
+    bands matches on >= 6/8 minhash lanes. This pins the semantic claim
+    that the batch twin's arrival-order-free relational form equals the
+    sequential online gate."""
+    import hashlib
+
+    from pot_spark.queries.llm_dedup import (
+        _GATE_MIN_LANES,
+        N_BANDS,
+        N_HASHES,
+    )
+    from pot_spark.tables import load
+
+    def mh(j, shingle):
+        h = hashlib.md5(f"{j // 4}:{shingle}".encode()).hexdigest()
+        return int(h[(j % 4) * 8 : (j % 4) * 8 + 8], 16)
+
+    docs = sorted(
+        (r.doc_id, r.text)
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r.text is not None and len(r.text.split(" ")) >= 3
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    retained: dict[str, list[tuple[int, ...]]] = {}
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        shingles = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ))
+        sig = tuple(min(mh(j, s) for s in shingles) for j in range(N_HASHES))
+        keys = [
+            hashlib.md5(
+                ",".join([str(b)] + [str(sig[b * rows_per_band + r])
+                                     for r in range(rows_per_band)]).encode()
+            ).hexdigest()
+            for b in range(N_BANDS)
+        ]
+        collided = any(
+            sum(a == b for a, b in zip(old, sig)) >= _GATE_MIN_LANES
+            for k in keys
+            for old in retained.get(k, [])
+        )
+        for k in keys:
+            retained.setdefault(k, []).append(sig)
+        want[doc_id] = 0 if collided else 1
+    got = {
+        r.doc_id: r.admitted
+        for r in registry.QUERIES["s_dedup_near_gate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_near_dedup_gate_idempotent_under_replay(spark, sf_dir):
+    """At-least-once delivery: every doc chunk is delivered twice; the
+    gate re-emits the SAME verdict for a redelivered doc (its signature
+    is already retained, never appended twice), so the sink rollup still
+    equals the batch twin."""
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import _doc_stream, build_near_dedup_gate
+
+    stream = _doc_stream(spark, f"{sf_dir}/documents.parquet", replay=True)
+    plan = build_near_dedup_gate(stream)
+    spark.catalog.dropTempView("sink_gate_replay")
+    q = (
+        plan.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sink_gate_replay")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    sink = spark.table("sink_gate_replay")
+    # a redelivered (band, doc) must re-emit ONE verdict value, never a
+    # contradicting one
+    contradictions = (
+        sink.groupBy("band_key", "doc_id")
+        .agg(F.countDistinct("collided").alias("nv"))
+        .filter("nv > 1")
+        .count()
+    )
+    assert contradictions == 0
+    out = sink.groupBy("doc_id").agg(
+        (1 - F.max("collided")).cast("bigint").alias("admitted")
+    )
+    batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)

@@ -757,10 +757,11 @@ def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
     applyInPandasWithState, with explicit state objects, timers and
     initial-state support. Functionally identical to
     build_stateful_dedup; both stream twins are checked against the
-    batch s_dedup_first. NOTE: the TWS driver worker speaks protobuf to
-    the JVM state server; the package is absent in this container, so
-    the parity test importorskips — on a standard cluster image it
-    runs (RocksDB state store provider required)."""
+    batch s_dedup_first. NOTE: the TWS workers speak protobuf to the
+    JVM state server; protobuf_compat.bootstrap_env() bridges a
+    vendored runtime in pip-less environments (tests/conftest.py calls
+    it pre-JVM), and a standard cluster image pip-installs it. RocksDB
+    state store provider required."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -821,6 +822,71 @@ def build_stateful_dedup_tws(stream: DataFrame) -> DataFrame:
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def build_stateful_quota_tws(stream: DataFrame) -> DataFrame:
+    """The admission quota (build_stateful_quota) on Spark 4's
+    transformWithState API, state held in a typed ListState handle —
+    the K admitted event_ids per (user_id, event_type) as list elements
+    the state server manages individually (RocksDB merge-appends),
+    instead of applyInPandasWithState's fixed-width row the whole tuple
+    rewrites on every grant. Same admission contract: first K smallest
+    event_ids ever seen, each granted exactly once, redelivery grants
+    nothing twice. Batch twin: scale_ops.s_user_quota; stream == batch
+    pinned beside the applyInPandasWithState twin in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pot_spark.queries.scale_ops import _QUOTA_K
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("admitted_event_id", T.LongType()),
+        ]
+    )
+    elem_schema = T.StructType([T.StructField("event_id", T.LongType())])
+
+    class Quota(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._admitted = handle.getListState("admitted", elem_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            user_id, event_type = key
+            admitted = sorted(int(r[0]) for r in self._admitted.get())
+            batch_ids: set[int] = set()
+            for pdf in rows:
+                batch_ids.update(int(x) for x in pdf["event_id"].dropna())
+            new = sorted(batch_ids - set(admitted))
+            granted = new[: max(0, _QUOTA_K - len(admitted))]
+            if granted:
+                self._admitted.appendList([(g,) for g in granted])
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(granted),
+                        "event_type": [event_type] * len(granted),
+                        "admitted_event_id": granted,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.filter(F.col("event_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=Quota(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 

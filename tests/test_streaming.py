@@ -227,11 +227,13 @@ def test_streaming_signature_ingest_matches_batch(spark, sf_dir, tmp_path):
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """Spark 4 transformWithStateInPandas twin of the stateful dedup:
     the StatefulProcessor-based stream equals the batch s_dedup_first."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState's driver worker speaks protobuf to the "
-        "JVM state server; the package is absent in this container",
-    )
+    from pot_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf(spark) is None:
+        pytest.skip(
+            "transformWithState speaks protobuf to the JVM state server; "
+            "no pip package and no on-disk runtime to bridge to"
+        )
     from pot_spark.streaming.runner import (
         _event_stream,
         build_stateful_dedup_tws,
@@ -453,3 +455,47 @@ def test_near_dedup_gate_idempotent_under_replay(spark, sf_dir):
     )
     batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
     assert _sorted_rows(out) == _sorted_rows(batch)
+
+
+def test_quota_tws_matches_batch_under_replay(spark, sf_dir):
+    """The round-9 transformWithState twin of the admission quota
+    (ListState-held grants) equals the batch s_user_quota even when the
+    at-least-once source redelivers every event — a redelivered id is
+    already in the ListState and grants nothing twice."""
+    from pot_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf(spark) is None:
+        pytest.skip(
+            "transformWithState speaks protobuf to the JVM state server; "
+            "no pip package and no on-disk runtime to bridge to"
+        )
+    from pot_spark.streaming.runner import (
+        _event_stream,
+        build_stateful_quota_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _event_stream(spark, f"{sf_dir}/events.parquet", replay=True)
+        plan = build_stateful_quota_tws(stream)
+        spark.catalog.dropTempView("tws_quota")
+        q = (
+            plan.writeStream.format("memory")
+            .queryName("tws_quota")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    streamed = spark.sql("SELECT * FROM tws_quota")
+    batch = registry.QUERIES["s_user_quota"](spark, sf_dir)
+    assert _sorted_rows(streamed) == _sorted_rows(batch)

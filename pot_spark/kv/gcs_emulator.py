@@ -1,0 +1,178 @@
+"""In-process GCS emulator: the JSON-API subset the commit protocol
+touches, served over REAL HTTP — plus an SDK-free client speaking it.
+
+Why this exists: the put-if-absent seam (backend.py) is only truly
+exercised end-to-end when the conditional put crosses a process/socket
+boundary and the 412 comes back over the wire. fake-gcs-server provides
+that on a provisioned CI host (tests/test_kv_gcs_emulator.py uses it
+via ``STORAGE_EMULATOR_HOST`` with the real google-cloud-storage SDK
+when installed); this module provides the same boundary with zero
+dependencies, so the multiprocess commit race runs over HTTP in any
+container.
+
+API subset (matching GCS JSON API shapes, the same endpoints
+fake-gcs-server serves — public API documented at
+https://cloud.google.com/storage/docs/json_api):
+
+- ``GET  /storage/v1/b``                      list buckets (probe)
+- ``POST /storage/v1/b``                      create bucket
+- ``GET  /storage/v1/b/{b}``                  lookup bucket
+- ``POST /upload/storage/v1/b/{b}/o``         media upload; honors
+  ``ifGenerationMatch=0`` with **412** when the object exists — the
+  one precondition the commit protocol uses
+- ``GET  /storage/v1/b/{b}/o/{obj}?alt=media`` download
+
+The precondition check and the object write happen under one lock, so
+concurrent uploads of the same key see exactly-one-winner semantics —
+what real GCS guarantees for ``if_generation_match=0``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pot_spark.kv.backend import PreconditionFailed
+
+
+class FakeGCSServer:
+    """Threaded HTTP server over an in-memory object map. Start binds an
+    ephemeral localhost port; ``endpoint`` is the STORAGE_EMULATOR_HOST
+    value clients use."""
+
+    def __init__(self) -> None:
+        self._objects: dict[tuple[str, str], bytes] = {}
+        self._buckets: set[str] = set()
+        self._lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------
+    def start(self) -> str:
+        objects, buckets, lock = self._objects, self._buckets, self._lock
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _reply(self, code: int, body: dict | bytes | None = None):
+                payload = (
+                    body
+                    if isinstance(body, bytes)
+                    else json.dumps(body or {}).encode()
+                )
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                parts = url.path.strip("/").split("/")
+                if url.path == "/storage/v1/b":
+                    self._reply(200, {"items": sorted(buckets)})
+                elif parts[:2] == ["storage", "v1"] and len(parts) == 4:
+                    # /storage/v1/b/{bucket}
+                    self._reply(200 if parts[3] in buckets else 404)
+                elif parts[:2] == ["storage", "v1"] and len(parts) == 6:
+                    # /storage/v1/b/{bucket}/o/{object}
+                    key = (parts[3], urllib.parse.unquote(parts[5]))
+                    with lock:
+                        blob = objects.get(key)
+                    if blob is None:
+                        self._reply(404)
+                    else:
+                        self._reply(200, blob)
+                else:
+                    self._reply(404)
+
+            def do_POST(self):
+                url = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(url.query)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                parts = url.path.strip("/").split("/")
+                if url.path == "/storage/v1/b":
+                    name = json.loads(body or b"{}").get("name", "")
+                    with lock:
+                        buckets.add(name)
+                    self._reply(200, {"name": name})
+                elif parts[:3] == ["upload", "storage", "v1"] and len(parts) == 6:
+                    # /upload/storage/v1/b/{bucket}/o?name=...&ifGenerationMatch=0
+                    bucket = parts[4]
+                    obj = urllib.parse.unquote(qs.get("name", [""])[0])
+                    gen_match = qs.get("ifGenerationMatch", [None])[0]
+                    with lock:
+                        if gen_match == "0" and (bucket, obj) in objects:
+                            self._reply(
+                                412,
+                                {"error": {"code": 412,
+                                           "message": "conditionNotMet"}},
+                            )
+                            return
+                        objects[(bucket, obj)] = body
+                    self._reply(200, {"name": obj, "generation": "1"})
+                else:
+                    self._reply(404)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+
+class HttpObjectStoreClient:
+    """SDK-free GCS-JSON-API client with the same GCS-shaped ``upload``
+    protocol as EmulatedObjectStoreClient — 412 over the wire maps to
+    :class:`PreconditionFailed`, so ``ConditionalPutBackend`` runs the
+    genuine commit path against any ``STORAGE_EMULATOR_HOST`` endpoint
+    (FakeGCSServer here, fake-gcs-server in CI) without
+    google-cloud-storage installed."""
+
+    def __init__(self, bucket: str, endpoint: str) -> None:
+        self.bucket = bucket
+        self.endpoint = endpoint.rstrip("/")
+
+    def create_bucket(self) -> None:
+        req = urllib.request.Request(
+            f"{self.endpoint}/storage/v1/b",
+            data=json.dumps({"name": self.bucket}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=10)
+
+    def upload(
+        self, key: str, payload: bytes, if_generation_match: int | None = None
+    ) -> None:
+        name = urllib.parse.quote(key.lstrip("/"), safe="")
+        url = (
+            f"{self.endpoint}/upload/storage/v1/b/{self.bucket}/o"
+            f"?uploadType=media&name={name}"
+        )
+        if if_generation_match is not None:
+            url += f"&ifGenerationMatch={if_generation_match}"
+        req = urllib.request.Request(url, data=payload, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+        except urllib.error.HTTPError as e:
+            if e.code == 412:
+                raise PreconditionFailed(key) from e
+            raise
+
+    def download(self, key: str) -> bytes:
+        name = urllib.parse.quote(key.lstrip("/"), safe="")
+        url = (
+            f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{name}?alt=media"
+        )
+        return urllib.request.urlopen(url, timeout=10).read()

@@ -1,15 +1,17 @@
-"""REAL conditional-put integration: GCSBackend against a live GCS
-emulator (fake-gcs-server or any endpoint honoring
-``STORAGE_EMULATOR_HOST``), including the multiprocess commit race from
-test_kv_multiprocess.py run through the genuine google-cloud-storage
-client code path.
+"""REAL conditional-put integration over HTTP: the put-if-absent seam
+raced across processes with the 412 coming back over a socket.
 
-The round-7 verdict's gap #3: the in-repo race tests exercise the OCC
-protocol through faked SDKs; this module is the missing end-to-end leg.
-It self-gates twice — importorskip on google-cloud-storage, skip unless
-``STORAGE_EMULATOR_HOST`` is set and reachable — so it is a no-op in
-containers without the dependency or an emulator (like this one) and
-turns on automatically where either is provisioned:
+Two legs:
+
+- ALWAYS RUNS: pot_spark.kv.gcs_emulator's FakeGCSServer (in-repo GCS
+  JSON-API subset, real ThreadingHTTPServer) + the SDK-free
+  HttpObjectStoreClient through ConditionalPutBackend — the genuine
+  commit path, a genuine process/socket boundary, zero dependencies.
+  When ``STORAGE_EMULATOR_HOST`` points at a live emulator
+  (fake-gcs-server), that endpoint is used instead of self-provisioning.
+- SDK leg (cluster images): the same flows through the real
+  google-cloud-storage client — importorskips where the package is
+  absent (like this container).
 
     docker run -p 4443:4443 fsouza/fake-gcs-server -scheme http
     export STORAGE_EMULATOR_HOST=http://localhost:4443
@@ -26,30 +28,127 @@ import uuid
 
 import pytest
 
-pytest.importorskip(
-    "google.cloud.storage",
-    reason="google-cloud-storage not installed (public PyPI dep, absent here)",
-)
-
-EMULATOR = os.environ.get("STORAGE_EMULATOR_HOST")
+from pot_spark.kv.backend import ConditionalPutBackend, PreconditionFailed
+from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
 
 
-def _emulator_reachable() -> bool:
-    if not EMULATOR:
-        return False
+def _reachable(endpoint: str) -> bool:
     try:
         urllib.request.urlopen(
-            f"{EMULATOR.rstrip('/')}/storage/v1/b", timeout=2
+            f"{endpoint.rstrip('/')}/storage/v1/b", timeout=2
         )
         return True
     except Exception:  # noqa: BLE001 - any failure means "not provisioned"
         return False
 
 
-pytestmark = pytest.mark.skipif(
-    not _emulator_reachable(),
-    reason="STORAGE_EMULATOR_HOST not set or emulator unreachable",
-)
+@pytest.fixture(scope="module")
+def emulator_endpoint():
+    ext = os.environ.get("STORAGE_EMULATOR_HOST")
+    if ext and _reachable(ext):
+        yield ext
+        return
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        yield endpoint
+    finally:
+        server.stop()
+
+
+def test_http_conditional_put_end_to_end(emulator_endpoint):
+    """Win once, lose thereafter (412 over the wire), content intact —
+    through ConditionalPutBackend + the HTTP client against a live
+    emulator endpoint."""
+    bucket = f"pot-it-{uuid.uuid4().hex[:12]}"
+    client = HttpObjectStoreClient(bucket, emulator_endpoint)
+    client.create_bucket()
+    be = ConditionalPutBackend(client)
+    assert be.put_if_absent("/c/1.json", b'{"generation": 1}') is True
+    assert be.put_if_absent("/c/1.json", b'{"generation": 9}') is False
+    assert json.loads(client.download("/c/1.json"))["generation"] == 1
+    # the raw precondition surfaces as the protocol exception
+    with pytest.raises(PreconditionFailed):
+        client.upload("/c/1.json", b"x", if_generation_match=0)
+
+
+def _http_racer(args):
+    endpoint, bucket, i, gen = args
+    from pot_spark.kv.backend import ConditionalPutBackend
+    from pot_spark.kv.gcs_emulator import HttpObjectStoreClient
+
+    be = ConditionalPutBackend(HttpObjectStoreClient(bucket, endpoint))
+    won = be.put_if_absent(
+        f"/race/commits/{gen:020d}.json",
+        json.dumps({"writer": i, "generation": gen}).encode(),
+    )
+    return i, won
+
+
+def test_cross_process_race_over_http(emulator_endpoint):
+    """The put-if-absent primitive raced across 4 processes, each
+    speaking HTTP to one emulator: exactly ONE winner per generation
+    and the committed payload is the winner's — the object-store
+    deployment's commit race with a real socket boundary."""
+    bucket = f"pot-race-{uuid.uuid4().hex[:12]}"
+    client = HttpObjectStoreClient(bucket, emulator_endpoint)
+    client.create_bucket()
+    for gen in (1, 2):
+        with mp.get_context("spawn").Pool(4) as pool:
+            results = pool.map(
+                _http_racer,
+                [(emulator_endpoint, bucket, i, gen) for i in range(4)],
+            )
+        winners = [i for i, won in results if won]
+        assert len(winners) == 1, results
+        blob = json.loads(client.download(f"/race/commits/{gen:020d}.json"))
+        assert blob["writer"] == winners[0]
+
+
+def test_store_occ_through_http_backend(emulator_endpoint, tmp_path):
+    """PotStore's full OCC protocol with its commit point on the HTTP
+    conditional put: two writers, two generations, replayable history.
+    The manifest READ path stays local-filesystem by design — the seam
+    the protocol needs from object storage is exactly the conditional
+    put, so the client mirrors committed manifests to the local root
+    the readers list (the test_gcs_backend_drives_store_occ shape, now
+    over a real wire)."""
+    from pot_spark.kv.store import PotStore
+
+    bucket = f"pot-occ-{uuid.uuid4().hex[:12]}"
+    root = str(tmp_path)
+
+    class MirroringClient(HttpObjectStoreClient):
+        def upload(self, key, payload, if_generation_match=None):
+            super().upload(key, payload, if_generation_match=if_generation_match)
+            path = key if key.startswith("/") else f"/{key}"
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(payload)
+
+    client = MirroringClient(bucket, emulator_endpoint)
+    client.create_bucket()
+    store = PotStore(None, root, backend=ConditionalPutBackend(client))
+    store.create("gcs/pot", {"id": "a", "v": 1})
+    store.create("gcs/pot", {"id": "b", "v": 2})
+    assert set(store.get("gcs/pot")) == {"a", "b"}
+    assert len(store.get_at("gcs/pot", 1)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Real-SDK leg: identical flows through google-cloud-storage (cluster
+# images). Skips where the package is absent.
+# ---------------------------------------------------------------------------
+
+
+def _require_sdk_and_emulator():
+    pytest.importorskip(
+        "google.cloud.storage",
+        reason="google-cloud-storage not installed (public PyPI dep)",
+    )
+    ext = os.environ.get("STORAGE_EMULATOR_HOST")
+    if not ext or not _reachable(ext):
+        pytest.skip("STORAGE_EMULATOR_HOST not set or emulator unreachable")
 
 
 def _make_bucket(name: str) -> None:
@@ -63,6 +162,7 @@ def _make_bucket(name: str) -> None:
 def test_gcs_backend_conditional_put_end_to_end():
     """Win once, lose thereafter, content intact — through the REAL
     client, against a live emulator."""
+    _require_sdk_and_emulator()
     from pot_spark.kv.backend import GCSBackend
 
     bucket = f"pot-it-{uuid.uuid4().hex[:12]}"
@@ -92,13 +192,10 @@ def _gcs_racer(args):
 
 
 def test_cross_process_race_through_real_client():
-    """The put-if-absent primitive raced across 4 processes through
-    google-cloud-storage's real conditional put: exactly ONE winner per
-    generation, and the committed payload is the winner's. (The store's
-    manifest READ path is local-filesystem by design — the seam the
-    protocol needs from object storage is exactly this primitive, which
-    the in-repo races cover via emulated clients; this is the same race
-    on the genuine SDK.)"""
+    """The same race through google-cloud-storage's real conditional
+    put: exactly ONE winner per generation, committed payload is the
+    winner's."""
+    _require_sdk_and_emulator()
     bucket = f"pot-race-{uuid.uuid4().hex[:12]}"
     _make_bucket(bucket)
     for gen in (1, 2):

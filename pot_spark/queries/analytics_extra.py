@@ -993,22 +993,29 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_n = Window.partitionBy("event_type")
-    cum = hist.withColumn("cum_c", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(w_n)
+    # rank-cover form (r9 bench-drift recovery): a histogram row covers
+    # ranks (prev, cum_c], so the p05/p95 rank falls in exactly ONE row
+    # per type — filter to those <=2 rows and fold, instead of scanning
+    # every histogram row through a conditional MIN. n rides a second
+    # frame of the same window partitioning: one exchange, no recompute.
+    cum = hist.select(
+        "event_type",
+        "value",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_n).alias("n"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("prev"),
     )
-    # value at rank r = smallest value whose cumulative count reaches r
-    bounds = cum.groupBy("event_type").agg(
-        F.min(
-            F.when(
-                F.col("cum_c") >= F.expr("(n * 5 + 99) DIV 100"), F.col("value")
-            )
-        ).alias("lo"),
-        F.min(
-            F.when(
-                F.col("cum_c") >= F.expr("(n * 95 + 99) DIV 100"),
-                F.col("value"),
-            )
-        ).alias("hi"),
+    rlo = F.expr("(n * 5 + 99) DIV 100")
+    rhi = F.expr("(n * 95 + 99) DIV 100")
+    covers_lo = (F.col("prev") < rlo) & (rlo <= F.col("cum_c"))
+    covers_hi = (F.col("prev") < rhi) & (rhi <= F.col("cum_c"))
+    bounds = (
+        cum.filter(covers_lo | covers_hi)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(covers_lo, F.col("value"))).alias("lo"),
+            F.min(F.when(covers_hi, F.col("value"))).alias("hi"),
+        )
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
@@ -1305,23 +1312,33 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_hist = base.groupBy("n_chars").agg(F.count("*").alias("c"))
     keep = base.groupBy("digest").agg(F.min("n_chars").alias("n_chars"))
     post_hist = keep.groupBy("n_chars").agg(F.count("*").alias("c"))
-    pr = _equidepth_tiles(pre_hist, "n_chars", 10).select(
-        F.col("tile").alias("dec"),
-        F.col("sz").alias("n_pre"),
-        F.col("maxv").cast("bigint").alias("max_pre"),
+    # side-tag and union the two histograms so BOTH decile computations
+    # share one window pass + one bounds join (r9 bench-drift recovery:
+    # the per-relation pipeline ran every tile stage twice, all fixed
+    # overhead at this histogram size), then pivot the sides back with
+    # conditional aggregation instead of a join
+    hists = pre_hist.withColumn("side", F.lit(0)).unionByName(
+        post_hist.withColumn("side", F.lit(1))
     )
-    po = _equidepth_tiles(post_hist, "n_chars", 10).select(
-        F.col("tile").alias("dec"),
-        F.col("sz").alias("n_post"),
-        F.col("maxv").cast("bigint").alias("max_post"),
-    )
+    tiles = _equidepth_tiles(hists, "n_chars", 10, by="side")
     return (
-        pr.join(po, "dec", "left")
+        tiles.groupBy("tile")
+        .agg(
+            F.min(F.when(F.col("side") == 0, F.col("sz"))).alias("n_pre"),
+            F.min(F.when(F.col("side") == 0, F.col("maxv")))
+            .cast("bigint")
+            .alias("max_pre"),
+            F.min(F.when(F.col("side") == 1, F.col("sz"))).alias("_n_post"),
+            F.min(F.when(F.col("side") == 1, F.col("maxv")))
+            .cast("bigint")
+            .alias("max_post"),
+        )
+        .filter(F.col("n_pre").isNotNull())  # oracle: pre LEFT JOIN post
         .select(
-            F.col("dec").cast("bigint").alias("decile"),
-            "n_pre",
+            F.col("tile").cast("bigint").alias("decile"),
+            F.col("n_pre").cast("bigint").alias("n_pre"),
             "max_pre",
-            F.coalesce("n_post", F.lit(0)).cast("bigint").alias("n_post"),
+            F.coalesce("_n_post", F.lit(0)).cast("bigint").alias("n_post"),
             "max_post",
             (F.col("max_pre") - F.col("max_post"))
             .cast("bigint")
@@ -1330,7 +1347,9 @@ def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _equidepth_tiles(counted: DataFrame, value: str, k: int) -> DataFrame:
+def _equidepth_tiles(
+    counted: DataFrame, value: str, k: int, by: str | None = None
+) -> DataFrame:
     """ntile(k) per-tile (count, max value) computed EXACTLY from the
     value HISTOGRAM — never from a doc-scale sort. ntile's bucket sizes
     are a pure function of n (q = n div k; tile i holds q+1 rows for
@@ -1344,39 +1363,63 @@ def _equidepth_tiles(counted: DataFrame, value: str, k: int) -> DataFrame:
     table. Output is bit-identical to ntile(k) + groupBy, at any scale.
 
     ``counted`` must have columns (value, c) — one row per distinct
-    value with its occurrence count."""
-    w_cum = Window.orderBy(value).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    value with its occurrence count. With ``by`` set, every stage
+    partitions on that column and the result carries it — several
+    independent tile computations (e.g. pre/post relations side-tagged
+    and unioned) share ONE pipeline instead of running it per relation.
+
+    JOIN-FREE (r9 bench-drift recovery): every boundary rank hi_i lands
+    in exactly ONE histogram row (prev_cum < hi_i <= cum_c), and because
+    hi_i = i*(q+1) for i <= m and i*q + m for i > m (q = n div k,
+    m = n mod k), the tiles a row emits are two CLOSED-FORM integer
+    ranges of i — computed per row and exploded. The whole operator is
+    one window pass over the histogram plus a projection: no bounds
+    relation, no broadcast join, no post-join aggregation (each tile is
+    emitted exactly once). Integer DIV here is truncation-toward-zero,
+    which equals floor for the non-negative regime-1 operands and only
+    LOOSENS the lower cap for regime-2's possibly-negative prev-m (the
+    greatest(m+1, ...) cap restores it)."""
+    part = [by] if by else []
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = counted.select(value, F.sum("c").over(w_cum).alias("cum_c"))
-    n = counted.agg(F.sum("c").cast("bigint").alias("n")).select(
-        F.coalesce("n", F.lit(0)).alias("n")
+    # n rides a second frame of the SAME window partitioning — one
+    # exchange, no recompute of the (possibly expensive) counted lineage
+    w_n = Window.partitionBy(*part)
+    cum = counted.select(
+        *part,
+        value,
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_n).alias("n"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("prev"),
     )
-    bounds = (
-        n.select(
-            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("tile"), "n"
-        )
-        .select(
-            "tile",
-            (
-                F.expr("n DIV %d" % k)
-                + F.when(F.col("tile") <= F.expr("n %% %d" % k), 1).otherwise(0)
-            ).alias("sz"),
-            (
-                F.col("tile") * F.expr("n DIV %d" % k)
-                + F.least(F.col("tile"), F.expr("n %% %d" % k))
-            ).alias("hi"),
-        )
-        .filter(F.col("sz") > 0)
+    kq = f"(n DIV {k})"
+    km = f"(n % {k})"
+    lo1 = f"greatest(1L, prev DIV ({kq} + 1) + 1)"
+    hi1 = f"least({km}, cum_c DIV ({kq} + 1))"
+    lo2 = f"greatest({km} + 1, (prev - {km}) DIV {kq} + 1)"
+    hi2 = f"least({k}L, (cum_c - {km}) DIV {kq})"
+    tiles = F.expr(
+        f"concat("
+        f"CASE WHEN {lo1} <= {hi1} THEN sequence({lo1}, {hi1}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END, "
+        f"CASE WHEN {kq} > 0 AND {lo2} <= {hi2} THEN sequence({lo2}, {hi2}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
     )
-    # value at rank hi_i = MIN value with cum_c >= hi (histogram rows x k)
-    return (
-        cum.join(F.broadcast(bounds), F.col("cum_c") >= F.col("hi"))
-        .groupBy("tile")
-        .agg(
-            F.min("sz").cast("bigint").alias("sz"),
-            F.min(value).alias("maxv"),
+    return cum.select(
+        *part, value, "n", F.explode(tiles).alias("tile")
+    ).select(
+        *part,
+        "tile",
+        (
+            F.expr(kq)
+            + F.when(F.col("tile") <= F.expr(km), 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("sz"),
+        F.col(value).alias("maxv"),
     )
 
 

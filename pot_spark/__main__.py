@@ -71,6 +71,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("zip")
 
+    p_export = sub.add_parser(
+        "export",
+        help="distributed per-pot snapshot export tree (the 100TB form "
+        "of zip; Spark tasks when --spark, sequential otherwise)",
+    )
+    p_export.add_argument("dest")
+    p_export.add_argument(
+        "--spark", action="store_true",
+        help="fan the per-pot copies out as Spark tasks",
+    )
+
     p_vac = sub.add_parser("vacuum")
     p_vac.add_argument("path")
 
@@ -147,6 +158,16 @@ def main(argv: list[str] | None = None) -> int:
         from pot_spark.kv.archive import zip_store
 
         print(zip_store(store))
+    elif args.cmd == "export":
+        from pot_spark.kv.archive import export_snapshot
+
+        spark = None
+        if args.spark:
+            from pot_spark.session import get_spark
+
+            spark = get_spark("pot_export")
+        n = export_snapshot(store, args.dest, spark=spark)
+        json.dump({"exported": n, "dest": args.dest}, sys.stdout)
     elif args.cmd == "vacuum":
         json.dump({"removed": store.vacuum(args.path)}, sys.stdout)
     elif args.cmd == "compact":

@@ -137,3 +137,63 @@ def zip_store(store: PotStore, dest_dir: str = "archive") -> str:
     finally:
         out.close()
     return bundle
+
+
+def export_snapshot(
+    store: PotStore, dest: str, spark=None, partitions: int | None = None
+) -> int:
+    """DISTRIBUTED snapshot export: write ``<dest>/<path>/data.json``
+    for every pot as parallel per-pot Spark tasks — the 100 TB form of
+    :func:`zip_store`, whose single tar stream is driver-side by
+    construction (reference-faithful, server.go:550-614, and fine for
+    the OPA-bundle use case it serves; the scale boundary is recorded
+    in SCALE.md). The exported TREE holds byte-identical ``data.json``
+    payloads to the bundle's members (sorted-key JSON), laid out so a
+    downstream consumer reads pots selectively instead of unpacking an
+    archive.
+
+    Each task writes via temp + atomic rename, so a re-run (or a
+    retried task) can never leave a truncated member; the export is
+    idempotent. Returns the number of pots exported. Without ``spark``
+    the copy degrades to a sequential driver loop (same contract, for
+    CLI use off-cluster)."""
+    paths = store.list_paths()
+    if store.get(""):
+        paths = [""] + paths
+    dest_abs = os.path.abspath(dest)
+    root = store.root
+    paths = [
+        p
+        for p in paths
+        if os.path.abspath(os.path.join(root, p)) != dest_abs
+        and not os.path.abspath(os.path.join(root, p)).startswith(
+            dest_abs + os.sep
+        )
+    ]
+
+    def _export_one(p: str) -> None:
+        # a fresh read-only store per task: no driver state crosses the
+        # serialization boundary except the root path
+        from pot_spark.kv.store import PotStore as _PS
+
+        s = _PS(None, root)
+        content = s.get(p)
+        payload = json.dumps(content, sort_keys=True).encode()
+        out_dir = os.path.join(dest_abs, p) if p else dest_abs
+        os.makedirs(out_dir, exist_ok=True)
+        target = os.path.join(out_dir, "data.json")
+        staging = target + f".staging-{os.getpid()}"
+        with open(staging, "wb") as f:
+            f.write(payload)
+        os.replace(staging, target)
+
+    if spark is None:
+        for p in paths:
+            _export_one(p)
+        return len(paths)
+    from pot_spark.kv.datasource import _ship_package
+
+    _ship_package(spark)  # pots importable inside executor workers
+    n_parts = partitions or min(max(1, len(paths)), 64)
+    spark.sparkContext.parallelize(paths, n_parts).foreach(_export_one)
+    return len(paths)

@@ -97,3 +97,20 @@ def test_cli_changes(tmp_path):
     out = json.loads(run(root, "changes", "t", "1", "3").stdout)
     assert out == {"a": {"op": "delete", "doc": None},
                    "b": {"op": "insert", "doc": {"id": "b", "v": 2}}}
+
+
+def test_cli_export(tmp_path):
+    """`export` writes the per-pot snapshot tree (the distributed form
+    of `zip`); sequential mode here — the Spark fan-out is covered by
+    test_kv_store.test_export_snapshot_distributed."""
+    import os
+
+    root = str(tmp_path / "root")
+    run(root, "create", "a/b", stdin='{"id": "k1", "v": 1}')
+    run(root, "create", "c", stdin='{"id": "k2"}')
+    dest = str(tmp_path / "out")
+    out = run(root, "export", dest)
+    resp = json.loads(out.stdout)
+    assert resp == {"exported": 2, "dest": dest}
+    with open(os.path.join(dest, "a/b/data.json")) as f:
+        assert json.load(f)["k1"]["v"] == 1

@@ -713,3 +713,64 @@ def test_concurrent_zip_store_produces_valid_bundle(store, tmp_path):
 
     leftovers = [n for n in os.listdir(f"{store.root}/archive") if "staging" in n]
     assert leftovers == []
+
+
+def test_export_snapshot_tree_matches_bundle(store, tmp_path):
+    """export_snapshot (the distributed 100TB form of zip_store) lays
+    out byte-identical data.json members as a selectively-readable
+    tree: same pot set, same sorted-key payloads, archive dir and
+    export dest excluded, idempotent re-run."""
+    import os
+
+    from pot_spark.kv.archive import export_snapshot, zip_store
+
+    store.create("landmarks", {"id": "sagrada-familia", "age": 141})
+    store.create("deep/pot", {"id": "x"})
+    store.create("", {"id": "rooty"})
+    bundle = zip_store(store)
+    dest = str(tmp_path / "export")
+    n = export_snapshot(store, dest)
+    with tarfile.open(bundle) as tar:
+        members = {m: tar.extractfile(m).read() for m in tar.getnames()}
+    exported = {}
+    for dirpath, _dirs, files in os.walk(dest):
+        for fn in files:
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, dest)
+            with open(full, "rb") as f:
+                exported[rel] = f.read()
+    assert exported == members
+    assert n == len(members)
+    # idempotent: a re-run rewrites atomically, never corrupts
+    assert export_snapshot(store, dest) == n
+    # the export dest itself is never exported, even under the root
+    dest_in_root = os.path.join(store.root, "export2")
+    export_snapshot(store, dest_in_root)
+    assert export_snapshot(store, dest_in_root) == n  # no self-inclusion
+
+
+def test_export_snapshot_distributed(spark, store, tmp_path):
+    """The Spark path: per-pot copies fan out as executor tasks and
+    produce the identical tree to the sequential path."""
+    import os
+
+    from pot_spark.kv.archive import export_snapshot
+
+    for i in range(8):
+        store.create(f"shard/p{i}", {"id": f"k{i}", "v": i})
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    export_snapshot(store, seq)
+    n = export_snapshot(store, par, spark=spark)
+    assert n == 8
+
+    def tree(dest):
+        out = {}
+        for dirpath, _dirs, files in os.walk(dest):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                with open(full, "rb") as f:
+                    out[os.path.relpath(full, dest)] = f.read()
+        return out
+
+    assert tree(par) == tree(seq)

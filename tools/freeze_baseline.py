@@ -66,6 +66,11 @@ MEDIAN_GROUPS = [
         "BENCH_r08_local3.json",
         "BENCH_r08_local4.json",
     ],
+    # round-9: the odd-parity rotation cohort's first measured rows plus
+    # the round-9 additions (admission gate pair, dense audit)
+    [
+        "BENCH_r09_local.json",
+    ],
 ]
 
 

@@ -612,6 +612,45 @@ def _doc_stream(
     )
 
 
+def _gate_bands(stream: DataFrame) -> DataFrame:
+    """Per-row (doc_id, sig, band_key) rows for the admission gate:
+    stateless array_min MinHash signatures (the same set-min as the
+    batch explode+groupBy — legal before a stateful operator) exploded
+    into one row per LSH band. Shared by both gate builders."""
+    from pot_spark.queries.llm_dedup import N_BANDS, N_HASHES, _mh, _shingles
+
+    rows = N_HASHES // N_BANDS
+    toks = F.split("text", " ")
+    docs = stream.select(
+        "doc_id", F.size(toks).alias("ntok"), _shingles(toks).alias("sh")
+    ).filter(F.col("ntok") >= 3)
+
+    def _mh_of(j: int):
+        # a default-arg lambda (lambda s, j=j: ...) would be TWO-arity,
+        # which F.transform reads as (element, index) — bind j here so
+        # the higher-order lambda stays single-argument
+        return lambda s: _mh(j, s)
+
+    sig_cols = [
+        F.array_min(F.transform("sh", _mh_of(j))).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = docs.select("doc_id", *sig_cols)
+    keys = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        )
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"mh{j}").cast("string") for j in range(N_HASHES)]
+        ).alias("sig"),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+
+
 def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming near-duplicate ADMISSION GATE: an arriving document is
     admitted only if none of its MinHash LSH band keys holds a retained
@@ -638,43 +677,9 @@ def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataF
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from pot_spark.queries.llm_dedup import (
-        _GATE_MIN_LANES,
-        N_BANDS,
-        N_HASHES,
-        _mh,
-        _shingles,
-    )
+    from pot_spark.queries.llm_dedup import _GATE_MIN_LANES
 
-    rows = N_HASHES // N_BANDS
-    toks = F.split("text", " ")
-    docs = stream.select(
-        "doc_id", F.size(toks).alias("ntok"), _shingles(toks).alias("sh")
-    ).filter(F.col("ntok") >= 3)
-    def _mh_of(j: int):
-        # a default-arg lambda (lambda s, j=j: ...) would be TWO-arity,
-        # which F.transform reads as (element, index) — bind j here so
-        # the higher-order lambda stays single-argument
-        return lambda s: _mh(j, s)
-
-    sig_cols = [
-        F.array_min(F.transform("sh", _mh_of(j))).alias(f"mh{j}")
-        for j in range(N_HASHES)
-    ]
-    sig = docs.select("doc_id", *sig_cols)
-    keys = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        keys.append(
-            F.md5(F.concat_ws(",", F.lit(str(b)), *[c.cast("string") for c in cols]))
-        )
-    bands = sig.select(
-        "doc_id",
-        F.concat_ws(
-            ",", *[F.col(f"mh{j}").cast("string") for j in range(N_HASHES)]
-        ).alias("sig"),
-        F.explode(F.array(*keys)).alias("band_key"),
-    )
+    bands = _gate_bands(stream)
 
     out_schema = T.StructType(
         [
@@ -887,6 +892,93 @@ def build_stateful_quota_tws(stream: DataFrame) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+    )
+
+
+def build_near_dedup_gate_tws(stream: DataFrame) -> DataFrame:
+    """The near-duplicate admission gate (build_near_dedup_gate) on
+    Spark 4's transformWithState: the retained-signature set per band
+    key lives in a typed ListState handle, so a new arrival APPENDS its
+    signature (a RocksDB merge) instead of rewriting the whole set —
+    at a hot band key with thousands of retained signatures that is the
+    difference between O(1) and O(set) state writes per arrival. Same
+    admission contract and same per-(band, doc) collided-flag output as
+    the applyInPandasWithState twin; stream == batch pinned against
+    s_dedup_near_gate in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pot_spark.queries.llm_dedup import _GATE_MIN_LANES
+
+    bands = _gate_bands(stream)
+    out_schema = T.StructType(
+        [
+            T.StructField("band_key", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("collided", T.IntegerType()),
+        ]
+    )
+    elem_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.StringType()),
+        ]
+    )
+
+    class Gate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._retained = handle.getListState("retained", elem_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (band_key,) = key
+            retained = [(int(r[0]), r[1]) for r in self._retained.get()]
+            parsed = [
+                (d, tuple(int(x) for x in s.split(","))) for d, s in retained
+            ]
+            seen = {d for d, _ in retained}
+            batch = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_col: list[int] = []
+            fresh: list[tuple[int, str]] = []
+            for row in batch.sort_values("doc_id").itertuples(index=False):
+                d = int(row.doc_id)
+                s = tuple(int(x) for x in row.sig.split(","))
+                collided = any(
+                    did < d
+                    and sum(a == b for a, b in zip(sg, s))
+                    >= _GATE_MIN_LANES
+                    for did, sg in parsed
+                )
+                out_doc.append(d)
+                out_col.append(1 if collided else 0)
+                if d not in seen:  # idempotent under at-least-once replay
+                    seen.add(d)
+                    parsed.append((d, s))
+                    fresh.append((d, row.sig))
+            if fresh:
+                # append-only state write: the merge the ListState API
+                # exists for — never rewrites the retained set
+                self._retained.appendList(fresh)
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "band_key": [band_key] * len(out_doc),
+                        "doc_id": out_doc,
+                        "collided": out_col,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return bands.groupBy("band_key").transformWithStateInPandas(
+        statefulProcessor=Gate(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

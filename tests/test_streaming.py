@@ -499,3 +499,51 @@ def test_quota_tws_matches_batch_under_replay(spark, sf_dir):
     streamed = spark.sql("SELECT * FROM tws_quota")
     batch = registry.QUERIES["s_user_quota"](spark, sf_dir)
     assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_near_dedup_gate_tws_matches_batch(spark, sf_dir):
+    """The admission gate on transformWithState (ListState-held
+    retained signatures, append-only state writes): the rolled-up sink
+    equals the batch twin s_dedup_near_gate — the same contract as the
+    applyInPandasWithState twin, on the Spark 4 API."""
+    from pot_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf(spark) is None:
+        pytest.skip(
+            "transformWithState speaks protobuf to the JVM state server; "
+            "no pip package and no on-disk runtime to bridge to"
+        )
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import (
+        _doc_stream,
+        build_near_dedup_gate_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _doc_stream(spark, f"{sf_dir}/documents.parquet")
+        plan = build_near_dedup_gate_tws(stream)
+        spark.catalog.dropTempView("tws_gate")
+        q = (
+            plan.writeStream.format("memory")
+            .queryName("tws_gate")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = spark.table("tws_gate").groupBy("doc_id").agg(
+        (1 - F.max("collided")).cast("bigint").alias("admitted")
+    )
+    batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)

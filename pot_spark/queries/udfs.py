@@ -167,26 +167,33 @@ def _pil_image_module():
 
 
 def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """Decoder with a REAL-decode gate: the deterministic fake handles
-    the fixture's synthetic media types, and any real image/* type
-    routes through PIL (grayscale uint8 pixels) WHEN the library is
-    importable — the stub stays the fallback, so this container (no
-    PIL) keeps the plumbing testable while a production deploy gets
-    actual pixels with zero code change. Raises NotImplementedError
-    for types nothing can decode (a loud skip beats silent garbage
-    features)."""
+    """Decoder with a REAL-decode path: the deterministic fake handles
+    the fixture's synthetic media types; any real image/* type routes
+    through PIL (grayscale uint8 pixels) when importable, and
+    image/png additionally through the in-repo pure-stdlib codec
+    (png_codec.py) when PIL is absent — so REAL pixels flow through the
+    feature pipeline even in this pip-less container (round-8 advice:
+    the production decode branch must be exercised, not only the stub).
+    The two paths are bit-identical for the supported profile (the
+    codec uses PIL's exact integer ITU-R 601-2 luma). Raises
+    NotImplementedError for types nothing can decode (a loud skip beats
+    silent garbage features)."""
     if media_type in ("image/fake", "audio/fake"):
         return np.frombuffer(payload, dtype=np.uint8)
     if media_type.startswith("image/"):
         image_mod = _pil_image_module()
-        if image_mod is None:
-            raise NotImplementedError(
-                f"no decoder for {media_type!r} (PIL not installed)"
-            )
-        import io as _io
+        if image_mod is not None:
+            import io as _io
 
-        img = image_mod.open(_io.BytesIO(payload)).convert("L")
-        return np.asarray(img, dtype=np.uint8).ravel()
+            img = image_mod.open(_io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8).ravel()
+        if media_type == "image/png":
+            from pot_spark.queries.png_codec import decode_png, to_grayscale
+
+            return to_grayscale(decode_png(payload)).ravel()
+        raise NotImplementedError(
+            f"no decoder for {media_type!r} (PIL not installed)"
+        )
     raise NotImplementedError(f"no decoder for {media_type!r}")
 
 

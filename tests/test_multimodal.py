@@ -68,9 +68,19 @@ def test_real_image_decode_gate(monkeypatch):
     assert udfs._decode_payload(b"abc", "image/fake").tolist() == [
         97, 98, 99,
     ]
-    # no PIL in this container: loud skip, not silent garbage
-    with pytest.raises(NotImplementedError, match="PIL not installed"):
+    # no PIL in this container: image/png falls through to the in-repo
+    # stdlib codec (REAL pixels — tests/test_multimodal_real.py); other
+    # image types are a loud skip, not silent garbage
+    from pot_spark.queries.png_codec import encode_png
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert udfs._decode_payload(
+        encode_png(px), "image/png"
+    ).tolist() == px.ravel().tolist()
+    with pytest.raises(ValueError, match="not a PNG"):
         udfs._decode_payload(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError, match="PIL not installed"):
+        udfs._decode_payload(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError, match="no decoder"):
         udfs._decode_payload(b"RIFF", "audio/wav")
 

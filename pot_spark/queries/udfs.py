@@ -245,6 +245,96 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_media_table(spark, sf_dir).select("doc_id", "media_type", "n_bytes")
 
 
+_PNG_H, _PNG_W = 16, 16
+
+
+def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: ENCODE a deterministic grayscale image to a real PNG,
+    run it through the production decode path (_decode_payload with
+    media_type image/png — PIL where installed, the stdlib codec here),
+    and report integer luma statistics. Both the encode and the decode
+    sit INSIDE the measured pipeline, so an oracle computing the same
+    statistics straight from the pixel formula proves the whole
+    PNG roundtrip lossless, row by row."""
+    from pot_spark.queries.png_codec import encode_png
+
+    for pdf in it:
+        ids, sums, maxs, hists, nbytes = [], [], [], [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
+            img = ((y * 31 + x * 7 + d * 13) % 256).astype(np.uint8)
+            payload = encode_png(img, filter_type=d % 5)
+            luma = _decode_payload(payload, "image/png")
+            hist = np.bincount(luma // 64, minlength=4)[:4]
+            ids.append(d)
+            sums.append(int(luma.sum()))
+            maxs.append(int(luma.max()))
+            hists.append(",".join(str(int(v)) for v in hist))
+            nbytes.append(len(payload))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "luma_sum": sums,
+                "luma_max": maxs,
+                "luma_hist": hists,
+                "png_bytes": nbytes,
+            }
+        )
+
+
+@query(
+    "q_multimodal_png_stats",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (y.y * 31 + x.x * 7 + d.doc_id * 13) % 256 AS v
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y) y,
+             (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x) x
+    )
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST(MAX(v) AS BIGINT) AS luma_max,
+           CAST(SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END)
+                AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END)
+                AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS VARCHAR)
+             AS luma_hist
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED real image decode (r9): each doc gets a
+    deterministic 16x16 grayscale image, encoded to an actual PNG
+    (rotating through all five scanline filters) and decoded back
+    through the production decode path inside a mapInPandas batch; the
+    DuckDB oracle computes the same integer luma statistics directly
+    from the generating formula — so a hash match proves the PNG
+    encode/decode roundtrip (and the batching/schema plumbing around
+    it) is lossless for every row, not merely deterministic. png_bytes
+    is excluded from the oracle projection (compression size is
+    zlib-version-dependent); the stats columns are pure integers.
+
+    Scale posture: embarrassingly parallel mapInPandas — one Arrow
+    batch per partition, no shuffle; decode cost scales linearly with
+    executors (the same shape a real corpus-wide thumbnailing pass
+    has). No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _png_stats_batches,
+        schema=(
+            "doc_id long, luma_sum long, luma_max long, luma_hist string,"
+            " png_bytes long"
+        ),
+    ).drop("png_bytes")
+
+
 @query("q_multimodal_features")  # stubbed decode -> rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.

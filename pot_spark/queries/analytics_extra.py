@@ -1634,18 +1634,23 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid JOIN g ON g.x = grid.x
     ),
     dev AS (
+      -- HUGEINT: the cross-multiplied CDF deviation is quadratic in
+      -- corpus size (the r8-advice int64 class, fixed repo-wide in r9)
       SELECT source, ns, x,
-             abs(s_cum * (n.total - ns) - (t_cum - s_cum) * ns) AS dnum,
+             abs(CAST(s_cum AS HUGEINT) * (n.total - ns)
+                 - (t_cum - s_cum) * CAST(ns AS HUGEINT)) AS dnum,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY abs(s_cum * (n.total - ns) - (t_cum - s_cum) * ns)
+               ORDER BY abs(CAST(s_cum AS HUGEINT) * (n.total - ns)
+                            - (t_cum - s_cum) * CAST(ns AS HUGEINT))
                         DESC, x
              ) AS rn
       FROM cum CROSS JOIN n
       WHERE n.total > ns
     )
     SELECT d.source, d.ns AS n_docs,
-           CAST(d.dnum * 1000000 // (d.ns * (n.total - d.ns)) AS BIGINT)
+           CAST(d.dnum * 1000000
+                // (CAST(d.ns AS HUGEINT) * (n.total - d.ns)) AS BIGINT)
              AS ks_ppm,
            CAST(d.x AS BIGINT) AS ks_at
     FROM dev d CROSS JOIN n WHERE d.rn = 1
@@ -1697,6 +1702,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w).alias("s_cum"),
         F.sum("gcnt").over(w).alias("t_cum"),
     )
+    # DECIMAL(38,0): the cross-multiplied CDF deviation is quadratic in
+    # corpus size (the r8-advice int64 class, fixed repo-wide in r9)
     dev = (
         cum.crossJoin(F.broadcast(n))
         .filter(F.col("total") > F.col("ns"))
@@ -1706,8 +1713,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "total",
             F.abs(
-                F.col("s_cum") * (F.col("total") - F.col("ns"))
-                - (F.col("t_cum") - F.col("s_cum")) * F.col("ns")
+                F.col("s_cum").cast("decimal(38,0)")
+                * (F.col("total") - F.col("ns"))
+                - (F.col("t_cum") - F.col("s_cum"))
+                * F.col("ns").cast("decimal(38,0)")
             ).alias("dnum"),
         )
     )
@@ -1719,7 +1728,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("ns").alias("n_docs"),
             F.expr(
-                "CAST(dnum * 1000000 DIV (ns * (total - ns)) AS BIGINT)"
+                "CAST(dnum * 1000000 "
+                "DIV (CAST(ns AS DECIMAL(38,0)) * (total - ns)) AS BIGINT)"
             ).alias("ks_ppm"),
             F.col("x").cast("bigint").alias("ks_at"),
         )
@@ -1746,17 +1756,22 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM base GROUP BY source),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base),
     r2 AS (
+      -- HUGEINT: the midrank sum is quadratic in corpus size (the
+      -- r8-advice int64 class, fixed repo-wide in r9)
       SELECT c.source,
-             CAST(SUM(c.cnt * (2 * gc.c_before + gc.gcnt + 1)) AS BIGINT)
-               AS two_r
+             SUM(CAST(c.cnt AS HUGEINT)
+                 * (2 * gc.c_before + gc.gcnt + 1)) AS two_r
       FROM c JOIN gc ON gc.x = c.x
       GROUP BY c.source
     )
     SELECT s.source, s.ns AS n_docs,
            CAST(n.total - s.ns AS BIGINT) AS n_rest,
-           CAST(r2.two_r - s.ns * (s.ns + 1) AS BIGINT) AS u2,
-           ROUND(CAST(r2.two_r - s.ns * (s.ns + 1) AS DOUBLE)
-                 / (s.ns * (n.total - s.ns)) - 1.0, 6) AS rank_biserial
+           CAST(r2.two_r - CAST(s.ns AS HUGEINT) * (s.ns + 1) AS BIGINT)
+             AS u2,
+           ROUND(CAST(r2.two_r - CAST(s.ns AS HUGEINT) * (s.ns + 1)
+                      AS DOUBLE)
+                 / (CAST(s.ns AS DOUBLE) * (n.total - s.ns)) - 1.0, 6)
+             AS rank_biserial
     FROM srcs s
     JOIN r2 ON r2.source = s.source
     CROSS JOIN n
@@ -1805,12 +1820,14 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(gc, "x")
         .groupBy("source")
         .agg(
+            # DECIMAL(38,0): the midrank sum is quadratic in corpus
+            # size (the r8-advice int64 class, fixed repo-wide in r9);
+            # u2 itself stays bigint — it exceeds int64 only past
+            # ns*total ~ 9e18, a documented domain bound
             F.sum(
-                F.col("cnt")
+                F.col("cnt").cast("decimal(38,0)")
                 * (2 * F.col("c_before") + F.col("gcnt") + 1)
-            )
-            .cast("bigint")
-            .alias("two_r")
+            ).alias("two_r")
         )
     )
     return (
@@ -1821,14 +1838,21 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("ns").alias("n_docs"),
             (F.col("total") - F.col("ns")).cast("bigint").alias("n_rest"),
-            (F.col("two_r") - F.col("ns") * (F.col("ns") + 1))
+            (
+                F.col("two_r")
+                - F.col("ns").cast("decimal(38,0)") * (F.col("ns") + 1)
+            )
             .cast("bigint")
             .alias("u2"),
             F.round(
-                (F.col("two_r") - F.col("ns") * (F.col("ns") + 1)).cast(
-                    "double"
+                (
+                    F.col("two_r")
+                    - F.col("ns").cast("decimal(38,0)") * (F.col("ns") + 1)
+                ).cast("double")
+                / (
+                    F.col("ns").cast("double")
+                    * (F.col("total") - F.col("ns"))
                 )
-                / (F.col("ns") * (F.col("total") - F.col("ns")))
                 - 1.0,
                 6,
             ).alias("rank_biserial"),
@@ -1921,9 +1945,12 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(SUM(c) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_langs,
+           -- HUGEINT: c*(c-1) and n*(n-1) are quadratic in group size
+           -- (the r8-advice int64 class, fixed repo-wide in r9)
            CAST(CASE WHEN SUM(c) < 2 THEN NULL
-                     ELSE SUM(c * (c - 1)) * 1000000
-                          // (SUM(c) * (SUM(c) - 1))
+                     ELSE SUM(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+                          // (SUM(CAST(c AS HUGEINT))
+                              * (SUM(CAST(c AS HUGEINT)) - 1))
                 END AS BIGINT) AS simpson_ppm
     FROM sl GROUP BY source
     """,
@@ -1951,9 +1978,12 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sl.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_langs"),
+        # DECIMAL(38,0): quadratic numerator/denominator exact to 10^38
+        # (the r8-advice int64 class, fixed repo-wide in r9)
         F.expr(
             "CAST(CASE WHEN SUM(c) < 2 THEN NULL "
-            "ELSE SUM(c * (c - 1)) * 1000000 "
-            "DIV (SUM(c) * (SUM(c) - 1)) END AS BIGINT)"
+            "ELSE SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) * 1000000 "
+            "DIV (SUM(CAST(c AS DECIMAL(38,0))) "
+            "* (SUM(CAST(c AS DECIMAL(38,0))) - 1)) END AS BIGINT)"
         ).alias("simpson_ppm"),
     )

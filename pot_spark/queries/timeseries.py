@@ -1536,8 +1536,11 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     g AS (
+      -- HUGEINT: dnum = SL*nR - SR*nL is events x days (the r8-advice
+      -- int64 class, fixed repo-wide in r9)
       SELECT event_type, day, i, n,
-             CAST(sl * (n - i) - (s - sl) * i AS BIGINT) AS dnum,
+             CAST(sl AS HUGEINT) * (n - i)
+               - CAST(s - sl AS HUGEINT) * i AS dnum,
              CAST(i * (n - i) AS BIGINT) AS w
       FROM idx WHERE i < n
     ),
@@ -1546,15 +1549,15 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY event_type
                ORDER BY CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
-                        / (w * n) DESC, day
+                        / (CAST(w AS DOUBLE) * n) DESC, day
              ) AS rn
       FROM g
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_days,
            CAST(day AS VARCHAR) AS split_day,
-           ROUND(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) / (w * n), 6)
-             AS g_stat,
+           ROUND(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+                 / (CAST(w AS DOUBLE) * n), 6) AS g_stat,
            ROUND(CAST(dnum AS DOUBLE) / w, 6) AS mean_delta
     FROM ranked WHERE rn = 1
     """,
@@ -1593,21 +1596,22 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_all).alias("n"),
         F.sum("c").over(w_all).alias("s"),
     )
+    # DECIMAL(38,0): dnum = SL*nR - SR*nL is events x days — quadratic-
+    # magnitude (the r8-advice int64 class, fixed repo-wide in r9); it
+    # enters doubles only at the final G expression, same as before
     g = idx.filter(F.col("i") < F.col("n")).select(
         "event_type",
         "day",
         "n",
         (
-            F.col("sl") * (F.col("n") - F.col("i"))
-            - (F.col("s") - F.col("sl")) * F.col("i")
-        )
-        .cast("bigint")
-        .alias("dnum"),
+            F.col("sl").cast("decimal(38,0)") * (F.col("n") - F.col("i"))
+            - (F.col("s") - F.col("sl")).cast("decimal(38,0)") * F.col("i")
+        ).alias("dnum"),
         (F.col("i") * (F.col("n") - F.col("i"))).cast("bigint").alias("w"),
     )
     gs = (
         F.col("dnum").cast("double") * F.col("dnum").cast("double")
-    ) / (F.col("w") * F.col("n"))
+    ) / (F.col("w").cast("double") * F.col("n"))
     w_rank = Window.partitionBy("event_type").orderBy(
         gs.desc(), F.asc("day")
     )

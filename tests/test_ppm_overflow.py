@@ -80,3 +80,45 @@ def test_gini_expr_matches_duckdb_hugeint_beyond_int64(spark):
         " (10000000, 1000000000, 9000000000)) t(x, c, c_prev)"
     ).fetchone()[0]
     assert got == duck == _py_gini_ppm(hist)
+
+
+SIMPSON_EXPR = (
+    "CAST(CASE WHEN SUM(c) < 2 THEN NULL "
+    "ELSE SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) * 1000000 "
+    "DIV (SUM(CAST(c AS DECIMAL(38,0))) "
+    "* (SUM(CAST(c AS DECIMAL(38,0))) - 1)) END AS BIGINT)"
+)
+
+
+def test_simpson_expr_exact_beyond_int64(spark):
+    # two langs of 5e9 docs each: c*(c-1) = 2.5e19 > int64 per row
+    hist = [(5_000_000_000,), (5_000_000_000,)]
+    df = spark.createDataFrame(hist, "c: long")
+    got = df.agg(F.expr(SIMPSON_EXPR).alias("s")).collect()[0].s
+    cs = [c for (c,) in hist]
+    n = sum(cs)
+    want = sum(c * (c - 1) for c in cs) * 1_000_000 // (n * (n - 1))
+    assert got == want
+    assert cs[0] * (cs[0] - 1) > 2**63 - 1
+
+
+def test_ks_dnum_exact_beyond_int64(spark):
+    """The decimal KS deviation s_cum*(total-ns) - rest*ns on operands
+    big enough that the old bigint products wrapped."""
+    row = [(4_000_000_000, 9_000_000_000, 10_000_000_000, 4_500_000_000)]
+    df = spark.createDataFrame(
+        row, "s_cum: long, t_cum: long, total: long, ns: long"
+    )
+    expr = (
+        F.abs(
+            F.col("s_cum").cast("decimal(38,0)")
+            * (F.col("total") - F.col("ns"))
+            - (F.col("t_cum") - F.col("s_cum"))
+            * F.col("ns").cast("decimal(38,0)")
+        )
+    ).alias("dnum")
+    got = int(df.select(expr).collect()[0].dnum)
+    s_cum, t_cum, total, ns = row[0]
+    want = abs(s_cum * (total - ns) - (t_cum - s_cum) * ns)
+    assert got == want
+    assert s_cum * (total - ns) > 2**63 - 1

@@ -262,8 +262,12 @@ def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, sums, maxs, hists, nbytes = [], [], [], [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
+            # the seed folds to [0, 256) in PYTHON (arbitrary precision,
+            # non-negative remainder) so a negative or huge doc_id can
+            # never diverge from the oracle's sign-normalized %
+            seed = (d * 13) % 256
             y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
-            img = ((y * 31 + x * 7 + d * 13) % 256).astype(np.uint8)
+            img = ((y * 31 + x * 7 + seed) % 256).astype(np.uint8)
             payload = encode_png(img, filter_type=d % 5)
             luma = _decode_payload(payload, "image/png")
             hist = np.bincount(luma // 64, minlength=4)[:4]
@@ -287,8 +291,12 @@ def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "q_multimodal_png_stats",
     oracle=f"""
     WITH px AS (
+        -- sign-normalized %: DuckDB's remainder follows the dividend's
+        -- sign, so a negative doc_id would diverge from the Spark
+        -- side's non-negative Python % without the +256 fold
         SELECT d.doc_id,
-               (y.y * 31 + x.x * 7 + d.doc_id * 13) % 256 AS v
+               (y.y * 31 + x.x * 7
+                + ((d.doc_id * 13) % 256 + 256) % 256) % 256 AS v
         FROM (SELECT doc_id FROM documents) d,
              (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y) y,
              (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x) x

@@ -1404,3 +1404,19 @@ def test_group_cap_sample_uses_window_group_limit(spark, sf_dir):
     (r8 rewrite of the blocked-pushdown conditional-aggregate form)."""
     p = _plan(spark, sf_dir, "q_group_cap_sample")
     assert "WindowGroupLimit" in p
+
+
+def test_near_dedup_gate_is_candidate_join_no_window(spark, sf_dir):
+    """The r9 admission gate's batch twin: the banding self-join reads
+    the CHECKPOINTED signature relation (ExistingRDD — the signature
+    aggregation runs once, not three times), candidates form through an
+    equi-join on band_key (never a nested-loop/cartesian pair scan),
+    the 8-lane signature compare is a codegen filter (no Window, no
+    UDF), and the verdict join rides a broadcast."""
+    p = _plan(spark, sf_dir, "s_dedup_near_gate")
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p

@@ -547,3 +547,45 @@ def test_near_dedup_gate_tws_matches_batch(spark, sf_dir):
     )
     batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
     assert _sorted_rows(out) == _sorted_rows(batch)
+
+
+def test_near_dedup_gate_to_pot_exactly_once(spark, sf_dir, tmp_path):
+    """The full production admission pipeline: crawl stream -> band-key
+    gate -> exactly-once pot upsert. Per-(band, doc) verdicts land in a
+    PotStore keyed (band_key, doc_id) through the epoch-ledger sink; the
+    rolled-up pot contents equal the oracle-checked batch twin, and each
+    non-empty epoch commits exactly one replay-protected generation."""
+    import json
+
+    from pot_spark.kv.store import PotStore
+    from pot_spark.streaming.runner import _doc_stream, build_near_dedup_gate
+    from pot_spark.streaming.sink import _epoch_done, start_pot_upsert_stream
+
+    stream = _doc_stream(spark, f"{sf_dir}/documents.parquet")
+    store = PotStore(spark, str(tmp_path / "potroot"))
+    q = start_pot_upsert_stream(
+        build_near_dedup_gate(stream),
+        store,
+        "gate/verdicts",
+        ["band_key", "doc_id"],
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    content = store.get("gate/verdicts")
+    admitted: dict[int, int] = {}
+    for doc in content.values():
+        d = int(doc["doc_id"])
+        admitted[d] = min(admitted.get(d, 1), 1 - int(doc["collided"]))
+    batch = {
+        r.doc_id: r.admitted
+        for r in registry.QUERIES["s_dedup_near_gate"](spark, sf_dir).collect()
+    }
+    assert admitted == batch
+    # one generation per non-empty epoch, ledger marks them done
+    gens = store.list_generations("gate/verdicts")
+    assert len(gens) >= 1
+    assert _epoch_done(store, "gate/verdicts", 0)

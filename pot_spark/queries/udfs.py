@@ -329,11 +329,20 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is excluded from the oracle projection (compression size is
     zlib-version-dependent); the stats columns are pure integers.
 
-    Scale posture: embarrassingly parallel mapInPandas — one Arrow
-    batch per partition, no shuffle; decode cost scales linearly with
-    executors (the same shape a real corpus-wide thumbnailing pass
-    has). No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    Scale posture: embarrassingly parallel mapInPandas; decode cost
+    scales linearly with executors (the same shape a real corpus-wide
+    thumbnailing pass has). The input is EXPLICITLY repartitioned to
+    the session's parallelism first: the doc-id list arrives as one
+    small parquet split, and without the round-robin fan-out the whole
+    Python-side encode/decode would run on a single core (measured:
+    5.8 s -> sub-second at sf0.1 on local[32]) — the repartition cost
+    is 8 bytes/row against seconds of per-row Python. No reference
+    counterpart (SURVEY.md §2-A)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         _png_stats_batches,
         schema=(

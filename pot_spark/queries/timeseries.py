@@ -1047,7 +1047,15 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery formulation would be a per-purchase range scan. No reference
     counterpart (SURVEY.md §2-A)."""
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # NULL-key guard (the round-8 asof-family advice class, swept in
+    # r9): the window's NULL user_id partition would let a NULL-user
+    # click attribute a NULL-user purchase, but the oracle's correlated
+    # equi-predicate (c.user_id = p.user_id) never matches NULL — drop
+    # NULL-key rows from the MATCH side; NULL-user purchases stay,
+    # unattributed.
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",

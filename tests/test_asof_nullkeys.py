@@ -46,7 +46,8 @@ def null_user_dir(tmp_path_factory) -> str:
 
 
 @pytest.mark.parametrize(
-    "name", ["q_asof_join", "q_asof_forward", "q_asof_tolerance"]
+    "name",
+    ["q_asof_join", "q_asof_forward", "q_asof_tolerance", "q_attribution"],
 )
 def test_asof_family_null_user_parity(spark, null_user_dir, name):
     from pot_spark import registry

@@ -352,6 +352,14 @@ class FsspecBackend(CommitBackend):
                         self.fs.rm(stage)
                     except OSError:
                         pass
+                    # if the claim is still OURS (key committed by an
+                    # earlier winner before we claimed), release it so
+                    # the dot-file doesn't linger until the horizon
+                    if self._owns_claim(claim, nonce):
+                        try:
+                            self.fs.rm(claim)
+                        except OSError:
+                            pass
                     return False
                 # commit point: atomic move of COMPLETE content
                 self.fs.mv(stage, key)

@@ -158,15 +158,20 @@ def export_snapshot(
     the copy degrades to a sequential driver loop (same contract, for
     CLI use off-cluster)."""
     paths = store.list_paths()
-    if store.get(""):
+    # probe root-pot existence via its manifest (n_keys) instead of a
+    # full content read — the root pot can be arbitrarily large
+    root_m = store._latest_manifest("")
+    if root_m is not None and root_m.n_keys:
         paths = [""] + paths
-    dest_abs = os.path.abspath(dest)
+    # store.root is realpath'd at construction — realpath dest too, so a
+    # symlinked dest under the root can't dodge the self-inclusion guard
+    dest_abs = os.path.realpath(dest)
     root = store.root
     paths = [
         p
         for p in paths
-        if os.path.abspath(os.path.join(root, p)) != dest_abs
-        and not os.path.abspath(os.path.join(root, p)).startswith(
+        if os.path.realpath(os.path.join(root, p)) != dest_abs
+        and not os.path.realpath(os.path.join(root, p)).startswith(
             dest_abs + os.sep
         )
     ]

@@ -232,9 +232,21 @@ class FsspecBackend(CommitBackend):
     (GC pause, network stall) whose claim was reclaimed aborts with
     False instead of mv'ing over the reclaimer's committed manifest
     (the round-8 advice finding: reclaim must keep the single-winner
-    contract even when the "dead" writer resumes). Without
-    ``modified`` the claim must be removed manually and put_if_absent
-    says so in the docstring contract. In-process write failures roll
+    contract even when the "dead" writer resumes). RESIDUAL WINDOW:
+    fsspec has no compare-and-swap, so the ownership re-check and the
+    publishing ``mv`` cannot be one atomic step — a reclaim landing in
+    the gap between ``_owns_claim()`` and ``mv`` (now one syscall wide,
+    down from the whole stage write) can still let the stalled writer's
+    mv overwrite the reclaimer's manifest. Both writers held the same
+    generation's complete payload, so the committed content is a valid
+    manifest either way; what the window costs is strict
+    single-winner attribution. Deployers on shared filesystems should
+    size ``claim_horizon_s`` well above their worst-case stall (GC
+    pause, NFS retry storm) — the race requires a writer stalled past
+    the horizon yet resuming within one syscall of the reclaimer's
+    publish. Where true atomicity is required, use the conditional-put
+    backend. Without ``modified`` the claim must be removed manually
+    and put_if_absent says so in the docstring contract. In-process write failures roll
     back both sidecars. For object stores whose fsspec layer emulates
     "xb" with a non-atomic exists+put, this backend is NOT safe — use
     the conditional-put backend instead."""

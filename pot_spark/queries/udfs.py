@@ -352,15 +352,106 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("png_bytes")
 
 
-@query("q_multimodal_features")  # stubbed decode -> rows-only check
+def _png_features_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: encode a deterministic 16x16 RGB image to a real PNG,
+    decode it through the production path (_decode_payload ->
+    decode_png + the exact integer ITU-R 601-2 to_grayscale), and emit
+    the same feature battery as the generic extractor. RGB on purpose:
+    unlike q_multimodal_png_stats (grayscale), this pins the
+    color->luma conversion too. byte_mean is sum/256 — division by a
+    power of two, so the double is EXACT and the DuckDB oracle's
+    SUM(v)/256 reproduces it bit-for-bit."""
+    from pot_spark.queries.png_codec import encode_png
+
+    for pdf in it:
+        ids, means, maxs, hists = [], [], [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            seed = (d * 13) % 256  # Python %: non-negative for any doc_id
+            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
+            img = np.stack(
+                [
+                    (y * 11 + seed) % 256,
+                    (x * 29 + seed * 3) % 256,
+                    (y * x + seed * 7) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = encode_png(img, filter_type=d % 5)
+            luma = _decode_payload(payload, "image/png")
+            hist = np.bincount(luma // 64, minlength=4)[:4]
+            ids.append(d)
+            means.append(float(int(luma.sum()) / 256.0))
+            maxs.append(int(luma.max()))
+            hists.append(",".join(str(int(v)) for v in hist))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "media_type": "image/png",
+                "byte_mean": means,
+                "byte_max": pd.Series(maxs, dtype="int32"),
+                "byte_hist": hists,
+            }
+        )
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH px AS (
+        -- the Spark side decodes a real RGB PNG; luma is PIL's exact
+        -- integer ITU-R 601-2 convert('L'): (r*19595+g*38470+b*7471
+        -- +0x8000) >> 16. The +256 fold sign-normalizes the seed for
+        -- negative doc_ids (DuckDB % follows the dividend's sign).
+        SELECT d.doc_id,
+               ((y.y * 11 + d.seed) % 256 * 19595
+                + (x.x * 29 + d.seed * 3) % 256 * 38470
+                + (y.y * x.x + d.seed * 7) % 256 * 7471
+                + 32768) // 65536 AS v
+        FROM (SELECT doc_id, ((doc_id * 13) % 256 + 256) % 256 AS seed
+              FROM documents) d,
+             (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y) y,
+             (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x) x
+    )
+    SELECT doc_id,
+           'image/png' AS media_type,
+           CAST(SUM(v) AS DOUBLE) / 256 AS byte_mean,
+           CAST(MAX(v) AS INTEGER) AS byte_max,
+           CAST(SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END)
+                AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END)
+                AS VARCHAR)
+             || ',' ||
+           CAST(SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS VARCHAR)
+             AS byte_hist
+    FROM px GROUP BY doc_id
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload column.
-    The histogram is emitted as a joined string (q_array_agg pattern):
-    array-typed output columns crash the external harness's pandas
-    canonical sort."""
-    media = build_media_table(spark, sf_dir)
-    return media.mapInPandas(
-        _extract_features,
+    """HASH-CHECKED real-decode feature extraction (r10, was rows-only):
+    each doc gets a deterministic 16x16 RGB image encoded to an actual
+    PNG and decoded back through the production path (PIL where
+    installed, the in-repo stdlib codec here — bit-identical luma)
+    inside the mapInPandas batch; the oracle computes byte_mean /
+    byte_max / byte_hist straight from the pixel+luma formula, so a
+    hash match proves the color PNG roundtrip AND the ITU-R 601-2
+    grayscale conversion lossless for every row. The generic
+    binary-payload extractor (_extract_features) remains the
+    arbitrary-media path (tests/test_multimodal_real.py drives real
+    payloads through it end-to-end). Embarrassingly parallel — the
+    doc-id list is repartitioned to the session's parallelism first so
+    the Python-side encode/decode uses every core (same rationale as
+    q_multimodal_png_stats). No reference counterpart (SURVEY.md §2-A)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _png_features_batches,
         schema=(
             "doc_id long, media_type string, byte_mean double, byte_max int,"
             " byte_hist string"
@@ -390,19 +481,76 @@ def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "side", "thumb"])
 
 
-@query("q_multimodal_resize")  # stubbed decode -> rows-only check
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing over binary payloads: mapInPandas, one
-    Arrow batch per partition, emits a fixed 64-float thumbnail per doc
-    (serialized to a joined string — array-typed outputs crash the
-    external harness's canonical sort). Partition-parallel with no
-    shuffle; at scale the decode dominates and scales linearly with
-    executors."""
-    media = build_media_table(spark, sf_dir).filter(
-        F.col("media_type") == "image/fake"
+def _png_resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: encode a deterministic 16x16 grayscale image to a real
+    PNG, decode through the production path, block-mean downsample to
+    an 8x8 uint8 thumbnail (2x2 block sum floor-divided by 4 — the
+    standard integer image resize), and emit the 64 values as a joined
+    string in row-major order."""
+    from pot_spark.queries.png_codec import encode_png
+
+    for pdf in it:
+        ids, thumbs = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            seed = (d * 7) % 256
+            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
+            img = ((y * 13 + x * 5 + seed) % 256).astype(np.uint8)
+            payload = encode_png(img, filter_type=d % 5)
+            luma = _decode_payload(payload, "image/png").reshape(_PNG_H, _PNG_W)
+            thumb = luma.reshape(8, 2, 8, 2).astype(np.int64).sum(axis=(1, 3)) // 4
+            ids.append(d)
+            thumbs.append(",".join(str(int(v)) for v in thumb.ravel()))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "side": pd.Series([_PNG_H] * len(ids), dtype="int32"),
+                "thumb": thumbs,
+            }
+        )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id, y.y // 2 AS by, x.x // 2 AS bx,
+               (y.y * 13 + x.x * 5
+                + ((d.doc_id * 7) % 256 + 256) % 256) % 256 AS v
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y) y,
+             (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x) x
+    ),
+    blk AS (
+        SELECT doc_id, by, bx, SUM(v) // 4 AS bv
+        FROM px GROUP BY doc_id, by, bx
     )
-    return media.select("doc_id", "payload").mapInPandas(
-        _resize_batches, schema="doc_id long, side int, thumb string"
+    SELECT doc_id,
+           CAST({_PNG_H} AS INTEGER) AS side,
+           string_agg(CAST(bv AS VARCHAR), ',' ORDER BY by, bx) AS thumb
+    FROM blk GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED real-decode image resize (r10, was rows-only): a
+    deterministic 16x16 grayscale image per doc, encoded to an actual
+    PNG (rotating scanline filters) and decoded back through the
+    production path inside the batch, then block-mean downsampled to
+    an 8x8 integer thumbnail; the oracle computes the identical
+    thumbnail straight from the pixel formula (per-block SUM // 4,
+    string_agg in row-major block order), so a hash match proves the
+    decode AND the resize arithmetic exact for every row. The generic
+    binary-payload resizer (_resize_batches) remains the
+    arbitrary-media path. Partition-parallel with no shuffle; the
+    doc-id list is repartitioned to the session's parallelism so the
+    Python-side codec work spreads across every core."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _png_resize_batches, schema="doc_id long, side int, thumb string"
     )
 
 
@@ -427,16 +575,81 @@ def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_mean": means})
 
 
-@query("q_multimodal_frames")  # stubbed decode -> rows-only check
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for audio/video payloads: 256-byte frames,
-    every 4th kept, one output row per sampled frame (row-expanding
-    mapInPandas, same shape a real ffmpeg-backed sampler would emit)."""
-    media = build_media_table(spark, sf_dir).filter(
-        F.col("media_type") == "audio/fake"
+_PNG_FRAME_PX = 32  # pixels per frame over the decoded 256-px stream
+_PNG_FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def _png_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: encode/decode a real PNG through the production path,
+    then frame-split the decoded 256-pixel luma stream (32 px/frame,
+    every 2nd kept) — row-expanding, one output row per sampled frame.
+    frame_mean is sum/32 (power of two), so the double is exact and
+    oracle-reproducible."""
+    from pot_spark.queries.png_codec import encode_png
+
+    for pdf in it:
+        ids, idxs, means = [], [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            seed = (d * 5) % 256
+            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
+            img = ((y * 31 + x * 7 + seed) % 256).astype(np.uint8)
+            payload = encode_png(img, filter_type=d % 5)
+            luma = _decode_payload(payload, "image/png")
+            n_frames = luma.size // _PNG_FRAME_PX
+            for fi in range(0, n_frames, _PNG_FRAME_STRIDE):
+                frame = luma[fi * _PNG_FRAME_PX : (fi + 1) * _PNG_FRAME_PX]
+                ids.append(d)
+                idxs.append(fi)
+                means.append(float(int(frame.sum()) / _PNG_FRAME_PX))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_mean": means,
+            }
+        )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (y.y * {_PNG_W} + x.x) // {_PNG_FRAME_PX} AS fi,
+               (y.y * 31 + x.x * 7
+                + ((d.doc_id * 5) % 256 + 256) % 256) % 256 AS v
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y) y,
+             (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x) x
     )
-    return media.select("doc_id", "payload").mapInPandas(
-        _frame_sample_batches, schema="doc_id long, frame_idx int, frame_mean double"
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(SUM(v) AS DOUBLE) / {_PNG_FRAME_PX} AS frame_mean
+    FROM px
+    WHERE fi % {_PNG_FRAME_STRIDE} = 0
+    GROUP BY doc_id, fi
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED real-decode frame sampling (r10, was rows-only): a
+    real PNG per doc decoded through the production path in-batch, the
+    decoded 256-pixel luma stream split into 32-px frames with every
+    2nd kept — one output row per sampled frame, the row-expanding
+    shape a real ffmpeg keyframe/audio-chunk sampler emits. The oracle
+    derives each frame's exact mean (SUM / 32, a power-of-two division
+    so the double matches bit-for-bit) straight from the pixel
+    formula, so a hash match proves decode + frame arithmetic exact
+    for every row. The generic byte-stream sampler
+    (_frame_sample_batches) remains the arbitrary-media path.
+    Partition-parallel, repartitioned to full parallelism first."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _png_frame_batches, schema="doc_id long, frame_idx int, frame_mean double"
     )
 
 

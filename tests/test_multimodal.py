@@ -1,6 +1,9 @@
-"""Multimodal plumbing invariants: the decode step is a deterministic
-stub (no image/audio libs in this container), but schema, batching and
-row-expansion are the real Spark-side contract."""
+"""Multimodal pipeline invariants. Since r10 the registered trio
+(features/resize/frames) encodes+decodes REAL PNGs through the
+production decode path in-batch and is hash-checked against DuckDB
+oracles; the generic binary-payload helpers (_extract_features,
+_resize_batches, _frame_sample_batches) remain the arbitrary-media
+path and keep their stub-level invariants here."""
 
 from __future__ import annotations
 
@@ -23,19 +26,50 @@ def test_resize_emits_fixed_thumbnails(spark, sf_dir):
         assert all(0.0 <= x <= 255.0 for x in vals)
 
 
-def test_frame_sampling_counts_match_payload_size(spark, sf_dir):
-    from pot_spark.queries.udfs import _FRAME_BYTES, _FRAME_STRIDE, build_media_table
-
+def test_frame_sampling_emits_strided_frames_per_doc(spark, sf_dir):
+    """q_multimodal_frames (real-PNG path): 256 decoded pixels / 32 px
+    per frame / stride 2 -> exactly frames {0, 2, 4, 6} for EVERY doc."""
     df = registry.QUERIES["q_multimodal_frames"](spark, sf_dir)
-    got = {
-        (r.doc_id, r.n): None
-        for r in df.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
-    }
-    media = build_media_table(spark, sf_dir).filter("media_type = 'audio/fake'")
-    for r in media.select("doc_id", "n_bytes").collect():
-        n_frames = max(-(-r.n_bytes // _FRAME_BYTES), 1)
-        expect = -(-n_frames // _FRAME_STRIDE)
-        assert (r.doc_id, expect) in got
+    rows = df.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert 0.0 <= r.frame_mean <= 255.0
+        # sum of 32 uint8s / 32: exactly representable in quarters of
+        # 1/32 — the mean times 32 must be integral
+        assert (r.frame_mean * 32) == int(r.frame_mean * 32)
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == [0, 2, 4, 6], (doc_id, idxs)
+
+
+def test_png_features_match_direct_decode():
+    """The features batch fn's output equals numpy stats of the decoded
+    luma of the very PNG it generated — pinned on a handful of doc_ids
+    including a negative one (the seed fold must stay non-negative)."""
+    import pandas as pd
+
+    from pot_spark.queries.png_codec import decode_png, to_grayscale
+    from pot_spark.queries.udfs import _PNG_H, _PNG_W, _png_features_batches
+    import numpy as np
+
+    ids = [-3, 0, 1, 4, 257]
+    out = next(_png_features_batches(iter([pd.DataFrame({"doc_id": ids})])))
+    for i, d in enumerate(ids):
+        seed = (d * 13) % 256
+        y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
+        img = np.stack(
+            [
+                (y * 11 + seed) % 256,
+                (x * 29 + seed * 3) % 256,
+                (y * x + seed * 7) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        luma = to_grayscale(img).ravel()
+        assert out.loc[i, "byte_mean"] == luma.sum() / 256.0
+        assert out.loc[i, "byte_max"] == luma.max()
+        hist = np.bincount(luma // 64, minlength=4)[:4]
+        assert out.loc[i, "byte_hist"] == ",".join(str(int(v)) for v in hist)
 
 
 def test_resize_block_mean_known_payload():

@@ -14,13 +14,12 @@ from pot_spark.tables import TABLE_NAMES
 
 registry.load_all_query_modules()
 
-# approximate, algorithmic-pruning, or stubbed-decode operators: the
-# driver records a weaker rows-only check for these by design
+# approximate or algorithmic operators whose outputs can't hash-match a
+# deterministic SQL oracle: the driver records a weaker rows-only check
+# for these by design (the multimodal trio graduated to hash-checked
+# real-PNG oracles in r10)
 ROWS_ONLY = {
     "q_approx_cd",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
     "q_hll_sketch",
     "q_approx_percentile",
     "q_approx_topk",

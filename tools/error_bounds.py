@@ -3,7 +3,7 @@
 
 The registry entries declared rows-only (tests/test_registry.py
 ROWS_ONLY): approximate sketches whose outputs can't hash-match a
-deterministic SQL oracle, and stubbed multimodal decodes. Their
+deterministic SQL oracle. Their
 correctness story lives in pytest error-bound tests — but the external
 driver's CORRECTNESS_r*.json rows for them say only ``no_oracle``. This
 tool turns the same measurements into a per-op JSON artifact
@@ -15,13 +15,12 @@ tool turns the same measurements into a per-op JSON artifact
   requested quantile (bound: 1/accuracy + one-element discreteness);
 - q_approx_topk: exact-regime contract — every returned count equals
   the exact count and clears the true top-k threshold (bound: 0);
-- q_multimodal_features: stub determinism PLUS a REAL-decode leg —
-  actual PNG payloads (grayscale + RGB, every scanline filter) through
-  the production extractor, compared against numpy stats of the known
-  decoded luma (r9; PIL where installed, the in-repo stdlib codec
-  otherwise — bit-identical luma);
-- q_multimodal_resize / frames: the declared deterministic stub — two
-  independent runs must byte-agree, with the expected row count.
+
+(The multimodal trio — features/resize/frames — measured here through
+r9 graduated to hash-checked real-PNG DuckDB oracles in r10, so they
+left the rows-only set; their correctness is now the driver's hash
+gate, and the generic binary-payload extractor keeps its real-decode
+pytest leg in tests/test_multimodal_real.py.)
 
 The pytest suite cross-references this module (tests/test_sketches.py
 imports ``measure_all`` and asserts every entry passes), so the artifact
@@ -156,92 +155,6 @@ def measure_approx_topk(spark, sf_dir):
     }
 
 
-def _measure_stub(name):
-    def measure(spark, sf_dir):
-        from pot_spark import registry
-
-        fn = registry.QUERIES[name]
-        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
-        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
-        return {
-            "op": name,
-            "metric": "deterministic_stub_two_run_agreement",
-            "value": 0 if a == b else 1,
-            "bound": 0,
-            "rows": len(a),
-            "pass": a == b and len(a) > 0,
-        }
-
-    return measure
-
-
-def measure_multimodal_features(spark, sf_dir):
-    """q_multimodal_features: the registered query's stub determinism
-    (two-run agreement, as before) PLUS the round-9 REAL-decode leg —
-    actual PNG payloads (grayscale + RGB, every scanline filter) run
-    through the production mapInPandas extractor, features compared
-    against numpy statistics of the known decoded luma pixels. The
-    decode is PIL where installed, the in-repo stdlib codec here; the
-    two are bit-identical on the supported profile (PIL's exact
-    integer ITU-R 601-2 luma)."""
-    import numpy as np
-
-    from pot_spark import registry
-    from pot_spark.queries.png_codec import encode_png, to_grayscale
-    from pot_spark.queries.udfs import _extract_features
-
-    fn = registry.QUERIES["q_multimodal_features"]
-    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
-    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
-
-    rows, truth = [], {}
-    for i in range(12):
-        y, x = np.mgrid[0:10, 0:8]
-        if i % 2 == 0:
-            img = ((y * 31 + x * 7 + i * 13) % 256).astype(np.uint8)
-        else:
-            img = np.stack(
-                [(y * 11 + i) % 256, (x * 29 + 3 * i) % 256, (y * x + 7 * i) % 256],
-                axis=-1,
-            ).astype(np.uint8)
-        payload = encode_png(img, filter_type=i % 5)
-        truth[i] = to_grayscale(img).ravel()
-        rows.append((i, bytearray(payload), "image/png", len(payload)))
-    media = spark.createDataFrame(
-        rows, "doc_id long, payload binary, media_type string, n_bytes long"
-    )
-    got = {
-        r.doc_id: r
-        for r in media.mapInPandas(
-            _extract_features,
-            schema=(
-                "doc_id long, media_type string, byte_mean double,"
-                " byte_max int, byte_hist string"
-            ),
-        ).collect()
-    }
-    real_mismatches = 0
-    for i, luma in truth.items():
-        r = got.get(i)
-        hist = np.bincount(luma // 64, minlength=4)[:4]
-        exp = (
-            float(np.round(luma.mean(), 6)),
-            int(luma.max()),
-            ",".join(str(int(v)) for v in hist),
-        )
-        if r is None or (r.byte_mean, r.byte_max, r.byte_hist) != exp:
-            real_mismatches += 1
-    value = (0 if a == b else 1) + real_mismatches
-    return {
-        "op": "q_multimodal_features",
-        "metric": "stub_determinism_plus_real_png_decode_mismatches",
-        "value": value,
-        "bound": 0,
-        "rows": len(a),
-        "pass": value == 0 and len(a) > 0 and len(got) == 12,
-    }
-
-
 def measure_bpe_encode(spark, sf_dir):
     """q_bpe_encode: exact row-for-row equality against an independent
     pure-pandas re-computation (same train/apply helpers, none of the
@@ -305,9 +218,6 @@ MEASURES = [
     measure_approx_cd,
     measure_approx_percentile,
     measure_approx_topk,
-    measure_multimodal_features,
-    _measure_stub("q_multimodal_resize"),
-    _measure_stub("q_multimodal_frames"),
     measure_bpe_encode,
 ]
 

@@ -55,6 +55,16 @@ class CommitBackend(ABC):
         Readers must never observe a partially-written target."""
 
 
+class ReadOnlyBackend(CommitBackend):
+    """For stores that only READ (e.g. per-task export replicas): any
+    commit attempt is a contract error, not a silent namespace split."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        raise RuntimeError(
+            f"read-only store: refusing to commit {target!r}"
+        )
+
+
 class LocalFSBackend(CommitBackend):
     """POSIX filesystems: stage under a dot-name the manifest lister
     ignores, fsync, then ``os.link`` — an atomic create-if-absent of

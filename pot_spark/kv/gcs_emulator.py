@@ -21,6 +21,13 @@ https://cloud.google.com/storage/docs/json_api):
   ``ifGenerationMatch=0`` with **412** when the object exists — the
   one precondition the commit protocol uses
 - ``GET  /storage/v1/b/{b}/o/{obj}?alt=media`` download
+- ``GET  /storage/v1/b/{b}/o?prefix=...``      list objects (names)
+- ``DELETE /storage/v1/b/{b}/o/{obj}``         delete (404 if missing)
+
+The list/delete endpoints exist for the object-store DATA PLANE
+(kv/storefs.py ObjectStoreFS): snapshot parquet + manifest listing run
+against the same bucket the conditional-put commit writes to, so a
+bucket-rooted PotStore round-trips end-to-end over real HTTP.
 
 The precondition check and the object write happen under one lock, so
 concurrent uploads of the same key see exactly-one-winner semantics —
@@ -78,6 +85,18 @@ class FakeGCSServer:
                 elif parts[:2] == ["storage", "v1"] and len(parts) == 4:
                     # /storage/v1/b/{bucket}
                     self._reply(200 if parts[3] in buckets else 404)
+                elif parts[:2] == ["storage", "v1"] and len(parts) == 5:
+                    # /storage/v1/b/{bucket}/o?prefix=...  (list)
+                    qs = urllib.parse.parse_qs(url.query)
+                    prefix = qs.get("prefix", [""])[0]
+                    bucket = parts[3]
+                    with lock:
+                        names = sorted(
+                            k
+                            for (b, k) in objects
+                            if b == bucket and k.startswith(prefix)
+                        )
+                    self._reply(200, {"items": [{"name": n} for n in names]})
                 elif parts[:2] == ["storage", "v1"] and len(parts) == 6:
                     # /storage/v1/b/{bucket}/o/{object}
                     key = (parts[3], urllib.parse.unquote(parts[5]))
@@ -116,6 +135,17 @@ class FakeGCSServer:
                             return
                         objects[(bucket, obj)] = body
                     self._reply(200, {"name": obj, "generation": "1"})
+                else:
+                    self._reply(404)
+
+            def do_DELETE(self):
+                url = urllib.parse.urlparse(self.path)
+                parts = url.path.strip("/").split("/")
+                if parts[:2] == ["storage", "v1"] and len(parts) == 6:
+                    key = (parts[3], urllib.parse.unquote(parts[5]))
+                    with lock:
+                        existed = objects.pop(key, None) is not None
+                    self._reply(204 if existed else 404)
                 else:
                     self._reply(404)
 
@@ -172,8 +202,34 @@ class HttpObjectStoreClient:
             raise
 
     def download(self, key: str) -> bytes:
+        """Raises FileNotFoundError on 404 — the dict-like miss signal
+        the data plane's manifest/snapshot readers branch on."""
         name = urllib.parse.quote(key.lstrip("/"), safe="")
         url = (
             f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{name}?alt=media"
         )
-        return urllib.request.urlopen(url, timeout=10).read()
+        try:
+            return urllib.request.urlopen(url, timeout=10).read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(key) from e
+            raise
+
+    def list(self, prefix: str = "") -> list[str]:
+        """Object names under ``prefix`` (flat namespace, GCS
+        ``objects.list`` shape)."""
+        q = urllib.parse.quote(prefix.lstrip("/"), safe="")
+        url = f"{self.endpoint}/storage/v1/b/{self.bucket}/o?prefix={q}"
+        body = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        return [item["name"] for item in body.get("items", [])]
+
+    def delete(self, key: str) -> None:
+        """Delete; missing keys are a silent no-op (rmtree semantics)."""
+        name = urllib.parse.quote(key.lstrip("/"), safe="")
+        url = f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{name}"
+        req = urllib.request.Request(url, method="DELETE")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise

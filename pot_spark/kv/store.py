@@ -53,8 +53,6 @@ DataFrame for the relational layer.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import threading
 import time
 import uuid
@@ -62,12 +60,12 @@ from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.kv.backend import CommitBackend, LocalFSBackend
 from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
+from pot_spark.kv.storefs import LocalStoreFS
 
 _POT_DIRNAME = "_pot"
 _COMMITS = "commits"
@@ -203,13 +201,26 @@ class PotStore:
         spark: Optional[SparkSession],
         root: str,
         backend: Optional["CommitBackend"] = None,
+        fs=None,
     ) -> None:
         self.spark = spark
-        # realpath, not abspath: _pot_dir's containment check compares
-        # normalized prefixes, which only holds if the root itself is
-        # symlink-free
-        self.root = os.path.realpath(root)
-        os.makedirs(self.root, exist_ok=True)
+        # the data-plane seam (kv/storefs.py): manifest listing, snapshot
+        # parquet I/O and tree maintenance all go through _fs — local
+        # os/pyarrow by default, an object-store/fsspec filesystem for
+        # bucket-rooted stores (pair it with the matching commit backend
+        # so reads and the put-if-absent commit share one namespace)
+        self._fs = fs or LocalStoreFS()
+        if fs is not None and not isinstance(fs, LocalStoreFS) and backend is None:
+            # defaulting to LocalFSBackend would split the namespaces:
+            # commits on local disk, data in the bucket — readers would
+            # silently see an empty store. Fail loudly instead.
+            raise ValueError(
+                "a non-local data-plane fs needs a commit backend writing"
+                " to the same namespace (e.g. ConditionalPutBackend over"
+                " the same object client)"
+            )
+        self.root = self._fs.canonical_root(root)
+        self._fs.makedirs(self.root)
         # the commit-point seam (kv/backend.py): every generation publish
         # goes through backend.put_if_absent — local FS by default, a
         # conditional-put object store (GCS if_generation_match=0, S3/ABS
@@ -227,15 +238,25 @@ class PotStore:
 
     def _pot_dir(self, path: str) -> str:
         path = path.strip("/")
-        base = os.path.normpath(os.path.join(self.root, path)) if path else self.root
+        base = self._fs.normjoin(self.root, path) if path else self.root
         # containment gate: a pot path must never escape the store root.
         # The reference is immune by construction (GCS object namespace);
         # a filesystem root is not, so `..` segments (or anything that
         # normalizes outside root) are rejected here — the single choke
         # point every read/write/list path goes through.
-        if base != self.root and not base.startswith(self.root + os.sep):
+        if not path:
+            contained = True  # the root pot itself
+        elif self.root:
+            contained = base == self.root or base.startswith(
+                self.root + self._fs.sep
+            )
+        else:  # whole-bucket root (object store ""): no upward escapes
+            contained = base not in ("", "..") and not base.startswith(
+                ("..%s" % self._fs.sep, self._fs.sep)
+            )
+        if not contained:
             raise ValueError(f"pot path escapes the store root: {path!r}")
-        return os.path.join(base, _POT_DIRNAME)
+        return self._fs.join(base, _POT_DIRNAME)
 
     def _local_lock(self, path: str) -> threading.RLock:
         """Per-path in-process lock (reference's mutex map,
@@ -248,16 +269,15 @@ class PotStore:
     # -- manifest I/O --------------------------------------------------------
 
     def _latest_manifest(self, path: str) -> Optional[_Manifest]:
-        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        commits = self._fs.join(self._pot_dir(path), _COMMITS)
         try:
-            names = [n for n in os.listdir(commits) if n.endswith(".json")]
+            names = [n for n in self._fs.listdir(commits) if n.endswith(".json")]
         except FileNotFoundError:
             return None
         if not names:
             return None
         latest = max(names)
-        with open(os.path.join(commits, latest)) as f:
-            m = json.load(f)
+        m = json.loads(self._fs.read_bytes(self._fs.join(commits, latest)))
         return _Manifest(
             generation=m["generation"],
             committed_at=m["committed_at"],
@@ -278,8 +298,8 @@ class PotStore:
         object-store backends use the conditional put the reference
         itself relies on (GCS if_generation_match=0, server.go:670-702).
         """
-        commits = os.path.join(self._pot_dir(path), _COMMITS)
-        target = os.path.join(commits, f"{manifest.generation:020d}.json")
+        commits = self._fs.join(self._pot_dir(path), _COMMITS)
+        target = self._fs.join(commits, f"{manifest.generation:020d}.json")
         record = {
             "generation": manifest.generation,
             "committed_at": manifest.committed_at,
@@ -293,11 +313,13 @@ class PotStore:
     # -- snapshot I/O (pyarrow fast path; layout identical to Spark's) ------
 
     def _snapshot_path(self, path: str, name: str) -> str:
-        return os.path.join(self._pot_dir(path), name)
+        return self._fs.join(self._pot_dir(path), name)
 
     def _parquet_parts(self, d: str) -> list[str]:
         return sorted(
-            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+            self._fs.join(d, n)
+            for n in self._fs.listdir(d)
+            if n.endswith(".parquet")
         )
 
     def _vacuum_guard(self, manifest: _Manifest, path: str) -> None:
@@ -312,7 +334,7 @@ class PotStore:
             else {manifest.snapshot}
         )
         for d in dirs:
-            if not os.path.exists(self._snapshot_path(path, d)):
+            if not self._fs.exists(self._snapshot_path(path, d)):
                 raise ValueError(
                     f"generation {manifest.generation} of {path!r} was vacuumed"
                 )
@@ -324,9 +346,18 @@ class PotStore:
         if manifest.files is not None:
             parts: list[str] = []
             for rel in manifest.files.values():
-                parts.extend(self._parquet_parts(self._snapshot_path(path, rel)))
+                try:
+                    parts.extend(
+                        self._parquet_parts(self._snapshot_path(path, rel))
+                    )
+                except FileNotFoundError:
+                    # an EMPTY bucket dir on an object store has only its
+                    # marker: no parquet parts to read
+                    pass
             table = (
-                pa.concat_tables([pq.read_table(p, schema=_ARROW_SCHEMA) for p in parts])
+                pa.concat_tables(
+                    [self._fs.read_parquet(p, _ARROW_SCHEMA) for p in parts]
+                )
                 if parts
                 else _ARROW_SCHEMA.empty_table()
             )
@@ -334,18 +365,14 @@ class PotStore:
             docs = table.column("doc").to_pylist()
             return {k: json.loads(d) for k, d in zip(keys, docs)}
         snap = self._snapshot_path(path, manifest.snapshot)
-        if os.path.isdir(snap):
+        if self._fs.isdir(snap):
             # Spark snapshots carry _SUCCESS markers; read only the parts
-            parts = sorted(
-                os.path.join(snap, n)
-                for n in os.listdir(snap)
-                if n.endswith(".parquet")
-            )
+            parts = self._parquet_parts(snap)
             table = pa.concat_tables(
-                [pq.read_table(p, schema=_ARROW_SCHEMA) for p in parts]
+                [self._fs.read_parquet(p, _ARROW_SCHEMA) for p in parts]
             ) if parts else _ARROW_SCHEMA.empty_table()
         else:
-            table = pq.read_table(snap, schema=_ARROW_SCHEMA)
+            table = self._fs.read_parquet(snap, _ARROW_SCHEMA)
         keys = table.column("key").to_pylist()
         docs = table.column("doc").to_pylist()
         return {k: json.loads(d) for k, d in zip(keys, docs)}
@@ -353,7 +380,7 @@ class PotStore:
     def _write_snapshot(self, path: str, generation: int, content: dict[str, Any]) -> str:
         name = f"snap-{generation:020d}-{uuid.uuid4().hex[:8]}"
         snap_dir = self._snapshot_path(path, name)
-        os.makedirs(snap_dir, exist_ok=True)
+        self._fs.makedirs(snap_dir)
         keys = sorted(content)
         table = pa.Table.from_pydict(
             {
@@ -362,7 +389,7 @@ class PotStore:
             },
             schema=_ARROW_SCHEMA,
         )
-        pq.write_table(table, os.path.join(snap_dir, "part-00000.parquet"))
+        self._fs.write_parquet(table, self._fs.join(snap_dir, "part-00000.parquet"))
         return name
 
     # -- norewrite gate ------------------------------------------------------
@@ -404,11 +431,10 @@ class PotStore:
         return self._read_content(manifest, path)
 
     def _manifest_at(self, path: str, generation: int) -> Optional[_Manifest]:
-        commits = os.path.join(self._pot_dir(path), _COMMITS)
-        target = os.path.join(commits, f"{generation:020d}.json")
+        commits = self._fs.join(self._pot_dir(path), _COMMITS)
+        target = self._fs.join(commits, f"{generation:020d}.json")
         try:
-            with open(target) as f:
-                m = json.load(f)
+            m = json.loads(self._fs.read_bytes(target))
         except FileNotFoundError:
             return None
         return _Manifest(
@@ -429,15 +455,16 @@ class PotStore:
 
     def list_generations(self, path: str) -> list[tuple[int, float]]:
         """All retained (generation, committed_at) pairs, oldest first."""
-        commits = os.path.join(self._pot_dir(path), _COMMITS)
+        commits = self._fs.join(self._pot_dir(path), _COMMITS)
         try:
-            names = sorted(n for n in os.listdir(commits) if n.endswith(".json"))
+            names = sorted(
+                n for n in self._fs.listdir(commits) if n.endswith(".json")
+            )
         except FileNotFoundError:
             return []
         out = []
         for n in names:
-            with open(os.path.join(commits, n)) as f:
-                m = json.load(f)
+            m = json.loads(self._fs.read_bytes(self._fs.join(commits, n)))
             out.append((m["generation"], m["committed_at"]))
         return out
 
@@ -507,13 +534,21 @@ class PotStore:
         never listed (server.go:432-466)."""
         self.metrics.bump(lists=1)
         found = []
-        for dirpath, dirnames, _ in os.walk(self.root):
+        for dirpath, dirnames, _ in self._fs.walk(self.root):
             if _POT_DIRNAME in dirnames:
-                rel = os.path.relpath(dirpath, self.root)
-                rel = "" if rel == "." else rel.replace(os.sep, "/")
+                rel = (
+                    self._fs.relpath(dirpath, self.root)
+                    if self.root
+                    else dirpath
+                )
+                rel = "" if rel == "." else rel.replace(self._fs.sep, "/")
                 if rel and rel.startswith(subdir):
-                    commits = os.path.join(dirpath, _POT_DIRNAME, _COMMITS)
-                    if os.path.isdir(commits) and os.listdir(commits):
+                    commits = self._fs.join(dirpath, _POT_DIRNAME, _COMMITS)
+                    try:
+                        has_commits = bool(self._fs.listdir(commits))
+                    except FileNotFoundError:
+                        has_commits = False
+                    if has_commits:
                         found.append(rel)
             # never descend into pot internals
             dirnames[:] = [d for d in dirnames if d != _POT_DIRNAME]
@@ -590,10 +625,61 @@ class PotStore:
                     )
                     return CreateResponse(content=new_docs, generation=next_gen)
                 # lost the race: discard the staged snapshot, re-read, retry
-                shutil.rmtree(self._snapshot_path(path, snapshot), ignore_errors=True)
+                self._fs.rmtree(self._snapshot_path(path, snapshot))
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
 
     # -- Spark data plane ----------------------------------------------------
+
+    def _spark_read_parquet(self, dirs: list[str]) -> DataFrame:
+        """Read snapshot dirs as a DataFrame. When the data-plane fs
+        reports Spark-readable URLs (local paths, or a connector-backed
+        gs://... prefix) this is a plain distributed parquet scan — the
+        100 TB path. A connector-less object-store fs streams the parts
+        through the fs client on the driver instead (the reference's
+        own SDK posture, server.go:468-491: it too streams whole
+        objects through the driver-side SDK)."""
+        assert self.spark is not None
+        urls = [self._fs.spark_url(d) for d in dirs]
+        if all(u is not None for u in urls):
+            return self.spark.read.schema(DOC_SCHEMA).parquet(*urls)
+        tables = []
+        for d in dirs:
+            try:
+                parts = self._parquet_parts(d)
+            except FileNotFoundError:
+                parts = []
+            tables.extend(self._fs.read_parquet(p, _ARROW_SCHEMA) for p in parts)
+        table = (
+            pa.concat_tables(tables) if tables else _ARROW_SCHEMA.empty_table()
+        )
+        return self.spark.createDataFrame(table.to_pandas(), schema=DOC_SCHEMA)
+
+    def _spark_write_parquet(
+        self, df: DataFrame, snap_dir: str, partition_by: Optional[str] = None
+    ) -> None:
+        """Write a snapshot DataFrame through the data-plane fs. With a
+        Spark-readable URL the write is fully distributed. Without one,
+        Spark stages to a local temp dir and the parts stream through
+        the fs client (upload_tree) — the merge/shuffle stays
+        distributed; only the final byte movement is driver-side, which
+        is exactly what the reference does for every write
+        (server.go:396-400)."""
+        url = self._fs.spark_url(snap_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        if url is not None:
+            writer.parquet(url)
+            return
+        import shutil as _shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="pot_spark_stage_")
+        try:
+            writer.parquet(tmp)
+            self._fs.upload_tree(tmp, snap_dir)
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
 
     def get_df(self, path: str) -> DataFrame:
         """The pot as a DataFrame[key string, doc string]; missing pot =>
@@ -614,9 +700,9 @@ class PotStore:
         self._vacuum_guard(manifest, path)
         if manifest.files is not None:
             dirs = [self._snapshot_path(path, rel) for rel in manifest.files.values()]
-            return self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
+            return self._spark_read_parquet(dirs)
         snap = self._snapshot_path(path, manifest.snapshot)
-        return self.spark.read.schema(DOC_SCHEMA).parquet(snap)
+        return self._spark_read_parquet([snap])
 
     def changes_df(
         self,
@@ -653,16 +739,8 @@ class PotStore:
             old_dirs = [self._snapshot_path(path, m_old.files[b]) for b in changed]
             new_dirs = [self._snapshot_path(path, m_new.files[b]) for b in changed]
             empty = self.spark.createDataFrame([], schema=DOC_SCHEMA)
-            old_df = (
-                self.spark.read.schema(DOC_SCHEMA).parquet(*old_dirs)
-                if old_dirs
-                else empty
-            )
-            new_df = (
-                self.spark.read.schema(DOC_SCHEMA).parquet(*new_dirs)
-                if new_dirs
-                else empty
-            )
+            old_df = self._spark_read_parquet(old_dirs) if old_dirs else empty
+            new_df = self._spark_read_parquet(new_dirs) if new_dirs else empty
         else:
             old_df = self._df_of(path, m_old)
             new_df = self._df_of(path, m_new)
@@ -761,7 +839,7 @@ class PotStore:
                 name = f"snap-{next_gen:020d}-{uuid.uuid4().hex[:8]}"
                 snap_dir = self._snapshot_path(path, name)
                 t_phase = time.perf_counter()
-                merged.write.mode("overwrite").parquet(snap_dir)
+                self._spark_write_parquet(merged, snap_dir)
                 self.metrics.observe_span("write", time.perf_counter() - t_phase)
                 committed = _Manifest(
                     generation=next_gen,
@@ -776,7 +854,7 @@ class PotStore:
                     self.generation_cache[path] = next_gen
                     self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
-                shutil.rmtree(snap_dir, ignore_errors=True)
+                self._fs.rmtree(snap_dir)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
 
     def create_df_bucketed(
@@ -829,11 +907,7 @@ class PotStore:
                     dirs = [
                         self._snapshot_path(path, prev[str(b)]) for b in affected
                     ]
-                    old = (
-                        self.spark.read.schema(DOC_SCHEMA).parquet(*dirs)
-                        if dirs
-                        else None
-                    )
+                    old = self._spark_read_parquet(dirs) if dirs else None
                 merged = delta.select("key", "doc", "__b")
                 if old is not None:
                     merged = (
@@ -847,13 +921,15 @@ class PotStore:
                 # route each bucket to one task: file count per bucket dir stays
                 # 1, not n_tasks (small-file hygiene the compactor otherwise pays)
                 t_phase = time.perf_counter()
-                merged.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                self._spark_write_parquet(
+                    merged.repartition("__b"), snap_dir, partition_by="__b"
+                )
                 self.metrics.observe_span("write", time.perf_counter() - t_phase)
                 files = {
                     str(b): (
                         f"{name}/__b={b}"
                         if b in affected
-                        and os.path.isdir(os.path.join(snap_dir, f"__b={b}"))
+                        and self._fs.isdir(self._fs.join(snap_dir, f"__b={b}"))
                         else (prev or {}).get(str(b), f"{name}/__b={b}")
                     )
                     for b in range(n_buckets)
@@ -864,8 +940,8 @@ class PotStore:
                 # empty dir so readers never dangle
                 for b in range(n_buckets):
                     d = self._snapshot_path(path, files[str(b)])
-                    if not os.path.isdir(d):
-                        os.makedirs(d, exist_ok=True)
+                    if not self._fs.isdir(d):
+                        self._fs.makedirs(d)
                 committed = _Manifest(
                     generation=next_gen,
                     committed_at=time.time(),
@@ -880,7 +956,7 @@ class PotStore:
                     self.generation_cache[path] = next_gen
                     self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
-                shutil.rmtree(snap_dir, ignore_errors=True)
+                self._fs.rmtree(snap_dir)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")
 
     # -- maintenance ---------------------------------------------------------
@@ -975,7 +1051,7 @@ class PotStore:
             self.metrics.bump(lock_wait_s=lock_wait, lock_acquisitions=1)
             self.metrics.observe_span("local_lock", lock_wait)
             dst_dir = self._pot_dir(dst)
-            os.makedirs(dst_dir, exist_ok=True)
+            self._fs.makedirs(dst_dir)
             for _ in range(_MAX_COMMIT_RETRIES):
                 cur = self._latest_manifest(dst)
                 next_gen = 1 if cur is None else cur.generation + 1
@@ -984,27 +1060,32 @@ class PotStore:
                     snap_dir = self._snapshot_path(dst, name)
                     files: Optional[dict[str, str]] = None
                     if src_m.files is not None:
-                        os.makedirs(snap_dir, exist_ok=True)
+                        self._fs.makedirs(snap_dir)
                         files = {}
                         for b, rel in src_m.files.items():
-                            bucket_dst = os.path.join(snap_dir, f"__b={b}")
-                            shutil.copytree(
-                                self._snapshot_path(src, rel), bucket_dst
-                            )
+                            bucket_dst = self._fs.join(snap_dir, f"__b={b}")
+                            try:
+                                self._fs.copytree(
+                                    self._snapshot_path(src, rel), bucket_dst
+                                )
+                            except FileNotFoundError:
+                                # empty bucket dir (marker-only on an
+                                # object store): clone it as empty
+                                self._fs.makedirs(bucket_dst)
                             files[b] = f"{name}/__b={b}"
                     else:
-                        shutil.copytree(
+                        self._fs.copytree(
                             self._snapshot_path(src, src_m.snapshot), snap_dir
                         )
                 else:
                     # relative reference into src's pot dir: the commit is
                     # pure metadata, nothing is read or copied
-                    name = os.path.relpath(
+                    name = self._fs.relpath(
                         self._snapshot_path(src, src_m.snapshot), dst_dir
                     )
                     files = (
                         {
-                            b: os.path.relpath(
+                            b: self._fs.relpath(
                                 self._snapshot_path(src, rel), dst_dir
                             )
                             for b, rel in src_m.files.items()
@@ -1050,7 +1131,7 @@ class PotStore:
         with lock:
             manifest = self._latest_manifest(path)
             pot_dir = self._pot_dir(path)
-            if manifest is None or not os.path.isdir(pot_dir):
+            if manifest is None or not self._fs.isdir(pot_dir):
                 return 0
             live = {manifest.snapshot}
             if manifest.files is not None:
@@ -1059,17 +1140,18 @@ class PotStore:
             # every snapshot any retained commit manifest references:
             # these are finished writes (safe to reclaim when superseded)
             committed_refs: set[str] = set()
-            commits = os.path.join(pot_dir, _COMMITS)
+            commits = self._fs.join(pot_dir, _COMMITS)
             try:
-                commit_names = os.listdir(commits)
+                commit_names = self._fs.listdir(commits)
             except FileNotFoundError:
                 commit_names = []
             for cname in commit_names:
                 if not cname.endswith(".json"):
                     continue
                 try:
-                    with open(os.path.join(commits, cname)) as f:
-                        m = json.load(f)
+                    m = json.loads(
+                        self._fs.read_bytes(self._fs.join(commits, cname))
+                    )
                 except (OSError, ValueError):
                     continue
                 committed_refs.add(m.get("snapshot", ""))
@@ -1077,7 +1159,7 @@ class PotStore:
                     committed_refs.add(rel.split("/", 1)[0])
             now = time.time()
             removed = 0
-            for name in os.listdir(pot_dir):
+            for name in self._fs.listdir(pot_dir):
                 if not name.startswith("snap-") or name in live:
                     continue
                 try:
@@ -1086,7 +1168,7 @@ class PotStore:
                     snap_gen = None
                 if snap_gen is not None and snap_gen > manifest.generation:
                     continue  # a concurrent writer's staged next generation
-                full = os.path.join(pot_dir, name)
+                full = self._fs.join(pot_dir, name)
                 if name not in committed_refs:
                     # unreferenced stage at gen <= committed: possibly a
                     # commit-race loser still writing — honor the grace.
@@ -1094,22 +1176,25 @@ class PotStore:
                     # bucketed stage writes land in __b=<k> subdirs that
                     # never refresh the top-level dir's mtime, so the
                     # top-level stat alone would age out a stage that is
-                    # actively being written.
+                    # actively being written. An fs that cannot report
+                    # mtimes (object-store JSON subset) raises OSError →
+                    # the stage is SKIPPED, never reclaimed blind:
+                    # conservative liveness cost, zero corruption risk.
                     try:
-                        newest = os.path.getmtime(full)
-                        for dirpath, dirnames, filenames in os.walk(full):
+                        newest = self._fs.mtime(full)
+                        for dirpath, dirnames, filenames in self._fs.walk(full):
                             for child in dirnames + filenames:
                                 newest = max(
                                     newest,
-                                    os.path.getmtime(
-                                        os.path.join(dirpath, child)
+                                    self._fs.mtime(
+                                        self._fs.join(dirpath, child)
                                     ),
                                 )
                     except OSError:
-                        continue  # vanished under us (owner cleaned up)
+                        continue  # vanished under us, or mtime-less fs
                     if now - newest < grace_s:
                         continue
-                shutil.rmtree(full, ignore_errors=True)
+                self._fs.rmtree(full)
                 removed += 1
             return removed
 
@@ -1144,15 +1229,17 @@ class PotStore:
                     df = self.get_df(path).withColumn(
                         "__b", F.pmod(F.hash("key"), F.lit(n_buckets)).cast("int")
                     )
-                    df.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(snap_dir)
+                    self._spark_write_parquet(
+                        df.repartition("__b"), snap_dir, partition_by="__b"
+                    )
                     for b in range(n_buckets):
-                        d = os.path.join(snap_dir, f"__b={b}")
-                        if not os.path.isdir(d):
-                            os.makedirs(d, exist_ok=True)
+                        d = self._fs.join(snap_dir, f"__b={b}")
+                        if not self._fs.isdir(d):
+                            self._fs.makedirs(d)
                     files = {str(b): f"{name}/__b={b}" for b in range(n_buckets)}
                 elif self.spark is not None:
-                    self.get_df(path).coalesce(1).write.mode("overwrite").parquet(
-                        snap_dir
+                    self._spark_write_parquet(
+                        self.get_df(path).coalesce(1), snap_dir
                     )
                 else:
                     name = self._write_snapshot(
@@ -1169,5 +1256,5 @@ class PotStore:
                 if self._try_commit(path, committed):
                     self.generation_cache[path] = next_gen
                     return next_gen
-                shutil.rmtree(snap_dir, ignore_errors=True)
+                self._fs.rmtree(snap_dir)
         raise CommitConflict(f"commit contention on {path!r} exceeded retries")

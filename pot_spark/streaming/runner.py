@@ -982,6 +982,98 @@ def build_near_dedup_gate_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_stateful_cdc_tws(stream: DataFrame) -> DataFrame:
+    """The CDC log compactor (build_stateful_cdc) on Spark 4's
+    transformWithState, state held in a typed MapState handle — keyed
+    by user_id alone, with the map carrying event_type -> newest
+    (ts, event_id, op, value). Completes the state-shape coverage of
+    the TWS twins: ValueState (build_stateful_dedup_tws), ListState
+    (quota + admission gate), MapState (here). The map layout is the
+    scale-relevant one for CDC: the state store holds ONE key per user
+    (fewer, fatter keys) and a superseding record rewrites only its
+    event_type's map entry (a point write in RocksDB), not every
+    type's state — while the applyInPandasWithState twin shards by the
+    full (user_id, event_type) pair. Same latest-wins contract and
+    output schema; stream == batch pinned against q_cdc_compact's
+    snapshot in tests/test_streaming.py, redelivery-idempotent (a
+    replayed older record never supersedes a newer map entry)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    key_schema = T.StructType([T.StructField("event_type", T.StringType())])
+    val_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    class Compact(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getMapState("latest", key_schema, val_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            out: dict[str, tuple] = {}
+            for pdf in rows:
+                # batch-local newest per event_type first: one map
+                # read/write per type per microbatch, not per row
+                for et, grp in pdf.groupby("event_type", sort=False):
+                    r = grp.sort_values(["ts", "event_id"]).iloc[-1]
+                    cand = (
+                        int(pd.Timestamp(r["ts"]).value // 1000),
+                        int(r["event_id"]),
+                        "D" if int(r["event_id"]) % 7 == 0 else "U",
+                        float(r["value"]),
+                    )
+                    prev = out.get(et)
+                    if prev is None and self._latest.containsKey((et,)):
+                        g = self._latest.getValue((et,))
+                        prev = (int(g[0]), int(g[1]), g[2], float(g[3]))
+                    if prev is None or (cand[0], cand[1]) > (prev[0], prev[1]):
+                        out[et] = cand
+                        self._latest.updateValue((et,), cand)
+            if out:
+                types = sorted(out)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(types),
+                        "event_type": types,
+                        "last_event_id": [out[t][1] for t in types],
+                        "last_ts": [
+                            pd.Timestamp(out[t][0] * 1000) for t in types
+                        ],
+                        "op": [out[t][2] for t in types],
+                        "value": [out[t][3] for t in types],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Compact(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def build_stream_stream_join(stream: DataFrame) -> DataFrame:
     """Stream-stream self-join: purchases matched to signups of the same
     user within 1h — the streaming twin of the batch q_theta_range_join

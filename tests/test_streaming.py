@@ -549,6 +549,53 @@ def test_near_dedup_gate_tws_matches_batch(spark, sf_dir):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_cdc_compact_tws_matches_batch_under_replay(spark, sf_dir):
+    """The round-10 transformWithState twin of the CDC compactor:
+    MapState keyed by user_id with event_type -> latest record map
+    entries (completing Value/List/Map state-shape coverage across the
+    TWS twins). The at-least-once source redelivers every event; a
+    replayed older/equal record never supersedes a newer map entry, so
+    the sink still holds exactly the per-key latest snapshot == the
+    batch twin s_cdc_compact."""
+    from pot_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf(spark) is None:
+        pytest.skip(
+            "transformWithState speaks protobuf to the JVM state server; "
+            "no pip package and no on-disk runtime to bridge to"
+        )
+    from pot_spark.streaming.runner import (
+        _event_stream,
+        build_stateful_cdc_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _event_stream(spark, f"{sf_dir}/events.parquet", replay=True)
+        plan = build_stateful_cdc_tws(stream)
+        spark.catalog.dropTempView("tws_cdc")
+        q = (
+            plan.writeStream.format("memory")
+            .queryName("tws_cdc")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    streamed = spark.sql("SELECT * FROM tws_cdc")
+    batch = registry.QUERIES["s_cdc_compact"](spark, sf_dir)
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
 def test_near_dedup_gate_to_pot_exactly_once(spark, sf_dir, tmp_path):
     """The full production admission pipeline: crawl stream -> band-key
     gate -> exactly-once pot upsert. Per-(band, doc) verdicts land in a

@@ -992,17 +992,25 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_n = Window.partitionBy("event_type")
+    # n as an unbounded frame of the SAME (partition, order) spec — not
+    # a separate order-free Window.partitionBy: equal specs collapse
+    # into ONE WindowExec pass over one exchange, where the order-free
+    # spec planned a second WindowExec re-buffering every histogram row
+    # (r10 bench-drift recovery on the r9 1.4x watch item)
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     # rank-cover form (r9 bench-drift recovery): a histogram row covers
     # ranks (prev, cum_c], so the p05/p95 rank falls in exactly ONE row
     # per type — filter to those <=2 rows and fold, instead of scanning
-    # every histogram row through a conditional MIN. n rides a second
-    # frame of the same window partitioning: one exchange, no recompute.
+    # every histogram row through a conditional MIN.
     cum = hist.select(
         "event_type",
         "value",
         F.sum("c").over(w_cum).alias("cum_c"),
-        F.sum("c").over(w_n).alias("n"),
+        F.sum("c").over(w_all).alias("n"),
         (F.sum("c").over(w_cum) - F.col("c")).alias("prev"),
     )
     rlo = F.expr("(n * 5 + 99) DIV 100")

@@ -673,7 +673,11 @@ def test_boilerplate_ngrams_no_cartesian_and_partial_agg(spark, sf_dir):
 
 def test_winsorize_clamp_branch_never_shuffles_raw_rows(spark, sf_dir):
     # the BOUNDS branch sorts only the per-type value HISTOGRAM (an
-    # aggregate feeds both windows — no raw-row rank); the clamp branch
+    # aggregate feeds the window — no raw-row rank); cum_c and the
+    # per-type total share ONE (partition, order) spec so the planner
+    # collapses them into a single WindowExec over a single sort (the
+    # r10 drift fix — a second order-free spec planned a second
+    # WindowExec re-buffering every histogram row); the clamp branch
     # must be scan -> broadcast join -> partial agg, with nothing but
     # per-group partials crossing the wire
     p = _plan(spark, sf_dir, "q_winsorize")
@@ -682,7 +686,7 @@ def test_winsorize_clamp_branch_never_shuffles_raw_rows(spark, sf_dir):
     assert "SortMergeJoin" not in tree
     assert "row_number" not in tree
     assert len(re.findall(r"\(\d+\) Sort\b", tree)) == 1
-    assert len(re.findall(r"\(\d+\) Window\b", tree)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", tree)) == 1
     agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", tree)]
     win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", tree)]
     assert agg_ids and min(agg_ids) < min(win_ids)

@@ -103,9 +103,10 @@ NOTES = {
     "the 7-row frame is collected, sorted, and element-SELECTED inside "
     "the window stage — zero joins, zero extra exchanges.",
     "q_winsorize": "r8: the bounds branch sorts only the per-type VALUE "
-    "HISTOGRAM (aggregate below both windows — no raw-row rank); the "
-    "clamp branch is scan -> broadcast join -> partial agg — raw rows "
-    "never shuffle.",
+    "HISTOGRAM (aggregate below the window — no raw-row rank); r10: "
+    "cum_c and the per-type total share one (partition, order) spec, so "
+    "one WindowExec over one sort (was two); the clamp branch is scan "
+    "-> broadcast join -> partial agg — raw rows never shuffle.",
     "q_corpus_drift": "one conditional-aggregation scan produces both slice "
     "counts; the 1-row totals aggregate broadcasts into the projection.",
     "q_containment_dedup": "adaptive containment (round 5): a 1-row df-"

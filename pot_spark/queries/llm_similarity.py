@@ -2118,3 +2118,199 @@ def q_intra_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index MAINTENANCE (round 10): the ingest-side complement of
+# q_sim_ivf's query side — every vector is assigned to its nearest
+# coarse-quantizer cell and each cell's posting-list stats (size +
+# top-M closest-to-centroid representatives) are maintained. The batch
+# twin below is the full-corpus build; the streaming twin
+# (streaming/runner.py build_sim_index) maintains the same stats
+# incrementally per arriving vector. Everything is INTEGER-exact (the
+# q_sim_ann_lsh floor(x*1000) quantization): centroid components are
+# integer sums, assignment scores are one correctly-rounded IEEE
+# division + sqrt on identical int64s — so both engines pick identical
+# cells and the op carries a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_IVF_TOPM = 3
+
+
+def _int_vec(col: str = "embedding"):
+    """floor(x*1000) integer quantization of the embedding (the LSH
+    op's exact pattern — replayable bit-exactly on any engine)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+
+
+def _ivf_valid(df: DataFrame) -> DataFrame:
+    """Rows the index ingests: non-NULL id + full-width embedding (the
+    hostile fixture nulls ids; a short vector cannot dot against the
+    quantizer). Mirrored verbatim in the oracle's WHERE."""
+    return df.filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _DIM)
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> dict:
+    """label -> (integer component list, |C|^2) coarse quantizer, built
+    from the full corpus with exact int64 sums. The table is n_cells x
+    dim (10 x 64 here, k x dim generally) — the tiny always-broadcast
+    relation of every IVF system; collecting it driver-side IS the
+    broadcast (the streaming builder embeds it in the assignment
+    expression, so arriving vectors assign map-only, no shuffle)."""
+    emb = _ivf_valid(load(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isNotNull()
+    )
+    cent = (
+        emb.select("label", F.posexplode(_int_vec()).alias("d0", "x"))
+        .groupBy("label", "d0")
+        .agg(F.sum("x").alias("c"))
+        .collect()
+    )
+    comp: dict[int, dict[int, int]] = {}
+    for r in cent:
+        comp.setdefault(int(r["label"]), {})[int(r["d0"])] = int(r["c"])
+    out = {}
+    for lbl, m in comp.items():
+        vec = [m.get(d, 0) for d in range(_DIM)]
+        out[lbl] = (vec, sum(c * c for c in vec))
+    return out
+
+
+def _ivf_assign(cents: dict):
+    """(cell, score) columns over an ``__iv`` int64-array column: dot
+    each quantized vector against every centroid in ONE whole-stage-
+    codegen projection (zip_with + aggregate — JVM-side, no explode, no
+    shuffle), pick the max (score, -label) struct. score =
+    int64 dot / sqrt(int64 |C|^2): two correctly-rounded IEEE ops on
+    identical integers, so the argmax is engine-exact; ties break to
+    the smallest label via the negated-label struct field."""
+    structs = []
+    for lbl in sorted(cents):
+        comps, n2 = cents[lbl]
+        carr = F.array(*[F.lit(c).cast("long") for c in comps])
+        dot = F.aggregate(
+            F.zip_with(F.col("__iv"), carr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        s = dot.cast("double") / F.sqrt(F.lit(float(n2)))
+        structs.append(
+            F.struct(s.alias("s"), F.lit(-lbl).cast("int").alias("negl"))
+        )
+    best = F.array_max(F.array(*structs))
+    return (-best["negl"]).cast("bigint"), best["s"]
+
+
+_IVF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) = {_DIM}
+    ),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    iv AS (
+        SELECT vec_id, d, CAST(floor(v[d] * 1000) AS BIGINT) AS x
+        FROM e, dims
+    ),
+    cent AS (
+        SELECT e.label, iv.d, SUM(iv.x) AS c
+        FROM iv JOIN e USING (vec_id)
+        WHERE e.label IS NOT NULL
+        GROUP BY e.label, iv.d
+    ),
+    n2 AS (SELECT label, SUM(c * c) AS n2 FROM cent GROUP BY label),
+    assign AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS cell, s FROM (
+            SELECT dots.vec_id, dots.label,
+                   CAST(dots.dot AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE))
+                       AS s,
+                   row_number() OVER (
+                       PARTITION BY dots.vec_id
+                       ORDER BY CAST(dots.dot AS DOUBLE)
+                                / sqrt(CAST(n2.n2 AS DOUBLE)) DESC,
+                                dots.label
+                   ) AS rn
+            FROM (
+                SELECT iv.vec_id, cent.label, SUM(iv.x * cent.c) AS dot
+                FROM iv JOIN cent USING (d)
+                GROUP BY iv.vec_id, cent.label
+            ) dots JOIN n2 USING (label)
+        ) WHERE rn = 1
+    ),
+    reps AS (
+        SELECT cell,
+               string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY s DESC,
+                          vec_id) AS reps
+        FROM (
+            SELECT cell, vec_id, s,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY s DESC, vec_id) AS rn
+            FROM assign
+        ) WHERE rn <= {_IVF_TOPM} GROUP BY cell
+    )
+    SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members, r.reps
+    FROM assign a JOIN reps r USING (cell)
+    GROUP BY a.cell, r.reps
+    """
+
+
+@query("s_sim_index", oracle=_IVF_SQL)
+def s_sim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build/maintenance, batch form: assign every vector to
+    its nearest integer-exact coarse-quantizer cell and report each
+    cell's posting-list stats — member count and the top-3
+    closest-to-centroid representative ids (rank order serialized to a
+    joined string; array outputs crash the harness canonicalizer).
+
+    Scale posture: assignment is a MAP-ONLY whole-stage-codegen
+    projection against the broadcast-sized centroid table (no explode,
+    no shuffle — the same per-row cost an ingest pipeline pays); the
+    only shuffle is the per-cell rollup, one exchange shared by the
+    window and the aggregation (both keyed on cell). The streaming twin
+    s_sim_index_stream maintains identical stats incrementally with
+    per-cell state (streaming/runner.py build_sim_index). No reference
+    counterpart (SURVEY.md §2-A)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "cell bigint, n_members bigint, reps string"
+        )
+    cell, s = _ivf_assign(cents)
+    assigned = (
+        _ivf_valid(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", _int_vec().alias("__iv"))
+        .select("vec_id", cell.alias("cell"), s.alias("s"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("s").desc(), "vec_id")
+    w_all = (
+        Window.partitionBy("cell")
+        .orderBy(F.col("s").desc(), "vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        assigned.select(
+            "cell",
+            "vec_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(w_all).alias("n_members"),
+        )
+        .filter(F.col("rn") <= _IVF_TOPM)
+        .groupBy("cell", "n_members")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "vec_id"))),
+                    lambda x: x["vec_id"].cast("string"),
+                ),
+                ",",
+            ).alias("reps")
+        )
+        .select("cell", "n_members", "reps")
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 # instead of relying on load_all_query_modules()'s import ordering
 import pot_spark.queries.joins  # noqa: F401
 import pot_spark.queries.llm_dedup  # noqa: F401
+import pot_spark.queries.llm_similarity  # noqa: F401
 import pot_spark.queries.scale_ops  # noqa: F401
 import pot_spark.queries.streaming_windows  # noqa: F401
 import pot_spark.queries.timeseries  # noqa: F401
@@ -253,3 +254,32 @@ def s_user_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key, bounded on an unbounded stream; duplicate delivery admits
     nothing twice. Oracle = the batch twin s_user_quota's."""
     return run_streaming_query(spark, "s_user_quota", sf_dir)
+
+
+@query("s_sim_index_stream", oracle=ORACLES["s_sim_index"])
+def s_sim_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance executed as a real stream:
+    embeddings arrive across microbatches, each assigned map-only to
+    its nearest IVF cell (broadcast integer-exact quantizer — the
+    batch twin's expression verbatim), with per-cell state maintaining
+    the posting list (member ids + scores) and emitting the cell's
+    (n_members, top-3 representatives) whenever membership grows —
+    what a continuously-embedding ingest pipeline runs instead of
+    rebuilding the index (runner.py build_sim_index / _vec_stream).
+    Emissions grow monotonically per cell, so the index snapshot is
+    each cell's LAST emission (max n_members — strictly increasing, so
+    unique); oracle = the batch twin s_sim_index's full-corpus build.
+    Stream == batch additionally pinned under at-least-once replay in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import pot_spark.queries.llm_similarity  # noqa: F401 - batch twin
+
+    sink = run_streaming_query(spark, "s_sim_index", sf_dir)
+    w = Window.partitionBy("cell").orderBy(F.col("n_members").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

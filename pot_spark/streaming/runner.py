@@ -563,6 +563,152 @@ DOCS_SCHEMA = T.StructType(
     ]
 )
 
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _vec_stream(
+    spark: SparkSession,
+    emb_file: str,
+    n_chunks: int = 3,
+    replay: bool = False,
+) -> DataFrame:
+    """embeddings.parquet as a file-source stream delivered across
+    ``n_chunks`` microbatches in vec_id order (name + mtime pinned, the
+    _doc_stream trick) — the arrival model of a continuously-embedding
+    ingest pipeline feeding an ANN index. With ``replay=True`` every
+    chunk is delivered a second time after the first full pass (the
+    at-least-once model the index's membership dedup must absorb)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(prefix="pot_spark_stream_vecs_")
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    t = pq.read_table(emb_file)
+    t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+    n = max(1, t.num_rows)
+    step = (n + n_chunks - 1) // n_chunks
+    now = _time.time()
+    passes = 2 if replay else 1
+    for p in range(passes):
+        for i in range(n_chunks):
+            part = t.slice(i * step, step)
+            seq = p * n_chunks + i
+            path = os.path.join(stream_dir, f"{seq:02d}-vecs.parquet")
+            pq.write_table(part, path)
+            os.utime(path, (now - 240 + seq * 20, now - 240 + seq * 20))
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+
+
+def build_sim_index(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ANN index maintenance: arriving embeddings are assigned
+    to their nearest IVF cell by the SAME map-only integer-exact
+    assignment expression as the batch twin (the centroid table is the
+    broadcast-sized coarse quantizer, embedded in the projection — no
+    shuffle to assign), then one stateful operator per cell maintains
+    the posting list: member ids + assignment scores, emitting the
+    cell's (n_members, top-3 representatives) whenever membership
+    grows. State is sharded by cell across executors and bounded by the
+    cell's membership — the IVF index ITSELF, continuously maintained;
+    a redelivered vec_id is already a member and changes nothing
+    (at-least-once safe). Batch twin: llm_similarity.s_sim_index."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pot_spark.queries.llm_similarity import (
+        _IVF_TOPM,
+        _int_vec,
+        _ivf_assign,
+        _ivf_centroids,
+        _ivf_valid,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("reps", T.StringType()),
+        ]
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    if not cents:
+        # empty corpus: no quantizer, no assignments — a stateless
+        # always-empty plan with the twin's schema
+        return (
+            stream.select(
+                F.lit(None).cast("bigint").alias("cell"),
+                F.lit(None).cast("bigint").alias("n_members"),
+                F.lit(None).cast("string").alias("reps"),
+            ).filter(F.lit(False))
+        )
+    cell, s = _ivf_assign(cents)
+    assigned = (
+        _ivf_valid(stream)
+        .select("vec_id", _int_vec().alias("__iv"))
+        .select("vec_id", cell.alias("cell"), s.alias("s"))
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("scores", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def idx_fn(key, pdf_iter, state: GroupState):
+        (cell_id,) = key
+        if state.exists:
+            ids, scores = list(state.get[0]), list(state.get[1])
+        else:
+            ids, scores = [], []
+        seen = set(ids)
+        changed = False
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                vid = int(row.vec_id)
+                if vid in seen:  # idempotent under at-least-once replay
+                    continue
+                seen.add(vid)
+                ids.append(vid)
+                scores.append(float(row.s))
+                changed = True
+        if changed:
+            state.update((ids, scores))
+            top = sorted(zip(scores, ids), key=lambda t: (-t[0], t[1]))
+            yield pd.DataFrame(
+                {
+                    "cell": [cell_id],
+                    "n_members": [len(ids)],
+                    "reps": [
+                        ",".join(str(i) for _, i in top[:_IVF_TOPM])
+                    ],
+                }
+            )
+
+    return assigned.groupBy("cell").applyInPandasWithState(
+        idx_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def _doc_stream(
     spark: SparkSession,
@@ -1275,6 +1421,14 @@ DOC_STATEFUL_BUILDERS = {
     "s_dedup_near_gate": build_near_dedup_gate,
 }
 
+# Stateful builders fed by the embeddings source (_vec_stream) that also
+# need the static side for the quantizer build: f(stream, spark, sf_dir),
+# update mode. The sink holds one emission per cell per growing batch;
+# the registered s_sim_index_stream keeps each cell's LAST emission.
+VEC_STATEFUL_BUILDERS = {
+    "s_sim_index": build_sim_index,
+}
+
 
 def run_streaming_query(
     spark: SparkSession, name: str, sf_dir: str, timeout_s: float = 120.0
@@ -1288,6 +1442,8 @@ def run_streaming_query(
         stream = _sentinel_event_stream(spark, f"{sf_dir}/events.parquet")
     elif name in DOC_STATEFUL_BUILDERS:
         stream = _doc_stream(spark, f"{sf_dir}/documents.parquet")
+    elif name in VEC_STATEFUL_BUILDERS:
+        stream = _vec_stream(spark, f"{sf_dir}/embeddings.parquet")
     else:
         stream = _event_stream(
             spark,
@@ -1296,6 +1452,8 @@ def run_streaming_query(
         )
     if name in DOC_STATEFUL_BUILDERS:
         plan, mode = DOC_STATEFUL_BUILDERS[name](stream), "update"
+    elif name in VEC_STATEFUL_BUILDERS:
+        plan, mode = VEC_STATEFUL_BUILDERS[name](stream, spark, sf_dir), "update"
     elif name in LATE_SPLIT_BUILDERS:
         plan, mode = LATE_SPLIT_BUILDERS[name](stream), "append"
     elif name in SENTINEL_APPEND_BUILDERS:

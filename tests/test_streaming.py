@@ -596,6 +596,47 @@ def test_cdc_compact_tws_matches_batch_under_replay(spark, sf_dir):
     assert _sorted_rows(streamed) == _sorted_rows(batch)
 
 
+def test_sim_index_stream_matches_batch_under_replay(spark, sf_dir):
+    """Streaming ANN index maintenance (r10): embeddings delivered
+    across chunks AND each chunk redelivered (at-least-once). A
+    redelivered vec_id is already in the cell's posting list and
+    changes nothing, so each cell's final emission equals the batch
+    full-corpus build s_sim_index exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import _vec_stream, build_sim_index
+
+    stream = _vec_stream(spark, f"{sf_dir}/embeddings.parquet", replay=True)
+    plan = build_sim_index(stream, spark, sf_dir)
+    spark.catalog.dropTempView("sink_sim_index_replay")
+    q = (
+        plan.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sink_sim_index_replay")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    sink = spark.table("sink_sim_index_replay")
+    w = Window.partitionBy("cell").orderBy(F.col("n_members").desc())
+    out = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = registry.QUERIES["s_sim_index"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)
+    # membership never double-counts: every sink emission's n_members
+    # is bounded by the cell's true batch membership
+    caps = {r.cell: r.n_members for r in batch.collect()}
+    for r in sink.collect():
+        assert r.n_members <= caps[r.cell]
+
+
 def test_near_dedup_gate_to_pot_exactly_once(spark, sf_dir, tmp_path):
     """The full production admission pipeline: crawl stream -> band-key
     gate -> exactly-once pot upsert. Per-(band, doc) verdicts land in a

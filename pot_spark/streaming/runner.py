@@ -797,7 +797,11 @@ def _gate_bands(stream: DataFrame) -> DataFrame:
     )
 
 
-def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+def build_near_dedup_gate(
+    stream: DataFrame,
+    ttl_ms: int | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
     """Streaming near-duplicate ADMISSION GATE: an arriving document is
     admitted only if none of its MinHash LSH band keys holds a retained
     signature matching on >= _GATE_MIN_LANES of the 8 minhash lanes.
@@ -819,13 +823,29 @@ def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataF
 
     Batch twin: pot_spark.queries.llm_dedup.s_dedup_near_gate (rejected
     docs retain their signatures — the seen-based, arrival-order-free
-    reduction)."""
+    reduction).
+
+    ``n_shards`` (r10, the per-group-overhead amortization): with a
+    value set, state is keyed by ``hash(band_key) % n_shards`` instead
+    of the raw band key — each microbatch then makes at most n_shards
+    Python handler invocations instead of one per distinct band (the
+    measured 10x-smoke growth driver: thousands of tiny groups, each
+    paying Arrow+interpreter entry). Per-BAND semantics are preserved
+    inside the handler (the retained set, the doc-order contract, and
+    the TTL horizon all remain per band — TTL via per-band last-seen
+    stamps pruned against the processing clock, with the state-level
+    timeout as the whole-shard backstop). The trade: fatter state rows
+    (a shard rewrites all its bands' arrays per update) against far
+    fewer Python crossings; parallelism caps at n_shards, so size it
+    ~4x executor count in production."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from pot_spark.queries.llm_dedup import _GATE_MIN_LANES
 
     bands = _gate_bands(stream)
+    if n_shards is not None:
+        return _sharded_gate(bands, ttl_ms, n_shards, _GATE_MIN_LANES)
 
     out_schema = T.StructType(
         [
@@ -894,6 +914,116 @@ def build_near_dedup_gate(stream: DataFrame, ttl_ms: int | None = None) -> DataF
         # chase pending timeouts, so processAllAvailable never drains —
         # the deterministic test path runs timeout-free, production
         # passes ttl_ms (the dedup horizon) and a real trigger interval
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
+def _sharded_gate(
+    bands: DataFrame, ttl_ms: int | None, n_shards: int, min_lanes: int
+) -> DataFrame:
+    """Shard-keyed admission-gate state (see build_near_dedup_gate's
+    n_shards note): one handler invocation per shard per microbatch,
+    per-band retained sets and TTL horizons maintained inside."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sharded = bands.withColumn(
+        "shard", F.pmod(F.xxhash64("band_key"), F.lit(n_shards)).cast("int")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("band_key", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("collided", T.IntegerType()),
+        ]
+    )
+    # flat parallel arrays, one entry per retained (band, doc) pair;
+    # seen_ms carries the band's last-activity stamp (0 without TTL)
+    state_schema = T.StructType(
+        [
+            T.StructField("band_keys", T.ArrayType(T.StringType())),
+            T.StructField("doc_ids", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.StringType())),
+            T.StructField("seen_ms", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gate_fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        per_band: dict[str, list] = {}
+        if state.exists:
+            bks, dids, sgs, mss = state.get
+            for bk, d, s, ms in zip(bks, dids, sgs, mss):
+                per_band.setdefault(bk, []).append([int(d), s, int(ms)])
+        if ttl_ms is not None:
+            # per-band horizon: a band idle past ttl drops its set even
+            # though livelier bands keep the shard's state row alive
+            per_band = {
+                bk: rows
+                for bk, rows in per_band.items()
+                if max(ms for _, _, ms in rows) + ttl_ms > now
+            }
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        # parse each retained signature ONCE per invocation, not per
+        # incoming row: parsed[bk] mirrors per_band[bk] positionally
+        parsed: dict[str, list] = {
+            bk: [tuple(int(x) for x in sg.split(",")) for _, sg, _ in rows]
+            for bk, rows in per_band.items()
+        }
+        out_bk: list[str] = []
+        out_doc: list[int] = []
+        out_col: list[int] = []
+        for row in batch.sort_values("doc_id").itertuples(index=False):
+            bk = row.band_key
+            d = int(row.doc_id)
+            s = tuple(int(x) for x in row.sig.split(","))
+            rows = per_band.setdefault(bk, [])
+            psigs = parsed.setdefault(bk, [])
+            collided = any(
+                rows[i][0] < d
+                and sum(a == b for a, b in zip(psigs[i], s)) >= min_lanes
+                for i in range(len(rows))
+            )
+            out_bk.append(bk)
+            out_doc.append(d)
+            out_col.append(1 if collided else 0)
+            if all(did != d for did, _, _ in rows):  # replay-idempotent
+                rows.append([d, row.sig, now])
+                psigs.append(s)
+            else:
+                for r in rows:
+                    r[2] = now
+        flat_bk, flat_d, flat_s, flat_ms = [], [], [], []
+        for bk, rows in per_band.items():
+            for d, s, ms in rows:
+                flat_bk.append(bk)
+                flat_d.append(d)
+                flat_s.append(s)
+                flat_ms.append(ms)
+        state.update((flat_bk, flat_d, flat_s, flat_ms))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "band_key": out_bk,
+                    "doc_id": out_doc,
+                    "collided": out_col,
+                }
+            )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        gate_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
             if ttl_ms is None
@@ -1417,8 +1547,16 @@ STATEFUL_BUILDERS = {
 # verdict is the stateless rollup s_dedup_near_stream applies on top
 # (streaming_exec.py), so raw run_streaming_query output is NOT the
 # batch twin's shape for these.
+# default shard count for the registered gate: one handler invocation
+# per shard per microbatch (vs one per distinct band) — the r10
+# amortization of per-group Python overhead; semantics per band either
+# way (test_streaming pins sharded == per-band == batch)
+_GATE_SHARDS = 32
+
 DOC_STATEFUL_BUILDERS = {
-    "s_dedup_near_gate": build_near_dedup_gate,
+    "s_dedup_near_gate": lambda stream: build_near_dedup_gate(
+        stream, n_shards=_GATE_SHARDS
+    ),
 }
 
 # Stateful builders fed by the embeddings source (_vec_stream) that also

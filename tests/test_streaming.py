@@ -417,6 +417,49 @@ def test_near_dedup_gate_matches_sequential_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_near_dedup_gate_sharded_matches_batch_under_replay(spark, sf_dir):
+    """The shard-keyed gate (r10 per-group-overhead amortization: one
+    handler invocation per shard, per-band retained sets inside) emits
+    the exact same verdicts as the batch twin even under at-least-once
+    redelivery — sharding is a state-layout change, never a semantic
+    one. Timeout-free like every deterministic test path (an armed
+    ProcessingTimeTimeout keeps scheduling no-data microbatches, so the
+    drain never completes — the per-band builder's documented note);
+    production passes ttl_ms and gets per-band last-seen pruning with
+    the state-level timeout as the whole-shard backstop."""
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import _doc_stream, build_near_dedup_gate
+
+    stream = _doc_stream(spark, f"{sf_dir}/documents.parquet", replay=True)
+    plan = build_near_dedup_gate(stream, n_shards=8)
+    spark.catalog.dropTempView("sink_gate_sharded")
+    q = (
+        plan.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sink_gate_sharded")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    sink = spark.table("sink_gate_sharded")
+    contradictions = (
+        sink.groupBy("band_key", "doc_id")
+        .agg(F.countDistinct("collided").alias("nv"))
+        .filter("nv > 1")
+        .count()
+    )
+    assert contradictions == 0
+    out = sink.groupBy("doc_id").agg(
+        (1 - F.max("collided")).cast("bigint").alias("admitted")
+    )
+    batch = registry.QUERIES["s_dedup_near_gate"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)
+
+
 def test_near_dedup_gate_idempotent_under_replay(spark, sf_dir):
     """At-least-once delivery: every doc chunk is delivered twice; the
     gate re-emits the SAME verdict for a redelivered doc (its signature

@@ -89,6 +89,15 @@ def test_election_example_runs_clean():
     assert "OK" in p.stdout
 
 
+def test_bucket_store_example_runs_clean():
+    p = subprocess.run(
+        [sys.executable, "examples/bucket_store.py"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "exported pots: 2" in p.stdout
+
+
 def test_cli_changes(tmp_path):
     root = str(tmp_path)
     run(root, "create", "t", stdin='{"id": "a", "v": 1}')

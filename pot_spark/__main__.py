@@ -39,6 +39,19 @@ EXIT_NOREWRITE = 23  # mirrors the reference's HTTP 423 Locked
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pot_spark", description=__doc__)
     ap.add_argument("--root", required=True, help="data root (the 'bucket')")
+    ap.add_argument(
+        "--object-store", default=None, metavar="ENDPOINT",
+        help="GCS-JSON-API endpoint (e.g. a fake-gcs-server / the in-repo"
+        " emulator URL): the store runs BUCKET-ROOTED — conditional-put"
+        " commits AND the snapshot data plane through the object store,"
+        " no filesystem mount (the reference's own deployment model,"
+        " server.go:212-214). Requires --bucket.",
+    )
+    ap.add_argument(
+        "--bucket", default=None,
+        help="bucket name for --object-store; --root becomes the key"
+        " prefix inside it",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_get = sub.add_parser("get")
@@ -116,7 +129,22 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
-    store = PotStore(None, args.root)
+    if args.object_store is not None:
+        if not args.bucket:
+            ap.error("--object-store requires --bucket")
+        from pot_spark.kv.backend import ConditionalPutBackend
+        from pot_spark.kv.gcs_emulator import HttpObjectStoreClient
+        from pot_spark.kv.storefs import ObjectStoreFS
+
+        client = HttpObjectStoreClient(args.bucket, args.object_store)
+        store = PotStore(
+            None,
+            args.root,
+            backend=ConditionalPutBackend(client),
+            fs=ObjectStoreFS(client),
+        )
+    else:
+        store = PotStore(None, args.root)
 
     if args.cmd == "get":
         json.dump(store.get(args.path), sys.stdout, sort_keys=True)

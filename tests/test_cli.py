@@ -89,6 +89,38 @@ def test_election_example_runs_clean():
     assert "OK" in p.stdout
 
 
+def test_cli_bucket_rooted_roundtrip():
+    """--object-store/--bucket: the CLI against an HTTP bucket — the
+    reference binary's own deployment shape (`pot` bound to a GCS
+    bucket), zero filesystem mounts."""
+    from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
+
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        HttpObjectStoreClient("clibkt", endpoint).create_bucket()
+        base = [sys.executable, "-m", "pot_spark", "--root", "pots",
+                "--object-store", endpoint, "--bucket", "clibkt"]
+        p = subprocess.run(
+            base + ["create", "t"], input='{"id": "a", "v": 1}',
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+        assert p.returncode == 0, p.stdout + p.stderr
+        p = subprocess.run(
+            base + ["get", "t"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+        assert p.returncode == 0, p.stdout + p.stderr
+        assert json.loads(p.stdout) == {"a": {"id": "a", "v": 1}}
+        p = subprocess.run(
+            base + ["list"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+        assert json.loads(p.stdout) == ["t"]
+    finally:
+        server.stop()
+
+
 def test_bucket_store_example_runs_clean():
     p = subprocess.run(
         [sys.executable, "examples/bucket_store.py"],

@@ -1350,6 +1350,106 @@ def build_stateful_cdc_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def build_sim_index_tws(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN index maintainer (build_sim_index) on Spark 4's
+    transformWithState: the per-cell posting list lives in a typed
+    ListState handle, so an arriving vector APPENDS its (vec_id, score)
+    entry (a RocksDB merge) instead of rewriting the whole list — at a
+    hot cell with millions of members that is O(1) vs O(cell) state
+    writes per arrival. Same assignment expression, same emission
+    contract and idempotence as the applyInPandasWithState twin;
+    stream == batch pinned against s_sim_index in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pot_spark.queries.llm_similarity import (
+        _IVF_TOPM,
+        _int_vec,
+        _ivf_assign,
+        _ivf_centroids,
+        _ivf_valid,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("reps", T.StringType()),
+        ]
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    if not cents:
+        return (
+            stream.select(
+                F.lit(None).cast("bigint").alias("cell"),
+                F.lit(None).cast("bigint").alias("n_members"),
+                F.lit(None).cast("string").alias("reps"),
+            ).filter(F.lit(False))
+        )
+    cell, s = _ivf_assign(cents)
+    assigned = (
+        _ivf_valid(stream)
+        .select("vec_id", _int_vec().alias("__iv"))
+        .select("vec_id", cell.alias("cell"), s.alias("s"))
+    )
+    elem_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    class Index(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._members = handle.getListState("members", elem_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (cell_id,) = key
+            members = [(int(r[0]), float(r[1])) for r in self._members.get()]
+            seen = {vid for vid, _ in members}
+            fresh: list[tuple[int, float]] = []
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    vid = int(row.vec_id)
+                    if vid in seen:  # at-least-once replay: a member
+                        continue  #    already, appends nothing twice
+                    seen.add(vid)
+                    fresh.append((vid, float(row.s)))
+            if fresh:
+                # append-only state write — the RocksDB merge ListState
+                # exists for; the posting list is never rewritten
+                self._members.appendList(fresh)
+                members.extend(fresh)
+                top = sorted(members, key=lambda t: (-t[1], t[0]))
+                yield pd.DataFrame(
+                    {
+                        "cell": [int(cell_id)],
+                        "n_members": [len(members)],
+                        "reps": [
+                            ",".join(
+                                str(vid) for vid, _ in top[:_IVF_TOPM]
+                            )
+                        ],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return assigned.groupBy("cell").transformWithStateInPandas(
+        statefulProcessor=Index(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def build_stream_stream_join(stream: DataFrame) -> DataFrame:
     """Stream-stream self-join: purchases matched to signups of the same
     user within 1h — the streaming twin of the batch q_theta_range_join

@@ -592,6 +592,56 @@ def test_near_dedup_gate_tws_matches_batch(spark, sf_dir):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_sim_index_tws_matches_batch_under_replay(spark, sf_dir):
+    """The r10 transformWithState twin of the ANN index maintainer
+    (ListState posting lists, append-only writes): the per-cell final
+    emission equals the batch s_sim_index even when every embedding
+    chunk is redelivered."""
+    from pot_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf(spark) is None:
+        pytest.skip(
+            "transformWithState speaks protobuf to the JVM state server; "
+            "no pip package and no on-disk runtime to bridge to"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import _vec_stream, build_sim_index_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _vec_stream(spark, f"{sf_dir}/embeddings.parquet", replay=True)
+        plan = build_sim_index_tws(stream, spark, sf_dir)
+        spark.catalog.dropTempView("tws_sim_index")
+        q = (
+            plan.writeStream.format("memory")
+            .queryName("tws_sim_index")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    sink = spark.table("tws_sim_index")
+    w = Window.partitionBy("cell").orderBy(F.col("n_members").desc())
+    out = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = registry.QUERIES["s_sim_index"](spark, sf_dir)
+    assert _sorted_rows(out) == _sorted_rows(batch)
+
+
 def test_cdc_compact_tws_matches_batch_under_replay(spark, sf_dir):
     """The round-10 transformWithState twin of the CDC compactor:
     MapState keyed by user_id with event_type -> latest record map

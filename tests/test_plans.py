@@ -1320,6 +1320,21 @@ def test_ccnet_bins_windows_over_histogram(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_sim_index_assignment_is_map_only(spark, sf_dir):
+    """The IVF index build (r10): assignment must be a single codegen
+    projection against the literal-embedded quantizer — no join, no
+    explode, and exactly ONE exchange (the cell-keyed rollup shared by
+    the window and the aggregation); scan pruned to (vec_id, embedding)
+    with the validity filters pushed."""
+    p = _plan(spark, sf_dir, "s_sim_index")
+    tree = p.split("== Initial Plan ==")[0]
+    assert "Join" not in tree
+    assert "Generate" not in tree  # no posexplode on the assignment path
+    assert len(re.findall(r"\(\d+\) Exchange\b", tree)) == 1
+    assert "IsNotNull(vec_id)" in p and "IsNotNull(embedding)" in p
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
 def test_threshold_sweep_verifies_once(spark, sf_dir):
     """All 7 thresholds price from ONE checkpointed verify pass: the
     plan reads the checkpointed band pairs (ExistingRDD) and the

@@ -36,6 +36,12 @@ NOTES = {
     "shuffle join when candidates grow.",
     "q_skew_salt_join": "ShuffledHashJoin on (key, salt): the hot key's rows land "
     "on N_SALT reducers; no broadcast (the path AQE skew-split can't help).",
+    "s_sim_index": "r10: IVF index maintenance (batch twin) — the assignment "
+    "is ONE codegen projection against the literal-embedded broadcast "
+    "quantizer (zip_with+aggregate per centroid, array_max struct argmax): "
+    "no explode, no join, no shuffle to assign; the single exchange is the "
+    "cell-keyed rollup, shared by the ranking window and the final "
+    "aggregation.",
     "q_sim_ivf": "centroid table and probed-cell list broadcast; the vector scan "
     "prunes to nprobe cells and the re-rank is a TakeOrderedAndProject top-k.",
     "q_dpp_join": "partition filter is a dynamicpruningexpression fed by the dim "

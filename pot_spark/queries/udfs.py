@@ -258,6 +258,8 @@ def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     PNG roundtrip lossless, row by row."""
     from pot_spark.queries.png_codec import encode_png
 
+    y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]  # doc-invariant: hoisted (r10)
+    base = y * 31 + x * 7
     for pdf in it:
         ids, sums, maxs, hists, nbytes = [], [], [], [], []
         for doc_id in pdf["doc_id"]:
@@ -266,8 +268,7 @@ def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # non-negative remainder) so a negative or huge doc_id can
             # never diverge from the oracle's sign-normalized %
             seed = (d * 13) % 256
-            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
-            img = ((y * 31 + x * 7 + seed) % 256).astype(np.uint8)
+            img = ((base + seed) % 256).astype(np.uint8)
             payload = encode_png(img, filter_type=d % 5)
             luma = _decode_payload(payload, "image/png")
             hist = np.bincount(luma // 64, minlength=4)[:4]
@@ -363,17 +364,18 @@ def _png_features_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SUM(v)/256 reproduces it bit-for-bit."""
     from pot_spark.queries.png_codec import encode_png
 
+    y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]  # doc-invariant: hoisted (r10)
+    ry, gx, byx = y * 11, x * 29, y * x
     for pdf in it:
         ids, means, maxs, hists = [], [], [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             seed = (d * 13) % 256  # Python %: non-negative for any doc_id
-            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
             img = np.stack(
                 [
-                    (y * 11 + seed) % 256,
-                    (x * 29 + seed * 3) % 256,
-                    (y * x + seed * 7) % 256,
+                    (ry + seed) % 256,
+                    (gx + seed * 3) % 256,
+                    (byx + seed * 7) % 256,
                 ],
                 axis=-1,
             ).astype(np.uint8)
@@ -489,13 +491,14 @@ def _png_resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     string in row-major order."""
     from pot_spark.queries.png_codec import encode_png
 
+    y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]  # doc-invariant: hoisted (r10)
+    base = y * 13 + x * 5
     for pdf in it:
         ids, thumbs = [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             seed = (d * 7) % 256
-            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
-            img = ((y * 13 + x * 5 + seed) % 256).astype(np.uint8)
+            img = ((base + seed) % 256).astype(np.uint8)
             payload = encode_png(img, filter_type=d % 5)
             luma = _decode_payload(payload, "image/png").reshape(_PNG_H, _PNG_W)
             thumb = luma.reshape(8, 2, 8, 2).astype(np.int64).sum(axis=(1, 3)) // 4
@@ -587,13 +590,14 @@ def _png_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle-reproducible."""
     from pot_spark.queries.png_codec import encode_png
 
+    y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]  # doc-invariant: hoisted (r10)
+    base = y * 31 + x * 7
     for pdf in it:
         ids, idxs, means = [], [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             seed = (d * 5) % 256
-            y, x = np.mgrid[0:_PNG_H, 0:_PNG_W]
-            img = ((y * 31 + x * 7 + seed) % 256).astype(np.uint8)
+            img = ((base + seed) % 256).astype(np.uint8)
             payload = encode_png(img, filter_type=d % 5)
             luma = _decode_payload(payload, "image/png")
             n_frames = luma.size // _PNG_FRAME_PX

@@ -72,6 +72,21 @@ def _mk_store(root: str, backend_kind: str):
         return PotStore(None, root)
     if backend_kind == "fsspec":
         return PotStore(None, root, backend=FsspecBackend(LocalFsspecShim()))
+    if backend_kind.startswith("bucket:"):
+        # fully bucket-rooted: the DATA PLANE (manifest listing, snapshot
+        # parquet) AND the conditional-put commit both cross the HTTP
+        # socket — no filesystem anywhere in the store (r10 storefs seam)
+        from pot_spark.kv.gcs_emulator import HttpObjectStoreClient
+        from pot_spark.kv.storefs import ObjectStoreFS
+
+        endpoint = backend_kind.split(":", 1)[1]
+        client = HttpObjectStoreClient("racebkt", endpoint)
+        return PotStore(
+            None,
+            root,
+            backend=ConditionalPutBackend(client),
+            fs=ObjectStoreFS(client),
+        )
     # bucket mounted at the store root: conditional-put objects land
     # exactly where the store's readers list manifests
     return PotStore(
@@ -148,3 +163,58 @@ def test_mixed_backends_interoperate(tmp_path):
     local.create("mix/p", {"id": "b", "v": 2})
     assert obj.get("mix/p")["b"] == {"id": "b", "v": 2}
     assert [g for g, _ in obj.list_generations("mix/p")] == [1, 2]
+
+
+def test_cross_process_writers_all_commit_bucket_rooted():
+    """The full-commit race with the store ENTIRELY in a bucket: four
+    separate OS processes race create_batch over real HTTP — staged
+    snapshot uploads, manifest listing, and the ifGenerationMatch=0
+    commit all cross the socket. Every writer must win exactly one
+    generation and history must replay, exactly like the filesystem
+    backends (the reference's multi-server GCS deployment model)."""
+    from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
+
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        HttpObjectStoreClient("racebkt", endpoint).create_bucket()
+        kind = f"bucket:{endpoint}"
+        with mp.get_context("spawn").Pool(4) as pool:
+            results = pool.map(
+                _writer, [("warehouse/pots", i, kind) for i in range(4)]
+            )
+        store = _mk_store("warehouse/pots", kind)
+        gens = sorted(g for _, g in results)
+        assert gens == [1, 2, 3, 4]
+        content = store.get("race/mp")
+        assert {k for k in content} == {
+            f"p{i}-{j}" for i in range(4) for j in range(3)
+        }
+        sizes = [len(store.get_at("race/mp", g)) for g in gens]
+        assert sizes == [3, 6, 9, 12]
+    finally:
+        server.stop()
+
+
+def test_cross_process_norewrite_single_winner_bucket_rooted():
+    """The reference's 5-client lease race, bucket-rooted end-to-end:
+    exactly one norewrite create wins over the HTTP conditional put."""
+    from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
+
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        HttpObjectStoreClient("racebkt", endpoint).create_bucket()
+        kind = f"bucket:{endpoint}"
+        with mp.get_context("spawn").Pool(5) as pool:
+            results = pool.map(
+                _nr_writer, [("warehouse/pots", i, kind) for i in range(5)]
+            )
+        store = _mk_store("warehouse/pots", kind)
+        winners = [i for i, ok in results if ok]
+        assert len(winners) == 1
+        assert store.get("race/nr") == {
+            "leader": {"id": "leader", "w": winners[0]}
+        }
+    finally:
+        server.stop()

@@ -260,9 +260,13 @@ class ObjectStoreFS(_PosixPathMixin):
         self.client.upload(self._norm(p), buf.getvalue())
 
     def rmtree(self, p: str) -> None:
+        # DIRECTORY semantics, matching shutil.rmtree: only keys under
+        # the p/ prefix — a plain file at exactly p is refused there
+        # (ignore_errors swallows it), so it survives here too; the
+        # property test pins Local/Object parity on this
         p = self._norm(p).rstrip("/")
-        for k in self.client.list(prefix=p):
-            if k == p or k.startswith(p + "/"):
+        for k in self.client.list(prefix=p + "/"):
+            if k.startswith(p + "/"):
                 self.client.delete(k)
 
     def copytree(self, src: str, dst: str) -> None:

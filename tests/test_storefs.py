@@ -328,3 +328,84 @@ def test_walk_contract_matches_os_walk(tmp_path):
         assert local == remote
     finally:
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# Property: ObjectStoreFS's directory emulation agrees with the real
+# filesystem on every observable op, over random small trees.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_seg = st.text(alphabet="abc", min_size=1, max_size=2)
+_relpath = st.lists(_seg, min_size=1, max_size=3).map("/".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    files=st.dictionaries(_relpath, st.binary(max_size=8), max_size=6),
+    probe=_relpath,
+)
+def test_objectstore_fs_matches_local_fs(files, probe):
+    import tempfile
+
+    from pot_spark.kv.storefs import LocalStoreFS
+
+    # drop keys that are prefixes of other keys: a POSIX path cannot be
+    # both a file and a directory (object stores allow it; the store
+    # never creates such layouts)
+    files = {
+        k: v
+        for k, v in files.items()
+        if not any(o != k and o.startswith(k + "/") for o in files)
+    }
+    server = FakeGCSServer()
+    endpoint = server.start()
+    local_root = tempfile.mkdtemp(prefix="storefs_prop_")
+    try:
+        client = HttpObjectStoreClient("propbkt", endpoint)
+        client.create_bucket()
+        ofs = ObjectStoreFS(client)
+        lfs = LocalStoreFS()
+        import os
+
+        for k, v in files.items():
+            client.upload(f"root/{k}", v)
+            full = os.path.join(local_root, k)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as f:
+                f.write(v)
+
+        def norm(d):
+            # every directory that exists locally must listdir-match
+            for dirpath, dirnames, filenames in os.walk(d):
+                rel = os.path.relpath(dirpath, local_root)
+                rel = "" if rel == "." else rel
+                o_dir = f"root/{rel}" if rel else "root"
+                if rel or files:
+                    assert sorted(ofs.listdir(o_dir)) == sorted(
+                        lfs.listdir(dirpath)
+                    ), (rel, files)
+
+        norm(local_root)
+        # exists/isdir agree on probe paths (files, dirs, and misses)
+        o_probe, l_probe = f"root/{probe}", os.path.join(local_root, probe)
+        assert ofs.exists(o_probe) == lfs.exists(l_probe), probe
+        assert ofs.isdir(o_probe) == lfs.isdir(l_probe), probe
+        # read back every file byte-identically
+        for k, v in files.items():
+            assert ofs.read_bytes(f"root/{k}") == v
+        # rmtree of the first dir-ish prefix agrees
+        if files:
+            victim = sorted(files)[0].split("/")[0]
+            ofs.rmtree(f"root/{victim}")
+            lfs.rmtree(os.path.join(local_root, victim))
+            assert ofs.exists(f"root/{victim}") == lfs.exists(
+                os.path.join(local_root, victim)
+            )
+    finally:
+        server.stop()
+        import shutil
+
+        shutil.rmtree(local_root, ignore_errors=True)

@@ -71,7 +71,37 @@ MEDIAN_GROUPS = [
     [
         "BENCH_r09_local.json",
     ],
+    # round-10: the even-parity rotation cohort's fresh rows plus the
+    # supplementary targeted record (BENCH_r10_local2: the round-10
+    # additions and the re-anchored rewrites, bench-protocol rows)
+    [
+        "BENCH_r10_local.json",
+        "BENCH_r10_local2.json",
+    ],
 ]
+
+# Ops whose IMPLEMENTATION SEMANTICS changed, making their earlier rows
+# a different computation: re-anchored to the named run with the reason
+# recorded in `sources`. This is NOT a gate loosening — the old row
+# measured a different op (e.g. the r3 multimodal stubs sliced utf-8
+# bytes; since r10 the same names encode+decode REAL PNGs through the
+# production path). Without the re-anchor the 2x detector compares
+# apples to oranges (q_multimodal_frames read 2.6x against its stub-era
+# row while being a brand-new computation).
+REANCHOR = {
+    "q_multimodal_features": (
+        "BENCH_r10_local2.json",
+        "r10 rewrite: rows-only byte stub -> hash-checked real RGB PNG decode",
+    ),
+    "q_multimodal_resize": (
+        "BENCH_r10_local2.json",
+        "r10 rewrite: byte-tiling stub -> hash-checked real PNG decode + integer resize",
+    ),
+    "q_multimodal_frames": (
+        "BENCH_r10_local2.json",
+        "r10 rewrite: payload-frame stub -> hash-checked real PNG decode + luma frames",
+    ),
+}
 
 
 def _load(path: str) -> dict:
@@ -99,6 +129,11 @@ def main() -> None:
             if name not in queries:
                 queries[name] = sec
                 sources[name] = fill
+    for name, (run, reason) in REANCHOR.items():
+        sec = _queries(run).get(name)
+        if sec is not None:
+            queries[name] = sec
+            sources[name] = f"{run} [re-anchored: {reason}]"
     for group in MEDIAN_GROUPS:
         group_runs = {p: _queries(p) for p in group}
         group_names = set()

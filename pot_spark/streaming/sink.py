@@ -16,8 +16,6 @@ cheaply from the checkpoint + ledger.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -28,14 +26,14 @@ _EPOCHS_DIRNAME = "epochs"
 
 
 def _epoch_ledger_dir(store: PotStore, path: str) -> str:
-    return os.path.join(store._pot_dir(path), _EPOCHS_DIRNAME)
+    return store._fs.join(store._pot_dir(path), _EPOCHS_DIRNAME)
 
 
 def _epoch_done(store: PotStore, path: str, epoch_id: int) -> bool:
     """True iff this epoch's pot commit already succeeded AND was marked
     (a foreachBatch replay after failure) — the batch must be skipped."""
-    return os.path.exists(
-        os.path.join(_epoch_ledger_dir(store, path), f"{epoch_id:020d}")
+    return store._fs.exists(
+        store._fs.join(_epoch_ledger_dir(store, path), f"{epoch_id:020d}")
     )
 
 
@@ -48,15 +46,19 @@ def _mark_epoch_done(store: PotStore, path: str, epoch_id: int) -> None:
     replayed epoch skip itself and its data vanish forever. With
     commit-then-mark, the only crash window (after commit, before mark)
     makes the replay re-apply an IDENTICAL keyed upsert: one redundant
-    generation, byte-same final state — effectively once."""
-    ledger = _epoch_ledger_dir(store, path)
-    os.makedirs(ledger, exist_ok=True)
-    target = os.path.join(ledger, f"{epoch_id:020d}")
-    try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return
-    os.close(fd)
+    generation, byte-same final state — effectively once.
+
+    The marker create goes through the store's COMMIT BACKEND
+    (put_if_absent — a zero-byte object): the exact create-if-absent
+    primitive the manifest publish uses, so the ledger works verbatim
+    on a bucket-rooted store (conditional PUT) with no local-path
+    assumption (r10; previously raw os.O_EXCL, which silently wrote
+    ledger markers to the driver's local disk when the store lived in
+    a bucket)."""
+    target = store._fs.join(
+        _epoch_ledger_dir(store, path), f"{epoch_id:020d}"
+    )
+    store.backend.put_if_absent(target, b"")
 
 
 # to_json's default format truncates timestamps to milliseconds; pot docs

@@ -81,6 +81,65 @@ def test_stream_upsert_to_pot_exactly_once(spark, sf_dir, tmp_path):
     assert _epoch_done(store, "dedup/events", 0)
 
 
+def test_stream_upsert_to_bucket_rooted_pot_exactly_once(spark, sf_dir, tmp_path):
+    """The exactly-once sink with the pot ENTIRELY in a bucket (r10):
+    the epoch ledger markers go through the store's conditional-put
+    backend — zero local-path assumptions — and the final state still
+    equals the batch dedup result with a ledger-marked epoch."""
+    from pot_spark.kv.backend import ConditionalPutBackend
+    from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
+    from pot_spark.kv.store import PotStore
+    from pot_spark.kv.storefs import ObjectStoreFS
+    from pot_spark.streaming.runner import build_stateful_dedup
+    from pot_spark.streaming.sink import _epoch_done, start_pot_upsert_stream
+    from pot_spark.tables import load
+
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        client = HttpObjectStoreClient("sinkbkt", endpoint)
+        client.create_bucket()
+        store = PotStore(
+            spark,
+            "warehouse/pots",
+            backend=ConditionalPutBackend(client),
+            fs=ObjectStoreFS(client),
+        )
+        ev = load(spark, sf_dir, "events")
+        src = str(tmp_path / "src")
+        ev.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_pot_upsert_stream(
+            build_stateful_dedup(stream),
+            store,
+            "dedup/events",
+            ["user_id", "event_type"],
+            str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        typed = store.get_typed(
+            "dedup/events",
+            "user_id long, event_type string, first_event_id long, "
+            "first_ts timestamp, first_value double",
+        ).drop("key")
+        batch = registry.QUERIES["s_dedup_first"](spark, sf_dir)
+        assert _sorted_rows(typed) == _sorted_rows(batch)
+        # the ledger markers are OBJECTS in the bucket
+        assert _epoch_done(store, "dedup/events", 0)
+        assert client.list(
+            prefix="warehouse/pots/dedup/events/_pot/epochs/"
+        )
+    finally:
+        server.stop()
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Real watermark semantics: after the first batch sets max(ts), a
     second batch's event older than the 1-hour watermark is dropped from

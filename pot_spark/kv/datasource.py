@@ -35,7 +35,6 @@ from typing import TYPE_CHECKING, Iterator
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -64,12 +63,42 @@ class _StagedFile(WriterCommitMessage):
     file: str
 
 
-def _store(options) -> tuple[PotStore, str]:
+def _conn_fields(options) -> tuple[str, str, str | None, str | None]:
+    """(root, path, object-store endpoint, bucket) from reader/writer
+    options — plain strings, picklable to executor-side tasks."""
     root = options.get("root")
     if not root:
         raise ValueError('the pot data source requires .option("root", <dir>)')
-    path = options.get("path", "")
-    return PotStore(spark=None, root=root), path
+    endpoint = options.get("objectstore") or options.get("objectStore")
+    bucket = options.get("bucket")
+    if endpoint and not bucket:
+        raise ValueError('.option("objectStore", ...) requires .option("bucket", ...)')
+    return root, options.get("path", ""), endpoint, bucket
+
+
+def _mk_store(root: str, endpoint: str | None, bucket: str | None) -> PotStore:
+    """Local-rooted by default; with an object-store endpoint the store
+    runs BUCKET-ROOTED — conditional-put commits and the snapshot data
+    plane through one namespace (kv/storefs.py), the same wiring as the
+    CLI's --object-store mode."""
+    if endpoint:
+        from pot_spark.kv.backend import ConditionalPutBackend
+        from pot_spark.kv.gcs_emulator import HttpObjectStoreClient
+        from pot_spark.kv.storefs import ObjectStoreFS
+
+        client = HttpObjectStoreClient(bucket, endpoint)
+        return PotStore(
+            spark=None,
+            root=root,
+            backend=ConditionalPutBackend(client),
+            fs=ObjectStoreFS(client),
+        )
+    return PotStore(spark=None, root=root)
+
+
+def _store(options) -> tuple[PotStore, str]:
+    root, path, endpoint, bucket = _conn_fields(options)
+    return _mk_store(root, endpoint, bucket), path
 
 
 class PotDataSource(DataSource):
@@ -102,6 +131,9 @@ class PotReaderNoPushdown(DataSourceReader):
 
     def __init__(self, options) -> None:
         store, path = _store(options)
+        # the data-plane fs travels with the reader (picklable) so the
+        # executor-side part read goes through the same namespace
+        self._fs = store._fs
         gen = options.get("generation")
         manifest = (
             store._manifest_at(path, int(gen))
@@ -113,10 +145,13 @@ class PotReaderNoPushdown(DataSourceReader):
             if manifest.files is not None:
                 for rel in manifest.files.values():
                     d = store._snapshot_path(path, rel)
-                    self._files.extend(store._parquet_parts(d))
+                    try:
+                        self._files.extend(store._parquet_parts(d))
+                    except FileNotFoundError:
+                        pass  # empty bucket dir (marker-only)
             else:
                 snap = store._snapshot_path(path, manifest.snapshot)
-                if os.path.isdir(snap):
+                if store._fs.isdir(snap):
                     self._files.extend(store._parquet_parts(snap))
                 else:
                     self._files.append(snap)
@@ -130,7 +165,7 @@ class PotReaderNoPushdown(DataSourceReader):
             return
         if self._keys is not None and not self._keys:
             return  # contradictory pushed predicates -> provably empty
-        table = pq.read_table(partition.file, schema=_ARROW_SCHEMA)
+        table = self._fs.read_parquet(partition.file, _ARROW_SCHEMA)
         if self._keys is not None:
             # explicit string type: an empty/None-typed value set would
             # make pyarrow's is_in raise instead of matching nothing
@@ -177,29 +212,34 @@ class PotDataSourceNoPushdown(PotDataSource):
 
 class PotWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool) -> None:
-        self._root = options.get("root")
-        if not self._root:
-            raise ValueError('the pot data source requires .option("root", <dir>)')
-        self._path = options.get("path", "")
+        self._root, self._path, self._endpoint, self._bucket = _conn_fields(
+            options
+        )
         self._overwrite = overwrite
-        store = PotStore(spark=None, root=self._root)
-        self._staging = os.path.join(
+        store = self._mk()
+        self._staging = store._fs.join(
             store._pot_dir(self._path), f"stage-{uuid.uuid4().hex[:8]}"
         )
 
+    def _mk(self) -> PotStore:
+        return _mk_store(self._root, self._endpoint, self._bucket)
+
     def write(self, iterator) -> _StagedFile:
         """Executor task: buffer this partition's rows into one staged
-        parquet file (never a per-row write)."""
+        parquet file (never a per-row write) — through the store's
+        data-plane fs, so a bucket-rooted pot stages straight into the
+        bucket."""
         from pyspark import TaskContext
 
-        os.makedirs(self._staging, exist_ok=True)
+        fs = self._mk()._fs
+        fs.makedirs(self._staging)
         pid = TaskContext.get().partitionId()
         keys, docs = [], []
         for row in iterator:
             keys.append(row[0])
             docs.append(row[1])
-        out = os.path.join(self._staging, f"part-{pid:05d}.parquet")
-        pq.write_table(
+        out = fs.join(self._staging, f"part-{pid:05d}.parquet")
+        fs.write_parquet(
             pa.Table.from_pydict({"key": keys, "doc": docs}, schema=_ARROW_SCHEMA),
             out,
         )
@@ -210,26 +250,22 @@ class PotWriter(DataSourceWriter):
         the store's commit protocol (append = merge upsert, overwrite =
         replace) — the same all-or-nothing semantics as the HTTP batch
         route (server.go:334-339)."""
-        import shutil
-
+        store = self._mk()
         docs: dict[str, dict] = {}
         for m in messages:
             if m is None:
                 continue
-            t = pq.read_table(m.file, schema=_ARROW_SCHEMA)
+            t = store._fs.read_parquet(m.file, _ARROW_SCHEMA)
             for k, d in zip(t.column("key").to_pylist(), t.column("doc").to_pylist()):
                 docs[k] = json.loads(d)
-        store = PotStore(spark=None, root=self._root)
         if self._overwrite:
             store.replace_batch(self._path, docs)
         else:
             store.create_batch(self._path, docs)
-        shutil.rmtree(self._staging, ignore_errors=True)
+        store._fs.rmtree(self._staging)
 
     def abort(self, messages) -> None:
-        import shutil
-
-        shutil.rmtree(self._staging, ignore_errors=True)
+        self._mk()._fs.rmtree(self._staging)
 
 
 class PotStreamWriter(DataSourceStreamWriter):
@@ -242,40 +278,41 @@ class PotStreamWriter(DataSourceStreamWriter):
     epoch (replace_batch); update/append modes merge-upsert."""
 
     def __init__(self, options, overwrite: bool = False) -> None:
-        self._root = options.get("root")
-        if not self._root:
-            raise ValueError('the pot data source requires .option("root", <dir>)')
-        self._path = options.get("path", "")
+        self._root, self._path, self._endpoint, self._bucket = _conn_fields(
+            options
+        )
         self._overwrite = overwrite
-        store = PotStore(spark=None, root=self._root)
-        self._staging = os.path.join(
+        store = self._mk()
+        self._staging = store._fs.join(
             store._pot_dir(self._path), f"stage-stream-{uuid.uuid4().hex[:8]}"
         )
 
+    def _mk(self) -> PotStore:
+        return _mk_store(self._root, self._endpoint, self._bucket)
+
     def write(self, iterator) -> _StagedFile:
-        os.makedirs(self._staging, exist_ok=True)
+        fs = self._mk()._fs
+        fs.makedirs(self._staging)
         keys, docs = [], []
         for row in iterator:
             keys.append(row[0])
             docs.append(row[1])
-        out = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(
+        out = fs.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
+        fs.write_parquet(
             pa.Table.from_pydict({"key": keys, "doc": docs}, schema=_ARROW_SCHEMA),
             out,
         )
         return _StagedFile(out)
 
     def commit(self, messages, batchId: int) -> None:
-        import shutil
-
         from pot_spark.streaming.sink import _epoch_done, _mark_epoch_done
 
-        store = PotStore(spark=None, root=self._root)
+        store = self._mk()
         docs: dict[str, dict] = {}
         for m in messages:
             if m is None:
                 continue
-            t = pq.read_table(m.file, schema=_ARROW_SCHEMA)
+            t = store._fs.read_parquet(m.file, _ARROW_SCHEMA)
             for k, d in zip(t.column("key").to_pylist(), t.column("doc").to_pylist()):
                 docs[k] = json.loads(d)
         # commit FIRST, mark after: a replay of an unmarked-but-committed
@@ -294,16 +331,11 @@ class PotStreamWriter(DataSourceStreamWriter):
             _mark_epoch_done(store, self._path, batchId)
         for m in messages:
             if m is not None:
-                try:
-                    os.remove(m.file)
-                except OSError:
-                    pass
-        shutil.rmtree(self._staging, ignore_errors=True)
+                store._fs.rm_file(m.file)
+        store._fs.rmtree(self._staging)
 
     def abort(self, messages, batchId: int) -> None:
-        import shutil
-
-        shutil.rmtree(self._staging, ignore_errors=True)
+        self._mk()._fs.rmtree(self._staging)
 
 
 class PotChangesDataSource(DataSource):
@@ -323,14 +355,15 @@ class PotChangesDataSource(DataSource):
 
 class PotChangesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
-        self._root = options.get("root")
-        if not self._root:
+        if not options.get("root"):
             raise ValueError('the pot_changes source requires .option("root", <dir>)')
-        self._path = options.get("path", "")
+        self._root, self._path, self._endpoint, self._bucket = _conn_fields(
+            options
+        )
         self._start = options.get("startingGeneration")
 
     def _store(self) -> PotStore:
-        return PotStore(spark=None, root=self._root)
+        return _mk_store(self._root, self._endpoint, self._bucket)
 
     def _latest(self) -> int:
         m = self._store()._latest_manifest(self._path)

@@ -104,6 +104,12 @@ class LocalStoreFS:
     def write_parquet(self, table: pa.Table, p: str) -> None:
         pq.write_table(table, p)
 
+    def rm_file(self, p: str) -> None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
     def rmtree(self, p: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
@@ -249,6 +255,9 @@ class ObjectStoreFS(_PosixPathMixin):
         # whole-object PUT: atomic on object stores by construction
         self.client.upload(self._norm(p), data)
 
+    def rm_file(self, p: str) -> None:
+        self.client.delete(self._norm(p))  # missing key: silent no-op
+
     def read_parquet(self, p: str, schema: pa.Schema) -> pa.Table:
         return pq.read_table(
             io.BytesIO(self.client.download(self._norm(p))), schema=schema
@@ -362,6 +371,12 @@ class FsspecStoreFS(_PosixPathMixin):
         pq.write_table(table, buf)
         with self.fs.open(self._norm(p), "wb") as f:
             f.write(buf.getvalue())
+
+    def rm_file(self, p: str) -> None:
+        try:
+            self.fs.rm(self._norm(p))
+        except FileNotFoundError:
+            pass
 
     def rmtree(self, p: str) -> None:
         try:

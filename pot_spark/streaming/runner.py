@@ -922,6 +922,20 @@ def build_near_dedup_gate(
     )
 
 
+def _prune_stale_bands(per_band: dict, ttl_ms: int, now: int) -> dict:
+    """Per-band retention horizon under SHARD-keyed state: a band whose
+    newest activity stamp is older than ttl_ms drops its retained set,
+    even though livelier bands keep the shard's state row alive (the
+    state-level timeout only fires when the WHOLE shard idles).
+    Module-level so the horizon arithmetic is unit-testable outside a
+    running stream (tests/test_streaming.py)."""
+    return {
+        bk: rows
+        for bk, rows in per_band.items()
+        if max(ms for _, _, ms in rows) + ttl_ms > now
+    }
+
+
 def _sharded_gate(
     bands: DataFrame, ttl_ms: int | None, n_shards: int, min_lanes: int
 ) -> DataFrame:
@@ -963,13 +977,7 @@ def _sharded_gate(
             for bk, d, s, ms in zip(bks, dids, sgs, mss):
                 per_band.setdefault(bk, []).append([int(d), s, int(ms)])
         if ttl_ms is not None:
-            # per-band horizon: a band idle past ttl drops its set even
-            # though livelier bands keep the shard's state row alive
-            per_band = {
-                bk: rows
-                for bk, rows in per_band.items()
-                if max(ms for _, _, ms in rows) + ttl_ms > now
-            }
+            per_band = _prune_stale_bands(per_band, ttl_ms, now)
         batch = pd.concat(list(pdf_iter), ignore_index=True)
         # parse each retained signature ONCE per invocation, not per
         # incoming row: parsed[bk] mirrors per_band[bk] positionally

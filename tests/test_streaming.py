@@ -519,6 +519,26 @@ def test_near_dedup_gate_sharded_matches_batch_under_replay(spark, sf_dir):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_sharded_gate_ttl_prunes_per_band():
+    """The per-band retention horizon under shard-keyed state: a band
+    idle past ttl drops its retained set; a band with ONE live pair
+    keeps ALL its pairs (the stamp is the band's, not the pair's); the
+    boundary is strict (exactly-at-horizon prunes)."""
+    from pot_spark.streaming.runner import _prune_stale_bands
+
+    per_band = {
+        "stale": [[1, "1,2", 100], [2, "3,4", 200]],
+        "live": [[3, "5,6", 100], [4, "7,8", 900]],
+        "fresh": [[5, "9,9", 1000]],
+    }
+    out = _prune_stale_bands(per_band, ttl_ms=500, now=1000)
+    assert set(out) == {"live", "fresh"}
+    assert out["live"] == [[3, "5,6", 100], [4, "7,8", 900]]
+    # strict boundary: last activity + ttl == now is already expired
+    assert not _prune_stale_bands({"b": [[1, "s", 500]]}, 500, 1000)
+    assert _prune_stale_bands({"b": [[1, "s", 501]]}, 500, 1000)
+
+
 def test_near_dedup_gate_idempotent_under_replay(spark, sf_dir):
     """At-least-once delivery: every doc chunk is delivered twice; the
     gate re-emits the SAME verdict for a redelivered doc (its signature

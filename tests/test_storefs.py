@@ -409,3 +409,21 @@ def test_objectstore_fs_matches_local_fs(files, probe):
         import shutil
 
         shutil.rmtree(local_root, ignore_errors=True)
+
+
+def test_spark_url_composition():
+    """The bulk-plane URL seam: with a connector prefix/scheme the store
+    hands Spark a native URI (fully distributed reads/writes); without
+    one, None selects the documented stage-and-stream degrade."""
+    class _NullClient:  # never touched by spark_url
+        pass
+
+    ofs = ObjectStoreFS(_NullClient())
+    assert ofs.spark_url("warehouse/pots/x") is None
+    ofs2 = ObjectStoreFS(_NullClient(), spark_url_prefix="gs://mybucket")
+    assert ofs2.spark_url("warehouse/pots/x") == "gs://mybucket/warehouse/pots/x"
+    ffs = FsspecStoreFS(object())
+    assert ffs.spark_url("bkt/pots/x") is None
+    ffs2 = FsspecStoreFS(object(), spark_scheme="gs")
+    assert ffs2.spark_url("bkt/pots/x") == "gs://bkt/pots/x"
+    assert LocalStoreFS().spark_url("/data/pots") == "/data/pots"

@@ -209,7 +209,14 @@ class ObjectStoreFS(_PosixPathMixin):
     for this bucket (e.g. ``gs://bucket``), pass it so the bulk plane
     stays fully distributed; with None the store uses the documented
     stage-and-stream degrade for Spark writes and streams reads through
-    the client (the reference's own SDK-streaming posture)."""
+    the client (the reference's own SDK-streaming posture).
+
+    Listing cost note: ``exists``/``isdir`` probe via a prefix listing,
+    which the JSON API pages server-side; a production client wrapper
+    should pass ``maxResults=1`` on those probes (the public
+    ``objects.list`` parameter) — the store's access pattern only ever
+    lists pot-scoped prefixes (one pot's commits or one snapshot dir),
+    never the whole bucket, so listings stay O(pot), not O(store)."""
 
     def __init__(self, client, spark_url_prefix: Optional[str] = None) -> None:
         self.client = client

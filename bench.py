@@ -255,6 +255,11 @@ def main() -> None:
         # u_udf_scalar also forks the Python/Arrow worker pool once, so
         # Pandas-UDF queries don't pay worker startup in the timed section
         for wq in (
+            "s_tumbling_stream",  # the session's FIRST streaming query
+            #  pays the JVM streaming-machinery init (~3-5s) — run one
+            #  tiny real stream here so the s_*_stream tiers measure
+            #  their plans, not cold start (the r10 closing-run
+            #  s_ohlc_stream 2.3x flag, BENCH_NOTES.md)
             "q_multiway_join",
             "q_groupby_agg",
             "q_window_rank",

@@ -2553,3 +2553,78 @@ def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("ws"),
         ppm("markup"),
     )
+
+
+_APPORTION_BUDGET = 1000  # total sample budget to allocate across sources
+
+
+@query(
+    "q_source_apportion",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source
+    ),
+    t AS (SELECT SUM(n) AS total FROM c),
+    q AS (
+        SELECT c.source, c.n,
+               ({_APPORTION_BUDGET} * c.n) // t.total AS base,
+               ({_APPORTION_BUDGET} * c.n) % t.total AS rem,
+               t.total AS total
+        FROM c, t
+    ),
+    r AS (
+        SELECT source, n, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk,
+               {_APPORTION_BUDGET} - SUM(base) OVER () AS leftover
+        FROM q
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def q_source_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer budget apportionment across corpus sources
+    (largest-remainder / Hamilton method): allocate a total sample
+    budget of {B} docs proportionally to per-source counts — floor the
+    exact quota B*n_i/N (integer arithmetic, never floats), then hand
+    the leftover units to the largest fractional remainders (ties
+    break on source name). This is the allocation step AFTER mixture
+    weighting (q_corpus_mixture/q_temperature_mixture pick rates; this
+    turns a target budget into per-source integer counts that sum to
+    EXACTLY B — naive rounding over- or under-shoots). sum(alloc) == B
+    is pinned in tests/test_corpus_ops.py.
+
+    Scale posture: one map-side-combined groupBy over the scan (k
+    source rows out), a 1-row broadcast total, and windows over the
+    k-row source relation only — type-scale, never corpus-scale; the
+    allocation for 10^10 docs costs the same k-row tail as for 10^4.
+    No reference counterpart (SURVEY.md §2-A)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    B = _APPORTION_BUDGET
+    q = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        F.expr(f"({B} * n) DIV total").alias("base"),
+        F.expr(f"({B} * n) % total").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "source")
+    w_all = Window.orderBy(F.col("rem").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return q.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rank) <= B - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    )

@@ -1491,3 +1491,18 @@ def test_session_gap_stats_matches_bruteforce(spark, sf_dir):
         assert getattr(row, attr) == want, attr
     over = sum(1 for g in gaps if g > 1800)
     assert row.over_30m_ppm == over * 1_000_000 // n
+
+
+def test_source_apportion_sums_to_budget_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: allocations are integers, sum
+    to EXACTLY the budget (never the off-by-a-few of naive rounding),
+    and respect quota monotonicity (alloc within 1 of the exact
+    proportional share, the Hamilton-method guarantee)."""
+    from pot_spark.queries.llm_text import _APPORTION_BUDGET
+
+    rows = registry.QUERIES["q_source_apportion"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _APPORTION_BUDGET
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        exact = _APPORTION_BUDGET * r.n_docs / total
+        assert exact - 1 < r.alloc < exact + 1, (r.source, r.alloc, exact)

@@ -43,61 +43,102 @@ _op = st.one_of(
 )
 
 
+def _replay_model(store: PotStore, ops, path: str = "p/q") -> None:
+    """Drive any op sequence against ``store`` and a plain dict replaying
+    the reference's rules; assert state, time travel, and the change
+    feed agree after every mutation (shared by the local, HTTP, and
+    bucket-rooted model tests)."""
+    model: dict = {}
+    history = []  # (generation, state) after each mutation
+    gen = 0
+    for kind, arg in ops:
+        if kind == "create":
+            resp = store.create(path, arg)
+            model[derive_key(arg)] = arg
+            assert resp.generation == gen + 1
+            gen = resp.generation
+        elif kind == "create_batch":
+            resp = store.create_batch(path, arg)
+            model.update(arg)
+            gen = resp.generation
+        elif kind == "restore":
+            if not history or arg > len(history):
+                continue  # target never existed: nothing to restore
+            target_gen, target_state = history[arg - 1]
+            new_gen = store.restore(path, target_gen)
+            assert new_gen == gen + 1
+            gen, model = new_gen, dict(target_state)
+        else:
+            store.remove(path, *arg)
+            for k in arg:
+                model.pop(k, None)
+            gen += 1
+        assert store.get(path) == model
+        history.append((gen, dict(model)))
+    # time travel reproduces every intermediate state, including
+    # states rolled back over by restore
+    for g, state in history:
+        assert store.get_at(path, g) == state
+    # the change feed between any state and latest replays the model
+    # diff exactly
+    if history:
+        g0, s0 = history[0]
+        feed = store.changes(path, g0)
+        for k, (op, doc) in feed.items():
+            if op == "delete":
+                assert k in s0 and k not in model
+            else:
+                assert model[k] == doc
+                assert (k not in s0) if op == "insert" else (s0[k] != doc)
+        unchanged = set(s0) & set(model) - set(feed)
+        for k in unchanged:
+            assert s0[k] == model[k]
+
+
 @settings(max_examples=60, deadline=None)
 @given(ops=st.lists(_op, max_size=12))
 def test_store_matches_dict_model(ops):
     root = tempfile.mkdtemp(prefix="pot_prop_")
     try:
-        store = PotStore(None, root)
-        model: dict = {}
-        history = []  # (generation, state) after each mutation
-        gen = 0
-        for kind, arg in ops:
-            if kind == "create":
-                resp = store.create("p/q", arg)
-                model[derive_key(arg)] = arg
-                assert resp.generation == gen + 1
-                gen = resp.generation
-            elif kind == "create_batch":
-                resp = store.create_batch("p/q", arg)
-                model.update(arg)
-                gen = resp.generation
-            elif kind == "restore":
-                # rollback to a random retained generation: the model
-                # becomes that generation's state under a NEW generation
-                if not history or arg > len(history):
-                    continue  # target never existed: nothing to restore
-                target_gen, target_state = history[arg - 1]
-                new_gen = store.restore("p/q", target_gen)
-                assert new_gen == gen + 1
-                gen, model = new_gen, dict(target_state)
-            else:
-                store.remove("p/q", *arg)
-                for k in arg:
-                    model.pop(k, None)
-                gen += 1
-            assert store.get("p/q") == model
-            history.append((gen, dict(model)))
-        # time travel reproduces every intermediate state, including
-        # states rolled back over by restore
-        for g, state in history:
-            assert store.get_at("p/q", g) == state
-        # the change feed between any state and latest replays the model
-        # diff exactly
-        if history:
-            g0, s0 = history[0]
-            feed = store.changes("p/q", g0)
-            for k, (op, doc) in feed.items():
-                if op == "delete":
-                    assert k in s0 and k not in model
-                else:
-                    assert model[k] == doc
-                    assert (k not in s0) if op == "insert" else (s0[k] != doc)
-            unchanged = set(s0) & set(model) - set(feed)
-            for k in unchanged:
-                assert s0[k] == model[k]
+        _replay_model(PotStore(None, root), ops)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def bucket_model_client():
+    from pot_spark.kv.gcs_emulator import FakeGCSServer, HttpObjectStoreClient
+
+    server = FakeGCSServer()
+    endpoint = server.start()
+    client = HttpObjectStoreClient("propmodel", endpoint)
+    client.create_bucket()
+    yield client
+    server.stop()
+
+
+_bucket_seq = itertools.count()
+
+
+@settings(max_examples=25, deadline=None)
+@given(ops=st.lists(_op, max_size=8))
+def test_bucket_store_matches_dict_model(bucket_model_client, ops):
+    """The SAME dict-model property over a fully bucket-rooted store
+    (r10 storefs): every op sequence's state, every historical
+    generation, and the change feed agree while all bytes cross the
+    HTTP socket. Each example gets a fresh key-prefix root (hypothesis
+    reuses the module-scoped emulator)."""
+    from pot_spark.kv.backend import ConditionalPutBackend
+    from pot_spark.kv.storefs import ObjectStoreFS
+
+    client = bucket_model_client
+    store = PotStore(
+        None,
+        f"roots/{next(_bucket_seq)}",
+        backend=ConditionalPutBackend(client),
+        fs=ObjectStoreFS(client),
+    )
+    _replay_model(store, ops)
 
 
 # -- the same model over the network stack -----------------------------------

@@ -47,6 +47,10 @@ class PreconditionFailed(Exception):
 class CommitBackend(ABC):
     """The one storage primitive the commit protocol needs."""
 
+    #: read-only backends flip this; PotStore skips the constructor's
+    #: root makedirs for them (a reader must not write the namespace)
+    read_only = False
+
     @abstractmethod
     def put_if_absent(self, target: str, payload: bytes) -> bool:
         """Atomically create ``target`` holding exactly ``payload`` iff no
@@ -57,7 +61,12 @@ class CommitBackend(ABC):
 
 class ReadOnlyBackend(CommitBackend):
     """For stores that only READ (e.g. per-task export replicas): any
-    commit attempt is a contract error, not a silent namespace split."""
+    commit attempt is a contract error, not a silent namespace split.
+    ``read_only`` also suppresses the constructor's root ``makedirs`` —
+    a reader replica must never write (not even a .dirmarker) into the
+    source namespace."""
+
+    read_only = True
 
     def put_if_absent(self, target: str, payload: bytes) -> bool:
         raise RuntimeError(

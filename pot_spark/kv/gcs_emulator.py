@@ -51,16 +51,21 @@ class FakeGCSServer:
     ephemeral localhost port; ``endpoint`` is the STORAGE_EMULATOR_HOST
     value clients use."""
 
-    def __init__(self) -> None:
+    def __init__(self, page_size: int | None = None) -> None:
         self._objects: dict[tuple[str, str], bytes] = {}
         self._buckets: set[str] = set()
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: server-side page cap for objects.list when the request sends
+        #: no maxResults (None = GCS's 1000). Tests set a tiny value to
+        #: force multi-page listings through clients.
+        self.page_size = page_size
 
     # -- lifecycle ---------------------------------------------------
     def start(self) -> str:
         objects, buckets, lock = self._objects, self._buckets, self._lock
+        page_size = lambda: self.page_size  # noqa: E731 — live read, tests mutate it
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet test output
@@ -86,17 +91,31 @@ class FakeGCSServer:
                     # /storage/v1/b/{bucket}
                     self._reply(200 if parts[3] in buckets else 404)
                 elif parts[:2] == ["storage", "v1"] and len(parts) == 5:
-                    # /storage/v1/b/{bucket}/o?prefix=...  (list)
+                    # /storage/v1/b/{bucket}/o?prefix=...  (list) —
+                    # paged like real GCS objects.list: results are
+                    # name-ordered, capped at maxResults (default 1000),
+                    # truncation signalled via nextPageToken which the
+                    # caller echoes back as pageToken. The token is the
+                    # last name of the page (resume strictly after it) —
+                    # opaque to clients, like GCS's.
                     qs = urllib.parse.parse_qs(url.query)
                     prefix = qs.get("prefix", [""])[0]
+                    after = qs.get("pageToken", [None])[0]
+                    cap = int(qs.get("maxResults", [0])[0] or 0)
+                    cap = min(cap, 1000) if cap > 0 else (page_size() or 1000)
                     bucket = parts[3]
                     with lock:
                         names = sorted(
                             k
                             for (b, k) in objects
-                            if b == bucket and k.startswith(prefix)
+                            if b == bucket
+                            and k.startswith(prefix)
+                            and (after is None or k > after)
                         )
-                    self._reply(200, {"items": [{"name": n} for n in names]})
+                    body = {"items": [{"name": n} for n in names[:cap]]}
+                    if len(names) > cap:
+                        body["nextPageToken"] = names[cap - 1]
+                    self._reply(200, body)
                 elif parts[:2] == ["storage", "v1"] and len(parts) == 6:
                     # /storage/v1/b/{bucket}/o/{object}
                     key = (parts[3], urllib.parse.unquote(parts[5]))
@@ -217,11 +236,24 @@ class HttpObjectStoreClient:
 
     def list(self, prefix: str = "") -> list[str]:
         """Object names under ``prefix`` (flat namespace, GCS
-        ``objects.list`` shape)."""
+        ``objects.list`` shape). Follows ``nextPageToken`` to
+        exhaustion: real GCS (and fake-gcs-server) page at
+        maxResults=1000, and a silently-truncated first page would make
+        _latest_manifest's max() return a stale generation and make
+        rmtree/copytree skip objects."""
         q = urllib.parse.quote(prefix.lstrip("/"), safe="")
-        url = f"{self.endpoint}/storage/v1/b/{self.bucket}/o?prefix={q}"
-        body = json.loads(urllib.request.urlopen(url, timeout=10).read())
-        return [item["name"] for item in body.get("items", [])]
+        base = f"{self.endpoint}/storage/v1/b/{self.bucket}/o?prefix={q}"
+        names: list[str] = []
+        token: str | None = None
+        while True:
+            url = base if token is None else (
+                f"{base}&pageToken={urllib.parse.quote(token, safe='')}"
+            )
+            body = json.loads(urllib.request.urlopen(url, timeout=10).read())
+            names.extend(item["name"] for item in body.get("items", []))
+            token = body.get("nextPageToken")
+            if not token:
+                return names
 
     def delete(self, key: str) -> None:
         """Delete; missing keys are a silent no-op (rmtree semantics)."""

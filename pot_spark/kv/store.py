@@ -220,13 +220,16 @@ class PotStore:
                 " the same object client)"
             )
         self.root = self._fs.canonical_root(root)
-        self._fs.makedirs(self.root)
         # the commit-point seam (kv/backend.py): every generation publish
         # goes through backend.put_if_absent — local FS by default, a
         # conditional-put object store (GCS if_generation_match=0, S3/ABS
         # If-None-Match) in the reference's actual deployment model
         # (server.go:670-702)
         self.backend: CommitBackend = backend or LocalFSBackend()
+        if not getattr(self.backend, "read_only", False):
+            # read-only replicas (export tasks) must not write anything
+            # into the source namespace — not even a root .dirmarker
+            self._fs.makedirs(self.root)
         self._locks: dict[str, threading.RLock] = {}
         self._locks_guard = threading.Lock()
         self.metrics = StoreMetrics()
@@ -247,9 +250,14 @@ class PotStore:
         if not path:
             contained = True  # the root pot itself
         elif self.root:
-            contained = base == self.root or base.startswith(
-                self.root + self._fs.sep
+            # a root of '/' (absolute-path fsspec) already ends with the
+            # separator — don't double it or nothing would ever match
+            root_pref = (
+                self.root
+                if self.root.endswith(self._fs.sep)
+                else self.root + self._fs.sep
             )
+            contained = base == self.root or base.startswith(root_pref)
         else:  # whole-bucket root (object store ""): no upward escapes
             contained = base not in ("", "..") and not base.startswith(
                 ("..%s" % self._fs.sep, self._fs.sep)
@@ -378,6 +386,13 @@ class PotStore:
         return {k: json.loads(d) for k, d in zip(keys, docs)}
 
     def _write_snapshot(self, path: str, generation: int, content: dict[str, Any]) -> str:
+        if getattr(self.backend, "read_only", False):
+            # fail BEFORE staging: a read-only replica that merely
+            # refused at the commit point would still have littered the
+            # source namespace with a snapshot dir + parquet
+            raise RuntimeError(
+                f"read-only store: refusing to write snapshot for {path!r}"
+            )
         name = f"snap-{generation:020d}-{uuid.uuid4().hex[:8]}"
         snap_dir = self._snapshot_path(path, name)
         self._fs.makedirs(snap_dir)

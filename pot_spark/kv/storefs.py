@@ -225,8 +225,16 @@ class ObjectStoreFS(_PosixPathMixin):
         )
 
     # -- listing helpers ----------------------------------------------
+    @staticmethod
+    def _under(norm: str) -> str:
+        """Key prefix covering everything under ``norm``. The bucket
+        root canonicalizes to ``''`` (store.py supports whole-bucket
+        roots); its children live under prefix ``''`` — NOT ``'/'``,
+        which matches no flat-namespace key."""
+        return norm + "/" if norm else ""
+
     def _children(self, d: str) -> list[str]:
-        prefix = self._norm(d).rstrip("/") + "/"
+        prefix = self._under(self._norm(d).rstrip("/"))
         return [
             k[len(prefix):]
             for k in self.client.list(prefix=prefix)
@@ -235,6 +243,10 @@ class ObjectStoreFS(_PosixPathMixin):
 
     def exists(self, p: str) -> bool:
         p = self._norm(p).rstrip("/")
+        if not p:
+            # bucket root: exists iff the bucket holds any object
+            # (makedirs plants a marker in an empty bucket)
+            return bool(self.client.list(prefix=""))
         keys = self.client.list(prefix=p)
         return any(k == p or k.startswith(p + "/") for k in keys)
 
@@ -281,16 +293,18 @@ class ObjectStoreFS(_PosixPathMixin):
         # (ignore_errors swallows it), so it survives here too; the
         # property test pins Local/Object parity on this
         p = self._norm(p).rstrip("/")
-        for k in self.client.list(prefix=p + "/"):
-            if k.startswith(p + "/"):
+        prefix = self._under(p)
+        for k in self.client.list(prefix=prefix):
+            if k.startswith(prefix):
                 self.client.delete(k)
 
     def copytree(self, src: str, dst: str) -> None:
         src = self._norm(src).rstrip("/")
         dst = self._norm(dst)
+        prefix = self._under(src)
         found = False
-        for k in self.client.list(prefix=src + "/"):
-            self.client.upload(self.join(dst, k[len(src) + 1:]), self.client.download(k))
+        for k in self.client.list(prefix=prefix):
+            self.client.upload(self.join(dst, k[len(prefix):]), self.client.download(k))
             found = True
         if not found:
             raise FileNotFoundError(src)
@@ -337,6 +351,17 @@ class FsspecStoreFS(_PosixPathMixin):
     def __init__(self, fs, spark_scheme: Optional[str] = None) -> None:
         self.fs = fs
         self._scheme = spark_scheme
+
+    def canonical_root(self, root: str) -> str:
+        # Unlike bucket-namespace object stores (whose keys never start
+        # with '/'), fsspec spans absolute-path filesystems too (local,
+        # sshfs, memory://): stripping a leading '/' would silently turn
+        # the store root into a relative path. Preserve it.
+        stripped = root.strip("/")
+        if not stripped:
+            return "/" if root.startswith("/") else ""
+        norm = posixpath.normpath(stripped)
+        return ("/" + norm) if root.startswith("/") else norm
 
     def exists(self, p: str) -> bool:
         return self.fs.exists(self._norm(p))

@@ -427,3 +427,132 @@ def test_spark_url_composition():
     ffs2 = FsspecStoreFS(object(), spark_scheme="gs")
     assert ffs2.spark_url("bkt/pots/x") == "gs://bkt/pots/x"
     assert LocalStoreFS().spark_url("/data/pots") == "/data/pots"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 advisor fixes: whole-bucket roots, paged listings, absolute
+# fsspec roots, and the read-only export replica's write-free contract.
+# ---------------------------------------------------------------------------
+
+
+def test_whole_bucket_root_object_store():
+    """store.py's containment branch explicitly supports a whole-bucket
+    root (''); before round 11 ObjectStoreFS._children('') built prefix
+    '/', which matches no flat key — list_paths/exists/walk on the root
+    pot returned empty even with pots present."""
+    server = FakeGCSServer()
+    endpoint = server.start()
+    try:
+        client = HttpObjectStoreClient("rootbkt", endpoint)
+        client.create_bucket()
+        store = PotStore(
+            None, "", backend=ConditionalPutBackend(client), fs=ObjectStoreFS(client)
+        )
+        store.create("users", {"name": "ada"})
+        store.create("teams/core", {"name": "core"})
+        assert store.list_paths() == ["teams/core", "users"]
+        assert store.get("users") == {"ada": {"name": "ada"}}
+        # root-level fs probes all see through the '' root now
+        ofs = store._fs
+        assert ofs.exists("")
+        assert ofs.isdir("")
+        assert "users" in ofs.listdir("")
+        walked = {d for d, _, _ in ofs.walk("")}
+        assert "users/_pot" in walked
+        # the root pot itself: reachable, and (reference fine print,
+        # server.go:450) invisible to :list
+        store.create("", {"name": "rootdoc"})
+        assert store.get("")["rootdoc"] == {"name": "rootdoc"}
+        assert "" not in store.list_paths()
+    finally:
+        server.stop()
+
+
+def test_http_list_follows_next_page_token():
+    """Real GCS pages objects.list at maxResults=1000; a client that
+    reads only the first page silently truncates — _latest_manifest's
+    max() could return a stale generation. The emulator now pages too
+    (page_size), and the client must drain nextPageToken."""
+    server = FakeGCSServer(page_size=2)
+    endpoint = server.start()
+    try:
+        client = HttpObjectStoreClient("paged", endpoint)
+        client.create_bucket()
+        keys = [f"pots/users/_pot/commits/{i:012d}.json" for i in range(1, 8)]
+        for k in keys:
+            client.upload(k, b"{}")
+        client.upload("other/x", b"y")
+        assert client.list(prefix="pots/users/_pot/commits/") == keys
+        assert len(client.list(prefix="")) == 8
+    finally:
+        server.stop()
+
+
+def test_bucket_store_correct_under_forced_paging():
+    """End-to-end guard: with 1-item pages every manifest/snapshot
+    listing is multi-page; the store must still resolve the LATEST
+    generation (not the lexicographically-first page's max)."""
+    server = FakeGCSServer(page_size=1)
+    endpoint = server.start()
+    try:
+        client = HttpObjectStoreClient("tiny-pages", endpoint)
+        client.create_bucket()
+        store = PotStore(
+            None,
+            "warehouse/pots",
+            backend=ConditionalPutBackend(client),
+            fs=ObjectStoreFS(client),
+        )
+        for i in range(5):
+            store.create("users", {"id": f"k{i}", "v": i})
+        assert store.get("users") == {
+            f"k{i}": {"id": f"k{i}", "v": i} for i in range(5)
+        }
+        assert store.get_at("users", 2) == {
+            "k0": {"id": "k0", "v": 0},
+            "k1": {"id": "k1", "v": 1},
+        }
+        assert store.list_paths() == ["users"]
+    finally:
+        server.stop()
+
+
+def test_fsspec_canonical_root_preserves_absolute_paths():
+    """FsspecStoreFS spans absolute-path filesystems (local fsspec,
+    sshfs): the bucket-namespace mixin stripped the leading '/', turning
+    the store root into a relative path."""
+    ffs = FsspecStoreFS(_MemFS())
+    assert ffs.canonical_root("/data/pots/") == "/data/pots"
+    assert ffs.canonical_root("/") == "/"
+    assert ffs.canonical_root("bucket/pots") == "bucket/pots"  # unchanged
+    assert ffs.canonical_root("") == ""
+    # and a store rooted at an absolute path round-trips through the fs
+    fs = _MemFS()
+    store = PotStore(
+        None, "/srv/pots", backend=_MemBackend(fs), fs=FsspecStoreFS(fs)
+    )
+    assert store.root == "/srv/pots"
+    store.create("a", {"name": "k"})
+    assert store.get("a") == {"k": {"name": "k"}}
+    assert store.list_paths() == ["a"]
+    assert all(k.startswith("/srv/pots/") for k in fs.objects)
+
+
+def test_readonly_export_replica_never_writes_source(bucket_store_parts):
+    """The export task's read-only replica must not write ANYTHING into
+    the source namespace — before round 11 PotStore.__init__'s root
+    makedirs could plant a .dirmarker through a 'read-only' store."""
+    from pot_spark.kv.backend import ReadOnlyBackend
+
+    client = bucket_store_parts
+    store = _bucket_store(client)
+    store.create("users", {"name": "ada"})
+    before = sorted(client.list(prefix=""))
+    replica = PotStore(
+        None, "warehouse/pots", backend=ReadOnlyBackend(), fs=ObjectStoreFS(client)
+    )
+    assert replica.get("users") == {"ada": {"name": "ada"}}
+    assert sorted(client.list(prefix="")) == before
+    with pytest.raises(RuntimeError, match="read-only"):
+        replica.create("users", {"name": "eve"})
+    assert sorted(client.list(prefix="")) == before

@@ -38,12 +38,24 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pot_spark.kv.backend import PreconditionFailed
+
+
+def _rfc3339(epoch: float) -> str:
+    """GCS's ``updated`` timestamp shape (objects.get metadata)."""
+    stamp = datetime.fromtimestamp(epoch, tz=timezone.utc)
+    return stamp.isoformat().replace("+00:00", "Z")
+
+
+def _parse_rfc3339(s: str) -> float:
+    return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
 
 
 class FakeGCSServer:
@@ -53,6 +65,7 @@ class FakeGCSServer:
 
     def __init__(self, page_size: int | None = None) -> None:
         self._objects: dict[tuple[str, str], bytes] = {}
+        self._updated: dict[tuple[str, str], float] = {}
         self._buckets: set[str] = set()
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
@@ -65,6 +78,7 @@ class FakeGCSServer:
     # -- lifecycle ---------------------------------------------------
     def start(self) -> str:
         objects, buckets, lock = self._objects, self._buckets, self._lock
+        updated = self._updated
         page_size = lambda: self.page_size  # noqa: E731 — live read, tests mutate it
 
         class Handler(BaseHTTPRequestHandler):
@@ -117,14 +131,26 @@ class FakeGCSServer:
                         body["nextPageToken"] = names[cap - 1]
                     self._reply(200, body)
                 elif parts[:2] == ["storage", "v1"] and len(parts) == 6:
-                    # /storage/v1/b/{bucket}/o/{object}
+                    # /storage/v1/b/{bucket}/o/{object} — ?alt=media
+                    # downloads bytes; without it, object METADATA JSON
+                    # (name/updated), like the real objects.get
+                    qs = urllib.parse.parse_qs(url.query)
                     key = (parts[3], urllib.parse.unquote(parts[5]))
                     with lock:
                         blob = objects.get(key)
+                        stamp = updated.get(key)
                     if blob is None:
                         self._reply(404)
-                    else:
+                    elif qs.get("alt", [""])[0] == "media":
                         self._reply(200, blob)
+                    else:
+                        self._reply(
+                            200,
+                            {
+                                "name": key[1],
+                                "updated": _rfc3339(stamp or 0.0),
+                            },
+                        )
                 else:
                     self._reply(404)
 
@@ -153,6 +179,7 @@ class FakeGCSServer:
                             )
                             return
                         objects[(bucket, obj)] = body
+                        updated[(bucket, obj)] = time.time()
                     self._reply(200, {"name": obj, "generation": "1"})
                 else:
                     self._reply(404)
@@ -164,6 +191,7 @@ class FakeGCSServer:
                     key = (parts[3], urllib.parse.unquote(parts[5]))
                     with lock:
                         existed = objects.pop(key, None) is not None
+                        updated.pop(key, None)
                     self._reply(204 if existed else 404)
                 else:
                     self._reply(404)
@@ -254,6 +282,21 @@ class HttpObjectStoreClient:
             token = body.get("nextPageToken")
             if not token:
                 return names
+
+    def mtime(self, key: str) -> float:
+        """Last-modified epoch seconds from objects.get METADATA (the
+        public ``updated`` field — no ``alt=media``). Lets vacuum age
+        unreferenced stage dirs on bucket-rooted stores instead of
+        skipping them forever (the mtime-less conservative path)."""
+        name = urllib.parse.quote(key.lstrip("/"), safe="")
+        url = f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{name}"
+        try:
+            body = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(key) from e
+            raise
+        return _parse_rfc3339(body["updated"])
 
     def delete(self, key: str) -> None:
         """Delete; missing keys are a silent no-op (rmtree semantics)."""

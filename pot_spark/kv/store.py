@@ -1127,18 +1127,21 @@ class PotStore:
         Three safety rules protect concurrent writers:
         - the per-path lock is held (an in-process writer can't be mid
           stage-then-commit);
-        - snapshot dirs whose generation is NEWER than the latest
-          committed manifest are never touched — a staging writer
-          usually stages under next_gen > committed;
-        - a cross-process writer that LOSES a commit race can be left
-          staging at a generation EQUAL to the new committed generation
-          (it read the old manifest, staged N+1, another writer
-          committed N+1 first), so unreferenced stage dirs younger than
-          ``grace_s`` (mtime) are skipped rather than rmtree'd under an
-          in-flight parquet write. After the grace window an
-          uncommitted stage is garbage: its owner either already failed
-          the manifest put-if-absent and retried at a fresh generation,
-          or died.
+        - UNREFERENCED stage dirs — commit-race losers left at a
+          generation <= committed, and crashed writers' orphans at
+          next_gen > committed — are reclaimed only once their newest
+          mtime is older than ``grace_s``; younger ones are skipped
+          rather than rmtree'd under an in-flight parquet write. After
+          the grace window an uncommitted stage is garbage: its owner
+          either already failed the manifest put-if-absent and retried
+          at a fresh generation, or died between staging and
+          publishing. ``grace_s`` is therefore a retention contract,
+          exactly like Delta Lake's VACUUM retention (PAPERS.md, Delta
+          Lake VLDB 2020 §3.2): it must exceed the longest
+          stage-to-publish latency of any live writer, else a stalled
+          writer could publish a manifest whose snapshot was reclaimed
+          (readers detect that as an explicit "was vacuumed" error, not
+          silent corruption).
         Snapshots referenced by RETAINED HISTORY manifests (superseded
         committed versions) carry no in-flight risk — their commit is
         final — and are reclaimed immediately regardless of age."""
@@ -1177,12 +1180,6 @@ class PotStore:
             for name in self._fs.listdir(pot_dir):
                 if not name.startswith("snap-") or name in live:
                     continue
-                try:
-                    snap_gen = int(name.split("-")[1])
-                except (IndexError, ValueError):
-                    snap_gen = None
-                if snap_gen is not None and snap_gen > manifest.generation:
-                    continue  # a concurrent writer's staged next generation
                 full = self._fs.join(pot_dir, name)
                 if name not in committed_refs:
                     # unreferenced stage at gen <= committed: possibly a

@@ -314,11 +314,25 @@ class ObjectStoreFS(_PosixPathMixin):
         return self._tree_walk(top, self._children(top))
 
     def mtime(self, p: str) -> float:
-        # the JSON-API subset carries no object metadata; vacuum treats
-        # an unknowable mtime as "might be in-flight" and skips the
-        # unreferenced stage (conservative: liveness cost, never
-        # corruption — committed superseded snapshots still reclaim)
-        raise OSError(f"mtime unsupported on object store: {p}")
+        # objects.get METADATA (the public ``updated`` field) when the
+        # client exposes it — lets vacuum age-and-reclaim orphaned
+        # stage dirs on bucket roots. A directory "path" has no object
+        # of its own: fall back to its .dirmarker (vacuum's walk maxes
+        # the real children itself). Without client support, vacuum
+        # treats the unknowable mtime as "might be in-flight" and skips
+        # the unreferenced stage (conservative: liveness cost, never
+        # corruption — committed superseded snapshots still reclaim).
+        stat = getattr(self.client, "mtime", None)
+        if stat is None:
+            raise OSError(f"mtime unsupported on object store: {p}")
+        p = self._norm(p)
+        try:
+            return stat(p)
+        except FileNotFoundError:
+            try:
+                return stat(self.join(p, _DIRMARKER))
+            except FileNotFoundError:
+                raise OSError(f"no object at {p}") from None
 
     def spark_url(self, p: str) -> Optional[str]:
         if self._spark_url_prefix is None:

@@ -15,6 +15,12 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: master override for multi-process-executor postures, e.g.
+#: ``local-cluster[2,4,2048]`` (2 executor JVMs x 4 cores x 2 GiB) —
+#: the one local mode that exercises REAL task/broadcast serialization
+#: across process boundaries. Empty = threaded local[N].
+DEFAULT_MASTER = os.environ.get("SPARK_GRAFT_MASTER", "")
+
 
 def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSession:
     """Build (or reuse) the SparkSession with engine defaults.
@@ -23,8 +29,9 @@ def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSess
     timestamps as UTC-naive values.
     """
     cpus = cpus or DEFAULT_CPUS
+    master = DEFAULT_MASTER or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +45,12 @@ def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSess
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their own Python workers, which need the
+        # repo importable (UDF closures reference pot_spark modules);
+        # on a real cluster this is the --py-files / container image
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

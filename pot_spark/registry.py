@@ -78,6 +78,7 @@ def _driver_verified_from_correctness_files() -> frozenset[str] | None:
     import time
 
     verified: set[str] = set()
+    rows_only: set[str] = set()
     any_readable = False
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -116,13 +117,25 @@ def _driver_verified_from_correctness_files() -> frozenset[str] | None:
             )
             if ok:
                 verified.add(name)
+                # remember whether the LATEST passing ruling was the
+                # weaker rows-only path: if the query has since gained
+                # an oracle, that evidence is stale and the query
+                # belongs back in the front sampling group so the
+                # driver can upgrade it to a hash ruling
+                if rows_only_pass:
+                    rows_only.add(name)
+                else:
+                    rows_only.discard(name)
             else:
                 verified.discard(name)  # later failure -> retest
+                rows_only.discard(name)
     # None (no readable file at all) is the only fallback trigger: a
     # readable record that legitimately verifies nothing (e.g. a round
     # where every row failed) must NOT be papered over by the stale
     # static snapshot — those queries belong in the front retest group
-    return frozenset(verified) if any_readable else None
+    if not any_readable:
+        return None
+    return frozenset(verified), frozenset(rows_only)
 
 
 # Static snapshot (union of CORRECTNESS_r01/r02 passes) used only when the
@@ -159,7 +172,10 @@ _DRIVER_VERIFIED_FALLBACK = frozenset(
 )
 
 _derived = _driver_verified_from_correctness_files()
-_DRIVER_VERIFIED = _derived if _derived is not None else _DRIVER_VERIFIED_FALLBACK
+if _derived is not None:
+    _DRIVER_VERIFIED, _DRIVER_ROWS_ONLY = _derived
+else:
+    _DRIVER_VERIFIED, _DRIVER_ROWS_ONLY = _DRIVER_VERIFIED_FALLBACK, frozenset()
 
 
 def _interleave_registry() -> None:
@@ -179,11 +195,20 @@ def _interleave_registry() -> None:
     Idempotent: per-module relative order is preserved by dict iteration,
     so re-interleaving an already-interleaved registry is a no-op.
     """
+    def _effectively_verified(name: str) -> bool:
+        # a rows-only driver ruling for a query that has SINCE gained a
+        # DuckDB oracle is stale evidence (e.g. the multimodal trio's
+        # r3/r4 stub-era rows): front it so the driver's next sample
+        # upgrades the record to a hash ruling
+        if name in _DRIVER_ROWS_ONLY and name in ORACLES:
+            return False
+        return name in _DRIVER_VERIFIED
+
     order: list[str] = []
     for verified in (False, True):
         groups: dict[str, list[str]] = {}
         for name, fn in QUERIES.items():
-            if (name in _DRIVER_VERIFIED) == verified:
+            if _effectively_verified(name) == verified:
                 groups.setdefault(fn.__module__, []).append(name)
         i = 0
         while True:

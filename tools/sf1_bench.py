@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""True-10x bench tier: time a representative query tier at sf0.1 vs a
+TRUE sf1 fixture (tools/gen_sf.py — independent generation, not the
+shifted-union smoke), with the bench protocol's calibration probe so
+ambient rig noise is separable from real super-linearity.
+
+Reading the ratios: local[32] has spare cores at sf0.1 for many of
+these plans, so a perfectly linear operator shows <10x (more cores
+saturate) and anything >10x that calibration can't explain is
+algorithmic super-linearity. The shifted-union smoke (scale_smoke.py)
+remains the worst-case-dedup companion; this one is the
+distribution-true read.
+
+Usage: python tools/sf1_bench.py [--out SCALE_SF1.json] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1_true"
+
+TIER = [
+    # scan/agg/join core
+    "q_groupby_agg",
+    "q_multiway_join",
+    "q_hash_join",
+    "q_sql_q5",
+    "q_window_ntile_dense",
+    "q_winsorize",
+    "q_seq_pack",
+    # dedup family (distribution-true duplicate structure)
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_containment_dedup",
+    "q_prefix_filter_join",
+    "q_ngram_jaccard",
+    "q_chunk_dedup",
+    # similarity / vectors
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_semdedup",
+    "q_triangle_count",
+    # text analysis
+    "q_contamination",
+    "q_bm25",
+    "q_ccnet_bins",
+    "q_token_count",
+    # multimodal (its 10x smoke read high on fixed overhead — SCALE.md)
+    "q_multimodal_features",
+]
+
+
+def _calibrate() -> float:
+    import hashlib
+
+    t0 = time.perf_counter()
+    block = b"x" * 1024
+    for _ in range(200_000):
+        block = hashlib.md5(block).digest() + block[:1008]
+    return round(time.perf_counter() - t0, 4)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", default=None)
+    args = ap.parse_args()
+    tier = args.queries.split(",") if args.queries else TIER
+
+    from pot_spark import registry
+    from pot_spark.session import get_spark
+
+    if not os.path.isdir(SF1):
+        print(f"fixture missing: run tools/gen_sf.py first ({SF1})")
+        sys.exit(2)
+
+    registry.load_all_query_modules()
+    calib_pre = _calibrate()
+    spark = get_spark("sf1_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # warm codegen/readers off-clock on the tiny fixture
+    for name in tier:
+        try:
+            registry.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup fail {name}: {e}", flush=True)
+
+    rows: dict[str, dict[str, float]] = {}
+    for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
+        for name in tier:
+            best = float("inf")
+            for _ in range(max(1, args.reps)):
+                t0 = time.perf_counter()
+                try:
+                    registry.QUERIES[name](spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001
+                    print(f"FAIL {name} @{tag}: {e}", flush=True)
+                    best = float("nan")
+                    break
+            rows.setdefault(name, {})[tag] = round(best, 3)
+            print(f"{name:28s} {tag:>6s} {best:7.2f}s", flush=True)
+
+    calib_post = _calibrate()
+    out = {
+        "fixture": SF1,
+        "generator": "tools/gen_sf.py --sf 1.0 (seed 1107)",
+        "reps": args.reps,
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": calib_post,
+        "queries": {
+            name: {
+                **r,
+                "ratio": round(r["sf1"] / r["sf0.1"], 2)
+                if r.get("sf0.1")
+                else None,
+            }
+            for name, r in rows.items()
+        },
+    }
+    path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SF1.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\ncalib pre/post: {calib_pre}/{calib_post}")
+    print("| query | sf0.1 | sf1 | ratio |")
+    print("|---|---|---|---|")
+    for name in tier:
+        r = rows[name]
+        ratio = r["sf1"] / r["sf0.1"] if r.get("sf0.1") else float("nan")
+        print(f"| {name} | {r['sf0.1']:.2f}s | {r['sf1']:.2f}s | {ratio:.1f}x |")
+    print(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,10 @@ def generate(sf: float, out_dir: str, seed: int = 1107) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     n = {t: int(round(r * sf / 0.1)) for t, r in ROWS_01.items()}
+    # the driver's corpus tables floor at 500 rows (measured: documents
+    # and embeddings are 500 at both sf0.001 and sf0.01, linear above)
+    n["documents"] = max(n["documents"], 500)
+    n["embeddings"] = max(n["embeddings"], 500)
     n_users = int(round(USERS_01 * sf / 0.1))
 
     _write(out_dir, "region", pa.table({

@@ -48,9 +48,16 @@ def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSess
     if master.startswith("local-cluster"):
         # executor JVMs spawn their own Python workers, which need the
         # repo importable (UDF closures reference pot_spark modules);
-        # on a real cluster this is the --py-files / container image
+        # on a real cluster this is the --py-files / container image.
+        # CARRY the driver's PYTHONPATH along: executorEnv.PYTHONPATH
+        # REPLACES the inherited value for executor Python workers, and
+        # dropping it severs the protobuf vendor bridge
+        # (streaming/protobuf_compat.bootstrap_env) that
+        # transformWithState workers import state protos through.
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        builder = builder.config("spark.executorEnv.PYTHONPATH", repo)
+        inherited = os.environ.get("PYTHONPATH", "")
+        val = repo + (os.pathsep + inherited if inherited else "")
+        builder = builder.config("spark.executorEnv.PYTHONPATH", val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

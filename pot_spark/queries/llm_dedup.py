@@ -3132,3 +3132,133 @@ def q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         (F.col("n_copies") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "q_dedup_candidate_profile",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    samp AS (SELECT * FROM sh WHERE substr(md5(shingle), 1, 1) = '0'),
+    df_s AS (
+        SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM samp GROUP BY 1, 2
+    ),
+    priced AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sampled_shingles,
+               CAST(COALESCE(SUM(df*(df-1)//2), 0) AS BIGINT) AS sampled_cand_pairs
+        FROM df_s
+    ),
+    pairs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sampled_distinct_pairs
+        FROM (
+            SELECT DISTINCT sa.lang, sa.doc_id AS a, sb.doc_id AS b
+            FROM samp sa JOIN samp sb
+              ON sa.shingle = sb.shingle AND sa.lang = sb.lang
+             AND sa.doc_id < sb.doc_id
+        )
+    ),
+    fp AS (
+        SELECT CAST(COALESCE(SUM(df*(df-1)//2), 0) AS BIGINT) AS full_cand_pairs
+        FROM (
+            SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+            FROM sh GROUP BY 1, 2
+        )
+    )
+    SELECT sampled_shingles, sampled_cand_pairs, sampled_distinct_pairs,
+           CASE WHEN sampled_distinct_pairs = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(sampled_cand_pairs*1000//sampled_distinct_pairs AS BIGINT)
+           END AS combine_x1000,
+           CASE WHEN sampled_distinct_pairs = 0 THEN 'empty'
+                WHEN sampled_cand_pairs*1000//sampled_distinct_pairs >= 4000
+                     THEN 'clustered'
+                ELSE 'dense'
+           END AS regime,
+           full_cand_pairs
+    FROM priced, pairs, fp
+    """,
+)
+def q_dedup_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-CONCENTRATION profile: the statistic Σ df² cannot see.
+
+    Round 11's true-sf1 tier measured the failure mode: the df-rollup
+    budget (q_dedup_cost_plan / _direct_affordable) prices candidate
+    VOLUME, but the direct inverted-index join's real cost also depends
+    on how that volume CONCENTRATES into distinct doc pairs. Clustered
+    duplication (few pairs sharing many shingles) lets map-side combine
+    collapse candidates early; a dense mid-range df distribution (a
+    saturated vocabulary — every pair shares a little) produces ~one
+    distinct pair per candidate row and the combine never fires
+    (measured: 57M candidate rows -> 52M distinct pairs at sf1, where
+    the shifted-cluster fixture combines heavily). This op measures the
+    concentration EXACTLY on a deterministic 1/16 shingle sample:
+
+    - sample = shingles whose md5 hex starts with '0' (content-keyed,
+      partition-layout independent, identical in both engines);
+    - sampled_cand_pairs = Σ df·(df−1)/2 over the sample (priced);
+    - sampled_distinct_pairs = the sample's ACTUAL pair count (the 1/16
+      sample makes the otherwise-quadratic measurement affordable:
+      ~1/16 of the candidate mass, exact for the sampled index);
+    - combine_x1000 = priced/actual ×1000 (integer-exact): ~1000 means
+      dense (plan LSH banding / expect Σ df² to be real work), >=4000
+      means clustered (direct join's combine will absorb it);
+    - full_cand_pairs = the whole index's priced volume for scale.
+
+    At 100 TB this one cheap pass decides between the exact pairwise
+    tier and the LSH tier BEFORE launching either — the planning gap
+    the sf1 measurement exposed (SCALE.md "True-sf1 tier"). All outputs
+    integer or categorical: engine-exact, no float rounding anywhere.
+    Reference basis: the reference has no query layer (readme.md:43);
+    this extends q_dedup_cost_plan's pricing with measured concentration.
+    """
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    samp = sh.filter(
+        F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 1) == "0"
+    )
+    df_s = samp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    priced = df_s.agg(
+        F.count("*").cast("bigint").alias("sampled_shingles"),
+        F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_cand_pairs"),
+    )
+    sa = samp.select("lang", "shingle", F.col("doc_id").alias("a"))
+    sb = samp.select("lang", "shingle", F.col("doc_id").alias("b"))
+    pairs = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("a") < F.col("b"))
+        .select("lang", "a", "b")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("sampled_distinct_pairs"))
+    )
+    fp = (
+        sh.groupBy("lang", "shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("full_cand_pairs")
+        )
+    )
+    return (
+        priced.crossJoin(pairs)
+        .crossJoin(fp)
+        .select(
+            "sampled_shingles",
+            "sampled_cand_pairs",
+            "sampled_distinct_pairs",
+            F.expr(
+                "CASE WHEN sampled_distinct_pairs = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST(sampled_cand_pairs*1000 DIV sampled_distinct_pairs"
+                " AS BIGINT) END"
+            ).alias("combine_x1000"),
+            F.expr(
+                "CASE WHEN sampled_distinct_pairs = 0 THEN 'empty'"
+                " WHEN sampled_cand_pairs*1000 DIV sampled_distinct_pairs >= 4000"
+                " THEN 'clustered' ELSE 'dense' END"
+            ).alias("regime"),
+            "full_cand_pairs",
+        )
+    )

@@ -264,3 +264,91 @@ def test_fault_matrix_preserves_history_invariants(flaky_parts):
         if k[len(pot_prefix):].startswith("snap-")
     }
     assert len(stages) == 1
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once stream sink under mid-epoch faults: the commit-then-mark
+# ledger contract (streaming/sink.py) replayed exactly as a restarted
+# foreachBatch would, with faults injected at both the pot commit and
+# the ledger-marker PUT.
+# ---------------------------------------------------------------------------
+
+
+def _apply_epoch(spark, store, path: str, epoch_id: int, rows) -> None:
+    """What start_pot_upsert_stream's _sink does per micro-batch —
+    replayed here directly so faults and restarts are deterministic."""
+    from pot_spark.streaming.sink import (
+        _epoch_done,
+        _mark_epoch_done,
+        keyed_json,
+    )
+
+    batch_df = spark.createDataFrame(rows, "user string, v long")
+    if _epoch_done(store, path, epoch_id):
+        return
+    store.create_df(path, keyed_json(batch_df, ["user"]))
+    _mark_epoch_done(store, path, epoch_id)
+
+
+def test_sink_exactly_once_under_mid_epoch_faults(flaky_parts, spark):
+    """Four crash windows, one invariant: after replay the pot holds each
+    epoch's writes exactly once (byte-identical content), and a marked
+    epoch never re-applies."""
+    client, store, raw = flaky_parts
+    store = PotStore(
+        spark,
+        "warehouse/pots",
+        backend=ConditionalPutBackend(client),
+        fs=ObjectStoreFS(client),
+    )
+    path = "stream/users"
+
+    # epoch 0: clean
+    _apply_epoch(spark, store, path, 0, [("ada", 1)])
+    assert store.get(path) == {"ada": {"user": "ada", "v": 1}}
+    gen0 = store._latest_manifest(path).generation
+
+    # epoch 1: fault DURING the pot commit (before it lands) -> replay
+    # applies the epoch exactly once
+    client.arm("commits/", "lost_request")
+    with pytest.raises(InjectedFault):
+        _apply_epoch(spark, store, path, 1, [("bob", 2)])
+    assert _fresh_reader(raw).get(path) == {"ada": {"user": "ada", "v": 1}}
+    _apply_epoch(spark, store, path, 1, [("bob", 2)])  # restart replay
+    assert _fresh_reader(raw).get(path) == {
+        "ada": {"user": "ada", "v": 1},
+        "bob": {"user": "bob", "v": 2},
+    }
+
+    # epoch 2: crash AFTER the pot commit, BEFORE the marker -> the
+    # replay re-applies an IDENTICAL keyed upsert (one redundant
+    # generation, byte-same state) — the documented effectively-once
+    # window of commit-then-mark
+    client.arm("epochs/", "lost_request")
+    with pytest.raises(InjectedFault):
+        _apply_epoch(spark, store, path, 2, [("bob", 3)])
+    content_mid = _fresh_reader(raw).get(path)
+    assert content_mid["bob"] == {"user": "bob", "v": 3}  # commit landed
+    gen_mid = store._latest_manifest(path).generation
+    _apply_epoch(spark, store, path, 2, [("bob", 3)])  # restart replay
+    assert _fresh_reader(raw).get(path) == content_mid  # byte-same
+    assert store._latest_manifest(path).generation == gen_mid + 1
+
+    # epoch 3: marker PUT applied but response lost -> the ledger HAS
+    # the epoch; the replay must skip entirely (no extra generation)
+    _apply_epoch(spark, store, path, 3, [("carol", 4)])
+    gen3 = store._latest_manifest(path).generation
+    client.arm("epochs/", "lost_response")
+    # marker for epoch 4: commit lands, marker lands, response lost
+    with pytest.raises(InjectedFault):
+        _apply_epoch(spark, store, path, 4, [("dave", 5)])
+    gen4 = store._latest_manifest(path).generation
+    assert gen4 == gen3 + 1
+    _apply_epoch(spark, store, path, 4, [("dave", 5)])  # replay: skipped
+    assert store._latest_manifest(path).generation == gen4  # no re-apply
+    assert _fresh_reader(raw).get(path)["dave"] == {"user": "dave", "v": 5}
+
+    # a marked epoch replayed much later is still a no-op
+    _apply_epoch(spark, store, path, 0, [("ada", 99)])
+    assert _fresh_reader(raw).get(path)["ada"] == {"user": "ada", "v": 1}
+    assert gen0 >= 1

@@ -41,8 +41,14 @@ def _measure(store, n: int, label: str) -> dict[str, float]:
     out["batch_docs_s"] = round(n / (time.perf_counter() - t0), 1)
     from pot_spark.kv.archive import export_snapshot
 
+    # an explicit temp dest: a cwd-relative path litters the invoking
+    # repo with run artifacts (bit in r10 — exports/ got committed)
+    import tempfile
+
     t0 = time.perf_counter()
-    n_pots = export_snapshot(store, "exports/smoke")
+    n_pots = export_snapshot(
+        store, tempfile.mkdtemp(prefix="pot_bucket_smoke_export_")
+    )
     out["export_pots_s"] = round(n_pots / (time.perf_counter() - t0), 1)
     print(f"{label:8s} " + "  ".join(f"{k}={v}" for k, v in out.items()))
     return out

@@ -262,15 +262,22 @@ class HttpObjectStoreClient:
                 raise FileNotFoundError(key) from e
             raise
 
-    def list(self, prefix: str = "") -> list[str]:
+    def list(self, prefix: str = "", max_results: int | None = None) -> list[str]:
         """Object names under ``prefix`` (flat namespace, GCS
         ``objects.list`` shape). Follows ``nextPageToken`` to
         exhaustion: real GCS (and fake-gcs-server) page at
         maxResults=1000, and a silently-truncated first page would make
         _latest_manifest's max() return a stale generation and make
-        rmtree/copytree skip objects."""
+        rmtree/copytree skip objects.
+
+        ``max_results`` maps to the public ``maxResults`` parameter and
+        stops paging once that many names are in hand — existence
+        probes (ObjectStoreFS.exists on the bucket root) pass 1 instead
+        of draining every page of a large bucket."""
         q = urllib.parse.quote(prefix.lstrip("/"), safe="")
         base = f"{self.endpoint}/storage/v1/b/{self.bucket}/o?prefix={q}"
+        if max_results is not None:
+            base += f"&maxResults={int(max_results)}"
         names: list[str] = []
         token: str | None = None
         while True:
@@ -280,7 +287,9 @@ class HttpObjectStoreClient:
             body = json.loads(urllib.request.urlopen(url, timeout=10).read())
             names.extend(item["name"] for item in body.get("items", []))
             token = body.get("nextPageToken")
-            if not token:
+            if not token or (
+                max_results is not None and len(names) >= max_results
+            ):
                 return names
 
     def mtime(self, key: str) -> float:

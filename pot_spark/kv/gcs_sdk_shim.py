@@ -30,6 +30,7 @@ packages are absent; it never shadows an installed SDK.
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -139,6 +140,28 @@ def install() -> bool:
         if mod is None:
             mod = types.ModuleType(name)
             mod.__pot_spark_shim__ = True
+            # Namespace-package shape (round-11 advice): without a
+            # __path__, a later `import google.protobuf` fails with
+            # "'google' is not a package" instead of falling through
+            # to the path-based finder — and protobuf_compat's
+            # ensure_protobuf() would then purge google.* from
+            # sys.modules, silently evicting this shim and breaking
+            # subsequent GCSBackend imports. Point __path__ at any
+            # real on-disk portions of the namespace so genuine
+            # submodules (google.protobuf from a vendored runtime)
+            # still import; [] when none exist.
+            mod.__path__ = [
+                d
+                for d in (
+                    os.path.join(entry, *name.split("."))
+                    for entry in sys.path
+                    if entry
+                )
+                if os.path.isdir(d)
+            ]
+            spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+            spec.submodule_search_locations = mod.__path__
+            mod.__spec__ = spec
         return mod
 
     storage_mod = _shim_module("google.cloud.storage")

@@ -57,7 +57,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
@@ -394,6 +394,16 @@ class PotStore:
                 f"read-only store: refusing to write snapshot for {path!r}"
             )
         name = f"snap-{generation:020d}-{uuid.uuid4().hex[:8]}"
+        self._write_snapshot_named(path, name, content)
+        return name
+
+    def _write_snapshot_named(
+        self, path: str, name: str, content: dict[str, Any]
+    ) -> None:
+        """Stage `content` at an EXPLICIT snapshot name. Split from
+        _write_snapshot so the post-publish restage repair
+        (_restage_if_vacuumed) can rewrite the exact name a winning
+        manifest already references."""
         snap_dir = self._snapshot_path(path, name)
         self._fs.makedirs(snap_dir)
         keys = sorted(content)
@@ -405,7 +415,26 @@ class PotStore:
             schema=_ARROW_SCHEMA,
         )
         self._fs.write_parquet(table, self._fs.join(snap_dir, "part-00000.parquet"))
-        return name
+
+    def _restage_if_vacuumed(
+        self, path: str, committed: "_Manifest", restage: Callable[[], None]
+    ) -> None:
+        """Close the stage-then-publish vacuum race (round-11 advice):
+        a vacuum() in ANOTHER process — where our per-path lock cannot
+        serialize it — running with an aggressive grace window can
+        reclaim this writer's staged snapshot between its last stage
+        write and the manifest put_if_absent; the conditional PUT still
+        succeeds, and the pot's new HEAD would then fail every read
+        with "was vacuumed" until a later commit. Once we have WON the
+        generation the snapshot is referenced by the latest manifest,
+        so any vacuum that reads state from now on keeps it alive —
+        verifying existence immediately after the win and restaging
+        the identical content at the identical name repairs the one
+        window that remains. One isdir() per commit in the common
+        (alive) case."""
+        if self._fs.isdir(self._snapshot_path(path, committed.snapshot)):
+            return
+        restage()
 
     # -- norewrite gate ------------------------------------------------------
 
@@ -634,6 +663,11 @@ class PotStore:
                 won = self._try_commit(path, committed)
                 self.metrics.observe_span("commit", time.perf_counter() - t_phase)
                 if won:
+                    self._restage_if_vacuumed(
+                        path,
+                        committed,
+                        lambda: self._write_snapshot_named(path, snapshot, merged),
+                    )
                     self.generation_cache[path] = next_gen
                     self.metrics.observe_span(
                         "create", time.perf_counter() - t_total
@@ -866,6 +900,11 @@ class PotStore:
                 won = self._try_commit(path, committed)
                 self.metrics.observe_span("commit", time.perf_counter() - t_phase)
                 if won:
+                    self._restage_if_vacuumed(
+                        path,
+                        committed,
+                        lambda: self._spark_write_parquet(merged, snap_dir),
+                    )
                     self.generation_cache[path] = next_gen
                     self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
@@ -968,6 +1007,19 @@ class PotStore:
                 won = self._try_commit(path, committed)
                 self.metrics.observe_span("commit", time.perf_counter() - t_phase)
                 if won:
+
+                    def _restage_bucketed(
+                        merged=merged, snap_dir=snap_dir, files=files
+                    ) -> None:
+                        self._spark_write_parquet(
+                            merged.repartition("__b"), snap_dir, partition_by="__b"
+                        )
+                        for b in range(n_buckets):
+                            d = self._snapshot_path(path, files[str(b)])
+                            if not self._fs.isdir(d):
+                                self._fs.makedirs(d)
+
+                    self._restage_if_vacuumed(path, committed, _restage_bucketed)
                     self.generation_cache[path] = next_gen
                     self.metrics.observe_span("create", time.perf_counter() - t_lock)
                     return next_gen
@@ -1120,7 +1172,7 @@ class PotStore:
                     return committed.generation
         raise CommitConflict(f"commit contention on {dst!r} exceeded retries")
 
-    def vacuum(self, path: str, grace_s: float = 60.0) -> int:
+    def vacuum(self, path: str, grace_s: float = 86400.0) -> int:
         """Remove snapshots not referenced by the latest manifest (loser
         stages and superseded versions). Returns count removed.
 
@@ -1141,7 +1193,16 @@ class PotStore:
           stage-to-publish latency of any live writer, else a stalled
           writer could publish a manifest whose snapshot was reclaimed
           (readers detect that as an explicit "was vacuumed" error, not
-          silent corruption).
+          silent corruption). The DEFAULT is 24 h — Delta's equivalent
+          retention default is 7 days, and a cross-process writer
+          stalled minutes between stage and publish (GC pause,
+          partition, slow driver work) must not lose its stage to a
+          concurrently-scheduled janitor; tests and aggressive
+          reclamation pass an explicit shorter grace. Belt-and-braces:
+          every commit path also verifies its staged snapshot still
+          exists immediately after winning the generation and restages
+          it if reclaimed (_restage_if_vacuumed), so even a
+          mis-configured grace window cannot strand a committed HEAD.
         Snapshots referenced by RETAINED HISTORY manifests (superseded
         committed versions) carry no in-flight risk — their commit is
         final — and are reclaimed immediately regardless of age."""
@@ -1266,6 +1327,38 @@ class PotStore:
                     files=files,
                 )
                 if self._try_commit(path, committed):
+
+                    def _restage_compact(
+                        manifest=manifest,
+                        name=name,
+                        snap_dir=snap_dir,
+                        files=files,
+                    ) -> None:
+                        # re-derive from the OLD manifest (the head has
+                        # already moved to the snapshot being restaged)
+                        if self.spark is not None and files is not None:
+                            n_b = len(files)
+                            df = self._df_of(path, manifest).withColumn(
+                                "__b",
+                                F.pmod(F.hash("key"), F.lit(n_b)).cast("int"),
+                            )
+                            self._spark_write_parquet(
+                                df.repartition("__b"), snap_dir, partition_by="__b"
+                            )
+                            for b in range(n_b):
+                                d = self._fs.join(snap_dir, f"__b={b}")
+                                if not self._fs.isdir(d):
+                                    self._fs.makedirs(d)
+                        elif self.spark is not None:
+                            self._spark_write_parquet(
+                                self._df_of(path, manifest).coalesce(1), snap_dir
+                            )
+                        else:
+                            self._write_snapshot_named(
+                                path, name, self._read_content(manifest, path)
+                            )
+
+                    self._restage_if_vacuumed(path, committed, _restage_compact)
                     self.generation_cache[path] = next_gen
                     return next_gen
                 self._fs.rmtree(snap_dir)

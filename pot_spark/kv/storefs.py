@@ -245,8 +245,16 @@ class ObjectStoreFS(_PosixPathMixin):
         p = self._norm(p).rstrip("/")
         if not p:
             # bucket root: exists iff the bucket holds any object
-            # (makedirs plants a marker in an empty bucket)
-            return bool(self.client.list(prefix=""))
+            # (makedirs plants a marker in an empty bucket). Bounded
+            # probe: one maxResults=1 page, never a full-bucket drain
+            # (the pagination-following client would otherwise
+            # enumerate every object just to test non-emptiness);
+            # duck-typed so any GCS-shaped client without the kwarg
+            # still works.
+            try:
+                return bool(self.client.list(prefix="", max_results=1))
+            except TypeError:
+                return bool(self.client.list(prefix=""))
         keys = self.client.list(prefix=p)
         return any(k == p or k.startswith(p + "/") for k in keys)
 

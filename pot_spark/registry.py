@@ -65,13 +65,19 @@ def load_all_query_modules() -> None:
     _interleave_registry()
 
 
-def _driver_verified_from_correctness_files() -> frozenset[str] | None:
+def _driver_verified_from_correctness_files() -> (
+    tuple[frozenset[str], frozenset[str]] | None
+):
     """Names already verified by the external driver's correctness gate,
     derived at import time from the checked-in CORRECTNESS_r*.json files
     (a query counts as verified only if its recorded row passed — errored
-    rows stay in the front sampling group for a retest). Falls back to
-    the static snapshot below if the files are unreadable, so the
-    ordering never depends on the working directory being the repo."""
+    rows stay in the front sampling group for a retest). Returns a
+    ``(verified, rows_only)`` pair: ``rows_only`` is the subset whose
+    LATEST passing ruling was the weaker no-oracle rows-only path, so a
+    query that has since gained an oracle re-enters the front sampling
+    group for a hash-level upgrade. Falls back (``None``) to the static
+    snapshot below if no file is readable, so the ordering never depends
+    on the working directory being the repo."""
     import glob
     import json
     import os

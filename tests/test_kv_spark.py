@@ -334,3 +334,46 @@ def test_vacuum_spares_staged_future_generation(spark, store):
     removed = store.vacuum("vs")
     assert removed >= 1  # gen-1's superseded snapshot went away
     assert os.path.isdir(staged)  # the staged gen-3 dir did not
+
+
+def test_create_df_restages_snapshot_reclaimed_before_publish(
+    spark, store, monkeypatch
+):
+    """Spark-plane twin of the stage-then-publish vacuum-race repair:
+    the staged snapshot vanishes between the parquet write and the
+    manifest put_if_absent (a cross-process vacuum with an aggressive
+    grace window); the winner must notice and restage."""
+    orig = store._try_commit
+
+    def reclaim_then_commit(path, manifest):
+        snap = store._snapshot_path(path, manifest.snapshot)
+        if store._fs.isdir(snap):
+            store._fs.rmtree(snap)
+        return orig(path, manifest)
+
+    monkeypatch.setattr(store, "_try_commit", reclaim_then_commit)
+    store.create_df("rsdf", _doc_df(spark, {"a": {"v": 1}, "b": {"v": 2}}))
+    monkeypatch.setattr(store, "_try_commit", orig)
+    got = {r["key"]: json.loads(r["doc"]) for r in store.get_df("rsdf").collect()}
+    assert got == {"a": {"v": 1}, "b": {"v": 2}}
+
+
+def test_create_df_bucketed_restages_snapshot_reclaimed_before_publish(
+    spark, store, monkeypatch
+):
+    store.create_df_bucketed(
+        "rsb", _doc_df(spark, {"a": {"v": 1}, "b": {"v": 2}}), n_buckets=4
+    )
+    orig = store._try_commit
+
+    def reclaim_then_commit(path, manifest):
+        snap = store._snapshot_path(path, manifest.snapshot)
+        if store._fs.isdir(snap):
+            store._fs.rmtree(snap)
+        return orig(path, manifest)
+
+    monkeypatch.setattr(store, "_try_commit", reclaim_then_commit)
+    store.create_df_bucketed("rsb", _doc_df(spark, {"c": {"v": 3}}), n_buckets=4)
+    monkeypatch.setattr(store, "_try_commit", orig)
+    got = {r["key"]: json.loads(r["doc"]) for r in store.get_df("rsb").collect()}
+    assert got == {"a": {"v": 1}, "b": {"v": 2}, "c": {"v": 3}}

@@ -675,13 +675,13 @@ def test_vacuum_grace_spares_fresh_commit_race_loser_stage(store):
     # simulate the loser: staged at gen 2, never committed, just written
     loser = os.path.join(pot_dir, "snap-" + format(2, "020d") + "-10531041")
     os.makedirs(loser)
-    removed = store.vacuum("vg")  # default grace: 60s
+    removed = store.vacuum("vg")  # default grace: 24 h
     assert os.path.isdir(loser), "fresh loser stage must survive vacuum"
     assert removed >= 1  # the superseded gen-1 snapshot still went away
     # once aged past the grace window the stage is reclaimable garbage
     old = time.time() - 120
     os.utime(loser, (old, old))
-    assert store.vacuum("vg") == 1
+    assert store.vacuum("vg", grace_s=60.0) == 1
     assert not os.path.isdir(loser)
 
 
@@ -774,3 +774,50 @@ def test_export_snapshot_distributed(spark, store, tmp_path):
         return out
 
     assert tree(par) == tree(seq)
+
+
+# -- stage-then-publish vacuum race repair (round-11 advice) -----------------
+
+
+def test_commit_restages_snapshot_reclaimed_before_publish(store, monkeypatch):
+    """A vacuum() in ANOTHER process (not serialized by our per-path
+    lock) with an aggressive grace window can reclaim a writer's staged
+    snapshot between its last stage write and the manifest
+    put_if_absent; the conditional PUT still succeeds and the new HEAD
+    would fail every read with 'was vacuumed'. The commit path must
+    verify the staged snapshot survived the win and restage it."""
+    import os
+
+    orig = store._try_commit
+
+    def reclaim_then_commit(path, manifest):
+        # simulate the cross-process janitor firing at the worst moment
+        snap = store._snapshot_path(path, manifest.snapshot)
+        if store._fs.isdir(snap):
+            store._fs.rmtree(snap)
+        return orig(path, manifest)
+
+    monkeypatch.setattr(store, "_try_commit", reclaim_then_commit)
+    store.create("rs/p", {"id": "a", "v": 1})
+    monkeypatch.setattr(store, "_try_commit", orig)
+    # the repaired snapshot is on disk and readable at the committed HEAD
+    m = store._latest_manifest("rs/p")
+    assert os.path.isdir(store._snapshot_path("rs/p", m.snapshot))
+    assert store.get("rs/p")["a"]["v"] == 1
+
+
+def test_compact_restages_snapshot_reclaimed_before_publish(store, monkeypatch):
+    store.create("rc/p", {"id": "a", "v": 1})
+    store.create("rc/p", {"id": "b", "v": 2})
+    orig = store._try_commit
+
+    def reclaim_then_commit(path, manifest):
+        snap = store._snapshot_path(path, manifest.snapshot)
+        if store._fs.isdir(snap):
+            store._fs.rmtree(snap)
+        return orig(path, manifest)
+
+    monkeypatch.setattr(store, "_try_commit", reclaim_then_commit)
+    store.compact("rc/p")
+    monkeypatch.setattr(store, "_try_commit", orig)
+    assert set(store.get("rc/p")) == {"a", "b"}

@@ -556,3 +556,27 @@ def test_readonly_export_replica_never_writes_source(bucket_store_parts):
     with pytest.raises(RuntimeError, match="read-only"):
         replica.create("users", {"name": "eve"})
     assert sorted(client.list(prefix="")) == before
+
+
+def test_bucket_root_exists_probe_is_bounded(bucket_store_parts):
+    """exists('') must answer the bucket-root probe from ONE bounded
+    listing page (maxResults=1), not a full pagination drain of every
+    object in the bucket (round-11 advice)."""
+    client = bucket_store_parts
+    for i in range(5):
+        client.upload(f"obj{i}", b"x")
+
+    calls: list[dict] = []
+    real_list = client.list
+
+    def spying_list(prefix="", max_results=None):
+        calls.append({"prefix": prefix, "max_results": max_results})
+        return real_list(prefix=prefix, max_results=max_results)
+
+    client.list = spying_list
+    fs = ObjectStoreFS(client)
+    assert fs.exists("") is True
+    assert calls == [{"prefix": "", "max_results": 1}]
+    # the bounded page really is bounded at the client level too
+    assert len(real_list(prefix="", max_results=1)) == 1
+    assert len(real_list(prefix="")) >= 5

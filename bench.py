@@ -285,10 +285,19 @@ def main() -> None:
     # later rounds are held within 2x of — the minimum is the stable
     # estimator of actual plan cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # SPARK_GRAFT_BENCH_ONLY=q_a,q_b: targeted protocol run over exactly
+    # the named queries (baseline fill recording — tools/freeze_baseline
+    # median-groups several such runs); rotation is skipped so the run
+    # measures only what it was asked to
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    tier = [q for q in only_env.split(",") if q] if only_env else HEADLINE
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
+    for name in tier:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            errors[name] = "unknown query name"
+            continue
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -313,7 +322,7 @@ def main() -> None:
     rotation: dict[str, float] = {}
     rotation_errors: dict[str, str] = {}
     cohort_parity = -1
-    if os.environ.get("SPARK_GRAFT_BENCH_ROTATION", "1") != "0":
+    if not only_env and os.environ.get("SPARK_GRAFT_BENCH_ROTATION", "1") != "0":
         cohort, upcoming = _rotation_cohort(here_early, list(registry.QUERIES))
         cohort_parity = upcoming % 2
         rot_reps = max(1, reps - 1)
@@ -428,7 +437,8 @@ def main() -> None:
     # 2 KB, which the ~90-entry queries dict overflows (round 6 recorded
     # parsed: null) — so the FINAL printed line is a compact summary
     # with only the slowest queries, flagged as truncated
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+    local_out = os.environ.get("SPARK_GRAFT_BENCH_LOCAL_OUT", "BENCH_LOCAL.json")
+    with open(os.path.join(here, local_out), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:12]

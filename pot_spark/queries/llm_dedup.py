@@ -450,7 +450,18 @@ def q_ngram_jaccard(
     length uses the exact per-doc n (n >= n_capped, and
     n − ceil(t·n) + 1 is nondecreasing in n, so the prefix is only ever
     LONGER than the capped bound requires). The default (None) keeps
-    the exact semantics the DuckDB oracle checks."""
+    the exact semantics the DuckDB oracle checks.
+
+    ``banded`` (auto-selected only when the priced pair volume exceeds
+    the absolute budget AND the sampled concentration probe reads
+    dense — round 11's measured scale-killer, where EVERY exact plan
+    is quadratic: direct 63 s and prefix 130 s at true-sf1 vs 2.6 s at
+    sf0.1): MinHash-LSH banding (r=2, b=_NGRAM_BANDS) generates the
+    candidates, the SAME exact verify scores them, so reported pairs
+    are never false positives. Recall contract at Jaccard s is
+    1−(1−s²)^32: 0.95 at the 0.3 threshold, 0.995 at 0.37, ~1 above
+    0.45 — the documented trade for bounded candidates (measured 341 k
+    candidate pairs vs 16.1 M prefix / 28.6 M direct at sf1)."""
     ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -463,7 +474,7 @@ def q_ngram_jaccard(
         rare = df_tbl.filter(F.col("df") <= df_cap).select("lang", "shingle")
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
 
-    strategy = _resolve_strategy(strategy, df_tbl, df_cap)
+    strategy = _resolve_strategy(strategy, df_tbl, df_cap, idx)
 
     if strategy == "direct":
         sa = idx.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
@@ -475,27 +486,37 @@ def q_ngram_jaccard(
             .agg(F.count("*").alias("i"))
         )
     else:
-        # rarest-first order: per-(lang, shingle) df is the sort key —
-        # no global sort; pairs only form within a lang, where the
-        # order is consistent across any two docs that could pair
-        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-        # ceil(0.3*n) exactly: (3n + 9) div 10
-        i_min = F.expr("(3 * n + 9) div 10")
-        prefix = (
-            idx.join(df_tbl, ["lang", "shingle"])
-            .withColumn("rk", F.row_number().over(w))
-            .join(cnt, "doc_id")
-            .filter(F.col("rk") <= F.col("n") - i_min + 1)
-            .select("doc_id", "lang", "shingle")
-        )
-        pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
-        pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
-        cand = (
-            pa.join(pb, ["lang", "shingle"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        if strategy == "banded":
+            cand = _banded_jaccard_candidates(
+                idx, _NGRAM_BANDS, "doc_a", "doc_b"
+            )
+        else:
+            # rarest-first order: per-(lang, shingle) df is the sort
+            # key — no global sort; pairs only form within a lang,
+            # where the order is consistent across any two docs that
+            # could pair
+            w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+            # ceil(0.3*n) exactly: (3n + 9) div 10
+            i_min = F.expr("(3 * n + 9) div 10")
+            prefix = (
+                idx.join(df_tbl, ["lang", "shingle"])
+                .withColumn("rk", F.row_number().over(w))
+                .join(cnt, "doc_id")
+                .filter(F.col("rk") <= F.col("n") - i_min + 1)
+                .select("doc_id", "lang", "shingle")
+            )
+            pa = prefix.select(
+                F.col("doc_id").alias("doc_a"), "lang", "shingle"
+            )
+            pb = prefix.select(
+                F.col("doc_id").alias("doc_b"), "lang", "shingle"
+            )
+            cand = (
+                pa.join(pb, ["lang", "shingle"])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
         cand = ckpt(cand)
         # exact verify, candidate-restricted on both sides (scales with
         # candidates, not the corpus); docs are single-lang, so the
@@ -1030,12 +1051,190 @@ def _direct_affordable(sum_df2: float, n_rows: int) -> bool:
     return sum_df2 <= _CONTAINMENT_DIRECT_BUDGET * max(n_rows, 1)
 
 
-def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
-    """Pick 'direct' vs 'prefix' from the measured df distribution: one
-    1-row aggregate over the (possibly capped view of the) df rollup —
-    the exact candidate volume Σ df² a direct self-join would generate,
-    per index row Σ df. Reads only the df counts, so the choice is
-    partition-layout deterministic.
+# Absolute candidate-pair budget below which the direct plan is cheap
+# regardless of concentration: 2M distinct pairs through one
+# shuffle+aggregate is sub-second work on any executor count, and far
+# below where the pair-agg starts to dominate the op end-to-end. Only
+# past this volume is the (1/16-sampled, ~1/256-of-quadratic-cost)
+# concentration probe worth its price.
+_DENSE_DIRECT_PAIR_BUDGET = 2_000_000
+
+# Concentration verdict boundary — shared with q_dedup_candidate_profile
+# (priced/actual candidate-pair ratio ×1000): >= 4x combining means
+# clustered duplication the direct join's map-side combine absorbs;
+# below it the candidate set is ~all-distinct pairs (saturated
+# vocabulary) and every exact plan is quadratic in the corpus.
+_CLUSTERED_COMBINE_X1000 = 4000
+
+
+def _concentration_sample_pred() -> Column:
+    """The deterministic 1/16 shingle sample BOTH the user-facing
+    q_dedup_candidate_profile op and the in-op strategy probe measure
+    on: shingles whose md5 hex starts with '0'. Content-keyed, so the
+    verdict is partition-layout independent and identical across
+    engines — the chooser consumes exactly the profile op's statistic."""
+    return F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 1) == "0"
+
+
+def _sampled_combine_x1000(idx: DataFrame) -> int:
+    """Measured candidate CONCENTRATION (q_dedup_candidate_profile's
+    combine_x1000) on the deterministic 1/16 shingle sample of ``idx``:
+    priced pairs Σ df·(df−1)/2 over the sampled df rollup, divided by
+    the sample's ACTUAL distinct pair count, ×1000 integer-exact. ~1000
+    means dense (map-side combine will not fire; the direct join's
+    candidate volume is all real work); >= _CLUSTERED_COMBINE_X1000
+    means clustered (combine absorbs it). -1 when the sample has no
+    pairs (treated as clustered: nothing to combine either way).
+
+    Cost: the sampled self-join is ~1/256 of the full pair volume —
+    affordable precisely because this probe only runs once the priced
+    volume already exceeded _DENSE_DIRECT_PAIR_BUDGET, where choosing
+    the wrong plan costs orders of magnitude more than measuring."""
+    samp = idx.filter(_concentration_sample_pred())
+    df_s = samp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    priced = df_s.agg(
+        F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("priced")
+    )
+    sa = samp.select("lang", "shingle", F.col("doc_id").alias("a"))
+    sb = samp.select("lang", "shingle", F.col("doc_id").alias("b"))
+    actual = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("a") < F.col("b"))
+        .select("lang", "a", "b")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    row = priced.crossJoin(actual).collect()[0]
+    if not row["actual"]:
+        return -1
+    return (row["priced"] * 1000) // row["actual"]
+
+
+def _xmh(j: int, col: Column | None = None) -> Column:
+    """MinHash function j for the BANDED tier: native xxhash64 with the
+    function index as a leading seed column. Unlike the md5-lane
+    minhashes (_mh) these never round-trip through hex strings — the
+    banded tier builds 16-64 hash signatures, and the md5 form measured
+    6x slower at that width (44 s vs 7.5 s for 32 hashes at sf1). Not
+    oracle-mirrored: banded candidate generation is engine-internal
+    (the exact verify stage defines the results)."""
+    s = col if col is not None else F.col("shingle")
+    return F.xxhash64(F.lit(j), s)
+
+
+def _banded_jaccard_candidates(
+    idx: DataFrame, n_bands: int, a_name: str, b_name: str
+) -> DataFrame:
+    """Dense-regime candidate pairs via MinHash-LSH banding over the
+    (possibly df-capped) index: per-doc signatures of 2·n_bands
+    xxhash64 minhashes, banded r=2, candidates = distinct doc pairs
+    sharing any band key within a lang (docs are single-lang; the lang
+    column rides the signature rollup so cross-lang hash coincidences
+    never pair). The banding is head-immune (a hot shingle is almost
+    never the minimum of a uniform hash) and its candidate volume
+    tracks TRUE near-duplication, not vocabulary saturation — the
+    property the dense regime needs. Recall at Jaccard s is
+    1−(1−s²)^n_bands; callers size n_bands for their threshold and
+    document the contract."""
+    sig = idx.groupBy("doc_id", "lang").agg(
+        *[F.min(_xmh(j)).alias(f"mh{j}") for j in range(2 * n_bands)]
+    )
+    keys = [
+        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", "lang", F.explode(F.array(*keys)).alias("band_key")
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias(a_name), F.col("b.doc_id").alias(b_name)
+        )
+        .distinct()
+    )
+
+
+_BOTTOMK_K = 8  # containment sketch size
+_BOTTOMK_M_MIN = 3  # sketch matches required to become a candidate
+
+# banded-tier band counts (r=2 rows per band), sized per threshold:
+# recall at Jaccard s is 1-(1-s^2)^b
+_NGRAM_BANDS = 32  # t=0.3: recall 0.951 at threshold, ~1 above 0.45
+_PREFIX_JOIN_BANDS = 8  # t=0.7: recall 0.9954 at threshold
+
+
+def _bottomk_containment_candidates(idx: DataFrame) -> DataFrame:
+    """Dense-regime candidates for the ASYMMETRIC containment join,
+    where symmetric LSH banding is blind to exactly the pairs the op
+    exists for (a small doc inside a much larger one has high
+    containment but low Jaccard). Bottom-k sketch (Broder): each of
+    k=8 independent minhash functions picks a uniformly random element
+    of A's shingle set, so the count m of sketch elements present in B
+    is Binomial(k, C(A→B)) — candidates are pairs with m >= 3, probed
+    by joining A's k argmin shingles against the full inverted index.
+    Miss probability at C = 0.8 is P[Binom(8, 0.8) < 3] ≈ 1.2e-3
+    (documented recall contract); noise pairs (C ≈ 0.02 in a saturated
+    corpus) pass with P ≈ 4e-4, keeping candidates near the true-pair
+    count. Join volume is k·Σ df(argmin shingles) — linear in docs
+    times mean df, never Σ df². Argmin ties break on the shingle string
+    (min of a (hash, shingle) struct), so the sketch is partition-
+    layout deterministic."""
+    sketch = idx.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(F.struct(_xmh(j).alias("h"), F.col("shingle").alias("s")))[
+                "s"
+            ].alias(f"s{j}")
+            for j in range(_BOTTOMK_K)
+        ]
+    )
+    probes = sketch.select(
+        F.col("doc_id").alias("doc_sub"),
+        "lang",
+        F.posexplode(
+            F.array(*[F.col(f"s{j}") for j in range(_BOTTOMK_K)])
+        ).alias("j", "shingle"),
+    )
+    full = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
+    return (
+        probes.join(full, ["lang", "shingle"])
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= _BOTTOMK_M_MIN)
+        .select("doc_sub", "doc_sup")
+    )
+
+
+def _auto_strategy(
+    df_tbl: DataFrame, df_cap: int | None, idx: DataFrame | None = None
+) -> str:
+    """Pick 'direct' / 'prefix' / 'banded' from the measured index.
+
+    Stage 1 (always): one 1-row aggregate over the (possibly capped
+    view of the) df rollup — the exact candidate volume Σ df² a direct
+    self-join would generate, per index row Σ df. Reads only the df
+    counts, so the choice is partition-layout deterministic.
+
+    Stage 2 (only when the priced DISTINCT-pair volume (Σ df² − Σ df)/2
+    exceeds _DENSE_DIRECT_PAIR_BUDGET and an ``idx`` was provided): the
+    sampled concentration probe — round 11's true-sf1 tier measured the
+    failure Σ df² cannot see (a saturated vocabulary prices as
+    affordable per index row while its candidate set is ~all-distinct
+    pairs, so map-side combine never fires and the direct plan goes
+    super-linear: 25-43x for 10x data, SCALE_SF1.json). A dense verdict
+    routes to the BANDED tier (bounded candidates, documented recall);
+    a clustered verdict keeps the exact plans, which the combine/prefix
+    machinery handles.
 
     Σ df² is summed in DOUBLE, not int64: a web-scale Zipf head (df ≈
     10⁸ ⇒ df² = 10¹⁶) overflows a wrapped int64 sum after ~10³ such
@@ -1044,7 +1243,13 @@ def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     when the prefix plan is needed. Double loses low-order precision at
     that magnitude but the comparison only needs order-of-magnitude
     accuracy; the shared _direct_affordable guard still routes any
-    non-finite/negative probe result to 'prefix'."""
+    non-finite/negative probe result to 'prefix'.
+
+    Known limit (documented, not hidden): a corpus that is BOTH
+    Zipf-headed and dense-saturated probes dense and gets the banded
+    tier — the recall contract — even though a hypothetical exact plan
+    over the head-free tail might have been affordable; distinguishing
+    that would need a second head-excluded probe pass."""
     src = df_tbl if df_cap is None else df_tbl.filter(F.col("df") <= df_cap)
     row = src.agg(
         F.sum(F.col("df").cast("double") * F.col("df")).alias("sum_df2"),
@@ -1052,34 +1257,53 @@ def _auto_strategy(df_tbl: DataFrame, df_cap: int | None) -> str:
     ).collect()[0]
     sum_df2 = row["sum_df2"] or 0.0
     n_rows = row["n_rows"] or 0
+    pairs_priced = max(sum_df2 - n_rows, 0.0) / 2.0
+    if idx is not None and pairs_priced > _DENSE_DIRECT_PAIR_BUDGET:
+        # callers pass the index ALREADY restricted to their df_cap, so
+        # the probe measures exactly the index the chosen plan will join
+        combine = _sampled_combine_x1000(idx)
+        if 0 <= combine < _CLUSTERED_COMBINE_X1000:
+            return "banded"
     return "direct" if _direct_affordable(sum_df2, n_rows) else "prefix"
 
 
 def choose_dedup_strategy(
     spark: SparkSession, sf_dir: str, df_cap: int | None = None
 ) -> str:
-    """User-facing strategy chooser: runs the EXACT probe the adaptive
+    """User-facing strategy chooser: runs the EXACT probes the adaptive
     dedup ops run internally — the (lang, shingle) df rollup through
-    _auto_strategy/_direct_affordable — and returns 'direct' or
-    'prefix'. Read q_dedup_cost_plan for the priced table; call this
-    for the decision. Both consume the same profile and the same
-    budget rule, so they cannot diverge (round-7 advice item)."""
+    _auto_strategy/_direct_affordable, plus (past the absolute pair
+    budget) the sampled concentration verdict of
+    q_dedup_candidate_profile — and returns 'direct', 'prefix' or
+    'banded'. Read q_dedup_cost_plan for the priced table and
+    q_dedup_candidate_profile for the measured concentration; call
+    this for the decision. All consume the same profile and the same
+    budget rules, so they cannot diverge (round-7 advice item; the
+    concentration wiring closes round 11's open scale item)."""
     sh = _shingle_df(spark, sf_dir, with_lang=True)
     df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
-    return _resolve_strategy("auto", df_tbl, df_cap)
+    idx = sh
+    if df_cap is not None:
+        rare = df_tbl.filter(F.col("df") <= df_cap).select("lang", "shingle")
+        idx = sh.join(rare, ["lang", "shingle"], "left_semi")
+    return _resolve_strategy("auto", df_tbl, df_cap, idx)
 
 
 def _resolve_strategy(
-    strategy: str, df_tbl: DataFrame, df_cap: int | None = None
+    strategy: str,
+    df_tbl: DataFrame,
+    df_cap: int | None = None,
+    idx: DataFrame | None = None,
 ) -> str:
-    """Resolve 'auto' via the df probe and reject typos: an unrecognized
-    strategy string must error, not silently fall through an if/else
-    into whichever branch is written last."""
+    """Resolve 'auto' via the df + concentration probes and reject
+    typos: an unrecognized strategy string must error, not silently
+    fall through an if/else into whichever branch is written last."""
     if strategy == "auto":
-        strategy = _auto_strategy(df_tbl, df_cap)
-    if strategy not in ("direct", "prefix"):
+        strategy = _auto_strategy(df_tbl, df_cap, idx)
+    if strategy not in ("direct", "prefix", "banded"):
         raise ValueError(
-            f"strategy must be 'auto', 'direct' or 'prefix', got {strategy!r}"
+            "strategy must be 'auto', 'direct', 'prefix' or 'banded', "
+            f"got {strategy!r}"
         )
     return strategy
 
@@ -1169,7 +1393,17 @@ def q_containment_dedup(
 
     ``checkpoint=False`` keeps the whole plan lazy (no materialized
     shingle/candidate barriers) so tests can assert the prefix
-    restriction in a single explain; production keeps the default."""
+    restriction in a single explain; production keeps the default.
+
+    ``banded`` (auto-selected only past the absolute pair budget when
+    the sampled concentration probe reads dense — the regime where both
+    exact plans measured quadratic at true-sf1: direct 122 s / prefix
+    84 s vs 2.8 s at sf0.1): bottom-k sketch candidates
+    (_bottomk_containment_candidates — the ASYMMETRIC sketch, because
+    symmetric LSH is blind to small-doc-inside-large-doc pairs) scored
+    by the SAME exact verify, so no false positives. Recall contract:
+    P[miss | C = 0.8] = P[Binom(8, 0.8) < 3] ≈ 1.2e-3 (measured 99 k
+    candidates vs 8.7 M prefix at sf1)."""
     ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1184,7 +1418,7 @@ def q_containment_dedup(
         rare = df_tbl.filter(F.col("df") <= df_cap).select("lang", "shingle")
         idx = sh.join(rare, ["lang", "shingle"], "left_semi")
 
-    strategy = _resolve_strategy(strategy, df_tbl, df_cap)
+    strategy = _resolve_strategy(strategy, df_tbl, df_cap, idx)
 
     if strategy == "direct":
         sa = idx.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
@@ -1196,25 +1430,33 @@ def q_containment_dedup(
             .agg(F.count("*").alias("i"))
         )
     else:
-        # rarest-first global order: df is the sort key, no global sort
-        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-        # ceil(0.8*n) exactly: (4n + 4) div 5
-        i_min = F.expr("(4 * n + 4) div 5")
-        prefix = (
-            idx.join(df_tbl, ["lang", "shingle"])
-            .withColumn("rk", F.row_number().over(w))
-            .join(cnt, "doc_id")
-            .filter(F.col("rk") <= F.col("n") - i_min + 1)
-            .select("doc_id", "lang", "shingle")
-        )
-        pa = prefix.select(F.col("doc_id").alias("doc_sub"), "lang", "shingle")
-        full_b = idx.select(F.col("doc_id").alias("doc_sup"), "lang", "shingle")
-        cand = (
-            pa.join(full_b, ["lang", "shingle"])
-            .filter(F.col("doc_sub") != F.col("doc_sup"))
-            .select("doc_sub", "doc_sup")
-            .distinct()
-        )
+        if strategy == "banded":
+            cand = _bottomk_containment_candidates(idx)
+        else:
+            # rarest-first global order: df is the sort key, no global
+            # sort
+            w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+            # ceil(0.8*n) exactly: (4n + 4) div 5
+            i_min = F.expr("(4 * n + 4) div 5")
+            prefix = (
+                idx.join(df_tbl, ["lang", "shingle"])
+                .withColumn("rk", F.row_number().over(w))
+                .join(cnt, "doc_id")
+                .filter(F.col("rk") <= F.col("n") - i_min + 1)
+                .select("doc_id", "lang", "shingle")
+            )
+            pa = prefix.select(
+                F.col("doc_id").alias("doc_sub"), "lang", "shingle"
+            )
+            full_b = idx.select(
+                F.col("doc_id").alias("doc_sup"), "lang", "shingle"
+            )
+            cand = (
+                pa.join(full_b, ["lang", "shingle"])
+                .filter(F.col("doc_sub") != F.col("doc_sup"))
+                .select("doc_sub", "doc_sup")
+                .distinct()
+            )
         cand = ckpt(cand)
         # exact verify, candidate-restricted on both sides (scales with
         # candidates, not the corpus); under df_cap the intersection
@@ -1467,7 +1709,16 @@ def q_prefix_filter_join(
     re-explode the corpus. Materializing the tokenized stream is what a
     production ppjoin index build does anyway — it IS the index's
     ingest artifact — and a checkpoint (unlike an unscoped persist)
-    can't leak executor memory into later queries."""
+    can't leak executor memory into later queries.
+
+    ``banded`` (auto, past the absolute pair budget under a dense
+    concentration verdict): MinHash-LSH candidates at r=2,
+    b=_PREFIX_JOIN_BANDS — recall 1−(1−s²)^8 = 0.9954 at the 0.7
+    threshold, ~1 above 0.8 — through the same exact verify. The
+    banded tier is what survives the regime where the prefix lemma
+    itself measured quadratic (66 s at true-sf1: a saturated
+    vocabulary makes even rarest-first prefixes collide; 5.8 M prefix
+    candidates vs ~10 k banded)."""
     ckpt = reliable_checkpoint if checkpoint else (lambda df: df)
     sh = ckpt(_shingle_df(spark, sf_dir, with_lang=True))
     # (lang, shingle) df: pairs only form within a lang, so per-lang df
@@ -1475,7 +1726,7 @@ def q_prefix_filter_join(
     # used by the df_cap'd siblings
     df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    strategy = _resolve_strategy(strategy, df_tbl)
+    strategy = _resolve_strategy(strategy, df_tbl, idx=sh)
     if strategy == "direct":
         sa = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
         sb = sh.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
@@ -1486,23 +1737,32 @@ def q_prefix_filter_join(
             .agg(F.count("*").alias("i"))
         )
     else:
-        ranked = sh.join(df_tbl, ["lang", "shingle"])
-        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-        prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
-        prefix = (
-            ranked.withColumn("rk", F.row_number().over(w))
-            .join(cnt, "doc_id")
-            .filter(F.col("rk") <= prefix_len)
-            .select("doc_id", "lang", "shingle")
-        )
-        pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
-        pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
-        cand = (
-            pa.join(pb, ["lang", "shingle"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        if strategy == "banded":
+            cand = _banded_jaccard_candidates(
+                sh, _PREFIX_JOIN_BANDS, "doc_a", "doc_b"
+            )
+        else:
+            ranked = sh.join(df_tbl, ["lang", "shingle"])
+            w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+            prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
+            prefix = (
+                ranked.withColumn("rk", F.row_number().over(w))
+                .join(cnt, "doc_id")
+                .filter(F.col("rk") <= prefix_len)
+                .select("doc_id", "lang", "shingle")
+            )
+            pa = prefix.select(
+                F.col("doc_id").alias("doc_a"), "lang", "shingle"
+            )
+            pb = prefix.select(
+                F.col("doc_id").alias("doc_b"), "lang", "shingle"
+            )
+            cand = (
+                pa.join(pb, ["lang", "shingle"])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
         cand = ckpt(cand)
         sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -3212,11 +3472,17 @@ def q_dedup_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer or categorical: engine-exact, no float rounding anywhere.
     Reference basis: the reference has no query layer (readme.md:43);
     this extends q_dedup_cost_plan's pricing with measured concentration.
+
+    Round 12: the verdict is WIRED into the adaptive chooser —
+    _auto_strategy consumes this exact statistic (shared
+    _concentration_sample_pred / _sampled_combine_x1000 definitions)
+    once the priced pair volume exceeds _DENSE_DIRECT_PAIR_BUDGET, and
+    a dense reading routes q_ngram_jaccard / q_containment_dedup /
+    q_prefix_filter_join to the banded tier (measured at true-sf1:
+    25-43x for 10x data down to 9-13x).
     """
     sh = _shingle_df(spark, sf_dir, with_lang=True)
-    samp = sh.filter(
-        F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 1) == "0"
-    )
+    samp = sh.filter(_concentration_sample_pred())
     df_s = samp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     priced = df_s.agg(
         F.count("*").cast("bigint").alias("sampled_shingles"),

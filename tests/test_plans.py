@@ -1439,3 +1439,82 @@ def test_near_dedup_gate_is_candidate_join_no_window(spark, sf_dir):
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_banded_strategy_exact_verify_subset(spark, sf_dir):
+    """Round-12 dense-regime tier: banded candidates feed the SAME
+    exact verify, so reported pairs can never be false positives —
+    banded results are a subset of the exact result. On this fixture
+    every true pair sits well above threshold where banding recall is
+    ~1, so the subset is an equality (deterministic: xxhash64 minhash
+    of fixed data) — pinned as a regression guard on the banded
+    machinery."""
+    from pot_spark.queries.llm_dedup import (
+        q_containment_dedup,
+        q_ngram_jaccard,
+        q_prefix_filter_join,
+    )
+
+    for fn in (q_ngram_jaccard, q_containment_dedup, q_prefix_filter_join):
+        exact = {
+            tuple(r)
+            for r in fn(spark, sf_dir, checkpoint=False,
+                        strategy="direct").collect()
+        }
+        banded = {
+            tuple(r)
+            for r in fn(spark, sf_dir, checkpoint=False,
+                        strategy="banded").collect()
+        }
+        assert banded <= exact, fn.__name__
+        assert banded == exact and banded, fn.__name__  # fixture pin
+
+
+def test_auto_selects_banded_in_dense_regime(spark, sf_dir, monkeypatch):
+    """The round-11 scale-killer closure: when the priced pair volume
+    exceeds the absolute budget AND the sampled concentration probe
+    (q_dedup_candidate_profile's statistic) reads dense, auto must
+    route to the banded tier — the regime where BOTH exact plans
+    measured quadratic at true-sf1 (direct 63-122 s, prefix 66-130 s
+    for 10x data). Zeroing the budget simulates 'past the budget' on
+    the fixture, whose saturated vocabulary probes dense (combine_x1000
+    ~1088 at sf0.001, ~1008 at true-sf1)."""
+    import io
+
+    from pot_spark.queries import llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "_DENSE_DIRECT_PAIR_BUDGET", 0)
+    assert llm_dedup.choose_dedup_strategy(spark, sf_dir) == "banded"
+    df = llm_dedup.q_ngram_jaccard(
+        spark, sf_dir, checkpoint=False, strategy="auto"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "xxhash64" in p  # the banded signature build is in the plan
+    assert "row_number" not in p  # not the prefix branch
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # verify inputs restricted to candidate docs
+
+
+def test_banded_recall_constants_match_formula():
+    """The documented recall contracts are the actual r=2 banding math:
+    recall(s) = 1-(1-s^2)^b at the op's threshold, and the bottom-k
+    containment miss bound is the binomial tail at C=0.8."""
+    from math import comb
+
+    from pot_spark.queries.llm_dedup import (
+        _BOTTOMK_K,
+        _BOTTOMK_M_MIN,
+        _NGRAM_BANDS,
+        _PREFIX_JOIN_BANDS,
+    )
+
+    assert 1 - (1 - 0.3**2) ** _NGRAM_BANDS > 0.95  # q_ngram_jaccard t=0.3
+    assert 1 - (1 - 0.7**2) ** _PREFIX_JOIN_BANDS > 0.995  # t=0.7
+    p_miss = sum(
+        comb(_BOTTOMK_K, k) * 0.8**k * 0.2 ** (_BOTTOMK_K - k)
+        for k in range(_BOTTOMK_M_MIN)
+    )
+    assert p_miss < 0.002  # containment C=0.8 miss bound

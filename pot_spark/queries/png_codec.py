@@ -133,31 +133,45 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:
             rec = line + up
-        elif ftype in (1, 3, 4):
-            # left-dependent filters need a sequential pass per pixel;
-            # every reconstructed byte is reduced mod 256 IMMEDIATELY —
+        elif ftype == 1:
+            # Sub's recurrence rec[x] = (line[x] + rec[x-bpp]) mod 256 is
+            # a per-channel prefix sum, and mod distributes over sums —
+            # vectorized exactly (the r12 defilter rewrite: the old
+            # per-pixel loop was the measured hot spot of every
+            # multimodal decode)
+            rec = np.empty(stride, dtype=np.int64)
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64)
+        elif ftype in (3, 4):
             # Average's floor-div and Paeth's comparisons operate on the
-            # reduced reconstructed neighbors per spec, and neither
-            # commutes with a deferred mod
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                upleft = int(up[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    rec[x] = (line[x] + left) % 256
-                elif ftype == 3:
-                    rec[x] = (line[x] + (left + int(up[x])) // 2) % 256
-                else:
-                    rec[x] = (
-                        line[x]
-                        + int(
-                            _paeth(
-                                np.array([left]),
-                                np.array([int(up[x])]),
-                                np.array([upleft]),
-                            )[0]
-                        )
-                    ) % 256
+            # REDUCED reconstructed neighbors per spec (neither commutes
+            # with a deferred mod), so these stay sequential — but in
+            # pure ints: the previous per-pixel numpy scalar/array ops
+            # cost ~10x (three array allocations per Paeth pixel)
+            line_l = line.tolist()
+            up_l = up.tolist()
+            rec_l = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = rec_l[x - bpp] if x >= bpp else 0
+                    rec_l[x] = (line_l[x] + ((left + up_l[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    left = rec_l[x - bpp] if x >= bpp else 0
+                    upleft = up_l[x - bpp] if x >= bpp else 0
+                    b = up_l[x]
+                    p = left + b - upleft
+                    pa = p - left if p >= left else left - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - upleft if p >= upleft else upleft - p
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = upleft
+                    rec_l[x] = (line_l[x] + pred) & 255
+            rec = np.asarray(rec_l, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = (rec % 256).astype(np.uint8)

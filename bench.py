@@ -260,6 +260,10 @@ def main() -> None:
             #  tiny real stream here so the s_*_stream tiers measure
             #  their plans, not cold start (the r10 closing-run
             #  s_ohlc_stream 2.3x flag, BENCH_NOTES.md)
+            "s_ohlc_stream",  # r12: the tumbling warmup does not cover
+            #  the stateful min_by/max_by window-agg path — ohlc's own
+            #  first rep still measured ~1.8s over steady state; warming
+            #  the exact plan shape tightens its best-of-3
             "q_multiway_join",
             "q_groupby_agg",
             "q_window_rank",

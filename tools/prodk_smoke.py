@@ -57,19 +57,37 @@ def _run(spark, mod, sf_dir, k):
 
 
 def main() -> None:
+    import argparse
+
     from pot_spark.queries import llm_similarity as mod
     from pot_spark.session import get_spark
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--fixture",
+        default=DST,
+        help=(
+            "10x fixture dir (default: the shifted-union /tmp/sf1_synth;"
+            " pass /tmp/sf1_true for the distribution-true gen_sf fixture"
+            " — VERDICT r11 item 4's fixture-k vs production-k closure)"
+        ),
+    )
+    args = ap.parse_args()
     spark = get_spark("prodk_smoke")
-    if not os.path.isdir(DST):
+    dst = args.fixture
+    if dst == DST and not os.path.isdir(DST):
         build_fixture(spark)
+    if not os.path.isdir(dst):
+        print(f"fixture missing: {dst} (run tools/gen_sf.py first)")
+        sys.exit(2)
     k0 = mod._KM_K
     try:
         t1, p1 = _run(spark, mod, SRC, 4)
-        t10, p10 = _run(spark, mod, DST, 40)
+        t10, p10 = _run(spark, mod, dst, 40)
     finally:
         mod._KM_K = k0
-    print("\n| config | k | avg cell | max cell | within-cell pairs | sec |")
+    print(f"\n10x fixture: {dst}")
+    print("| config | k | avg cell | max cell | within-cell pairs | sec |")
     print("|---|---|---|---|---|---|")
     print(
         f"| sf0.1 | 4 | {p1.avg_cell:.0f} | {p1.max_cell} |"

@@ -55,6 +55,60 @@ TIER = [
     "q_token_count",
     # multimodal (its 10x smoke read high on fixed overhead — SCALE.md)
     "q_multimodal_features",
+    # --- round-12 extension (VERDICT r11 item 4): the rest of the
+    # headline heavies, the stateful streaming twins (state size vs
+    # input scaling), and one representative per remaining family ---
+    # real Structured Streaming twins: state grows with input (windows,
+    # retained signatures, quotas, index cells, compacted keys)
+    "s_ohlc_stream",
+    "s_tumbling_stream",
+    "s_dedup_near_stream",
+    "s_user_quota_stream",
+    "s_sim_index_stream",
+    "s_cdc_compact_stream",
+    # dedup family heavies + the concentration probe itself
+    "q_dedup_funnel",
+    "q_dedup_threshold_sweep",
+    "q_lsh_tuning",
+    "q_dedup_audit",
+    "q_exact_substring",
+    "q_dup_spans",
+    "q_winnow_pairs",
+    "q_incremental_dedup",
+    "q_soft_dedup",
+    "q_dedup_candidate_profile",
+    # selection / ANN
+    "q_d4_select",
+    "q_dsir_select",
+    "q_mmr_select",
+    "q_ann_pq",
+    "q_kmeans",
+    "q_ann_recall",
+    "q_sim_topk_batch",
+    "q_knn_graph",
+    # text / quality / LM
+    "q_kneser_ney",
+    "q_perplexity_filter",
+    "q_gopher_rules",
+    "q_bloom_decontaminate",
+    "q_distinct_ngrams",
+    "q_unigram_logprob",
+    "q_boilerplate_ngrams",
+    # SQL / relational / physical
+    "q_sql_q1",
+    "q_sql_q9",
+    "q_sql_q21",
+    "q_broadcast_join",
+    "q_skew_salt_join",
+    "q_dpp_join",
+    "q_merge_upsert",
+    # event-stream batch ops
+    "q_sessionize",
+    "q_funnel",
+    "q_retention",
+    "q_twap",
+    # multimodal decode path (r12 defilter rewrite)
+    "q_multimodal_frames",
 ]
 
 

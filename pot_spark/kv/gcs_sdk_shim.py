@@ -44,7 +44,71 @@ from pot_spark.kv.gcs_emulator import HttpObjectStoreClient
 
 class PreconditionFailed(Exception):
     """Stands in for google.api_core.exceptions.PreconditionFailed
-    (the 412 mapping documented for conditional uploads)."""
+    (the 412 mapping documented for conditional uploads). Used only
+    when the GENUINE api_core is nowhere on disk — install() prefers
+    the real class (see _load_real_api_core_exceptions)."""
+
+
+# known on-disk copies of the real google-api-core package in pip-less
+# environments (the gcloud CLI vendors it; same posture as
+# streaming/protobuf_compat's runtime candidates)
+_API_CORE_CANDIDATES = [
+    "/usr/lib/google-cloud-sdk/lib/third_party",
+]
+_real_api_core: object | None = None
+_real_api_core_probed = False
+# the class Blob raises and GCSBackend catches — rebound to the real
+# api_core class by install() when one is found on disk
+_PRECONDITION_CLS: type[Exception] = PreconditionFailed
+
+
+def _load_real_api_core_exceptions():
+    """Import the GENUINE ``google.api_core.exceptions`` from an on-disk
+    copy (the gcloud CLI's vendored third_party), WITHOUT leaving the
+    gcloud ``google`` namespace in sys.modules/sys.path — the import
+    happens under a save/evict/restore of all google.* entries, and only
+    the exceptions module object (whose classes stay valid after the
+    eviction) is kept. This closes most of the round-11 'real SDK
+    fidelity' gap the environment allows: the 412 -> PreconditionFailed
+    mapping then uses google-api-core's REAL exception class (real MRO,
+    real .code == 412), not a stand-in; only the storage Client/Bucket/
+    Blob surface remains shimmed (PyPI is unreachable here — verified:
+    'No matching distribution found for google-cloud-storage')."""
+    global _real_api_core, _real_api_core_probed
+    if _real_api_core_probed:
+        return _real_api_core
+    _real_api_core_probed = True
+    for root in _API_CORE_CANDIDATES:
+        if not os.path.isfile(
+            os.path.join(root, "google", "api_core", "exceptions.py")
+        ):
+            continue
+        saved = {
+            m: sys.modules[m]
+            for m in list(sys.modules)
+            if m == "google" or m.startswith("google.")
+        }
+        saved_path = list(sys.path)
+        try:
+            for m in list(saved):
+                del sys.modules[m]
+            sys.path.insert(0, root)
+            from google.api_core import exceptions as real_exc
+
+            _real_api_core = real_exc
+            return real_exc
+        except Exception:  # noqa: BLE001 - fidelity upgrade is best-effort
+            continue
+        finally:
+            sys.path[:] = saved_path
+            for m in [
+                m
+                for m in sys.modules
+                if m == "google" or m.startswith("google.")
+            ]:
+                del sys.modules[m]
+            sys.modules.update(saved)
+    return None
 
 
 def _endpoint() -> str:
@@ -74,7 +138,10 @@ class Blob:
                 self.name, payload, if_generation_match=if_generation_match
             )
         except _KvPreconditionFailed as e:
-            raise PreconditionFailed(str(e)) from e
+            # the ACTIVE class: the real api_core PreconditionFailed when
+            # one was found on disk, else the stand-in — always the same
+            # class GCSBackend imported from google.api_core.exceptions
+            raise _PRECONDITION_CLS(str(e)) from e
 
     def download_as_bytes(self) -> bytes:
         return self._client().download(self.name)
@@ -169,7 +236,16 @@ def install() -> bool:
     storage_mod.Bucket = Bucket
     storage_mod.Blob = Blob
     exc_mod = _shim_module("google.api_core.exceptions")
-    exc_mod.PreconditionFailed = PreconditionFailed
+    # prefer the GENUINE api_core exception class when an on-disk copy
+    # exists (gcloud's vendored google-api-core): GCSBackend then
+    # catches the real PreconditionFailed (real MRO, .code == 412)
+    # end-to-end, and the Blob raise site uses the same class
+    global _PRECONDITION_CLS
+    real_exc = _load_real_api_core_exceptions()
+    if real_exc is not None:
+        _PRECONDITION_CLS = real_exc.PreconditionFailed
+        exc_mod.__pot_spark_real_api_core__ = real_exc.__file__
+    exc_mod.PreconditionFailed = _PRECONDITION_CLS
     api_core = _shim_module("google.api_core")
     api_core.exceptions = exc_mod
     cloud = _shim_module("google.cloud")

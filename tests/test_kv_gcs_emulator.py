@@ -261,3 +261,30 @@ def test_shim_survives_protobuf_compat_purge(sdk_env):
     assert hasattr(exc, "PreconditionFailed")
     if mode is not None:
         import google.protobuf  # noqa: F401  (bridged or installed)
+
+
+def test_shim_binds_real_api_core_exception_when_on_disk(sdk_env):
+    """Round-12 fidelity upgrade: PyPI is unreachable here (verified:
+    'No matching distribution found'), but the gcloud CLI vendors the
+    GENUINE google-api-core — when that copy exists on disk, the shim
+    must bind google.api_core.exceptions.PreconditionFailed to the real
+    class (real MRO through GoogleAPICallError, real .code == 412), so
+    GCSBackend's 412 mapping is exercised against google-api-core's
+    actual exception type, not a stand-in."""
+    import importlib
+    import os
+
+    from pot_spark.kv import gcs_sdk_shim
+
+    exc = importlib.import_module("google.api_core.exceptions")
+    on_disk = any(
+        os.path.isfile(os.path.join(r, "google", "api_core", "exceptions.py"))
+        for r in gcs_sdk_shim._API_CORE_CANDIDATES
+    )
+    if sdk_env == "shim" and on_disk:
+        assert getattr(exc, "__pot_spark_real_api_core__", None)
+        assert exc.PreconditionFailed.code == 412
+        mro = [c.__name__ for c in exc.PreconditionFailed.__mro__]
+        assert "GoogleAPICallError" in mro
+    # either way the active class is exactly what Blob raises on 412
+    assert gcs_sdk_shim._PRECONDITION_CLS is exc.PreconditionFailed

@@ -3528,3 +3528,137 @@ def q_dedup_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_cand_pairs",
         )
     )
+
+
+@query(
+    "q_dedup_strategy_report",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len(string_split(text,' ')) >= 3
+    ),
+    df_tbl AS (
+        SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY 1, 2
+    ),
+    vol AS (
+        SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT) AS sum_df2,
+               CAST(COALESCE(SUM(df), 0) AS BIGINT) AS n_rows
+        FROM df_tbl
+    ),
+    samp AS (SELECT * FROM sh WHERE substr(md5(shingle), 1, 1) = '0'),
+    df_s AS (
+        SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM samp GROUP BY 1, 2
+    ),
+    priced AS (
+        SELECT CAST(COALESCE(SUM(df*(df-1)//2), 0) AS BIGINT) AS priced
+        FROM df_s
+    ),
+    actual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual
+        FROM (
+            SELECT DISTINCT sa.lang, sa.doc_id AS a, sb.doc_id AS b
+            FROM samp sa JOIN samp sb
+              ON sa.shingle = sb.shingle AND sa.lang = sb.lang
+             AND sa.doc_id < sb.doc_id
+        )
+    ),
+    conc AS (
+        SELECT CASE WHEN actual = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(priced * 1000 // actual AS BIGINT)
+               END AS combine_x1000
+        FROM priced, actual
+    )
+    SELECT sum_df2, n_rows,
+           CAST((sum_df2 - n_rows) // 2 AS BIGINT) AS pairs_priced,
+           combine_x1000,
+           CASE
+             WHEN (sum_df2 - n_rows) // 2 > {_DENSE_DIRECT_PAIR_BUDGET}
+                  AND combine_x1000 >= 0
+                  AND combine_x1000 < {_CLUSTERED_COMBINE_X1000}
+               THEN 'banded'
+             WHEN sum_df2 <= {_CONTAINMENT_DIRECT_BUDGET}
+                             * GREATEST(n_rows, 1)
+               THEN 'direct'
+             ELSE 'prefix'
+           END AS strategy
+    FROM vol, conc
+    """,
+)
+def q_dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive chooser's decision, AS A QUERY — every input the
+    round-12 strategy tree reads and the verdict it returns, in one
+    oracle-checkable row: Σ df² and Σ df over the (lang, shingle)
+    rollup, the priced distinct-pair volume (Σ df² − Σ df)/2, the
+    sampled concentration factor (q_dedup_candidate_profile's
+    combine_x1000, same deterministic 1/16 sample), and the resulting
+    strategy under the same constants the trio's "auto" uses
+    (_DENSE_DIRECT_PAIR_BUDGET / _CLUSTERED_COMBINE_X1000 /
+    _CONTAINMENT_DIRECT_BUDGET). Hash-matching the DuckDB twin means
+    the PLANNER's decision function — not just the plans it picks — is
+    verified against an independent engine.
+
+    One deliberate divergence from the in-op probe, documented: sums
+    here are exact int64 (both engines compute identical integers; the
+    report is the auditable twin), while _auto_strategy sums Σ df² in
+    double to survive a wrapped-int64 web-scale head — at any scale a
+    bigint Σ df² can represent, the decisions are identical, and
+    test_plans pins report == choose_dedup_strategy() on the fixtures.
+
+    Scale posture: two linear rollups + the 1/16-sampled concentration
+    join (~1/256 of the full pair volume — the same affordable
+    pre-flight the chooser itself runs past the absolute budget), all
+    reduced to one row. Reference basis: no reference counterpart (the
+    reference has no query layer, readme.md:43); this operationalizes
+    round 11's "measured the hazard" profile into "the engine's own
+    routing, audited"."""
+    sh = _shingle_df(spark, sf_dir, with_lang=True)
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    vol = df_tbl.agg(
+        F.coalesce(F.sum(F.col("df") * F.col("df")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_df2"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("bigint").alias("n_rows"),
+    )
+    samp = sh.filter(_concentration_sample_pred())
+    df_s = samp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    priced = df_s.agg(
+        F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("priced")
+    )
+    sa = samp.select("lang", "shingle", F.col("doc_id").alias("a"))
+    sb = samp.select("lang", "shingle", F.col("doc_id").alias("b"))
+    actual = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("a") < F.col("b"))
+        .select("lang", "a", "b")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    conc = priced.crossJoin(actual).select(
+        F.expr(
+            "CASE WHEN actual = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE CAST(priced * 1000 DIV actual AS BIGINT) END"
+        ).alias("combine_x1000")
+    )
+    return vol.crossJoin(conc).select(
+        "sum_df2",
+        "n_rows",
+        F.expr("CAST((sum_df2 - n_rows) DIV 2 AS BIGINT)").alias(
+            "pairs_priced"
+        ),
+        "combine_x1000",
+        F.expr(
+            "CASE"
+            f" WHEN (sum_df2 - n_rows) DIV 2 > {_DENSE_DIRECT_PAIR_BUDGET}"
+            "      AND combine_x1000 >= 0"
+            f"      AND combine_x1000 < {_CLUSTERED_COMBINE_X1000}"
+            "   THEN 'banded'"
+            f" WHEN sum_df2 <= {_CONTAINMENT_DIRECT_BUDGET}"
+            "                  * GREATEST(n_rows, 1)"
+            "   THEN 'direct'"
+            " ELSE 'prefix' END"
+        ).alias("strategy"),
+    )

@@ -299,34 +299,121 @@ _KNN_SQL = """
     """
 
 
+_KNN_SALT = 32  # label keys << cores: spread each block's pair volume
+
+
 @query("q_knn_graph", oracle=_KNN_SQL)
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph build (k=3) within label blocks — the core primitive
-    under near-dup clustering and diversity sampling. Both join sides
-    hash-partition on label, so each O(block²) comparison runs inside one
-    partition with no further shuffle; the top-k window reuses the same
-    partitioning. At 100 TB the blocking key swaps from `label` to an LSH
-    bucket or IVF cell id (q_sim_ann_lsh / q_sim_ivf) so block sizes stay
-    bounded — the graph shape and ranking logic are unchanged."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double().alias("v")
-    )
-    a = e.select(
-        F.col("vec_id").alias("src_id"), "label", F.col("v").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("nbr_id"), "label", F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "label").where(F.col("src_id") != F.col("nbr_id"))
-    cos = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
-    from pyspark.sql import Window
+    under near-dup clustering and diversity sampling.
 
-    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    r12 rewrite (the extended true-sf1 tier caught the old plan at
+    126x for 10x data — 717 s): same exact output, three physical
+    fixes borrowed from q_semdedup's measured pair machinery:
+
+    - FLAT double component columns (x1..x64) with the per-pair dot as
+      one whole-stage-codegen `a1*b1 + a2*b2 + ...` chain — no
+      interpreted array lambda in the O(block²) hot loop. The chain
+      evaluates left-to-right, the same sequential summation order as
+      the old F.aggregate fold and DuckDB's list_cosine_similarity, so
+      every rounded double is BIT-IDENTICAL to the oracle's.
+    - norms precomputed ONCE per vector (the old plan re-folded both
+      64-element norms per PAIR — three interpreted folds per pair).
+    - the label join SALTED _KNN_SALT ways: there are only a handful of
+      label keys, so the unsalted equi-join parked each block's entire
+      pair volume on ONE reducer (the dominant term of the 717 s).
+
+    Measured at true-sf1: 717 s -> 26.4 s (sf0.1: 5.7 -> 3.9 s), hash
+    output unchanged (oracle green). A fourth lesson is baked into the
+    plan shape below: Catalyst's constraint derivation re-substitutes
+    big Project aliases at every plan level above them, so the 127-node
+    dot chain must stay the ONLY big alias, directly above the join
+    (q_semdedup's proven position), with the cosine computed inside the
+    top-k aggregate and top-3 selected by sort_array+slice instead of a
+    Filter-over-Window (the filter form made explain() itself hang).
+    At 100 TB the blocking key swaps from `label` to an LSH bucket or
+    IVF cell id (q_sim_ann_lsh / q_sim_ivf) so block sizes stay bounded
+    — the graph shape and ranking logic are unchanged."""
+    iv = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(_as_double()).alias("d", "x"),
+        )
+    )
+    # norm as ONE small fold expression over the d-sorted components —
+    # the exact left-to-right summation order the oracle's
+    # list_cosine_similarity uses (array_sort pins the order;
+    # collect_list alone guarantees none). Deliberately NOT a flat
+    # "x0*x0 + x1*x1 + ..." chain: a 129-node Project alias sent
+    # Catalyst's constraint derivation super-linear when every rule
+    # above re-substituted it (the r12 hang — explain() never
+    # returned), while this fold is ~15 nodes
+    nrm = F.sqrt(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"] * s["x"],
+        )
+    )
+    vecs = iv.groupBy("vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
+            for i in range(_DIM)
+        ],
+        nrm.alias("nrm"),
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("nrm").alias("na"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(_DIM)],
+    ).withColumn("salt", (F.col("src_id") % _KNN_SALT).cast("int"))
+    b = vecs.select(
+        F.col("vec_id").alias("nbr_id"),
+        "label",
+        F.col("nrm").alias("nb"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(_DIM)],
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_KNN_SALT - 1))))
+    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(_DIM)))
+    pairs = (
+        a.join(b, ["label", "salt"])
+        .where(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", dot.alias("dot"), "na", "nb")
+    )
+    # The 127-node codegen dot chain is the ONLY big Project alias, in
+    # exactly the position q_semdedup's measured pair machinery proves
+    # harmless (one select directly above the join). Everything above
+    # works on small expressions: the cosine is computed INSIDE the
+    # top-k aggregate from the dot/na/nb attributes, and top-3 is
+    # sort_array+slice, NOT row_number+filter — a Filter above a big
+    # alias made Catalyst's constraint derivation substitute the whole
+    # tree at every level (the r12 hang: explain() never returned /
+    # OOMed, independent of the constraintPropagation and
+    # windowGroupLimit confs).
+    # Ordering inside the struct: (-cos, nbr_id) ascending == (cos
+    # DESC, nbr_id ASC); double negation is sign-exact, so the emitted
+    # cos_sim is bit-identical to round(dot/(na*nb), 6).
+    neg_cos = -F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    top = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(neg_cos.alias("nc"), F.col("nbr_id").alias("nbr"))
+            )
+        ),
+        1,
+        3,
+    )
     return (
-        pairs.select("src_id", "nbr_id", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .drop("rn")
+        pairs.groupBy("src_id")
+        .agg(top.alias("top3"))
+        .select("src_id", F.explode("top3").alias("t"))
+        .select(
+            "src_id",
+            F.col("t.nbr").alias("nbr_id"),
+            (-F.col("t.nc")).alias("cos_sim"),
+        )
     )
 
 

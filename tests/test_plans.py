@@ -1518,3 +1518,19 @@ def test_banded_recall_constants_match_formula():
         for k in range(_BOTTOMK_M_MIN)
     )
     assert p_miss < 0.002  # containment C=0.8 miss bound
+
+
+def test_strategy_report_matches_chooser(spark, sf_dir):
+    """q_dedup_strategy_report's verdict column must equal what
+    choose_dedup_strategy() actually returns on the same fixture — the
+    report is the oracle-checkable twin of the live decision (one
+    documented divergence: int64 vs double sums, identical at any
+    bigint-representable scale)."""
+    from pot_spark.queries.llm_dedup import (
+        choose_dedup_strategy,
+        q_dedup_strategy_report,
+    )
+
+    row = q_dedup_strategy_report(spark, sf_dir).collect()[0]
+    assert row["strategy"] == choose_dedup_strategy(spark, sf_dir)
+    assert row["pairs_priced"] == (row["sum_df2"] - row["n_rows"]) // 2

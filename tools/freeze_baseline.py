@@ -94,6 +94,13 @@ MEDIAN_GROUPS = [
         "BENCH_r12_fillb2.json",
         "BENCH_r12_fillb3.json",
     ],
+    # the round-12 addition (q_dedup_strategy_report), recorded the
+    # round it registered
+    [
+        "BENCH_r12_fillc1.json",
+        "BENCH_r12_fillc2.json",
+        "BENCH_r12_fillc3.json",
+    ],
 ]
 
 # Ops whose IMPLEMENTATION SEMANTICS changed, making their earlier rows

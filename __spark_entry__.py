@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pot_spark import registry  # noqa: E402
 
+# This module exists solely for the driver's CORRECTNESS gate (Spark
+# result hash-compared against exact DuckDB SQL), so the adaptive dedup
+# chooser must never take its approximate banded candidate tier here:
+# force the exact fallback for everything invoked through this entry.
+# bench.py imports registry directly (separate process) and keeps the
+# adaptive behavior, so benchmarks still exercise the banded tier.
+os.environ.setdefault("POT_SPARK_DEDUP_FORCE_EXACT", "1")
+
 registry.load_all_query_modules()
 
 

@@ -290,6 +290,11 @@ class HttpObjectStoreClient:
             if not token or (
                 max_results is not None and len(names) >= max_results
             ):
+                # honor the documented GCS maxResults contract even when
+                # the last page overshoots — callers must never receive
+                # more names than they asked for (round-12 advice item)
+                if max_results is not None:
+                    return names[:max_results]
                 return names
 
     def mtime(self, key: str) -> float:

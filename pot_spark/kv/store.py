@@ -53,6 +53,7 @@ DataFrame for the relational layer.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
 import uuid
@@ -66,6 +67,8 @@ from pyspark.sql import functions as F
 from pot_spark.kv.backend import CommitBackend, LocalFSBackend
 from pot_spark.kv.errors import CommitConflict, NoRewriteViolated
 from pot_spark.kv.storefs import LocalStoreFS
+
+_LOG = logging.getLogger("pot_spark.kv")
 
 _POT_DIRNAME = "_pot"
 _COMMITS = "commits"
@@ -419,22 +422,27 @@ class PotStore:
     def _restage_if_vacuumed(
         self, path: str, committed: "_Manifest", restage: Callable[[], None]
     ) -> None:
-        """Close the stage-then-publish vacuum race (round-11 advice):
-        a vacuum() in ANOTHER process — where our per-path lock cannot
+        """BEST-EFFORT narrowing of the stage-then-publish vacuum race
+        (round-11 advice; scope honesty per round-12 advice): a
+        vacuum() in ANOTHER process — where our per-path lock cannot
         serialize it — running with an aggressive grace window can
         reclaim this writer's staged snapshot between its last stage
         write and the manifest put_if_absent; the conditional PUT still
         succeeds, and the pot's new HEAD would then fail every read
         with "was vacuumed" until a later commit. Once we have WON the
-        generation the snapshot is referenced by the latest manifest,
-        so any vacuum that reads state from now on keeps it alive —
-        verifying existence immediately after the win and restaging
-        the identical content at the identical name repairs the one
-        window that remains. One isdir() per commit in the common
-        (alive) case."""
-        if self._fs.isdir(self._snapshot_path(path, committed.snapshot)):
-            return
-        restage()
+        generation, any vacuum that LISTS from now on sees the snapshot
+        referenced by the latest manifest and keeps it alive — but a
+        vacuum that took its reclaim list BEFORE our publish may still
+        delete at any later moment, so no post-publish check can fully
+        close the window. This verify-restage-reverify loop (3 rounds)
+        repairs every delete that lands while we are looking; the
+        86400 s default grace window is the actual correctness
+        guarantee against the delayed case. One isdir() per commit in
+        the common (alive) case."""
+        for _ in range(3):
+            if self._fs.isdir(self._snapshot_path(path, committed.snapshot)):
+                return
+            restage()
 
     # -- norewrite gate ------------------------------------------------------
 
@@ -1358,7 +1366,27 @@ class PotStore:
                                 path, name, self._read_content(manifest, path)
                             )
 
-                    self._restage_if_vacuumed(path, committed, _restage_compact)
+                    # the restage re-derives from the OLD manifest, whose
+                    # superseded-history snapshot vacuum reclaims with NO
+                    # grace — a second vacuum landing between the probe
+                    # and the restage read makes the repair itself raise.
+                    # The commit has already won, so the repair must not
+                    # throw out of it: leave the committed HEAD and log;
+                    # readers get the explicit "was vacuumed" error until
+                    # the next commit (round-12 advice item).
+                    try:
+                        self._restage_if_vacuumed(
+                            path, committed, _restage_compact
+                        )
+                    except (ValueError, FileNotFoundError, OSError) as e:
+                        _LOG.error(
+                            "compact(%r): committed generation %d but the "
+                            "post-publish restage repair could not re-derive "
+                            "the snapshot (old history vacuumed): %s",
+                            path,
+                            next_gen,
+                            e,
+                        )
                     self.generation_cache[path] = next_gen
                     return next_gen
                 self._fs.rmtree(snap_dir)

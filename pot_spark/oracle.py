@@ -144,14 +144,31 @@ def check_parity(
 
 
 def run_all(spark: SparkSession, sf_dir: str, only: list[str] | None = None):
+    import os
+
     from pot_spark import registry
 
-    registry.load_all_query_modules()
-    results = []
-    for name, fn in registry.QUERIES.items():
-        if only and name not in only:
-            continue
-        results.append(
-            check_parity(spark, name, fn, registry.ORACLES.get(name), sf_dir)
-        )
-    return results
+    # Hash-parity compares against EXACT DuckDB SQL, so the adaptive
+    # dedup chooser must never take its approximate banded tier here —
+    # force the exact fallback for the duration of the sweep (the env
+    # is read per-query-build, so this covers every resolve call).
+    # Restored afterward: tests share a process with parity runs.
+    prior = os.environ.get("POT_SPARK_DEDUP_FORCE_EXACT")
+    os.environ["POT_SPARK_DEDUP_FORCE_EXACT"] = "1"
+    try:
+        registry.load_all_query_modules()
+        results = []
+        for name, fn in registry.QUERIES.items():
+            if only and name not in only:
+                continue
+            results.append(
+                check_parity(
+                    spark, name, fn, registry.ORACLES.get(name), sf_dir
+                )
+            )
+        return results
+    finally:
+        if prior is None:
+            os.environ.pop("POT_SPARK_DEDUP_FORCE_EXACT", None)
+        else:
+            os.environ["POT_SPARK_DEDUP_FORCE_EXACT"] = prior

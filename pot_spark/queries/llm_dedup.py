@@ -14,6 +14,9 @@ up to and including the banding join is replayable by the DuckDB oracle.
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1289,6 +1292,20 @@ def choose_dedup_strategy(
     return _resolve_strategy("auto", df_tbl, df_cap, idx)
 
 
+_LOG = logging.getLogger("pot_spark.dedup")
+
+# Parity/oracle harnesses set this to "1" so an auto-chosen BANDED tier
+# (recall < 1 by contract) can never be silently hash-compared against
+# the exact DuckDB twin: auto then degrades to 'prefix', the exact plan
+# that also survives a Zipf head. Explicit strategy='banded' is honored
+# regardless — the caller asked for the recall contract by name.
+FORCE_EXACT_ENV = "POT_SPARK_DEDUP_FORCE_EXACT"
+
+
+def _force_exact() -> bool:
+    return os.environ.get(FORCE_EXACT_ENV, "").strip() not in ("", "0", "false")
+
+
 def _resolve_strategy(
     strategy: str,
     df_tbl: DataFrame,
@@ -1297,9 +1314,33 @@ def _resolve_strategy(
 ) -> str:
     """Resolve 'auto' via the df + concentration probes and reject
     typos: an unrecognized strategy string must error, not silently
-    fall through an if/else into whichever branch is written last."""
+    fall through an if/else into whichever branch is written last.
+
+    The auto->banded transition is APPROXIMATE (documented recall
+    0.95@t=0.3 / 0.995@t=0.7), so it is never silent: it logs a
+    WARNING naming the contract, and FORCE_EXACT_ENV=1 (set by the
+    parity sweep and the oracle runner) reroutes it to the exact
+    'prefix' plan so hash-parity runs always compare exact-vs-exact
+    (round-12 advice item)."""
     if strategy == "auto":
         strategy = _auto_strategy(df_tbl, df_cap, idx)
+        if strategy == "banded":
+            if _force_exact():
+                _LOG.warning(
+                    "adaptive dedup: dense verdict chose the banded tier "
+                    "but %s is set — forcing the exact 'prefix' plan for "
+                    "oracle parity",
+                    FORCE_EXACT_ENV,
+                )
+                strategy = "prefix"
+            else:
+                _LOG.warning(
+                    "adaptive dedup: measured candidate concentration is "
+                    "dense — switching to the BANDED candidate tier "
+                    "(exact verify, recall contract 0.95@t=0.3 / "
+                    "0.995@t=0.7; set %s=1 to force exact plans)",
+                    FORCE_EXACT_ENV,
+                )
     if strategy not in ("direct", "prefix", "banded"):
         raise ValueError(
             "strategy must be 'auto', 'direct', 'prefix' or 'banded', "

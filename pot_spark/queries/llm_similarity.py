@@ -369,7 +369,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("nrm").alias("na"),
         *[F.col(f"x{i}").alias(f"a{i}") for i in range(_DIM)],
-    ).withColumn("salt", (F.col("src_id") % _KNN_SALT).cast("int"))
+    ).withColumn("salt", F.pmod(F.col("src_id"), F.lit(_KNN_SALT)).cast("int"))
     b = vecs.select(
         F.col("vec_id").alias("nbr_id"),
         "label",

@@ -101,21 +101,27 @@ def test_cli_bucket_rooted_roundtrip():
         HttpObjectStoreClient("clibkt", endpoint).create_bucket()
         base = [sys.executable, "-m", "pot_spark", "--root", "pots",
                 "--object-store", endpoint, "--bucket", "clibkt"]
-        p = subprocess.run(
-            base + ["create", "t"], input='{"id": "a", "v": 1}',
-            capture_output=True, text=True, cwd="/root/repo", timeout=120,
-        )
-        assert p.returncode == 0, p.stdout + p.stderr
-        p = subprocess.run(
-            base + ["get", "t"],
-            capture_output=True, text=True, cwd="/root/repo", timeout=120,
-        )
-        assert p.returncode == 0, p.stdout + p.stderr
+
+        def run_retry(args: list, stdin: str | None = None):
+            # subprocess-over-HTTP-emulator: one transient failure was
+            # observed under full-machine contention (r12 verdict) —
+            # every command here is idempotent (upsert same doc / pure
+            # reads), so retry once before failing the test
+            for attempt in (1, 2):
+                p = subprocess.run(
+                    base + args, input=stdin, capture_output=True,
+                    text=True, cwd="/root/repo", timeout=120,
+                )
+                if p.returncode == 0:
+                    return p
+            raise AssertionError(
+                f"{args} failed twice: {p.stdout}{p.stderr}"
+            )
+
+        run_retry(["create", "t"], stdin='{"id": "a", "v": 1}')
+        p = run_retry(["get", "t"])
         assert json.loads(p.stdout) == {"a": {"id": "a", "v": 1}}
-        p = subprocess.run(
-            base + ["list"],
-            capture_output=True, text=True, cwd="/root/repo", timeout=120,
-        )
+        p = run_retry(["list"])
         assert json.loads(p.stdout) == ["t"]
     finally:
         server.stop()

@@ -1498,6 +1498,28 @@ def test_auto_selects_banded_in_dense_regime(spark, sf_dir, monkeypatch):
     assert "LeftSemi" in p  # verify inputs restricted to candidate docs
 
 
+def test_force_exact_env_reroutes_banded(spark, sf_dir, monkeypatch):
+    """Round-12 advice closure: an auto->banded verdict (approximate,
+    recall<1) must be reroutable to an exact plan by the parity
+    harness's env flag so the oracle gate never hash-compares an
+    approximate result against the exact DuckDB twin. Explicit
+    strategy='banded' remains honored (the caller named the recall
+    contract)."""
+    from pot_spark.queries import llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "_DENSE_DIRECT_PAIR_BUDGET", 0)
+    monkeypatch.delenv(llm_dedup.FORCE_EXACT_ENV, raising=False)
+    assert llm_dedup.choose_dedup_strategy(spark, sf_dir) == "banded"
+    monkeypatch.setenv(llm_dedup.FORCE_EXACT_ENV, "1")
+    assert llm_dedup.choose_dedup_strategy(spark, sf_dir) == "prefix"
+    # explicit banded is not overridden — only the auto transition is
+    from pyspark.sql import functions as F
+
+    sh = llm_dedup._shingle_df(spark, sf_dir, with_lang=True)
+    df_tbl = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    assert llm_dedup._resolve_strategy("banded", df_tbl) == "banded"
+
+
 def test_banded_recall_constants_match_formula():
     """The documented recall contracts are the actual r=2 banding math:
     recall(s) = 1-(1-s^2)^b at the op's threshold, and the bottom-k

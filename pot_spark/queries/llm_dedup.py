@@ -2161,6 +2161,201 @@ def q_dedup_audit_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# banded-recall audit sample: stride-free under an absolute cap —
+# contiguous crawl doc_ids are the densest-truth slice (adjacent docs
+# are the likeliest near-duplicates), exactly the regime the banded
+# tier activates in. Fixed-cost at any corpus size (q_dedup_audit's
+# argument; the 64-lane signature build is 16 md5 per shingle over
+# <=_BRA_CAP docs).
+_BRA_CAP = 1200
+
+
+def _bra_oracle() -> str:
+    lanes = ",\n           ".join(
+        f"MIN({_mh_sql(j)}) AS mh{j}" for j in range(2 * _NGRAM_BANDS)
+    )
+    keys32 = ", ".join(
+        f"'{b}:' || mh{2 * b} || ':' || mh{2 * b + 1}"
+        for b in range(_NGRAM_BANDS)
+    )
+    keys8 = ", ".join(
+        f"'p{b}:' || mh{2 * b} || ':' || mh{2 * b + 1}"
+        for b in range(_PREFIX_JOIN_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3 AND doc_id < {_BRA_CAP}
+    ),
+    sig AS (
+        SELECT doc_id,
+           {lanes}
+        FROM sh GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    b32 AS (SELECT doc_id, unnest([{keys32}]) AS bk FROM sig),
+    b8 AS (SELECT doc_id, unnest([{keys8}]) AS bk FROM sig),
+    c32 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM b32 x JOIN b32 y
+              ON x.bk = y.bk AND x.doc_id < y.doc_id),
+    c8 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM b8 x JOIN b8 y
+             ON x.bk = y.bk AND x.doc_id < y.doc_id),
+    inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT t.doc_a, t.doc_b, t.i, x.n AS na, y.n AS nb
+        FROM inter t
+        JOIN sizes x ON x.doc_id = t.doc_a
+        JOIN sizes y ON y.doc_id = t.doc_b
+    ),
+    t03 AS (SELECT doc_a, doc_b FROM tr WHERE 10*i >= 3*(na+nb-i)),
+    t07 AS (SELECT doc_a, doc_b FROM tr WHERE 10*i >= 7*(na+nb-i)),
+    m AS (
+        SELECT 'ngram_t030_b32' AS contract,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t03) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM t03 JOIN c32 USING (doc_a, doc_b)) AS n_hits,
+               CAST(950000 AS BIGINT) AS contract_floor_ppm
+        UNION ALL
+        SELECT 'prefix_t070_b8',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t07),
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM t07 JOIN c8 USING (doc_a, doc_b)),
+               CAST(995000 AS BIGINT)
+    )
+    SELECT contract, n_truth, n_hits,
+           CAST(CASE WHEN n_truth = 0 THEN NULL
+                     ELSE n_hits * 1000000 // n_truth END
+                AS BIGINT) AS recall_ppm,
+           contract_floor_ppm
+    FROM m
+    """
+
+
+@query("q_banded_recall_audit", oracle=_bra_oracle())
+def q_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the banded candidate tier's two production
+    contracts, as an oracle-checked query (round-12 verdict item 2 —
+    the 0.95@t=0.3 / 0.995@t=0.7 contracts were analytic S-curve pins;
+    this makes them numbers measured on the dense slice of the corpus).
+
+    For a fixed-cost doc sample (``doc_id < _BRA_CAP``, stride-free —
+    the contiguous-id slice is the densest-truth regime, the one the
+    banded tier activates in): exact ground-truth pairs at both
+    thresholds (integer cross-multiplied Jaccard — no float compare),
+    banding candidates at the tier's exact geometry (r=2, b=32 for the
+    t=0.3 ngram contract; r=2, b=8 for the t=0.7 prefix contract), and
+    recall_ppm = hits/truth per contract next to its contracted floor.
+
+    One documented substitution: signatures here use the md5-LANE
+    minhash family (_mh — engine-replayable, so DuckDB can hash-check
+    the whole measurement) where production banding uses xxhash64
+    (engine-internal, 6x faster at width 64). Banding recall is a
+    property of the (r, b) geometry plus hash-family UNIFORMITY — both
+    families are uniform on 32/64-bit ranges — so the measured S-curve
+    transfers; the production tier's own end-to-end subset/equality is
+    separately pinned by test_banded_strategy_exact_verify_subset.
+
+    Scale posture: identical to q_dedup_audit — every stage is bounded
+    by the absolute doc cap, so the audit is fixed-cost at 100 TB; the
+    sample predicate pushes into the parquet scan. tools/error_bounds.py
+    records the measured margin (ERROR_BOUNDS.json) and
+    tests/test_sketches.py asserts recall_ppm >= floor on the fixture."""
+    sh = reliable_checkpoint(
+        _shingle_df(spark, sf_dir).filter(F.col("doc_id") < _BRA_CAP)
+    )
+    n_lanes = 2 * _NGRAM_BANDS
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(_mh(j)).alias(f"mh{j}") for j in range(n_lanes)]
+    )
+    k32 = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+            )
+            for b in range(_NGRAM_BANDS)
+        ]
+    )
+    k8 = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(f"p{b}"), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+            )
+            for b in range(_PREFIX_JOIN_BANDS)
+        ]
+    )
+
+    def _cands(keys: Column) -> DataFrame:
+        bands = sig.select("doc_id", F.explode(keys).alias("bk"))
+        x, y = bands.alias("x"), bands.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.bk") == F.col("y.bk"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    tr = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    t03 = tr.filter(
+        10 * F.col("i") >= 3 * (F.col("na") + F.col("nb") - F.col("i"))
+    ).select("doc_a", "doc_b")
+    t07 = tr.filter(
+        10 * F.col("i") >= 7 * (F.col("na") + F.col("nb") - F.col("i"))
+    ).select("doc_a", "doc_b")
+
+    def _row(contract: str, truth: DataFrame, cand: DataFrame, floor: int):
+        nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        nh = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("bigint").alias("n_hits")
+        )
+        return nt.crossJoin(nh).select(
+            F.lit(contract).alias("contract"),
+            "n_truth",
+            "n_hits",
+            F.when(
+                F.col("n_truth") != 0,
+                F.expr("n_hits * 1000000 DIV n_truth"),
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.lit(floor).cast("bigint").alias("contract_floor_ppm"),
+        )
+
+    return _row("ngram_t030_b32", t03, _cands(k32), 950000).unionAll(
+        _row("prefix_t070_b8", t07, _cands(k8), 995000)
+    )
+
+
 @query(
     "q_dedup_rate_by_source",
     oracle="""

@@ -184,13 +184,19 @@ def test_error_bounds_artifact(spark, sf_dir):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from error_bounds import measure_all
+    from error_bounds import measure_all, measure_extras
 
     from tests.test_registry import ROWS_ONLY
 
     entries = measure_all(spark, sf_dir)
     assert {e["op"] for e in entries} == ROWS_ONLY
     for e in entries:
+        assert e["pass"], e
+    # extra margin records (oracle-checked ops with statistical
+    # contracts): the banded-tier recall floors must be measured-met
+    extras = measure_extras(spark, sf_dir)
+    assert {e["op"] for e in extras} == {"q_banded_recall_audit"}
+    for e in extras:
         assert e["pass"], e
 
 

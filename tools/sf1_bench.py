@@ -127,6 +127,21 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's rows into the existing --out file instead "
+        "of replacing it (per-round batched extension toward the full "
+        "inventory, VERDICT r12 item 1)",
+    )
+    ap.add_argument(
+        "--unmeasured",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run the first N registry queries that have NO row in the "
+        "existing --out file (registry order); composes with --merge",
+    )
     args = ap.parse_args()
     tier = args.queries.split(",") if args.queries else TIER
 
@@ -138,6 +153,21 @@ def main() -> None:
         sys.exit(2)
 
     registry.load_all_query_modules()
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SF1.json",
+    )
+    prior: dict = {}
+    if (args.merge or args.unmeasured) and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+    if args.unmeasured:
+        have = set(prior.get("queries", {}))
+        tier = [q for q in registry.QUERIES if q not in have][: args.unmeasured]
+        if not tier:
+            print("nothing unmeasured — full inventory covered")
+            return
+        print(f"unmeasured batch: {len(tier)} queries")
     calib_pre = _calibrate()
     spark = get_spark("sf1_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -170,26 +200,40 @@ def main() -> None:
             print(f"{name:28s} {tag:>6s} {best:7.2f}s", flush=True)
 
     calib_post = _calibrate()
+    new_rows = {
+        name: {
+            **r,
+            "ratio": round(r["sf1"] / r["sf0.1"], 2)
+            if r.get("sf0.1")
+            else None,
+        }
+        for name, r in rows.items()
+    }
     out = {
         "fixture": SF1,
         "generator": "tools/gen_sf.py --sf 1.0 (seed 1107)",
         "reps": args.reps,
         "calib_sec_pre": calib_pre,
         "calib_sec_post": calib_post,
-        "queries": {
-            name: {
-                **r,
-                "ratio": round(r["sf1"] / r["sf0.1"], 2)
-                if r.get("sf0.1")
-                else None,
-            }
-            for name, r in rows.items()
-        },
+        "queries": new_rows,
     }
-    path = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_SF1.json",
-    )
+    if args.merge or args.unmeasured:
+        merged = dict(prior.get("queries", {}))
+        merged.update(new_rows)
+        out["queries"] = merged
+        out["calib_sec_pre"] = prior.get("calib_sec_pre", calib_pre)
+        out["calib_sec_post"] = calib_post
+        hist = dict(prior.get("batch_calibrations", {}))
+        hist[f"batch_{len(hist) + 1:02d}"] = {
+            "n": len(new_rows),
+            "calib_pre": calib_pre,
+            "calib_post": calib_post,
+        }
+        out["batch_calibrations"] = hist
+        for k in ("notes_r12",):
+            if k in prior:
+                out[k] = prior[k]
+    path = out_path
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"\ncalib pre/post: {calib_pre}/{calib_post}")

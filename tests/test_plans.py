@@ -1498,6 +1498,25 @@ def test_auto_selects_banded_in_dense_regime(spark, sf_dir, monkeypatch):
     assert "LeftSemi" in p  # verify inputs restricted to candidate docs
 
 
+def test_mixed_regime_head_excluded_probe(spark, sf_dir, monkeypatch):
+    """r13 stage-3 chooser: a dense stage-2 verdict re-probes the
+    HEAD-EXCLUDED index; when the tail is not itself dense the chooser
+    keeps the exact prefix plan (the prefix lemma neutralizes the head)
+    instead of spending the banded recall contract. Forcing the head
+    cap to 0 makes the tail empty -> tail probe -1 (clustered) ->
+    prefix; restoring it on this saturated fixture keeps banded."""
+    from pot_spark.queries import llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "_DENSE_DIRECT_PAIR_BUDGET", 0)
+    monkeypatch.setattr(llm_dedup, "_HEAD_PROBE_DF_CAP", 0)
+    assert llm_dedup.choose_dedup_strategy(spark, sf_dir) == "prefix"
+    monkeypatch.setattr(llm_dedup, "_HEAD_PROBE_DF_CAP", 256)
+    assert llm_dedup.choose_dedup_strategy(spark, sf_dir) == "banded"
+    # the report exposes the extra verdict column (both engines)
+    row = llm_dedup.q_dedup_strategy_report(spark, sf_dir).collect()[0]
+    assert "tail_combine_x1000" in row.asDict()
+
+
 def test_force_exact_env_reroutes_banded(spark, sf_dir, monkeypatch):
     """Round-12 advice closure: an auto->banded verdict (approximate,
     recall<1) must be reroutable to an exact plan by the parity

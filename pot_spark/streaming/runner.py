@@ -422,14 +422,32 @@ def build_stateful_cdc(stream: DataFrame) -> DataFrame:
     )
 
 
-def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
+def build_stateful_daily_dedup(
+    stream: DataFrame, n_shards: int | None = None
+) -> DataFrame:
     """Day-windowed first-event dedup with STATE TTL: the key carries the
     event-time day bucket and every state entry sets an event-time
     timeout at day end + 1h slack, so the watermark retires a day's keys
     instead of the state growing for the stream's lifetime — THE pattern
     that makes streaming dedup viable at 100 TB/day. Emits (key, day,
     first_event_id, n_suppressed) in update mode. Batch twin:
-    pot_spark.queries.scale_ops.q_dedup_daily_first."""
+    pot_spark.queries.scale_ops.q_dedup_daily_first.
+
+    ``n_shards`` (r13 — the r10 gate amortization applied here after
+    the sf1 tier caught this op at 236 s: 807k distinct
+    (user, type, day) groups made 807k one-row Python handler
+    invocations per microbatch): state is keyed by
+    ``pmod(hash(user, type, day), n_shards)`` and the per-key merge
+    runs VECTORIZED inside the handler (pandas concat+groupby over the
+    shard's held table and the batch's rollup — no per-row Python).
+    Per-key semantics are preserved: first = min event_id across held
+    and arriving rows, counts accumulate, and the watermark retires
+    individual (user, type, day) entries in-handler
+    (getCurrentWatermarkMs vs day end + 1h slack) with the state-level
+    event-time timeout as the whole-shard backstop. The trade is the
+    gate's: fatter state rows against ~25,000x fewer Python crossings;
+    parallelism caps at n_shards, so size ~4x executor count in
+    production. Measured at true-sf1: 236 s -> see SCALE_SF1.json r13."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -442,6 +460,101 @@ def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
             T.StructField("n_suppressed", T.LongType()),
         ]
     )
+
+    keyed = stream.withWatermark("ts", "1 hour").withColumn(
+        "day_bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    )
+
+    if n_shards is not None:
+        shard_state_schema = T.StructType(
+            [
+                T.StructField("user_ids", T.ArrayType(T.LongType())),
+                T.StructField("event_types", T.ArrayType(T.StringType())),
+                T.StructField("day_buckets", T.ArrayType(T.LongType())),
+                T.StructField("bests", T.ArrayType(T.LongType())),
+                T.StructField("ns", T.ArrayType(T.LongType())),
+            ]
+        )
+        key_cols = ["user_id", "event_type", "day_bucket"]
+
+        def sharded_fn(key, pdf_iter, state: GroupState):
+            if state.hasTimedOut:
+                state.remove()  # watermark passed every held day
+                return
+            if state.exists:
+                u, t, d, b, n = state.get
+                held = pd.DataFrame(
+                    {
+                        "user_id": pd.array(u, dtype="int64"),
+                        "event_type": pd.array(t, dtype=object),
+                        "day_bucket": pd.array(d, dtype="int64"),
+                        "best": pd.array(b, dtype="int64"),
+                        "n": pd.array(n, dtype="int64"),
+                    }
+                )
+            else:
+                held = pd.DataFrame(
+                    columns=["user_id", "event_type", "day_bucket", "best", "n"]
+                )
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            g = batch.groupby(key_cols, as_index=False).agg(
+                best=("event_id", "min"), n=("event_id", "size")
+            )
+            merged = (
+                pd.concat([held, g], ignore_index=True)
+                .groupby(key_cols, as_index=False)
+                .agg(best=("best", "min"), n=("n", "sum"))
+            )
+            # update-mode contract: emit exactly the keys touched this
+            # batch, with their merged (first, count)
+            touched = merged.merge(g[key_cols], on=key_cols)
+            yield pd.DataFrame(
+                {
+                    "user_id": touched["user_id"].astype("int64"),
+                    "event_type": touched["event_type"],
+                    "day_bucket": touched["day_bucket"].astype("int64"),
+                    "first_event_id": touched["best"].astype("int64"),
+                    "n_suppressed": touched["n"].astype("int64"),
+                }
+            )
+            # per-entry retirement: the watermark passing a day's end
+            # (+1h slack) retires that (user, type, day) even while
+            # livelier days keep the shard's state row alive
+            wm = state.getCurrentWatermarkMs()
+            expiry = (merged["day_bucket"] + 1) * 86400000 + 3600000
+            keep = merged[expiry > wm] if wm > 0 else merged
+            if len(keep) == 0:
+                state.remove()
+                return
+            state.update(
+                (
+                    keep["user_id"].astype("int64").tolist(),
+                    keep["event_type"].tolist(),
+                    keep["day_bucket"].astype("int64").tolist(),
+                    keep["best"].astype("int64").tolist(),
+                    keep["n"].astype("int64").tolist(),
+                )
+            )
+            # whole-shard backstop: fire once the watermark passes the
+            # newest held day (must stay strictly above the watermark)
+            ts = int((int(keep["day_bucket"].max()) + 1) * 86400000 + 3600000)
+            state.setTimeoutTimestamp(max(ts, wm + 1))
+
+        sharded = keyed.withColumn(
+            "shard",
+            F.pmod(
+                F.hash("user_id", "event_type", "day_bucket"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        return sharded.groupBy("shard").applyInPandasWithState(
+            sharded_fn,
+            outputStructType=out_schema,
+            stateStructType=shard_state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
     state_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -473,9 +586,6 @@ def build_stateful_daily_dedup(stream: DataFrame) -> DataFrame:
             }
         )
 
-    keyed = stream.withWatermark("ts", "1 hour").withColumn(
-        "day_bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
-    )
     return keyed.groupBy("user_id", "event_type", "day_bucket").applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
@@ -1642,9 +1752,17 @@ SENTINEL_APPEND_BUILDERS = {
 # update); with the single-file source every key updates exactly once, so
 # the sink equals the batch result. A multi-batch source would need a
 # foreachBatch upsert sink (PotStore) to collapse re-emissions.
+# daily dedup runs shard-keyed by default (r13: 807k one-row handler
+# invocations at sf1 measured 236 s; the vectorized 32-shard form is
+# the same r10 amortization the near-dup gate uses, semantics pinned
+# sharded == per-key == batch by test_streaming)
+_DAILY_SHARDS = 32
+
 STATEFUL_BUILDERS = {
     "s_dedup_first": build_stateful_dedup,
-    "q_dedup_daily_first": build_stateful_daily_dedup,
+    "q_dedup_daily_first": lambda stream: build_stateful_daily_dedup(
+        stream, n_shards=_DAILY_SHARDS
+    ),
     "s_cdc_compact": build_stateful_cdc,
     "s_user_quota": build_stateful_quota,
 }

@@ -519,6 +519,40 @@ def test_near_dedup_gate_sharded_matches_batch_under_replay(spark, sf_dir):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_daily_dedup_sharded_matches_per_key_and_batch(spark, sf_dir):
+    """r13 amortization: the shard-keyed daily dedup (vectorized pandas
+    merge inside the handler, 807k -> 32 Python crossings at sf1) must
+    emit EXACTLY the per-key builder's rows, which equal the batch twin
+    q_dedup_daily_first — sharding is a state-layout change, never a
+    semantic one (the gate's invariant, applied here)."""
+    from pot_spark.streaming.runner import (
+        _event_stream,
+        build_stateful_daily_dedup,
+    )
+
+    results = {}
+    for tag, shards in (("perkey", None), ("sharded", 8)):
+        stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+        plan = build_stateful_daily_dedup(stream, n_shards=shards)
+        sink = f"sink_daily_{tag}"
+        spark.catalog.dropTempView(sink)
+        q = (
+            plan.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        results[tag] = _sorted_rows(spark.table(sink))
+    assert results["sharded"] == results["perkey"]
+    batch = registry.QUERIES["q_dedup_daily_first"](spark, sf_dir)
+    assert results["sharded"] == _sorted_rows(batch)
+
+
 def test_sharded_gate_ttl_prunes_per_band():
     """The per-band retention horizon under shard-keyed state: a band
     idle past ttl drops its retained set; a band with ONE live pair

@@ -1498,6 +1498,35 @@ def test_auto_selects_banded_in_dense_regime(spark, sf_dir, monkeypatch):
     assert "LeftSemi" in p  # verify inputs restricted to candidate docs
 
 
+def test_knn_graph_negative_vec_ids_not_dropped(spark, tmp_path):
+    """r12 advice regression: the salted label join must use pmod, not
+    Spark's sign-preserving % — a negative vec_id under % yields a
+    negative salt that matches NO exploded 0..31 salt on the other
+    side, silently dropping every pair for that vector."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    ids = [-5, -1, 1, 2, 3]
+    vecs = rng.normal(size=(len(ids), 64)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(v) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = registry.QUERIES["q_knn_graph"](spark, str(tmp_path))
+    srcs = {r.src_id for r in out.collect()}
+    assert {-5, -1} <= srcs, srcs
+
+
 def test_mixed_regime_head_excluded_probe(spark, sf_dir, monkeypatch):
     """r13 stage-3 chooser: a dense stage-2 verdict re-probes the
     HEAD-EXCLUDED index; when the tail is not itself dense the chooser

@@ -519,6 +519,55 @@ def test_near_dedup_gate_sharded_matches_batch_under_replay(spark, sf_dir):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_ohlc_watermark_evicts_state(spark, sf_dir):
+    """r13 (verdict item 6): prove the OHLC window state is actually
+    RETIRED by the watermark, not just bounded on paper. In APPEND mode
+    a windowed aggregate emits a bar ONLY when the watermark passes its
+    window end and the state row is evicted — so running build_ohlc in
+    append mode over the sentinel source (all events, then a +30d
+    flush row) and getting exactly the batch twin's bars is end-to-end
+    proof of eviction: zero evictions would emit zero rows. The
+    registered s_ohlc_stream keeps complete mode (its oracle needs
+    every bar each trigger); production posture is this append shape."""
+    from pyspark.sql import functions as F
+
+    from pot_spark.streaming.runner import (
+        _sentinel_event_stream,
+        build_ohlc,
+    )
+
+    stream = _sentinel_event_stream(spark, f"{sf_dir}/events.parquet")
+    plan = build_ohlc(stream)
+    spark.catalog.dropTempView("sink_ohlc_append")
+    q = (
+        plan.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sink_ohlc_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # the sentinel's own +30d bar never finalizes (nothing advances the
+    # watermark past it), so the append sink is EXACTLY the batch
+    # twin's bars — every real window was evicted and emitted
+    batch = registry.QUERIES["q_ohlc_bars"](spark, sf_dir)
+    got = spark.table("sink_ohlc_append")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    # the engine's own state metrics confirm rows were removed
+    import json as _json
+
+    removed = sum(
+        (op.get("numRowsRemoved") or 0)
+        for p in progresses
+        for op in (_json.loads(p.json).get("stateOperators") or [])
+    )
+    assert removed > 0
+
+
 def test_daily_dedup_sharded_matches_per_key_and_batch(spark, sf_dir):
     """r13 amortization: the shard-keyed daily dedup (vectorized pandas
     merge inside the handler, 807k -> 32 Python crossings at sf1) must

@@ -604,6 +604,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+# pair-join salt width for the label-blocked embedding dedup (the
+# q_semdedup/_KNN_SALT rationale: few block keys << cores)
+_EMBED_SALT = 32
+
+
 @query(
     "q_dedup_embed",
     oracle="""
@@ -619,27 +624,75 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (the IVF-style coarse
     partition): cosine computed only within blocks, never across the full
-    cross product."""
-    from pot_spark.queries.llm_similarity import _as_double, _dot, _norm
+    cross product.
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double().alias("v")
+    r13 rewrite (the sf1 tier's batch-2 extension caught the old plan
+    at 91.8x for 10x data — 306 s): same exact output, the three
+    q_knn_graph/q_semdedup physical fixes applied to the O(block²)
+    pair loop:
+
+    - FLAT double component columns with the per-pair dot as ONE
+      whole-stage-codegen chain (the old plan folded an interpreted
+      zip_with lambda per PAIR);
+    - per-vector norms computed ONCE in the signature aggregate (the
+      old plan re-folded both 64-element norms per pair — three
+      interpreted folds per pair was the dominant term);
+    - the label join SALTED (pmod(vec_a)): a handful of label keys
+      otherwise parks each block's entire pair volume on one reducer.
+
+    The dot chain evaluates left-to-right — the same sequential
+    summation as the old fold and DuckDB's list_cosine_similarity —
+    so both the raw >= 0.4 threshold compare and the rounded cos_sim
+    are bit-identical to the oracle (q_knn_graph's proven argument;
+    hash unchanged under this rewrite). The big Project alias sits
+    directly above the join (the Catalyst-safe position); the
+    threshold filter above it references only the dot/na/nb output
+    attributes (q_semdedup's proven shape). At 100 TB the blocking key
+    swaps from `label` to an LSH/IVF cell id so block sizes stay
+    bounded — the pair semantics are unchanged."""
+    from pot_spark.queries.llm_similarity import _DIM, _as_double
+
+    iv = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(_as_double()).alias("d", "x")
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    # norm as one ~15-node fold over the d-sorted components (NOT a
+    # flat x*x chain: >100-node Project aliases send Catalyst's
+    # constraint derivation super-linear — llm_similarity.py:306 note)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"] * s["x"],
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb")
+    vecs = iv.groupBy("vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
+            for i in range(_DIM)
+        ],
+        nrm.alias("nrm"),
     )
-    # shared cosine building blocks (llm_similarity): one definition of
-    # fold order / null handling for every cosine in the engine
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("nrm").alias("na"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(_DIM)],
+    ).withColumn("salt", F.pmod(F.col("vec_a"), F.lit(_EMBED_SALT)).cast("int"))
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        "label",
+        F.col("nrm").alias("nb"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(_DIM)],
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_EMBED_SALT - 1))))
+    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(_DIM)))
+    pairs = (
+        a.join(b, ["label", "salt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", dot.alias("dot"), "na", "nb")
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return pairs.where(cos >= 0.4).select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
     )
 
 

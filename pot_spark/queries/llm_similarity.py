@@ -1504,7 +1504,7 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("va"),
         F.col("n2").alias("na2"),
         *[F.col(f"x{i}").alias(f"a{i}") for i in range(1, _DIM + 1)],
-    ).withColumn("salt", (F.col("va") % _SD_SALT).cast("int"))
+    ).withColumn("salt", F.pmod(F.col("va"), F.lit(_SD_SALT)).cast("int"))
     b = m.select(
         "cluster",
         F.col("vec_id").alias("vb"),

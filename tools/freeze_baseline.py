@@ -101,6 +101,13 @@ MEDIAN_GROUPS = [
         "BENCH_r12_fillc2.json",
         "BENCH_r12_fillc3.json",
     ],
+    # round-13: the r13 registration (q_banded_recall_audit), three
+    # calibration-clean targeted fills
+    [
+        "BENCH_r13_fillb1.json",
+        "BENCH_r13_fillb2.json",
+        "BENCH_r13_fillb3.json",
+    ],
 ]
 
 # Ops whose IMPLEMENTATION SEMANTICS changed, making their earlier rows
@@ -138,6 +145,34 @@ REANCHOR = {
         "r12: frozen r07 row irreproducible by the r07 code itself on this"
         " rig (2.53 s best-of-3 at caf6c4e vs 1.515 recorded); rig-history"
         " correction, plan byte-stable since r10",
+    ),
+    # Semantic change (the multimodal pattern): the frozen 0.356 s row is
+    # an r07 median that predates the r8 histogram rewrite (0e860e3 +
+    # 4581333), which deliberately added sub-second fixed stages (value-
+    # histogram side-tagging + union) so the op survives 90%-one-key skew
+    # at 10x (SCALE.md round-8 section). The old row measured a different
+    # plan; the new plan's cost straddled the 2x line on ambient noise
+    # every round since (r11 2.2x, r12 2.42x driver / 1.64x same-round
+    # local). Re-anchored to the median of three calibration-clean r13
+    # fill runs of the current (post-rewrite) code.
+    "q_length_bias": (
+        ["BENCH_r13_fill1.json", "BENCH_r13_fill2.json", "BENCH_r13_fill3.json"],
+        "r13: r8 histogram rewrite added fixed skew-survival stages; old"
+        " 0.356 r07 row measured the pre-rewrite plan (re-anchor class:"
+        " semantic change, multimodal precedent)",
+    ),
+    # NOT a semantic change (the s_ohlc_stream pattern): code untouched
+    # since 24fca8e (pre-r05, i.e. BEFORE the 0.301 BENCH_r05 recording)
+    # and the plan byte-stable since r1 — so the three calibration-clean
+    # r13 fills (calib 0.34-0.48 pre, the quietest sessions recorded;
+    # best-of-3 reps each: 0.432/0.481/0.537) ARE a re-measurement of the
+    # recording-era code, and the 0.301 row is irreproducible by its own
+    # code on this rig. Rig-history correction, median of the three fills.
+    "q_window_median": (
+        ["BENCH_r13_fill1.json", "BENCH_r13_fill2.json", "BENCH_r13_fill3.json"],
+        "r13: frozen r05 row irreproducible by its own (unchanged-since-"
+        "24fca8e) code on calibration-clean sessions (0.432/0.481/0.537"
+        " best-of-3); rig-history correction, plan byte-stable since r1",
     ),
 }
 

@@ -83,37 +83,61 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap filling: each user's 10-minute grid is generated from that
-    user's own [min, max] bucket range (sequence + explode — no global
-    calendar cross join), empty buckets are flagged and filled with the
-    last observed value (LOCF window). One shuffle keyed by user_id
-    serves the grid join and the fill window."""
+    """Gap filling: empty 10-minute buckets are flagged and filled with
+    the last observed value (LOCF).
+
+    Scale shape (r13 rewrite): the naive plan materializes the full
+    per-user grid (sequence over [min, max]) and then LEFT-JOINs +
+    LOCF-windows over it — at sf1 that is a 62.9M-row shuffle, a 62.9M-row
+    join, and a 62.9M-row per-user sort for only ~1M observed buckets
+    (63:1 grid:observed, measured). Instead the window pass runs over the
+    OBSERVED buckets only: per observed bucket compute the running
+    non-null carry (that IS the LOCF value for every grid slot up to the
+    next observation) and `lead(bucket)`, then explode each observation's
+    [bucket, next) interval map-side. The gap rows are GENERATED already
+    carrying their filled value — no grid join, no grid-sized sort, and
+    per-row sequence arrays are bounded by one gap (the old plan built a
+    user's whole grid as one array). Output identical: the grid still
+    spans exactly [min, max] per user."""
     ev = load(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 600) * 600)
     b = ev.groupBy("user_id", bucket.alias("bucket")).agg(
         F.max("value").alias("bucket_max")
     )
-    grid = (
-        b.groupBy("user_id")
-        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 10 minutes"))
-            ).alias("bucket"),
-        )
-    )
-    joined = grid.join(b, ["user_id", "bucket"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    carried = b.select(
         "user_id",
         "bucket",
-        F.col("bucket_max").isNull().cast("int").alias("is_gap"),
-        F.last("bucket_max", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("bucket_max").isNull().cast("int").alias("obs_is_gap"),
+        # running non-null carry INCLUDING this row: the LOCF value for
+        # this bucket and every generated slot before the next observation
+        F.last("bucket_max", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("filled_value"),
+        F.lead("bucket").over(w).alias("next_bucket"),
+    )
+    step = F.expr("interval 10 minutes")
+    return carried.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(F.col("next_bucket") - step, F.col("bucket")),
+                step,
+            )
+        ).alias("bucket"),
+        "obs_is_gap",
+        F.col("bucket").alias("obs_bucket"),
+        "filled_value",
+    ).select(
+        "user_id",
+        "bucket",
+        # the observed slot keeps its own null-flag; generated slots are
+        # gaps by definition
+        F.when(F.col("bucket") == F.col("obs_bucket"), F.col("obs_is_gap"))
+        .otherwise(F.lit(1))
+        .alias("is_gap"),
+        "filled_value",
     )
 
 

@@ -335,6 +335,92 @@ def test_ts_interp_never_joins_the_grid(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
 
 
+def test_ts_gap_fill_never_joins_the_grid(spark, sf_dir):
+    # r13 rewrite: the LOCF window runs over OBSERVED buckets only (one
+    # Window with the carry + lead), and each observation's [bucket, next)
+    # gap slots are GENERATED map-side (a Generate) already carrying their
+    # filled value — the 63:1 grid never hits a join or a grid-sized sort
+    # (46.6 s -> 1.75 s at sf1, SCALE.md round-13)
+    p = _plan(spark, sf_dir, "q_ts_gap_fill")
+    assert "Join" not in p
+    assert "Generate" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_ts_gap_fill_matches_naive_grid(spark):
+    # forced-shape equality: the interval-generated plan must reproduce
+    # the naive formulation (full grid, left join, LOCF window over the
+    # grid) exactly — including observed-but-NULL buckets (is_gap=1, carry
+    # crosses them) and single-observation users (grid of one)
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: gaps, a NULL-valued bucket mid-stream, leading NULL
+        (1, ts(0), None),
+        (1, ts(5), 2.0),  # same bucket as ts(0) -> max survives the NULL
+        (1, ts(40), None),  # observed bucket, all-NULL -> is_gap=1
+        (1, ts(90), 7.0),
+        # user 2: single observation -> one-slot grid
+        (2, ts(15), 4.0),
+        # user 3: all NULLs everywhere -> filled_value stays NULL
+        (3, ts(0), None),
+        (3, ts(30), None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 600) * 600)
+    b = ev.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.max("value").alias("bucket_max")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 10 minutes"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        grid.join(b, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.col("bucket_max").isNull().cast("int").alias("is_gap"),
+            F.last("bucket_max", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "bucket")
+        .collect()
+    )
+
+    import pot_spark.queries.timeseries as tsq
+
+    orig_load = tsq.load
+    tsq.load = lambda _spark, _sf, _name: ev
+    try:
+        got = (
+            registry.QUERIES["q_ts_gap_fill"](spark, "unused")
+            .orderBy("user_id", "bucket")
+            .collect()
+        )
+    finally:
+        tsq.load = orig_load
+    assert [tuple(r) for r in got] == [tuple(r) for r in naive]
+
+
 def test_tokenizer_vocab_preprunes_before_global_window(spark, sf_dir):
     # the unpartitioned ranking window must consume per-partition top-100
     # candidates, never the full vocabulary (distinct-token count grows

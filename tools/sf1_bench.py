@@ -142,14 +142,30 @@ def main() -> None:
         help="run the first N registry queries that have NO row in the "
         "existing --out file (registry order); composes with --merge",
     )
+    ap.add_argument(
+        "--lo",
+        default=f"{SF01}:sf0.1",
+        metavar="DIR:TAG",
+        help="low-scale fixture (denominator of the ratio)",
+    )
+    ap.add_argument(
+        "--hi",
+        default=f"{SF1}:sf1",
+        metavar="DIR:TAG",
+        help="high-scale fixture (numerator of the ratio) — e.g. "
+        "'/tmp/sf3_true:sf3' with --lo '/tmp/sf1_true:sf1' for a second "
+        "scale point confirming the growth law over a wider span",
+    )
     args = ap.parse_args()
     tier = args.queries.split(",") if args.queries else TIER
+    lo_dir, lo_tag = args.lo.rsplit(":", 1)
+    hi_dir, hi_tag = args.hi.rsplit(":", 1)
 
     from pot_spark import registry
     from pot_spark.session import get_spark
 
-    if not os.path.isdir(SF1):
-        print(f"fixture missing: run tools/gen_sf.py first ({SF1})")
+    if not os.path.isdir(hi_dir):
+        print(f"fixture missing: run tools/gen_sf.py first ({hi_dir})")
         sys.exit(2)
 
     registry.load_all_query_modules()
@@ -182,7 +198,7 @@ def main() -> None:
             print(f"warmup fail {name}: {e}", flush=True)
 
     rows: dict[str, dict[str, float]] = {}
-    for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
+    for sf_dir, tag in ((lo_dir, lo_tag), (hi_dir, hi_tag)):
         for name in tier:
             best = float("inf")
             for _ in range(max(1, args.reps)):
@@ -203,15 +219,16 @@ def main() -> None:
     new_rows = {
         name: {
             **r,
-            "ratio": round(r["sf1"] / r["sf0.1"], 2)
-            if r.get("sf0.1")
+            "ratio": round(r[hi_tag] / r[lo_tag], 2)
+            if r.get(lo_tag)
             else None,
         }
         for name, r in rows.items()
     }
     out = {
-        "fixture": SF1,
-        "generator": "tools/gen_sf.py --sf 1.0 (seed 1107)",
+        "fixture": hi_dir,
+        "lo_fixture": lo_dir,
+        "generator": "tools/gen_sf.py (seed 1107)",
         "reps": args.reps,
         "calib_sec_pre": calib_pre,
         "calib_sec_post": calib_post,

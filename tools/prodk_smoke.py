@@ -72,6 +72,13 @@ def main() -> None:
             " — VERDICT r11 item 4's fixture-k vs production-k closure)"
         ),
     )
+    ap.add_argument(
+        "--lo-fixture",
+        default=SRC,
+        help="baseline fixture dir (default: driver sf0.1)",
+    )
+    ap.add_argument("--lo-k", type=int, default=4)
+    ap.add_argument("--hi-k", type=int, default=40)
     args = ap.parse_args()
     spark = get_spark("prodk_smoke")
     dst = args.fixture
@@ -82,19 +89,19 @@ def main() -> None:
         sys.exit(2)
     k0 = mod._KM_K
     try:
-        t1, p1 = _run(spark, mod, SRC, 4)
-        t10, p10 = _run(spark, mod, dst, 40)
+        t1, p1 = _run(spark, mod, args.lo_fixture, args.lo_k)
+        t10, p10 = _run(spark, mod, dst, args.hi_k)
     finally:
         mod._KM_K = k0
-    print(f"\n10x fixture: {dst}")
+    print(f"\nfixtures: {args.lo_fixture} (k={args.lo_k}) vs {dst} (k={args.hi_k})")
     print("| config | k | avg cell | max cell | within-cell pairs | sec |")
     print("|---|---|---|---|---|---|")
     print(
-        f"| sf0.1 | 4 | {p1.avg_cell:.0f} | {p1.max_cell} |"
+        f"| lo | {args.lo_k} | {p1.avg_cell:.0f} | {p1.max_cell} |"
         f" {p1.pairs} | {t1:.2f} |"
     )
     print(
-        f"| sf1 (10x) | 40 | {p10.avg_cell:.0f} | {p10.max_cell} |"
+        f"| hi | {args.hi_k} | {p10.avg_cell:.0f} | {p10.max_cell} |"
         f" {p10.pairs} | {t10:.2f} |"
     )
     print(

@@ -254,12 +254,12 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"\ncalib pre/post: {calib_pre}/{calib_post}")
-    print("| query | sf0.1 | sf1 | ratio |")
+    print(f"| query | {lo_tag} | {hi_tag} | ratio |")
     print("|---|---|---|---|")
     for name in tier:
         r = rows[name]
-        ratio = r["sf1"] / r["sf0.1"] if r.get("sf0.1") else float("nan")
-        print(f"| {name} | {r['sf0.1']:.2f}s | {r['sf1']:.2f}s | {ratio:.1f}x |")
+        ratio = r[hi_tag] / r[lo_tag] if r.get(lo_tag) else float("nan")
+        print(f"| {name} | {r[lo_tag]:.2f}s | {r[hi_tag]:.2f}s | {ratio:.1f}x |")
     print(f"-> {path}")
 
 

@@ -18,6 +18,7 @@ session_window state merger; sinks become exactly-once via foreachBatch
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -769,8 +770,12 @@ def build_sim_index(
             ).filter(F.lit(False))
         )
     cell, s = _ivf_assign(cents)
+    # one file per microbatch = one scan partition: spread the rows so
+    # the k-centroid x 64-dim assignment arithmetic runs cores-wide
+    # instead of single-task (same rationale as _gate_bands)
+    n_par = int(stream.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     assigned = (
-        _ivf_valid(stream)
+        _ivf_valid(stream.repartition(n_par))
         .select("vec_id", _int_vec().alias("__iv"))
         .select("vec_id", cell.alias("cell"), s.alias("s"))
     )
@@ -877,9 +882,18 @@ def _gate_bands(stream: DataFrame) -> DataFrame:
 
     rows = N_HASHES // N_BANDS
     toks = F.split("text", " ")
-    docs = stream.select(
-        "doc_id", F.size(toks).alias("ntok"), _shingles(toks).alias("sh")
-    ).filter(F.col("ntok") >= 3)
+    # each microbatch arrives as ONE file = one scan partition, so the
+    # signature projection (8 minhash lanes x shingles — measured ~2 s
+    # per 1667-doc batch) would run single-task; round-robin the raw
+    # docs (~1-2 MB/batch, trivial) across the session's partitions
+    # first so the heavy per-row compute runs cores-wide (guide §2.5
+    # input-skew remedy: "repartition immediately after the read")
+    n_par = int(stream.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        stream.repartition(n_par)
+        .select("doc_id", F.size(toks).alias("ntok"), _shingles(toks).alias("sh"))
+        .filter(F.col("ntok") >= 3)
+    )
 
     def _mh_of(j: int):
         # a default-arg lambda (lambda s, j=j: ...) would be TWO-arity,
@@ -1511,8 +1525,12 @@ def build_sim_index_tws(
             ).filter(F.lit(False))
         )
     cell, s = _ivf_assign(cents)
+    # one file per microbatch = one scan partition: spread the rows so
+    # the k-centroid x 64-dim assignment arithmetic runs cores-wide
+    # instead of single-task (same rationale as _gate_bands)
+    n_par = int(stream.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     assigned = (
-        _ivf_valid(stream)
+        _ivf_valid(stream.repartition(n_par))
         .select("vec_id", _int_vec().alias("__iv"))
         .select("vec_id", cell.alias("cell"), s.alias("s"))
     )
@@ -1794,12 +1812,56 @@ VEC_STATEFUL_BUILDERS = {
 }
 
 
+def _stream_shuffle_partitions(source_file: str) -> int:
+    """Shuffle/state-store partition count for one streaming run, derived
+    from the SOURCE SIZE instead of inheriting the session's core-count
+    constant (guide §2: scale-adaptive partitioning; stateful operators
+    pin their partitioning at query start, so AQE coalescing can never
+    repair an oversized choice the way it does for batch plans).
+
+    Why it matters: every stateful operator commits one state store per
+    shuffle partition per microbatch, and a stream-stream join commits
+    FOUR. On the bench fixture (2 MB events, ~40k state rows) the
+    inherited 32 partitions mean 128 store commits per batch; measured
+    on this rig the commit time is also superlinear in the number of
+    CONCURRENT commits (s_outer_join wall: 32p=30.1s, 16p=33.5s,
+    8p=11.4s, 4p=9.9s, 2p=10.5s, 1p=10.6s — the 16p/32p regime's summed
+    commit time is 70-230s vs 0.4-5.6s below 8). One state partition per
+    ~4 MB of source, floored at 4, picks the measured plateau.
+
+    Production posture: a real deployment sizes state partitions to the
+    cluster and the watermark-bounded state volume, NOT to one file —
+    set ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` explicitly (it wins
+    outright); the derived value is additionally capped by
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS_MAX`` (default 8 — the local
+    commit-concurrency plateau; raise it on a multi-disk cluster)."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cap = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS_MAX", "8"))
+    try:
+        nbytes = os.path.getsize(source_file)
+    except OSError:
+        return min(4, cap) if cap >= 1 else 4
+    derived = max(4, math.ceil(nbytes / (4 << 20)))
+    return max(1, min(derived, cap))
+
+
 def run_streaming_query(
     spark: SparkSession, name: str, sf_dir: str, timeout_s: float = 120.0
 ) -> DataFrame:
     """Execute one event-time window operator as a real stream to
     completion (complete output mode into a memory sink) and return the
     final result as a DataFrame."""
+    if name in DOC_STATEFUL_BUILDERS:
+        source_file = f"{sf_dir}/documents.parquet"
+    elif name in VEC_STATEFUL_BUILDERS:
+        source_file = f"{sf_dir}/embeddings.parquet"
+    else:
+        source_file = f"{sf_dir}/events.parquet"
     if name in LATE_SPLIT_BUILDERS:
         stream = _split_event_stream(spark, f"{sf_dir}/events.parquet")
     elif name in SENTINEL_APPEND_BUILDERS:
@@ -1837,15 +1899,71 @@ def run_streaming_query(
     # (and their driver-held rows) without bound across a long session
     sink = f"sink_{name}"
     spark.catalog.dropTempView(sink)
-    q = (
-        plan.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
+    # The shuffle-partition conf is captured at query START and pins the
+    # stateful operators' partitioning for the stream's lifetime; set a
+    # per-plan-class value for this run only and restore the session
+    # conf for whatever batch work follows. Three classes, each from
+    # bench-protocol A/B measurements at sf0.1 (best-of-reps, warm
+    # session — OPTIMIZATION_r13.md "streaming state partitioning"):
+    #
+    # - JVM-stateful plans (stream-stream joins, window aggs, native
+    #   dedup): commit-bound — every batch commits one store per
+    #   partition (FOUR for a join) and commit cost is superlinear in
+    #   concurrent commits. Size-derived small value
+    #   (_stream_shuffle_partitions): s_outer_join 30.1s -> 9.9s.
+    # - Python-stateful plans with MANY state groups (per-key dedup /
+    #   quota / CDC): per-group Python dispatch needs task parallelism
+    #   ~ cores; the small value measured s_dedup_first_stream 8.6s vs
+    #   2.9s. Inherit the session conf (unchanged behavior).
+    # - Python-stateful plans with FEW state groups (the 32-sharded doc
+    #   gate, the ~k-cell IVF index): partitions beyond the group count
+    #   buy nothing and each idle task still pays ~1s of Python/state
+    #   overhead per batch; 8 measured the gate 5.0s vs 7.3s at 32.
+    #   SPARK_GRAFT_STREAM_PY_PARTITIONS overrides (production: ~4x
+    #   executor count, matching the n_shards sizing note above).
+    few_group_python = name in DOC_STATEFUL_BUILDERS or name in VEC_STATEFUL_BUILDERS
+    many_group_python = name in STATEFUL_BUILDERS
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if few_group_python:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_PY_PARTITIONS", "8"),
+        )
+    elif not many_group_python:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_shuffle_partitions(source_file)),
+        )
+    # Ephemeral checkpoint placement: these runs end inside this process
+    # and their checkpoints are throwaway (Spark force-deletes temp
+    # checkpoint dirs on stop), yet every state-store commit and WAL
+    # write fsyncs them — on this rig's virtio disk that fsync latency
+    # is both large and wildly variable (the same stream measured 3.6 s
+    # and 14.7 s across runs). Place the throwaway checkpoint on tmpfs
+    # when available; a production deployment with a resumable stream
+    # sets SPARK_GRAFT_STREAM_CKPT_BASE to durable storage instead.
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    ckpt_base = _os.environ.get("SPARK_GRAFT_STREAM_CKPT_BASE")
+    if not ckpt_base and _os.path.isdir("/dev/shm"):
+        ckpt_base = "/dev/shm"
+    ckpt_dir = _tempfile.mkdtemp(prefix="pot_spark_stream_ckpt_", dir=ckpt_base)
     try:
-        q.processAllAvailable()
+        q = (
+            plan.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(timeout_s)
     finally:
-        q.stop()
-        q.awaitTermination(timeout_s)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(sink)

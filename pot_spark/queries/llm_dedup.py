@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pot_spark.registry import query
 from pot_spark.session import reliable_checkpoint
-from pot_spark.tables import load
+from pot_spark.tables import load, spread_scan
 
 N_HASHES = 8  # minhash signature length; 4 bands x 2 rows
 N_BANDS = 4
@@ -98,7 +98,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_df(
-    spark: SparkSession, sf_dir: str, with_lang: bool = False
+    spark: SparkSession, sf_dir: str, with_lang: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Exploded (doc_id[, lang], shingle) pairs — the ONE definition of
     the shingle stream (incl. the size>=3 exclusion the _SHINGLES_SQL
@@ -108,8 +109,20 @@ def _shingle_df(
     at corpus scale the shingle table wouldn't fit in memory anyway —
     recomputation keeps every consumer a pipelined scan."""
     cols = ["doc_id", "lang"] if with_lang else ["doc_id"]
+    # spread the single-split fixture scan BEFORE tokenizing: the whole
+    # shingle+minhash map side pipelines on the scan tasks, and one task
+    # serializes it on one core (r13 profile: 1.5-1.9 s single-task
+    # stages under every dedup op). No-op once the corpus has >= cores
+    # splits — see tables.spread_scan. The sample-bounded audit ops pass
+    # spread=False: their doc sample is fixed-cost by design, and the
+    # r13 measurement showed the many-partition checkpoint makes their
+    # Σ df² truth join ~3x slower (0.58 s -> 1.68 s) — serial is right
+    # for them.
+    docs = load(spark, sf_dir, "documents")
+    if spread:
+        docs = spread_scan(spark, docs)
     docs = (
-        load(spark, sf_dir, "documents")
+        docs
         .select(*cols, _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
     )
@@ -2188,7 +2201,7 @@ def q_dedup_audit(
     truth); any harness comparing against oracle_sql() must call with
     defaults."""
     sh = reliable_checkpoint(
-        _shingle_df(spark, sf_dir).filter(
+        _shingle_df(spark, sf_dir, spread=False).filter(
             (F.col("doc_id") % sample_mod == 0)
             & (F.col("doc_id") < sample_cap)
         )
@@ -2374,7 +2387,7 @@ def q_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     records the measured margin (ERROR_BOUNDS.json) and
     tests/test_sketches.py asserts recall_ppm >= floor on the fixture."""
     sh = reliable_checkpoint(
-        _shingle_df(spark, sf_dir).filter(F.col("doc_id") < _BRA_CAP)
+        _shingle_df(spark, sf_dir, spread=False).filter(F.col("doc_id") < _BRA_CAP)
     )
     n_lanes = 2 * _NGRAM_BANDS
     sig = sh.groupBy("doc_id").agg(

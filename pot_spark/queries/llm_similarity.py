@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from pot_spark.registry import query
 from pot_spark.session import reliable_checkpoint
-from pot_spark.tables import load
+from pot_spark.tables import load, spread_scan
 
 
 def _as_double(col: str = "embedding") -> Column:
@@ -761,14 +761,25 @@ def _kmeans_sql() -> str:
     FROM a{_KM_ITERS} GROUP BY cluster"""
 
 
-def _km_exact_parts(spark: SparkSession, sf_dir: str):
+def _km_exact_parts(spark: SparkSession, sf_dir: str, spread: bool = False):
     """Shared exact-integer k-means machinery: returns ``(iv, assign)``
     where ``iv`` is the exploded (vec_id, d, x) int64 component table and
     ``assign`` the final (vec_id, cluster, sd) assignment after
     ``_KM_ITERS`` Lloyd iterations (init pinned to vec_id 0..k-1, argmin
     ties to the lower cluster id) — one definition for q_kmeans and
     q_semdedup, mirroring ``_kmeans_cte()`` on the oracle side."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    # spread=True round-robins the single-split fixture scan before the
+    # 64x component explode (tables.spread_scan; no-op once the vector
+    # table has >= cores splits). Opt-in because only consumers with a
+    # CPU-dense stage pipelined on the scan win: the SemDeDup pair ops
+    # measured -9%/-15% with it, while the light Lloyd-only consumers
+    # (q_kmeans, q_cluster_purity) measured +40-70% from the extra
+    # exchange + per-task overhead across the iterative chain's many
+    # tiny stages (r13 bench).
+    e = load(spark, sf_dir, "embeddings")
+    if spread:
+        e = spread_scan(spark, e)
+    e = e.select("vec_id", _as_double().alias("v"))
     iv = e.select("vec_id", F.posexplode("v").alias("d0", "xd")).select(
         "vec_id",
         (F.col("d0") + 1).alias("d"),
@@ -1482,7 +1493,7 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
     ``dup`` the within-cell duplicate-pair relation (cluster, va, vb,
     va < vb, integer-exact cosine >= tau) — one definition for
     q_semdedup and q_d4_select, mirroring ``_semdedup_cte()``."""
-    iv, assign = _km_exact_parts(spark, sf_dir)
+    iv, assign = _km_exact_parts(spark, sf_dir, spread=True)
     assign = reliable_checkpoint(assign.select("vec_id", "cluster", "sd"))
     vecs = iv.groupBy("vec_id").agg(
         *[
@@ -1512,6 +1523,17 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
         *[F.col(f"x{i}").alias(f"b{i}") for i in range(1, _DIM + 1)],
     ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SD_SALT - 1))))
     dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(1, _DIM + 1)))
+    # pin the pair join's reduce parallelism: its CPU is quadratic in
+    # |cell| per (cluster, salt) key while its INPUT bytes are linear,
+    # so AQE's byte-based coalescing merges the post-shuffle partitions
+    # down to ~bytes/minPartitionSize and serializes the dot loop (r13
+    # profile: 16.7 s executorRunTime on 8 tasks of a 32-core session).
+    # An explicit numPartitions repartition on the join keys is exempt
+    # from AQE coalescing, both sides co-partition so the join adds no
+    # further exchange, and defaultParallelism scales with the cluster.
+    n_part = spark.sparkContext.defaultParallelism
+    a = a.repartition(n_part, "cluster", "salt")
+    b = b.repartition(n_part, "cluster", "salt")
     pairs = (
         a.join(b, ["cluster", "salt"])
         .where(F.col("va") < F.col("vb"))

@@ -36,6 +36,21 @@ def get_spark(app_name: str = "pot_spark", cpus: str | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) decides post-shuffle
+        # parallelism for byte-light stages: with parallelismFirst the
+        # target size is max(bytes/defaultParallelism, minPartitionSize),
+        # so a CPU-dense 5 MB n-gram aggregation coalesces to ~6 tasks
+        # and leaves the rest of the session idle (r13 profile: 2.5 s on
+        # 4 tasks for q_kneser_ney's reduce). 128k keeps MB-scale
+        # shuffles at full local parallelism while sub-256k shuffles
+        # still collapse to 1-2 tasks. Scale posture: shuffle partitions
+        # at 100 TB are GB-sized, where the floor never binds; a real
+        # cluster can restore 1m (or larger) via SPARK_GRAFT_AQE_MIN_PART
+        # to bound task-scheduling overhead on its executor count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "128k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

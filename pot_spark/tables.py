@@ -61,6 +61,29 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise TypeError(f"unexpected events.ts dtype: {ts_type}")
 
 
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan that yields fewer splits than the
+    session has cores; a no-op once the source provides enough splits.
+
+    A fixture table is one small parquet file, so its scan is a single
+    task — and every CPU-heavy per-row stage pipelined on top of it
+    (tokenize → shingle → hash, vector explode) serializes on one core
+    while the other N-1 idle (guide §2.5 input skew / §6 small files).
+    At real scale the scan yields >= cores splits and this returns the
+    input unchanged, so no extra exchange of corpus bytes is ever paid
+    where it wouldn't be a win; when it does fire, the exchange moves
+    less than one split's worth of bytes. Round-robin keeps Spark's
+    sort-before-repartition determinism (retry-safe row placement).
+
+    Apply it to scans feeding expensive per-row compute only — cheap
+    scans are better left as one task than paying an exchange.
+    """
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pot_spark.registry import query
 from pot_spark.session import reliable_checkpoint
-from pot_spark.tables import load, spread_scan
+from pot_spark.tables import load, load_spread
 
 N_HASHES = 8  # minhash signature length; 4 bands x 2 rows
 N_BANDS = 4
@@ -118,9 +118,11 @@ def _shingle_df(
     # r13 measurement showed the many-partition checkpoint makes their
     # Σ df² truth join ~3x slower (0.58 s -> 1.68 s) — serial is right
     # for them.
-    docs = load(spark, sf_dir, "documents")
-    if spread:
-        docs = spread_scan(spark, docs)
+    docs = (
+        load_spread(spark, sf_dir, "documents")
+        if spread
+        else load(spark, sf_dir, "documents")
+    )
     docs = (
         docs
         .select(*cols, _tokens().alias("toks"))
@@ -595,7 +597,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit lanes), sign of the per-bit vote sum. One explode + one
     groupBy — linear in tokens; the shuffle carries 60 small ints per
     doc, never tokens."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     lanes = [
         F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"),
@@ -932,7 +934,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total (chunk rollup + doc rollup) — the dup-chunk inventory
     join stays on the chunk partitioning so no extra exchange; at 100 TB
     the chunk table is the same order as the corpus and never collected."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
     chunks = docs.select(
@@ -2546,7 +2548,7 @@ _POS_M = 1 << 20  # position lane of the packed tie-break key (docs capped at
 def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, fp) selected by exact winnowing over the corpus."""
     return _winnow_sel_df(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -2826,7 +2828,7 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stitching consecutive duplicated windows into maximal runs) is a
     per-doc sort over ONLY the duplicated positions — output-bounded,
     omitted here because the profile is the gating metric."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "source",
@@ -2925,7 +2927,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     df stage is the same linear digest rollup as q_exact_substring. The
     interval union is the q_interval_union running-max pattern — no
     self-join, no per-span explode."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
@@ -3624,7 +3626,7 @@ def q_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are PRICED from the profile, never materialized (the
     q_dedup_cost_plan posture, three widths wide). No reference
     counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     outs = []
     for w in _SWEEP_WIDTHS:
         toks = docs.select(

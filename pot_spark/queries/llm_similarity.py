@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from pot_spark.registry import query
 from pot_spark.session import reliable_checkpoint
-from pot_spark.tables import load, spread_scan
+from pot_spark.tables import load, load_spread
 
 
 def _as_double(col: str = "embedding") -> Column:
@@ -776,9 +776,10 @@ def _km_exact_parts(spark: SparkSession, sf_dir: str, spread: bool = False):
     # (q_kmeans, q_cluster_purity) measured +40-70% from the extra
     # exchange + per-task overhead across the iterative chain's many
     # tiny stages (r13 bench).
-    e = load(spark, sf_dir, "embeddings")
     if spread:
-        e = spread_scan(spark, e)
+        e = load_spread(spark, sf_dir, "embeddings")
+    else:
+        e = load(spark, sf_dir, "embeddings")
     e = e.select("vec_id", _as_double().alias("v"))
     iv = e.select("vec_id", F.posexplode("v").alias("d0", "xd")).select(
         "vec_id",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SW_SQL = "('the','a','of','and','to','in','is')"
@@ -384,7 +384,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram inventory is tiny relative to the corpus (an eval suite, not
     another corpus), so it broadcasts; the candidate side needs exactly
     one shuffle (the per-doc rollup)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams = F.when(
         F.size(toks) >= _CONTAM_N,
@@ -1627,7 +1627,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass over the corpus. Degenerate-on-clean rules (symbol, alpha)
     earn their keep on hostile/junk feeds — the hostile sweep exercises
     them."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     tk = F.filter(F.split("text", " "), lambda x: x != "")
     d = docs.select(
         "source",

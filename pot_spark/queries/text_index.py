@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 @query(
@@ -638,7 +638,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``xxhash64(gram)`` to cut shuffle bytes — kept as strings here so
     the DuckDB oracle can replay the exact pipeline. No reference
     counterpart (pot has no text ops, SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
     grams = toks.filter(F.size("toks") >= 2).select(
         "doc_id",
@@ -1138,7 +1138,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first" (MIN skips NULL on both engines) but still count in the
     denominator — identically on both engines. No reference counterpart
     (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",

@@ -1075,10 +1075,15 @@ def test_dsir_select_is_takeordered_no_cartesian(spark, sf_dir):
 def test_gopher_rules_single_rollup_shuffle(spark, sf_dir):
     """Every Gopher rule including the top-bigram mode must evaluate
     scan-side (array expressions, no per-bigram exchange): the plan may
-    shuffle only for the k-source rollup and the final k-row sort."""
+    shuffle only for the k-source rollup, the final k-row sort, and the
+    r13 small-scan spread (a RoundRobinPartitioning that exists only
+    when the source yields fewer splits than cores — absent at scale,
+    where the per-bigram-exchange hazard this test pins would bite)."""
     p = _plan(spark, sf_dir, "q_gopher_rules")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
-    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2  # rollup + sort
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    n_spread = len(re.findall(r"Arguments: RoundRobinPartitioning", p))
+    assert n_exchange - n_spread <= 2  # rollup + sort
     assert "CartesianProduct" not in p
 
 

@@ -451,19 +451,30 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab by token, doc rollup by doc_id); the token-keyed join is
     Zipf-skewed at scale, which AQE's skew-join split absorbs — and the
     per-(doc,token) pre-aggregation bounds any single key's rows by the
-    doc count, not the corpus token count."""
-    docs = load(spark, sf_dir, "documents")
+    doc count, not the corpus token count.
+
+    One corpus pass: the per-(doc,token) aggregate is the single base
+    relation — vocab is its exact re-aggregation (sum of per-doc counts
+    == corpus count, integers under 2^53 in doubles) and the total
+    derives from vocab, so ReuseExchange collapses what used to be
+    three scan+explode passes into one (measured r13, guide §2.4)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    # the explicit not-null filter is a no-op (explode of split never
+    # yields nulls) but makes every branch's pushed-filter set identical
+    # — without it the join branches carry an INFERRED isnotnull(t) the
+    # broadcast-total branch lacks, which breaks the canonical plan
+    # equality that exchange/stage reuse needs (measured r13)
     toks = docs.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("t"),
-    )
-    vocab = toks.groupBy("t").agg(F.count("*").cast("double").alias("n"))
-    tot = vocab.agg(F.sum("n").alias("big_n"))
+    ).where(F.col("t").isNotNull())
     doc_tok = toks.groupBy("doc_id", "t").agg(
         F.count("*").cast("double").alias("m")
     )
+    vocab = doc_tok.groupBy("t").agg(F.sum("m").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("big_n"))
     return (
         doc_tok.join(vocab, "t")
         .groupBy("doc_id")
@@ -1039,7 +1050,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     types — Zipf-hot keys are bounded per doc by pre-aggregation and
     AQE's skew split absorbs the rest. One extra shuffle vs the unigram
     scorer buys conditional context."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
@@ -1062,17 +1073,29 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    ).select("doc_id", "p.w1", "p.w2").where(
+        # no-op filter (element_at within bounds never yields null here):
+        # equalizes every branch's pushed-filter set so exchange reuse
+        # fires (see q_unigram_logprob)
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    )
     uni = (
         toks.select(F.explode("ts").alias("t"))
+        .where(F.col("t").isNotNull())
         .groupBy("t")
         .agg(F.count("*").cast("double").alias("n"))
     )
     tot = uni.agg(F.sum("n").alias("big_n"))
-    cb = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    # cb is doc_bi's exact re-aggregation (sum of per-doc bigram counts
+    # == corpus count), so ReuseExchange collapses the bigram-side
+    # scan+explode subtrees into one; only the unigram stream needs its
+    # own pass (unigram counts are not derivable from bigrams — the last
+    # token of every doc is absent from the w1 stream). 5 scans → 2
+    # (measured r13, guide §2.4).
     doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count("*").cast("double").alias("m")
     )
+    cb = doc_bi.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
     u1 = uni.select(F.col("t").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("t").alias("w2"), F.col("n").alias("n2"))
     scored = (
@@ -1348,19 +1371,25 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference counterpart (SURVEY.md §2-A): reference has no
     document pipeline at all."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
+    # not-null filter: no-op that equalizes the branches' pushed-filter
+    # sets so exchange reuse fires (see q_unigram_logprob)
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("t"),
-    )
-    vocab = toks.groupBy("t").agg(F.count("*").cast("double").alias("n"))
-    tot = vocab.agg(F.sum("n").alias("big_n"))
+    ).where(F.col("t").isNotNull())
+    # One corpus pass (guide §2.4): the per-(doc,token) aggregate is the
+    # base relation; vocab/total are its exact re-aggregations (integer
+    # counts in doubles), so ReuseExchange collapses the 3 scan+explode
+    # subtrees into one (measured r13).
     doc_tok = toks.groupBy("doc_id", "lang", "t").agg(
         F.count("*").cast("double").alias("m")
     )
+    vocab = doc_tok.groupBy("t").agg(F.sum("m").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("big_n"))
     scored = (
         doc_tok.join(vocab, "t")
         .groupBy("doc_id", "lang")
@@ -1483,40 +1512,50 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-N is a TakeOrdered k-row merge, never a global sort. The vocab
     side is corpus-derived metadata (|V| << corpus), the selection
     output is N rows — nothing driver-side in between."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
+    # not-null filter: no-op that equalizes the branches' pushed-filter
+    # sets so exchange reuse fires (see q_unigram_logprob)
     toks = docs.select(
         "doc_id",
         "source",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    # One corpus pass (guide §2.4): the per-(doc,token) aggregate is the
+    # base relation (source is functionally determined by doc_id, so
+    # any_value is exact); raw/target corpus counts and the totals are
+    # its exact integer re-aggregations, and folding tf_t into vocab
+    # also removes the vocab⋈tgt join. ReuseExchange collapses what
+    # used to be four scan+explode subtrees into one (measured r13).
+    doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.any_value("source").alias("source"), F.count("*").alias("m")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf_r"))
-    tgt = (
-        toks.where(F.col("source") == _DSIR_TARGET)
-        .groupBy("tok")
-        .agg(F.count("*").alias("tf_t"))
+    vocab = doc_tok.groupBy("tok").agg(
+        F.sum("m").alias("tf_r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("m")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tf_t"),
     )
     # decimal(14,12) (|lambda| < 100) and decimal(6,0) m keep every
     # m*lambda product under Spark's 38-digit precision cap EXACTLY —
     # with wider types the cap silently rounds each product to 6
     # fractional digits (decimal(38,6)), which moved sums by ~1e-6
-    lam = vocab.join(tgt, "tok", "left").select(
+    lam = vocab.select(
         "tok",
         (
-            F.log(F.coalesce("tf_t", F.lit(0)) + F.lit(1.0))
+            F.log(F.col("tf_t") + F.lit(1.0))
             - F.log(F.col("tf_r") + F.lit(1.0))
         )
         .cast("decimal(14,12)")
         .alias("lam"),
     )
-    tot = toks.agg(
-        F.count("*").alias("r_total"),
-        F.sum((F.col("source") == _DSIR_TARGET).cast("bigint")).alias("t_total"),
-        F.count_distinct("tok").alias("v"),
-    )
-    doc_tok = toks.groupBy("doc_id", "tok").agg(
-        F.any_value("source").alias("source"), F.count("*").alias("m")
+    tot = vocab.agg(
+        F.sum("tf_r").alias("r_total"),
+        F.sum("tf_t").alias("t_total"),
+        F.count("*").alias("v"),
     )
     w = (
         doc_tok.join(lam, "tok")
@@ -1818,7 +1857,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one bigram rollup; the scoring joins are keyed on types with
     per-(doc, bigram) pre-aggregation bounding any hot key, and the
     per-doc rollup is the only token-scale shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ts"),
@@ -1836,16 +1875,28 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    cb = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
-    fwd = cb.groupBy("w1").agg(
-        F.sum("c").alias("ctx"), F.count("*").cast("double").alias("n1f")
+    ).select("doc_id", "p.w1", "p.w2").where(
+        # no-op filter (element_at within bounds never yields null here):
+        # equalizes every branch's pushed-filter set so exchange reuse
+        # fires (see q_unigram_logprob)
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
     )
-    bwd = cb.groupBy("w2").agg(F.count("*").cast("double").alias("n1b"))
-    btot = cb.agg(F.count("*").cast("double").alias("b"))
+    # One corpus pass (guide §2.4): doc_bi is the base; cb is its exact
+    # re-aggregation (sum of per-doc bigram counts == corpus count), and
+    # fwd/bwd/btot derive from cb — so ReuseExchange collapses what used
+    # to be five scan+explode subtrees into one (measured r13). bwd/btot
+    # count the never-null c instead of count(*): equal by construction,
+    # and it stops column pruning from collapsing their branch into a
+    # distinct-aggregate whose exchanges no longer match cb's.
     doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count("*").cast("double").alias("m")
     )
+    cb = doc_bi.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+    fwd = cb.groupBy("w1").agg(
+        F.sum("c").alias("ctx"), F.count("c").cast("double").alias("n1f")
+    )
+    bwd = cb.groupBy("w2").agg(F.count("c").cast("double").alias("n1b"))
+    btot = cb.agg(F.count("c").cast("double").alias("b"))
     scored = (
         doc_bi.join(cb, ["w1", "w2"])
         .join(fwd, "w1")
@@ -1927,19 +1978,24 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties are interchangeable rows, so per-bin counts and score bounds
     are unique even when ties straddle a boundary. No reference
     counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
+    # not-null filter: no-op that equalizes the branches' pushed-filter
+    # sets so exchange reuse fires (see q_unigram_logprob)
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("tok"),
-    )
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("double").alias("n"))
-    big = vocab.agg(F.sum("n").alias("big_n"))
+    ).where(F.col("tok").isNotNull())
+    # One corpus pass (guide §2.4): dt is the base; vocab/big are its
+    # exact re-aggregations, so ReuseExchange collapses what used to be
+    # six scan+explode subtrees into one (measured r13).
     dt = toks.groupBy("doc_id", "lang", "tok").agg(
         F.count("*").cast("double").alias("m")
     )
+    vocab = dt.groupBy("tok").agg(F.sum("m").alias("n"))
+    big = vocab.agg(F.sum("n").alias("big_n"))
     scored = (
         dt.join(vocab, "tok")
         .groupBy("doc_id", "lang")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
 # Partitioned sink + partition-pruned read-back.
@@ -193,7 +193,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ingest. Centroid components use exact DECIMAL(18,6) sums so the cell
     ranking is bit-identical across engines (double summation order never
     matters)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(_as_double().alias("p"))
 
     # build: per-(label, dim) centroid components via exact decimal sums

@@ -149,16 +149,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore unbounded — no broadcast hint: AQE broadcasts it while it
     fits and falls back to a term-keyed shuffle (skew-join-split) when the
     vocabulary outgrows the limit."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
+    # not-null filter: no-op that equalizes the branches' pushed-filter
+    # sets; sum(when(tf > 0, 1)) instead of count(*) keeps tf required
+    # so column pruning cannot collapse the df branch into a
+    # distinct-aggregate whose exchange no longer matches tf's (count
+    # ("tf") is NOT enough: tf is provably non-null, so Catalyst
+    # rewrites it back to count(1)) — together they let stage reuse
+    # collapse the duplicated scan+explode (q_unigram_logprob r13
+    # pattern; tf >= 1 always, so the sums equal the counts)
     tf = (
         docs.select(
             "doc_id",
             F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
         )
+        .where(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    df = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("df")
+    )
     # N stays IN the plan as a broadcast 1-row aggregate: docs.count()
     # here would run an extra eager full-corpus scan before the query
     # proper even starts (the q_token_pmi totals pattern)
@@ -307,21 +320,32 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collected scalars. The PMI
     expression mirrors the oracle's operation order exactly so IEEE
     doubles agree to well past the 6-digit round."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    # not-null filters are no-ops (explode of split never yields nulls)
+    # that equalize every branch's pushed-filter set so the totals'
+    # broadcast branches reuse the count branches' exchanges instead of
+    # re-scanning (the q_unigram_logprob r13 pattern); bigrams explode
+    # as (w1, w2) structs so the PMI join keys ARE the group keys —
+    # counts by (w1, w2) equal counts by the joined string (tokens
+    # cannot contain the separator), and the inferred join null-filters
+    # land on the same columns in every branch.
     uni = (
         toks.select(F.explode("t").alias("tok"))
+        .where(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count("*").cast("double").alias("c"))
     )
     bigrams = F.expr(
         "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
     )
     big = (
         toks.where(F.size("t") >= 2)
-        .select(F.explode(bigrams).alias("bg"))
-        .groupBy("bg")
+        .select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
         .agg(F.count("*").cast("double").alias("c"))
     )
     # the two corpus totals stay IN the plan as 1-row aggregates
@@ -334,11 +358,6 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     return (
         big.where(F.col("c") >= 5)
-        .select(
-            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
-            F.col("c"),
-        )
         # unigram vocab is unbounded at corpus scale — no broadcast hint;
         # AQE broadcasts while it fits, else shuffles on the word key
         .join(u1, "w1")

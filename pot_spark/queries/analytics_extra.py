@@ -138,10 +138,20 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (t-digest sketch, mergeable map-side) when a bounded
     error is acceptable; see q_approx_cd for the sketch-check pattern."""
     orders = load(spark, sf_dir, "orders")
+    # ONE percentile buffer for both ranks (array form): each exact
+    # percentile aggregate buffers and sorts the ENTIRE group's values,
+    # so separate aggregates ship and sort the data once per rank
+    # (r13 profile: 3 buffers = 3x the shuffle and 3 single-task sorts
+    # on q_equidepth_bins). Same function, same interpolation — values
+    # are bit-identical.
+    pcts = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)))
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.count("*").alias("n"),
+        pcts.alias("_p"), F.count("*").alias("n")
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("_p")[0], 4).alias("p50_price"),
+        F.round(F.col("_p")[1], 4).alias("p90_price"),
+        "n",
     )
 
 
@@ -641,10 +651,19 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the fit step moves to approx_percentile (q_approx_percentile)
     and the transform is unchanged."""
     o = load(spark, sf_dir, "orders")
+    # ONE percentile buffer for all three quartiles (array form) — the
+    # r13 profile showed three separate exact-percentile aggregates ship
+    # the full value list to the single reducer three times (40.6 MB
+    # shuffle read, 10.2 s one-task stage at sf1) and sort it three
+    # times; the array form buffers and sorts once (values identical).
     b = o.agg(
-        F.percentile("o_totalprice", 0.25).alias("q1"),
-        F.percentile("o_totalprice", 0.50).alias("q2"),
-        F.percentile("o_totalprice", 0.75).alias("q3"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("_q")
+    ).select(
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"),
     )
     binc = (
         F.when(F.col("o_totalprice") <= F.col("q1"), 0)
@@ -698,9 +717,16 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB `quantile_cont` interpolate identically, making the
     fences — and therefore the counts — engine-exact."""
     orders = load(spark, sf_dir, "orders")
+    # one percentile buffer for both fences (array form — see
+    # q_equidepth_bins)
     fences = orders.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("_q")
+    ).select(
+        "o_orderpriority",
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     hi = F.col("o_totalprice") > F.col("q3") + 1.5 * iqr

@@ -263,9 +263,14 @@ def q_len_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the corpus scan — the full table is read once and never
     re-shuffled; only the per-lang result aggregation shuffles."""
     docs = load(spark, sf_dir, "documents")
+    # one percentile buffer for both bounds (array form — see
+    # q_equidepth_bins in analytics_extra)
     bounds = docs.groupBy("lang").agg(
-        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
-        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+        F.percentile(
+            "n_chars", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("_b")
+    ).select(
+        "lang", F.col("_b")[0].alias("lo"), F.col("_b")[1].alias("hi")
     )
     return (
         docs.join(F.broadcast(bounds), "lang")

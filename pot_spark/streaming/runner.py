@@ -292,7 +292,9 @@ def build_session(stream: DataFrame) -> DataFrame:
     )
 
 
-def build_stateful_dedup(stream: DataFrame) -> DataFrame:
+def build_stateful_dedup(
+    stream: DataFrame, n_shards: int | None = None
+) -> DataFrame:
     """Custom stateful operator: first-event dedup per (user_id,
     event_type) via applyInPandasWithState. State per key = the smallest
     event_id seen with its ts/value; a row is emitted only when the key is
@@ -300,7 +302,17 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     event exactly once (update semantics). This is the pattern for any
     bespoke streaming state machine Spark lacks a built-in for — the state
     store shards by the group key, so it scales horizontally with
-    executors. Batch twin: pot_spark.queries.scale_ops.s_dedup_first."""
+    executors. Batch twin: pot_spark.queries.scale_ops.s_dedup_first.
+
+    ``n_shards`` (r13 — the r10 gate amortization, applied after the sf1
+    re-check read this op at 23.5 s / 9.5x: one one-row Python handler
+    invocation per distinct (user, type) per microbatch): state is keyed
+    by ``pmod(hash(user, type), n_shards)`` and the per-key min-merge
+    runs VECTORIZED inside the handler. State only holds (key,
+    best_event_id): an emission happens exactly when THIS batch carries
+    a strictly smaller event_id (or a new key), so the emitted row's
+    ts/value always come from the batch itself — nothing
+    timestamp-typed in state. Per-key semantics are byte-identical."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -313,6 +325,82 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
             T.StructField("first_value", T.DoubleType()),
         ]
     )
+
+    if n_shards is not None:
+        key_cols = ["user_id", "event_type"]
+        shard_state_schema = T.StructType(
+            [
+                T.StructField("user_ids", T.ArrayType(T.LongType())),
+                T.StructField("event_types", T.ArrayType(T.StringType())),
+                T.StructField("bests", T.ArrayType(T.LongType())),
+            ]
+        )
+
+        def sharded_fn(key, pdf_iter, state: GroupState):
+            if state.exists:
+                u, t, b = state.get
+                held = pd.DataFrame(
+                    {
+                        "user_id": pd.array(u, dtype="int64"),
+                        "event_type": pd.array(t, dtype=object),
+                        "best": pd.array(b, dtype="int64"),
+                    }
+                )
+            else:
+                held = pd.DataFrame(
+                    columns=["user_id", "event_type", "best"]
+                )
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            # per-key batch minimum WITH its row (stable sort: the same
+            # row the per-key loop's strict < would have kept)
+            g = (
+                batch.sort_values("event_id", kind="stable")
+                .groupby(key_cols, as_index=False)
+                .first()
+            )
+            m = g.merge(held, on=key_cols, how="left")
+            changed = m[m["best"].isna() | (m["event_id"] < m["best"])]
+            if len(changed):
+                yield pd.DataFrame(
+                    {
+                        "user_id": changed["user_id"].astype("int64"),
+                        "event_type": changed["event_type"],
+                        "first_event_id": changed["event_id"].astype(
+                            "int64"
+                        ),
+                        "first_ts": changed["ts"],
+                        "first_value": changed["value"].astype("float64"),
+                    }
+                )
+                new_best = changed[key_cols + ["event_id"]].rename(
+                    columns={"event_id": "best"}
+                )
+                merged = (
+                    pd.concat([held, new_best], ignore_index=True)
+                    .groupby(key_cols, as_index=False)
+                    .agg(best=("best", "min"))
+                )
+                state.update(
+                    (
+                        merged["user_id"].astype("int64").tolist(),
+                        merged["event_type"].tolist(),
+                        merged["best"].astype("int64").tolist(),
+                    )
+                )
+
+        sharded = stream.withColumn(
+            "shard",
+            F.pmod(F.hash("user_id", "event_type"), F.lit(n_shards)).cast(
+                "int"
+            ),
+        )
+        return sharded.groupBy("shard").applyInPandasWithState(
+            sharded_fn,
+            outputStructType=out_schema,
+            stateStructType=shard_state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     state_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -351,7 +439,9 @@ def build_stateful_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
-def build_stateful_cdc(stream: DataFrame) -> DataFrame:
+def build_stateful_cdc(
+    stream: DataFrame, n_shards: int | None = None
+) -> DataFrame:
     """Streaming CDC log compaction: latest-wins upsert/delete state per
     (user_id, event_type) via applyInPandasWithState — the stream twin
     of q_cdc_compact's batch max(struct) plan. State per key = the
@@ -361,7 +451,15 @@ def build_stateful_cdc(stream: DataFrame) -> DataFrame:
     so the sink converges to the compacted snapshot (update semantics).
     At scale the state store shards by key across executors and holds
     ONE row per live key — the streaming materialized view of the log.
-    Batch twin: pot_spark.queries.scale_ops.q_cdc_compact."""
+    Batch twin: pot_spark.queries.scale_ops.q_cdc_compact.
+
+    ``n_shards`` (r13 — the r10 gate amortization, sf1 re-check read
+    14.9 s / 6.5x of per-key handler entry): shard-keyed state holding
+    (key, ts_us, event_id) only — a supersession is always driven by a
+    row of THIS batch, so op/value re-derive from the batch at emit
+    time. NaT ordering matches the per-key path: both sort NaT last, so
+    a NaT-ts row wins a batch exactly when iloc[-1] would have picked
+    it, and its int64-min ts_us compares identically thereafter."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -375,6 +473,95 @@ def build_stateful_cdc(stream: DataFrame) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
+
+    if n_shards is not None:
+        key_cols = ["user_id", "event_type"]
+        shard_state_schema = T.StructType(
+            [
+                T.StructField("user_ids", T.ArrayType(T.LongType())),
+                T.StructField("event_types", T.ArrayType(T.StringType())),
+                T.StructField("ts_us", T.ArrayType(T.LongType())),
+                T.StructField("event_ids", T.ArrayType(T.LongType())),
+            ]
+        )
+
+        def sharded_fn(key, pdf_iter, state: GroupState):
+            if state.exists:
+                u, t, ts, e = state.get
+                held = pd.DataFrame(
+                    {
+                        "user_id": pd.array(u, dtype="int64"),
+                        "event_type": pd.array(t, dtype=object),
+                        "h_ts": pd.array(ts, dtype="int64"),
+                        "h_eid": pd.array(e, dtype="int64"),
+                    }
+                )
+            else:
+                held = pd.DataFrame(
+                    columns=["user_id", "event_type", "h_ts", "h_eid"]
+                )
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            g = (
+                batch.sort_values(["ts", "event_id"], kind="stable")
+                .groupby(key_cols, as_index=False)
+                .last()
+            )
+            # NaT -> int64 min: identical to int(pd.Timestamp(NaT).value)
+            g["c_ts"] = (
+                g["ts"].values.astype("datetime64[ns]").view("int64")
+                // 1000
+            )
+            m = g.merge(held, on=key_cols, how="left")
+            newer = m["h_ts"].isna() | (
+                (m["c_ts"] > m["h_ts"])
+                | ((m["c_ts"] == m["h_ts"]) & (m["event_id"] > m["h_eid"]))
+            )
+            changed = m[newer]
+            if len(changed):
+                eid = changed["event_id"].astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "user_id": changed["user_id"].astype("int64"),
+                        "event_type": changed["event_type"],
+                        "last_event_id": eid,
+                        "last_ts": pd.to_datetime(
+                            changed["c_ts"].astype("int64") * 1000
+                        ),
+                        "op": (eid % 7 == 0).map({True: "D", False: "U"}),
+                        "value": changed["value"].astype("float64"),
+                    }
+                )
+                new_rows = changed[key_cols + ["c_ts", "event_id"]].rename(
+                    columns={"c_ts": "h_ts", "event_id": "h_eid"}
+                )
+                merged = (
+                    pd.concat([held, new_rows], ignore_index=True)
+                    .sort_values(["h_ts", "h_eid"], kind="stable")
+                    .groupby(key_cols, as_index=False)
+                    .last()
+                )
+                state.update(
+                    (
+                        merged["user_id"].astype("int64").tolist(),
+                        merged["event_type"].tolist(),
+                        merged["h_ts"].astype("int64").tolist(),
+                        merged["h_eid"].astype("int64").tolist(),
+                    )
+                )
+
+        sharded = stream.withColumn(
+            "shard",
+            F.pmod(F.hash("user_id", "event_type"), F.lit(n_shards)).cast(
+                "int"
+            ),
+        )
+        return sharded.groupBy("shard").applyInPandasWithState(
+            sharded_fn,
+            outputStructType=out_schema,
+            stateStructType=shard_state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     state_schema = T.StructType(
         [
             T.StructField("ts_us", T.LongType()),
@@ -596,7 +783,9 @@ def build_stateful_daily_dedup(
     )
 
 
-def build_stateful_quota(stream: DataFrame) -> DataFrame:
+def build_stateful_quota(
+    stream: DataFrame, n_shards: int | None = None
+) -> DataFrame:
     """Admission quota as a custom stateful operator: per (user_id,
     event_type), admit only the K smallest event_ids ever seen and emit
     each admission exactly once. State per key = the K admitted int64
@@ -621,6 +810,83 @@ def build_stateful_quota(stream: DataFrame) -> DataFrame:
             T.StructField("admitted_event_id", T.LongType()),
         ]
     )
+
+    if n_shards is not None:
+        # r13 — the r10 gate amortization (sf1 re-check: 12.2 s / 6.2x
+        # of per-key handler entry). State per shard = parallel arrays
+        # (key, admitted ids joined as csv — each at most _QUOTA_K
+        # int64s). The per-key grant logic is the unsharded body run
+        # over the shard's ~batch-keys/n_shards groups inside ONE
+        # handler invocation; grant semantics per key are unchanged.
+        key_cols = ["user_id", "event_type"]
+        shard_state_schema = T.StructType(
+            [
+                T.StructField("user_ids", T.ArrayType(T.LongType())),
+                T.StructField("event_types", T.ArrayType(T.StringType())),
+                T.StructField("admitted_csv", T.ArrayType(T.StringType())),
+            ]
+        )
+
+        def sharded_fn(key, pdf_iter, state: GroupState):
+            held: dict = {}
+            if state.exists:
+                u, t, a = state.get
+                held = {
+                    (int(ui), ti): [int(x) for x in ai.split(",") if x]
+                    for ui, ti, ai in zip(u, t, a)
+                }
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            out_u: list[int] = []
+            out_t: list[str] = []
+            out_id: list[int] = []
+            any_change = False
+            for (user_id, event_type), grp in batch.groupby(key_cols):
+                k = (int(user_id), event_type)
+                admitted = held.get(k, [])
+                batch_ids = [int(x) for x in grp["event_id"].dropna()]
+                new = sorted(set(batch_ids) - set(admitted))
+                granted = new[: max(0, _QUOTA_K - len(admitted))]
+                if granted:
+                    any_change = True
+                    held[k] = sorted(admitted + granted)
+                    out_u.extend([k[0]] * len(granted))
+                    out_t.extend([event_type] * len(granted))
+                    out_id.extend(granted)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "user_id": out_u,
+                        "event_type": out_t,
+                        "admitted_event_id": out_id,
+                    }
+                )
+            if any_change:
+                keys = sorted(held)
+                state.update(
+                    (
+                        [k[0] for k in keys],
+                        [k[1] for k in keys],
+                        [",".join(str(x) for x in held[k]) for k in keys],
+                    )
+                )
+
+        sharded = (
+            stream.filter(F.col("event_id").isNotNull())
+            .withColumn(
+                "shard",
+                F.pmod(
+                    F.hash("user_id", "event_type"), F.lit(n_shards)
+                ).cast("int"),
+            )
+        )
+        return sharded.groupBy("shard").applyInPandasWithState(
+            sharded_fn,
+            outputStructType=out_schema,
+            stateStructType=shard_state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     state_schema = T.StructType(
         [T.StructField(f"id{i}", T.LongType()) for i in range(_QUOTA_K)]
     )
@@ -1777,12 +2043,18 @@ SENTINEL_APPEND_BUILDERS = {
 _DAILY_SHARDS = 32
 
 STATEFUL_BUILDERS = {
-    "s_dedup_first": build_stateful_dedup,
+    "s_dedup_first": lambda stream: build_stateful_dedup(
+        stream, n_shards=_DAILY_SHARDS
+    ),
     "q_dedup_daily_first": lambda stream: build_stateful_daily_dedup(
         stream, n_shards=_DAILY_SHARDS
     ),
-    "s_cdc_compact": build_stateful_cdc,
-    "s_user_quota": build_stateful_quota,
+    "s_cdc_compact": lambda stream: build_stateful_cdc(
+        stream, n_shards=_DAILY_SHARDS
+    ),
+    "s_user_quota": lambda stream: build_stateful_quota(
+        stream, n_shards=_DAILY_SHARDS
+    ),
 }
 
 # Stateful builders fed by the ORDERED documents source (_doc_stream)

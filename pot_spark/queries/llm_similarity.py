@@ -55,7 +55,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast; orderBy+limit plans as TakeOrderedAndProject (per-
     partition heap, k-row merge) — the whole table is scanned once and
     never shuffled."""
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
     probe = emb.filter(F.col("vec_id") == 0).select(_as_double().alias("p"))
     emb_d = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", _as_double().alias("v")
@@ -658,7 +658,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is one rollup shuffled on (vec_id, m); at serving time the
     codes are precomputed at ingest and a probe touches only the
     (m x codes) lookup table plus the packed code columns."""
-    e = load_spread(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000).select(
         "vec_id", "label", _as_double().alias("v")
     )
     iv = e.select(
@@ -1294,7 +1294,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     than Python (banker's)."""
     import pandas as pd
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
     e = emb.select("vec_id", _as_double().alias("v"))
     probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
     cand = (
@@ -1591,7 +1591,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side; the expensive part is the clustering itself, already
     argued scale-safe at q_kmeans."""
     _iv, assign = _km_exact_parts(spark, sf_dir)
-    e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000).select("vec_id", "label")
     lab = (
         assign.select("vec_id", "cluster")
         .join(e, "vec_id")
@@ -1826,7 +1826,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed (vec_id, j) with map-side partials (same shape as q_kmeans'
     assignment); norms ride the same scan; the audit is a |labels|-row
     rollup. One corpus-scale pass, two bounded shuffles."""
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
     iv, _assign = _km_exact_parts(spark, sf_dir)
     dims = spark.range(1, _DIM + 1).select(F.col("id").cast("int").alias("d"))
     outs = spark.range(1, _RP_OUT + 1).select(F.col("id").cast("int").alias("j"))
@@ -2048,7 +2048,7 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final IEEE-exact division and sqrt, rounded to 6dp on both
     engines. Labels missing a half are excluded identically (no NULL
     cosine rows). No reference counterpart (SURVEY.md §2-A)."""
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
     e = emb.filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     ).select(
@@ -2184,7 +2184,7 @@ def q_intra_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the O(n^2)-per-label pair join with three linear
     aggregations — THE reason this op scales where a verbatim SemDeDup
     audit cannot. No reference counterpart (SURVEY.md §2-A)."""
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
     e = emb.filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     ).select("vec_id", "label", _as_double("embedding").alias("v"))

@@ -1056,7 +1056,7 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, pre-combined map-side; sources with empty token streams keep
     a zero bigram row via the left join (COALESCE'd identically in the
     oracle). No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     t = docs.select(
         "doc_id",
         "source",

@@ -7,6 +7,8 @@ column pruning and partition pruning on every downstream query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -94,9 +96,20 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
 _SPLIT_CACHE: dict[tuple[str, str], int] = {}
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = 0
+) -> DataFrame:
     """``load`` + ``spread_scan`` with the split-count probe memoized per
-    (session, table path) — the form every CPU-heavy consumer should use."""
+    (session, table path) — the form every CPU-heavy consumer should use.
+
+    ``min_bytes``: skip the spread while the source file is smaller than
+    this. The round-robin exchange has a ~fixed stage cost while the
+    parallelism it unlocks saves compute proportional to the bytes, so
+    below a per-consumer break-even the exchange cannot pay for itself
+    (r13 A/B: the same op measured spread-slower at a 0.6 MB source and
+    spread-2x-faster at 6 MB). File size is driver-side metadata
+    (os.path.getsize, memoized with the split probe) — nothing computed
+    from the data is cached."""
     df = load(spark, sf_dir, name)
     key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}")
     n = _SPLIT_CACHE.get(key)
@@ -106,6 +119,25 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
     if n >= p:
         return df
+    if min_bytes:
+        sz_key = (key[0], key[1] + "#bytes")
+        sz = _SPLIT_CACHE.get(sz_key)
+        if sz is None:
+            path = f"{sf_dir}/{name}.parquet"
+            try:
+                sz = (
+                    sum(
+                        os.path.getsize(os.path.join(path, f))
+                        for f in os.listdir(path)
+                    )
+                    if os.path.isdir(path)
+                    else os.path.getsize(path)
+                )
+            except OSError:
+                sz = 0
+            _SPLIT_CACHE[sz_key] = sz
+        if sz < min_bytes:
+            return df
     return df.repartition(p)
 
 

@@ -761,21 +761,50 @@ def _kmeans_sql() -> str:
     FROM a{_KM_ITERS} GROUP BY cluster"""
 
 
+def _emb_int_vectors(spark: SparkSession, sf_dir: str, spread: bool = False):
+    """The quantized-vector relation ``(vec_id, xs)`` with ``xs`` the
+    int64 ``floor(x*1000)`` component array (JVM arithmetic, the same
+    values the exploded ``iv`` stream carries). Empty/null embeddings
+    are dropped, matching posexplode's behavior on them."""
+    # spread=True round-robins the single-split fixture scan
+    # (tables.spread_scan; no-op once the vector table has >= cores
+    # splits) so per-row vector math runs on every core.
+    if spread:
+        e = load_spread(spark, sf_dir, "embeddings")
+    else:
+        e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(_as_double(), lambda x: F.floor(x * 1000).cast("long")).alias(
+            "xs"
+        ),
+    ).where(F.size("xs") > 0)
+
+
 def _km_exact_parts(spark: SparkSession, sf_dir: str, spread: bool = False):
     """Shared exact-integer k-means machinery: returns ``(iv, assign)``
     where ``iv`` is the exploded (vec_id, d, x) int64 component table and
     ``assign`` the final (vec_id, cluster, sd) assignment after
     ``_KM_ITERS`` Lloyd iterations (init pinned to vec_id 0..k-1, argmin
     ties to the lower cluster id) — one definition for q_kmeans and
-    q_semdedup, mirroring ``_kmeans_cte()`` on the oracle side."""
+    q_semdedup, mirroring ``_kmeans_cte()`` on the oracle side.
+
+    r13 note (measured, rejected): a collected-centroid rewrite — k x
+    dim literals with a flat per-row argmin, zero joins per iteration —
+    was built and REVERTED: the ~900-node literal argmin alias sent
+    query CONSTRUCTION to 4-16 s/rep (the r12 Catalyst constraint-
+    derivation hazard: every rule above the alias re-substitutes it;
+    plus two driver collect jobs and a fresh codegen compile per rep,
+    since the literals change with the data). The join-based chain
+    below plans in milliseconds, its shapes are stable across reps
+    (codegen cache hits), and centroid tables stay k x dim broadcasts."""
     # spread=True round-robins the single-split fixture scan before the
     # 64x component explode (tables.spread_scan; no-op once the vector
     # table has >= cores splits). Opt-in because only consumers with a
-    # CPU-dense stage pipelined on the scan win: the SemDeDup pair ops
-    # measured -9%/-15% with it, while the light Lloyd-only consumers
-    # (q_kmeans, q_cluster_purity) measured +40-70% from the extra
-    # exchange + per-task overhead across the iterative chain's many
-    # tiny stages (r13 bench).
+    # CPU-dense stage pipelined on the scan win: the light Lloyd-only
+    # consumers (q_kmeans, q_cluster_purity) measured +40-70% from the
+    # extra exchange + per-task overhead across the iterative chain's
+    # many tiny stages (r13 bench).
     if spread:
         e = load_spread(spark, sf_dir, "embeddings")
     else:
@@ -1451,11 +1480,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — all-pairs is confined WITHIN a cell, so candidate volume is
     sum(|cell|^2), controlled by choosing k proportional to N (the paper
     uses k=11k cells for 134M embeddings; E[|cell|] stays ~10^4 and each
-    cell's pair block fits one executor). The pair join shuffles once on
-    cluster carrying FLAT int64 component columns (x1..x{dim}) so the
-    per-pair dot is whole-stage-codegen arithmetic — no per-dim explode,
-    and no interpreted array lambda in the 3M-pair hot loop (measured
-    6.4s -> 3.4s at sf0.1 vs the zip_with form). The dup graph is
+    cell's pair block fits one executor). The pair stage shuffles once
+    on (cluster, salt) carrying int64 component ARRAYS, and each group's
+    pair block is ONE vectorized integer matmul in a grouped Arrow op
+    (guide §4.2) — r13 opt: per-pair JVM codegen + decimal(38) threshold
+    measured 27.6 s at true-sf1, the matmul form 2.4 s, identical rows;
+    exactness argument at _semdedup_parts. The dup graph is
     output-bounded, and the final rollups are k-row aggregates. The k=4
     fixture here is the same plan with the cell count turned down.
 
@@ -1493,59 +1523,139 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
     sd — sd is the exact squared distance to the winning centroid) and
     ``dup`` the within-cell duplicate-pair relation (cluster, va, vb,
     va < vb, integer-exact cosine >= tau) — one definition for
-    q_semdedup and q_d4_select, mirroring ``_semdedup_cte()``."""
-    iv, assign = _km_exact_parts(spark, sf_dir, spread=True)
-    assign = reliable_checkpoint(assign.select("vec_id", "cluster", "sd"))
-    vecs = iv.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
-            for i in range(1, _DIM + 1)
-        ],
-        F.sum(F.col("x") * F.col("x")).alias("n2"),
+    q_semdedup and q_d4_select, mirroring ``_semdedup_cte()``.
+
+    Pair stage (r13 opt): the within-cell all-pairs dot volume is the
+    entire cost of both consumers, and per-pair JVM arithmetic — a
+    64-term codegen chain plus a decimal(38,0) threshold — measured
+    27.6 s at true-sf1 even with the salted join and AQE-exempt
+    partition width. It is now ONE vectorized integer matmul per
+    (cluster, salt) group in a grouped Arrow op (guide §4.2: hand whole
+    batches to native vectorized code): sf1 27.6 s -> 2.4 s, sf0.1
+    9.6 s -> 1.4 s (interleaved best-of-3), rows identical. The shuffle
+    is byte-for-byte the old salted join's (probe rows once, build side
+    replicated _SD_SALT ways, keyed on (cluster, salt)); only the
+    per-pair compute moved from per-row codegen into one BLAS-shaped
+    batch per group. Exactness is preserved: components are int64
+    (floor(x*1000), computed JVM-side), the int64 fast path uses the
+    gcd-reduced test dot^2*400 >= 81*na2*nb2 whose extreme values are
+    provably < 2^63 whenever max|x| <= 1500 (dot <= 64*1500^2 = 1.44e8,
+    dot^2*400 <= 8.3e18; 81*na2*nb2 <= 1.9e18), and any group beyond
+    that bound falls back to exact arbitrary-precision integers — so no
+    float and no overflow ever decides a pair, same as the decimal(38)
+    form it replaces."""
+    _iv, assign0 = _km_exact_parts(spark, sf_dir, spread=True)
+    # int64 components in ARRAY form (no 64-column pivot: the old flat-
+    # column pivot re-shuffled the exploded iv by vec_id; this derives
+    # xs/n2 per row from the same source array with the same JVM
+    # floor(x*1000) semantics), joined onto the assignment BEFORE the
+    # checkpoint: ONE checkpoint materializes the whole per-vector
+    # working set (vec_id, cluster, sd, xs, n2) and every downstream
+    # branch (member counts, survivor ranking, both pair-stage sides)
+    # reads the materialized relation — zero parquet re-scans below
+    # this point
+    ex = _emb_int_vectors(spark, sf_dir).select(
+        "vec_id",
+        "xs",
+        F.aggregate("xs", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias(
+            "n2"
+        ),
     )
-    m = assign.select("vec_id", "cluster").join(vecs, "vec_id")
-    # salt the pair join: there are only k cluster keys, so an unsalted
-    # equi-join lands each cell's whole O(|cell|^2) pair block on ONE
-    # reducer (measured 2.8s -> 1.8s at sf0.1 with 4 cells on 32 cores;
-    # at production k the salt also caps the damage of one oversized
-    # cell). The probe side carries one salt per row (va mod S); the
+    full = reliable_checkpoint(
+        assign0.select("vec_id", "cluster", "sd").join(ex, "vec_id")
+    )
+    assign = full.select("vec_id", "cluster", "sd")
+    m = full.select("vec_id", "cluster", "n2", "xs")
+    # salt the pair stage: there are only k cluster keys, so an unsalted
+    # grouping lands each cell's whole O(|cell|^2) pair block on ONE
+    # task. The probe side carries one salt per row (vec_id mod S); the
     # build side replicates S ways — O(N·S) rows, trivial next to the
-    # pair volume it spreads.
-    a = m.select(
+    # pair volume it spreads. S=32 measured faster than S=8 at sf1
+    # (2.39 vs 3.68 s): group granularity beats replication savings.
+    a_side = m.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.col("vec_id"), F.lit(_SD_SALT)).cast("int").alias("salt"),
         "cluster",
-        F.col("vec_id").alias("va"),
-        F.col("n2").alias("na2"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(1, _DIM + 1)],
-    ).withColumn("salt", F.pmod(F.col("va"), F.lit(_SD_SALT)).cast("int"))
-    b = m.select(
-        "cluster",
-        F.col("vec_id").alias("vb"),
-        F.col("n2").alias("nb2"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(1, _DIM + 1)],
-    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SD_SALT - 1))))
-    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(1, _DIM + 1)))
-    # pin the pair join's reduce parallelism: its CPU is quadratic in
-    # |cell| per (cluster, salt) key while its INPUT bytes are linear,
-    # so AQE's byte-based coalescing merges the post-shuffle partitions
-    # down to ~bytes/minPartitionSize and serializes the dot loop (r13
-    # profile: 16.7 s executorRunTime on 8 tasks of a 32-core session).
-    # An explicit numPartitions repartition on the join keys is exempt
-    # from AQE coalescing, both sides co-partition so the join adds no
-    # further exchange, and defaultParallelism scales with the cluster.
-    n_part = spark.sparkContext.defaultParallelism
-    a = a.repartition(n_part, "cluster", "salt")
-    b = b.repartition(n_part, "cluster", "salt")
-    pairs = (
-        a.join(b, ["cluster", "salt"])
-        .where(F.col("va") < F.col("vb"))
-        .select("cluster", "va", "vb", dot.alias("dot"), "na2", "nb2")
+        "vec_id",
+        "n2",
+        "xs",
     )
-    dup = pairs.where(
-        (F.col("dot") > 0)
-        & (
-            F.col("dot").cast("decimal(38,0)") * F.col("dot") * F.lit(10000)
-            >= F.lit(_SD_TAU2_BP) * F.col("na2").cast("decimal(38,0)") * F.col("nb2")
+    b_side = m.select(
+        F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SD_SALT - 1))).alias("salt"),
+        "cluster",
+        "vec_id",
+        "n2",
+        "xs",
+    )
+    # one union'd relation, both roles tagged by `side`, grouped once on
+    # (cluster, salt): a cogrouped two-sided form trips the ambiguous-
+    # self-join analyzer (both sides derive from m), and the union
+    # shuffles the identical bytes. The explicit AQE-exempt width guards
+    # the CPU-quadratic-per-group / bytes-linear mismatch (r13 systemic
+    # finding 1) — byte-based coalescing must never serialize the
+    # matmul groups.
+    both = a_side.unionByName(b_side).repartition(
+        spark.sparkContext.defaultParallelism, "cluster", "salt"
+    )
+    tau2_bp = _SD_TAU2_BP
+
+    def _pair_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "va": pd.Series([], dtype="int64"),
+                    "vb": pd.Series([], dtype="int64"),
+                }
+            )
+        A = np.stack(left["xs"].to_numpy()).astype("int64")
+        B = np.stack(right["xs"].to_numpy()).astype("int64")
+        va = left["vec_id"].to_numpy(dtype="int64")
+        vb = right["vec_id"].to_numpy(dtype="int64")
+        na2 = left["n2"].to_numpy(dtype="int64")
+        nb2 = right["n2"].to_numpy(dtype="int64")
+        mx = max(int(np.abs(A).max()), int(np.abs(B).max()))
+        if mx <= 1500:
+            # int64-exact: bounds proven in the docstring for this branch
+            D = A @ B.T
+            ok = (
+                (D > 0)
+                & (va[:, None] < vb[None, :])
+                & (D * D * 400 >= 81 * na2[:, None] * nb2[None, :])
+            )
+        else:
+            # arbitrary-precision exact fallback (never taken on data
+            # quantized from ~unit-norm embeddings; keeps the operator
+            # overflow-free for ANY input, like the decimal(38) form)
+            Do = A.astype(object) @ B.astype(object).T
+            ok = (
+                (Do > 0)
+                & (va[:, None] < vb[None, :])
+                & (
+                    Do * Do * 10000
+                    >= tau2_bp
+                    * na2.astype(object)[:, None]
+                    * nb2.astype(object)[None, :]
+                )
+            )
+        ii, jj = np.nonzero(ok)
+        cl = int(left["cluster"].iloc[0])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ii), cl, dtype="int64"),
+                "va": va[ii],
+                "vb": vb[jj],
+            }
         )
+
+    dup = both.groupBy("cluster", "salt").applyInPandas(
+        _pair_block, "cluster long, va long, vb long"
     )
     return assign, dup
 
@@ -1827,7 +1937,12 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment); norms ride the same scan; the audit is a |labels|-row
     rollup. One corpus-scale pass, two bounded shuffles."""
     emb = load_spread(spark, sf_dir, "embeddings", min_bytes=2_000_000)
-    iv, _assign = _km_exact_parts(spark, sf_dir)
+    # iv only (no Lloyd assignment): build the component stream directly
+    # so the shared machinery's centroid collects never run here
+    ev = _emb_int_vectors(spark, sf_dir)
+    iv = ev.select("vec_id", F.posexplode("xs").alias("d0", "x")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"), "x"
+    )
     dims = spark.range(1, _DIM + 1).select(F.col("id").cast("int").alias("d"))
     outs = spark.range(1, _RP_OUT + 1).select(F.col("id").cast("int").alias("j"))
     signs = dims.crossJoin(outs).select(

@@ -1054,13 +1054,19 @@ def test_mmr_pool_is_distributed_heap_then_bounded_batch(spark, sf_dir):
 
 
 def test_semdedup_pairs_join_on_cluster_no_cartesian(spark, sf_dir):
-    """SemDeDup's pair stage must be an equi-join on cluster over PACKED
-    int64 vectors (one row per pair, dot via zip_with) — never a
-    cartesian product and never a per-dimension exploded pair join."""
+    """SemDeDup's pair stage must be a grouped Arrow matmul keyed on
+    (cluster, salt) over PACKED int64 component arrays (r13 opt:
+    per-pair codegen + decimal threshold -> one vectorized integer
+    matmul per group, 27.6 s -> 2.4 s at true-sf1, rows identical) —
+    never a cartesian product and never a per-dimension exploded pair
+    join."""
     p = _plan(spark, sf_dir, "q_semdedup")
     assert "CartesianProduct" not in p
-    # the k-means centroid tables stay broadcast, as in q_kmeans
-    assert "BroadcastHashJoin" in p
+    # the pair stage is the grouped Arrow matmul, keyed on (cluster, salt)
+    assert "FlatMapGroupsInPandas" in p
+    # the k-means centroid broadcasts live in the Lloyd chain, which is
+    # materialized by the checkpoint and so no longer visible here; the
+    # only remaining joins are k-row aggregate merges
 
 
 def test_dsir_select_is_takeordered_no_cartesian(spark, sf_dir):
@@ -1175,10 +1181,11 @@ def test_random_projection_broadcasts_signs(spark, sf_dir):
 
 def test_d4_select_windows_survivors_only(spark, sf_dir):
     """D4's prototype ranking must window over SemDeDup survivors on the
-    cluster partitioning — never a cartesian, centroids broadcast."""
+    cluster partitioning — never a cartesian (centroid broadcasts live
+    in the checkpointed Lloyd chain, not this plan)."""
     p = _plan(spark, sf_dir, "q_d4_select")
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p
+    assert "FlatMapGroupsInPandas" in p
     assert len(re.findall(r"\(\d+\) Window", p)) >= 1
 
 
@@ -1267,16 +1274,19 @@ def test_dup_inflation_no_joins(spark, sf_dir):
 
 
 def test_semdedup_salted_pair_join_and_one_lloyd_checkpoint(spark, sf_dir):
-    """Round-6 heavy tier pins (verdict r6 item 6): the SemDeDup pair
-    join must carry the salt key (reducer spread across _SD_SALT lanes),
-    the Lloyd assignment must come from its checkpoint (Scan
+    """Round-6 heavy tier pins (verdict r6 item 6, shape updated for the
+    r13 grouped-matmul pair stage): the SemDeDup pair stage must carry
+    the salt key (task spread across _SD_SALT lanes), run as ONE grouped
+    Arrow op (FlatMapGroupsInPandas — never a per-pair join or
+    cartesian), the Lloyd assignment must come from its checkpoint (Scan
     ExistingRDD), never re-derived from parquet (exactly the embeddings
-    scans, no more), and the pair stage must stay flat-column (no
-    per-dimension explode beyond the fixed Generate budget)."""
+    scans, no more), and the component explode budget stays fixed (the
+    b-side salt replication is the only Generate)."""
     for name in ("q_semdedup", "q_d4_select"):
         p = _plan(spark, sf_dir, name)
         assert "salt" in p, name
         assert "CartesianProduct" not in p, name
+        assert "FlatMapGroupsInPandas" in p, name
         assert len(re.findall(r"Scan ExistingRDD", p)) >= 1, name
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, name
         assert len(re.findall(r"\(\d+\) Generate", p)) <= 3, name

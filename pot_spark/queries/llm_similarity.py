@@ -324,77 +324,129 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
       pair volume on ONE reducer (the dominant term of the 717 s).
 
     Measured at true-sf1: 717 s -> 26.4 s (sf0.1: 5.7 -> 3.9 s), hash
-    output unchanged (oracle green). A fourth lesson is baked into the
-    plan shape below: Catalyst's constraint derivation re-substitutes
-    big Project aliases at every plan level above them, so the 127-node
-    dot chain must stay the ONLY big alias, directly above the join
-    (q_semdedup's proven position), with the cosine computed inside the
-    top-k aggregate and top-3 selected by sort_array+slice instead of a
-    Filter-over-Window (the filter form made explain() itself hang).
+    output unchanged (oracle green). The r12 Catalyst lesson still
+    binds the plan above the pair stage: the cosine is computed INSIDE
+    the top-k aggregate and top-3 is sort_array+slice, never a
+    Filter-over-Window above a big alias (constraint-derivation
+    blow-up, the r12 hang).
+
+    r13 opt (q_semdedup's finding 8 applied to the double-typed pair
+    stage): the salted label JOIN + 127-node codegen dot chain became a
+    salted label GROUPING whose blocks run as vectorized numpy batches
+    in a grouped Arrow op. Bit-exactness of the doubles is preserved by
+    construction: the batch accumulates the dot with one IEEE add per
+    dimension in ascending order (acc += outer(A[:,d], B[:,d])) — the
+    identical operation sequence to the codegen chain a0*b0 + a1*b1 +
+    ... and to DuckDB's list_cosine_similarity — and the HALF_UP
+    round(·, 6) plus the (cos DESC, nbr ASC) top-3 stay in the JVM: the
+    batch only emits a provably-safe candidate SUPERSET per src (every
+    nbr with cos >= t3 - 2e-6 where t3 is the 3rd-largest unrounded
+    cos; rounding moves any value by <= 5e-7, so nothing below the
+    threshold can reach the 3rd rounded rank — NaN cosines are masked
+    to -inf for the threshold, which keeps the <3-real-candidates
+    degenerate case emitting the whole block exactly like the join
+    did). The per-vector norm moved to a flat array fold (same
+    ascending-order IEEE sum as the old d-sorted fold), killing the
+    posexplode + 65-aggregate pivot and its exchange. Verified
+    BIT-IDENTICAL (packed-double compare of every row) at sf0.1 and
+    true-sf1; interleaved timing: sf0.1 2.77 -> 1.23 s, sf1 45.9 ->
+    8.1 s in the same window. Shuffle bytes are the old join's (probe
+    side once, build side replicated _KNN_SALT ways).
+
     At 100 TB the blocking key swaps from `label` to an LSH bucket or
     IVF cell id (q_sim_ann_lsh / q_sim_ivf) so block sizes stay bounded
     — the graph shape and ranking logic are unchanged."""
-    iv = (
+    vecs = (
         load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double().alias("xs"))
         .select(
             "vec_id",
             "label",
-            F.posexplode(_as_double()).alias("d", "x"),
+            "xs",
+            # same left-to-right IEEE summation order as the oracle's
+            # list_cosine_similarity (array order == ascending d)
+            F.sqrt(
+                F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("nrm"),
         )
-    )
-    # norm as ONE small fold expression over the d-sorted components —
-    # the exact left-to-right summation order the oracle's
-    # list_cosine_similarity uses (array_sort pins the order;
-    # collect_list alone guarantees none). Deliberately NOT a flat
-    # "x0*x0 + x1*x1 + ..." chain: a 129-node Project alias sent
-    # Catalyst's constraint derivation super-linear when every rule
-    # above re-substituted it (the r12 hang — explain() never
-    # returned), while this fold is ~15 nodes
-    nrm = F.sqrt(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("d", "x"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["x"] * s["x"],
-        )
-    )
-    vecs = iv.groupBy("vec_id", "label").agg(
-        *[
-            F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
-            for i in range(_DIM)
-        ],
-        nrm.alias("nrm"),
     )
     a = vecs.select(
-        F.col("vec_id").alias("src_id"),
+        F.lit(0).alias("side"),
+        F.pmod(F.col("vec_id"), F.lit(_KNN_SALT)).cast("int").alias("salt"),
         "label",
-        F.col("nrm").alias("na"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(_DIM)],
-    ).withColumn("salt", F.pmod(F.col("src_id"), F.lit(_KNN_SALT)).cast("int"))
-    b = vecs.select(
-        F.col("vec_id").alias("nbr_id"),
-        "label",
-        F.col("nrm").alias("nb"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(_DIM)],
-    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_KNN_SALT - 1))))
-    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(_DIM)))
-    pairs = (
-        a.join(b, ["label", "salt"])
-        .where(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id", dot.alias("dot"), "na", "nb")
+        "vec_id",
+        "nrm",
+        "xs",
     )
-    # The 127-node codegen dot chain is the ONLY big Project alias, in
-    # exactly the position q_semdedup's measured pair machinery proves
-    # harmless (one select directly above the join). Everything above
-    # works on small expressions: the cosine is computed INSIDE the
-    # top-k aggregate from the dot/na/nb attributes, and top-3 is
-    # sort_array+slice, NOT row_number+filter — a Filter above a big
-    # alias made Catalyst's constraint derivation substitute the whole
-    # tree at every level (the r12 hang: explain() never returned /
-    # OOMed, independent of the constraintPropagation and
-    # windowGroupLimit confs).
+    b = vecs.select(
+        F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.lit(_KNN_SALT - 1))).alias("salt"),
+        "label",
+        "vec_id",
+        "nrm",
+        "xs",
+    )
+    both = a.unionByName(b).repartition(
+        spark.sparkContext.defaultParallelism, "label", "salt"
+    )
+
+    def _knn_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="float64"),
+                "na": pd.Series([], dtype="float64"),
+                "nb": pd.Series([], dtype="float64"),
+            }
+        )
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["xs"].to_numpy()).astype("float64")
+        B = np.stack(right["xs"].to_numpy()).astype("float64")
+        va = left["vec_id"].to_numpy(dtype="int64")
+        vb = right["vec_id"].to_numpy(dtype="int64")
+        na = left["nrm"].to_numpy(dtype="float64")
+        nb = right["nrm"].to_numpy(dtype="float64")
+        # one IEEE add per dimension, ascending — bit-identical to the
+        # JVM chain (never a BLAS matmul here: pairwise summation would
+        # round differently)
+        D = np.multiply.outer(A[:, 0], B[:, 0])
+        for d in range(1, A.shape[1]):
+            D += np.multiply.outer(A[:, d], B[:, d])
+        C = D / np.multiply.outer(na, nb)
+        self_mask = va[:, None] == vb[None, :]
+        Cm = np.where(self_mask | np.isnan(C), -np.inf, C)
+        k = 3
+        if Cm.shape[1] > k:
+            t3 = np.partition(Cm, -k, axis=1)[:, -k]
+        else:
+            t3 = np.full(Cm.shape[0], -np.inf)
+        keep = (Cm >= (t3[:, None] - 2e-6)) & ~self_mask
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "src_id": va[ii],
+                "nbr_id": vb[jj],
+                "dot": D[ii, jj],
+                "na": na[ii],
+                "nb": nb[jj],
+            }
+        )
+
+    pairs = both.groupBy("label", "salt").applyInPandas(
+        _knn_block, "src_id long, nbr_id long, dot double, na double, nb double"
+    )
     # Ordering inside the struct: (-cos, nbr_id) ascending == (cos
     # DESC, nbr_id ASC); double negation is sign-exact, so the emitted
-    # cos_sim is bit-identical to round(dot/(na*nb), 6).
+    # cos_sim is bit-identical to round(dot/(na*nb), 6). The rounding
+    # and ranking run HERE in the JVM over the candidate superset, so
+    # Spark's HALF_UP round never has to be replicated in Python.
     neg_cos = -F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
     top = F.slice(
         F.sort_array(

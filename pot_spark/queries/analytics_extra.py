@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 @query(
@@ -320,7 +320,7 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to MAD; the per-group medians (one row per group) come back
     as a broadcast so the second pass re-reads the fact side without a
     join shuffle."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load_spread(spark, sf_dir, "orders", min_bytes=2_000_000)
     med = orders.groupBy("o_orderpriority").agg(
         F.median("o_totalprice").alias("med_price")
     )

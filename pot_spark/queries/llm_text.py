@@ -93,7 +93,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score: length, stopword density, token
     count — the classic cheap pre-filter before expensive dedup/training."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -250,7 +250,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization: lowercase, strip non-alphanumerics,
     collapse whitespace — the canonical cleaning pass before hashing /
     shingling, as pure JVM regex expressions (one scan, zero Python)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
@@ -785,7 +785,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace in whole-stage codegen; one rollup shuffle.
 
     No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     seeded = docs.select(
         "doc_id",
         "lang",
@@ -2115,7 +2115,7 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcasts (BroadcastNestedLoopJoin with constant fan-out 4),
     and the rollup carries 4 groups. One corpus scan, one type-scale
     shuffle. No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     ws = spark.createDataFrame([(w,) for w in _CTX_WINDOWS], "w bigint")
     toks = docs.select(
         F.size(
@@ -2275,7 +2275,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one (lang, tok) rollup with map-side combine — the
     per-lang aggregation runs over the TYPE-scale vocabulary, never the
     corpus. No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     vc = (
         docs.select(
             "lang",
@@ -2580,7 +2580,7 @@ def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: pure scan-side regexp arithmetic (whole-stage
     codegen), one source rollup; nothing corpus-sized shuffles. No
     reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
 
     def _cnt(pat: str):
         return (

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 @query(
@@ -214,8 +214,13 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a map column from parsed JSON, read keys and values back.
     The key list is emitted as a sorted joined string (the q_array_agg
     pattern): raw array/map columns break the pandas-based canonical
-    sort in the external harness."""
-    ev = load(spark, sf_dir, "events")
+    sort in the external harness.
+
+    The scan is spread (r13 opt): per-row JSON parsing is the whole
+    cost and ran on one core of the single-split fixture — A/B
+    interleaved: sf0.1 2.71 -> 0.99 s, true-sf1 7.96 -> 2.84 s, a win
+    at BOTH scales so the spread is unconditional."""
+    ev = load_spread(spark, sf_dir, "events")
     m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
     return ev.select(
         "event_id",
@@ -504,7 +509,7 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Generalizes the reference's schemaless JSON documents
     (server.go:315, 341-343) to a typed, columnar-friendly encoding."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", min_bytes=8_000_000)
     # try_parse_json, not parse_json: FAILFAST variant parsing turns ONE
     # malformed/empty props string into a job abort; open-schema ingest
     # must degrade that row to NULL instead (fixture rows are all

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 def _sink_dir(sf_dir: str, kind: str) -> str:
@@ -90,7 +90,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's schemaless JSON documents (server.go:315,
     341-343) landed as a typed column.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", min_bytes=2_000_000)
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),

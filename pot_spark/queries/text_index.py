@@ -49,8 +49,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-stable form H = ln(n) - sum(c*ln c)/n over per-char counts so
     both engines compute identical partial sums. The (doc_id, char) explode
     partial-aggregates map-side (distinct chars per doc is tiny), so the
-    shuffle volume is O(docs * alphabet), not O(corpus chars)."""
-    docs = load(spark, sf_dir, "documents")
+    shuffle volume is O(docs * alphabet), not O(corpus chars). The scan
+    is spread (r13 opt): the per-CHARACTER explode is heavy scan-side
+    compute and ran on one core of the single-split fixture — A/B
+    interleaved: sf0.1 2.82 -> 1.85 s, true-sf1 11.7 -> 2.7 s, a win at
+    BOTH scales so the spread is unconditional (no min_bytes gate)."""
+    docs = load_spread(spark, sf_dir, "documents")
     chars = (
         docs.select(
             "doc_id",
@@ -93,7 +97,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter family: high ratio = templated/spammy text). Entirely per-row
     higher-order array expressions — zero shuffles, one corpus scan, and
     the bigram arrays never leave the executor."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     toks = docs.select(
         "doc_id",
         "lang",
@@ -212,7 +216,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sorted inside the executor (`array_sort`), never on the driver.
     This is the build step for the q_ngram_jaccard-style candidate
     blocking used by the dedup family."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     posting = (
         docs.select(
             "doc_id",
@@ -822,7 +826,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, whose width is bounded by 64 x docs regardless of corpus
     vocabulary. Collisions are the accepted tradeoff (document them, not
     the vocab). No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
@@ -1653,7 +1657,7 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     df rollup by doc frequency, and the top-20 is a
     TakeOrderedAndProject (per-partition heaps), never a global sort.
     No reference counterpart (SURVEY.md §2-A)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000)
     dt = (
         docs.filter(F.col("doc_id").isNotNull())
         .select(

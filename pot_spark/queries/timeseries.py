@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 from pot_spark.queries import dec as _dec  # shared engine-exact cast
@@ -169,7 +169,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) struct — one shuffle on (user_id, hour), fully
     map-side-combinable, no window pass. The oracle needs the two-window
     formulation only because DuckDB's arg_min can't order by a struct."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", min_bytes=8_000_000)
     order_key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pot_spark.registry import query
-from pot_spark.tables import load
+from pot_spark.tables import load, load_spread
 
 
 @F.pandas_udf(T.DoubleType())
@@ -121,7 +121,7 @@ def u_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table function via mapInPandas: one input row (document) expands to
     one output row per token with its position. Arrow-batched; partition-
     parallel (each batch expands independently — no shuffle)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=2_000_000).select("doc_id", "text")
     return docs.mapInPandas(
         _tokenize_batches, schema="doc_id long, pos int, token string"
     )
@@ -842,7 +842,7 @@ def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, toks[i] + " " + toks[i + 1]
 
     spark.udtf.register("bigrams", Bigrams)
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_spread(spark, sf_dir, "documents", min_bytes=2_000_000).createOrReplaceTempView("documents")
     return spark.sql(
         "SELECT d.doc_id, b.pos, b.bigram "
         "FROM documents d, LATERAL bigrams(d.text) b"

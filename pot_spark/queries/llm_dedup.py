@@ -641,74 +641,109 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition): cosine computed only within blocks, never across the full
     cross product.
 
-    r13 rewrite (the sf1 tier's batch-2 extension caught the old plan
-    at 91.8x for 10x data — 306 s): same exact output, the three
-    q_knn_graph/q_semdedup physical fixes applied to the O(block²)
-    pair loop:
+    r13 history: the sf1 tier's batch-2 extension caught the original
+    interpreted zip_with-per-pair plan at 91.8x for 10x data (306 s);
+    it was first rewritten to the flat-codegen-chain + salted-join
+    shape (per-vector norms once, pmod salt), then superseded by the
+    grouped-batch form below.
 
-    - FLAT double component columns with the per-pair dot as ONE
-      whole-stage-codegen chain (the old plan folded an interpreted
-      zip_with lambda per PAIR);
-    - per-vector norms computed ONCE in the signature aggregate (the
-      old plan re-folded both 64-element norms per pair — three
-      interpreted folds per pair was the dominant term);
-    - the label join SALTED (pmod(vec_a)): a handful of label keys
-      otherwise parks each block's entire pair volume on one reducer.
+    r13 opt (q_knn_graph's grouped-batch rewrite, simpler here because
+    there is no top-k — the >= 0.4 threshold is a direct IEEE compare):
+    the salted label JOIN + codegen dot chain became a salted label
+    GROUPING whose blocks run as vectorized numpy batches. The batch
+    accumulates the dot with one IEEE add per dimension in ascending
+    order — the identical operation sequence to the codegen chain and
+    to DuckDB's list_cosine_similarity — and compares C = D/(na·nb)
+    against 0.4 with the same IEEE ops the JVM filter performed, so the
+    surviving pair set is bit-identical by construction (verified
+    bit-identical at sf0.1 and true-sf1, packed-double compare). The
+    HALF_UP round(·, 6) stays in the JVM over the survivors. The
+    per-vector norm is a flat array fold (same ascending IEEE order as
+    the old d-sorted fold), removing the posexplode + 65-aggregate
+    pivot and its exchange. At 100 TB the blocking key swaps from
+    `label` to an LSH/IVF cell id so block sizes stay bounded — the
+    pair semantics are unchanged."""
+    from pot_spark.queries.llm_similarity import _as_double
 
-    The dot chain evaluates left-to-right — the same sequential
-    summation as the old fold and DuckDB's list_cosine_similarity —
-    so both the raw >= 0.4 threshold compare and the rounded cos_sim
-    are bit-identical to the oracle (q_knn_graph's proven argument;
-    hash unchanged under this rewrite). The big Project alias sits
-    directly above the join (the Catalyst-safe position); the
-    threshold filter above it references only the dot/na/nb output
-    attributes (q_semdedup's proven shape). At 100 TB the blocking key
-    swaps from `label` to an LSH/IVF cell id so block sizes stay
-    bounded — the pair semantics are unchanged."""
-    from pot_spark.queries.llm_similarity import _DIM, _as_double
-
-    iv = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.posexplode(_as_double()).alias("d", "x")
-    )
-    # norm as one ~15-node fold over the d-sorted components (NOT a
-    # flat x*x chain: >100-node Project aliases send Catalyst's
-    # constraint derivation super-linear — llm_similarity.py:306 note)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("d", "x"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["x"] * s["x"],
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double().alias("xs"))
+        .select(
+            "vec_id",
+            "label",
+            "xs",
+            F.sqrt(
+                F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("nrm"),
         )
     )
-    vecs = iv.groupBy("vec_id", "label").agg(
-        *[
-            F.max(F.when(F.col("d") == i, F.col("x"))).alias(f"x{i}")
-            for i in range(_DIM)
-        ],
-        nrm.alias("nrm"),
-    )
     a = vecs.select(
-        F.col("vec_id").alias("vec_a"),
+        F.lit(0).alias("side"),
+        F.pmod(F.col("vec_id"), F.lit(_EMBED_SALT)).cast("int").alias("salt"),
         "label",
-        F.col("nrm").alias("na"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(_DIM)],
-    ).withColumn("salt", F.pmod(F.col("vec_a"), F.lit(_EMBED_SALT)).cast("int"))
+        "vec_id",
+        "nrm",
+        "xs",
+    )
     b = vecs.select(
-        F.col("vec_id").alias("vec_b"),
+        F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.lit(_EMBED_SALT - 1))).alias("salt"),
         "label",
-        F.col("nrm").alias("nb"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(_DIM)],
-    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_EMBED_SALT - 1))))
-    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(_DIM)))
-    pairs = (
-        a.join(b, ["label", "salt"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", dot.alias("dot"), "na", "nb")
+        "vec_id",
+        "nrm",
+        "xs",
+    )
+    both = a.unionByName(b).repartition(
+        spark.sparkContext.defaultParallelism, "label", "salt"
+    )
+
+    def _embed_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="float64"),
+                "na": pd.Series([], dtype="float64"),
+                "nb": pd.Series([], dtype="float64"),
+            }
+        )
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["xs"].to_numpy()).astype("float64")
+        B = np.stack(right["xs"].to_numpy()).astype("float64")
+        va = left["vec_id"].to_numpy(dtype="int64")
+        vb = right["vec_id"].to_numpy(dtype="int64")
+        na = left["nrm"].to_numpy(dtype="float64")
+        nb = right["nrm"].to_numpy(dtype="float64")
+        # one IEEE add per dimension, ascending — bit-identical to the
+        # old codegen chain (never BLAS: pairwise summation rounds
+        # differently)
+        D = np.multiply.outer(A[:, 0], B[:, 0])
+        for d in range(1, A.shape[1]):
+            D += np.multiply.outer(A[:, d], B[:, d])
+        C = D / np.multiply.outer(na, nb)
+        keep = (va[:, None] < vb[None, :]) & (C >= 0.4)
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": va[ii],
+                "vec_b": vb[jj],
+                "dot": D[ii, jj],
+                "na": na[ii],
+                "nb": nb[jj],
+            }
+        )
+
+    pairs = both.groupBy("label", "salt").applyInPandas(
+        _embed_block, "vec_a long, vec_b long, dot double, na double, nb double"
     )
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    return pairs.where(cos >= 0.4).select(
-        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
-    )
+    return pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
 
 
 _SIMHASH_BANDS = 4  # 60 bits -> 4 bands x 15 bits; hamming <= 3 guarantees

@@ -352,11 +352,14 @@ def build_stateful_dedup(
                 )
             batch = pd.concat(list(pdf_iter), ignore_index=True)
             # per-key batch minimum WITH its row (stable sort: the same
-            # row the per-key loop's strict < would have kept)
-            g = (
-                batch.sort_values("event_id", kind="stable")
-                .groupby(key_cols, as_index=False)
-                .first()
+            # row the per-key loop's strict < would have kept).
+            # drop_duplicates, NOT groupby().first(): first() skips NaN
+            # PER COLUMN, so a null-valued winning row would silently
+            # take its ts/value from the next row — the r13 hostile
+            # sweep caught exactly that (value emitted where the oracle
+            # has NULL); drop_duplicates keeps whole rows.
+            g = batch.sort_values("event_id", kind="stable").drop_duplicates(
+                subset=key_cols, keep="first"
             )
             m = g.merge(held, on=key_cols, how="left")
             changed = m[m["best"].isna() | (m["event_id"] < m["best"])]
@@ -501,10 +504,13 @@ def build_stateful_cdc(
                     columns=["user_id", "event_type", "h_ts", "h_eid"]
                 )
             batch = pd.concat(list(pdf_iter), ignore_index=True)
-            g = (
-                batch.sort_values(["ts", "event_id"], kind="stable")
-                .groupby(key_cols, as_index=False)
-                .last()
+            # drop_duplicates, NOT groupby().last(): last() skips NaN
+            # PER COLUMN, so a null-valued newest row would silently
+            # take its value from an older row (r13 hostile-sweep
+            # finding on the dedup twin); drop_duplicates keeps whole
+            # rows — the same row the per-key iloc[-1] picks, NaT last
+            g = batch.sort_values(["ts", "event_id"], kind="stable").drop_duplicates(
+                subset=key_cols, keep="last"
             )
             # NaT -> int64 min: identical to int(pd.Timestamp(NaT).value)
             g["c_ts"] = (

@@ -602,6 +602,70 @@ def test_daily_dedup_sharded_matches_per_key_and_batch(spark, sf_dir):
     assert results["sharded"] == _sorted_rows(batch)
 
 
+def test_sharded_dedup_cdc_keep_null_values_row_integral(spark, sf_dir, tmp_path):
+    """r13 hostile-sweep regression: pandas groupby().first()/.last()
+    skip NaN PER COLUMN, so a sharded handler that used them emitted a
+    neighboring row's value when the winning row's value was NULL (the
+    per-key twins pick whole rows via itertuples/iloc and were correct).
+    Pin: with every per-key winning row's value nulled, the sharded
+    builders emit exactly the per-key builders' rows — nulls included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pot_spark.streaming.runner import (
+        _event_stream,
+        build_stateful_cdc,
+        build_stateful_dedup,
+    )
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    pdf = src.to_pandas()
+    # null the value of each key's FIRST event (min event_id) and of
+    # each key's LAST event (max (ts, event_id)) — the rows the dedup
+    # and cdc operators respectively emit
+    first_idx = pdf.sort_values("event_id", kind="stable").drop_duplicates(
+        subset=["user_id", "event_type"], keep="first"
+    ).index
+    last_idx = pdf.sort_values(["ts", "event_id"], kind="stable").drop_duplicates(
+        subset=["user_id", "event_type"], keep="last"
+    ).index
+    pdf.loc[first_idx.union(last_idx), "value"] = None
+    out = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=src.schema, preserve_index=False), out
+    )
+
+    for builder in (build_stateful_dedup, build_stateful_cdc):
+        results = {}
+        for tag, shards in (("perkey", None), ("sharded", 8)):
+            stream = _event_stream(spark, out)
+            sink = f"sink_nullrow_{builder.__name__}_{tag}"
+            spark.catalog.dropTempView(sink)
+            q = (
+                builder(stream, n_shards=shards)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+            results[tag] = _sorted_rows(spark.table(sink))
+        assert results["sharded"] == results["perkey"], builder.__name__
+        # the nulls actually flowed through: the fixture made every
+        # winning row null-valued, so NO emitted value may be a real
+        # number (None or NaN depending on the pandas round-trip — the
+        # buggy .first()/.last() form emitted neighbors' REAL values)
+        col = "first_value" if builder is build_stateful_dedup else "value"
+        vals = [r[col] for r in spark.table(
+            f"sink_nullrow_{builder.__name__}_sharded").collect()]
+        assert vals and all(v is None or v != v for v in vals), (
+            builder.__name__, vals[:5])
+
+
 def test_sharded_gate_ttl_prunes_per_band():
     """The per-band retention horizon under shard-keyed state: a band
     idle past ttl drops its retained set; a band with ONE live pair

@@ -3378,6 +3378,15 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tok"),
     )
+    # one digest+tokenize pass: the raw totals, keep1 build, s1 probe and
+    # the per-stage aggregates all consume this 3-column relation, and the
+    # branches CANNOT share a scan via AQE reuse (the raw branch must keep
+    # NULL-text rows, so its pushed-filter set legitimately differs from
+    # the join branches) — r13 final-plan profile measured 4 separate
+    # documents scans re-deriving md5+token counts. Checkpointing the
+    # ~24-byte/doc projection runs the corpus pass exactly once; at 100 TB
+    # that is 1 scan instead of 4.
+    d = reliable_checkpoint(d)
     keep1 = d.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     # explicit aliases: d and keep1 share lineage, so unqualified column
     # objects would resolve to the SAME attribute (a trivially-true

@@ -4065,49 +4065,69 @@ def q_dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("priced")
     )
-    sa = samp.select("lang", "shingle", F.col("doc_id").alias("a"))
-    sb = samp.select("lang", "shingle", F.col("doc_id").alias("b"))
-    actual = (
-        sa.join(sb, ["lang", "shingle"])
-        .filter(F.col("a") < F.col("b"))
-        .select("lang", "a", "b")
-        .distinct()
-        .agg(F.count("*").cast("bigint").alias("actual"))
+    # ONE flagged self-join yields BOTH pair counts (r13 fusion of the
+    # former full + head-excluded-tail sampled self-joins, which each
+    # rebuilt the sampled index and re-shuffled ~the same pair volume —
+    # the tail join is a subset of the full one): tail membership of a
+    # PAIR is an OR over its generating shingles' is_tail, so carrying
+    # the per-shingle flag (full df <= cap, a function of the join key)
+    # through the join and max()-ing it per distinct (lang, a, b) group
+    # counts tail pairs exactly — actual == |pairs sharing >=1 sampled
+    # shingle|, actual_t == |pairs sharing >=1 sampled TAIL shingle|,
+    # integer-identical to the two-join form the DuckDB twin mirrors.
+    tailflag = df_tbl.select(
+        "lang",
+        "shingle",
+        (F.col("df") <= _HEAD_PROBE_DF_CAP).cast("int").alias("is_tail"),
     )
-    conc = priced.crossJoin(actual).select(
+    sampf = samp.join(tailflag, ["lang", "shingle"], "left")
+    sa = sampf.alias("pa")
+    sb = sampf.alias("pb")
+    both = (
+        sa.join(
+            sb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.lang").alias("lang"),
+            F.col("pa.doc_id").alias("a"),
+            F.col("pb.doc_id").alias("b"),
+            F.col("pa.is_tail").alias("is_tail"),
+        )
+        .groupBy("lang", "a", "b")
+        .agg(F.max("is_tail").alias("t"))
+        .agg(
+            F.count("*").cast("bigint").alias("actual"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("actual_t"),
+        )
+    )
+    # tail priced volume: df_s IS the per-(lang, shingle) sampled df, so
+    # restricting it to tail shingles equals re-aggregating the tail
+    # sample (the old tsamp groupBy) without the extra token-scale pass
+    priced_t = (
+        df_s.join(
+            tailflag.filter(F.col("is_tail") == 1).select("lang", "shingle"),
+            ["lang", "shingle"],
+            "left_semi",
+        ).agg(
+            F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("priced_t")
+        )
+    )
+    conc = priced.crossJoin(both).crossJoin(priced_t).select(
         F.expr(
             "CASE WHEN actual = 0 THEN CAST(-1 AS BIGINT)"
             " ELSE CAST(priced * 1000 DIV actual AS BIGINT) END"
-        ).alias("combine_x1000")
-    )
-    # head-excluded (mixed-regime) probe twin — same sample, index
-    # restricted to shingles whose FULL df stays under the head cap
-    tail = df_tbl.filter(F.col("df") <= _HEAD_PROBE_DF_CAP).select(
-        "lang", "shingle"
-    )
-    tsamp = samp.join(tail, ["lang", "shingle"], "left_semi")
-    df_ts = tsamp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
-    priced_t = df_ts.agg(
-        F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
-        .cast("bigint")
-        .alias("priced")
-    )
-    ta = tsamp.select("lang", "shingle", F.col("doc_id").alias("a"))
-    tb = tsamp.select("lang", "shingle", F.col("doc_id").alias("b"))
-    actual_t = (
-        ta.join(tb, ["lang", "shingle"])
-        .filter(F.col("a") < F.col("b"))
-        .select("lang", "a", "b")
-        .distinct()
-        .agg(F.count("*").cast("bigint").alias("actual"))
-    )
-    conc_t = priced_t.crossJoin(actual_t).select(
+        ).alias("combine_x1000"),
         F.expr(
-            "CASE WHEN actual = 0 THEN CAST(-1 AS BIGINT)"
-            " ELSE CAST(priced * 1000 DIV actual AS BIGINT) END"
-        ).alias("tail_combine_x1000")
+            "CASE WHEN actual_t = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE CAST(priced_t * 1000 DIV actual_t AS BIGINT) END"
+        ).alias("tail_combine_x1000"),
     )
-    return vol.crossJoin(conc).crossJoin(conc_t).select(
+    return vol.crossJoin(conc).select(
         "sum_df2",
         "n_rows",
         F.expr("CAST((sum_df2 - n_rows) DIV 2 AS BIGINT)").alias(

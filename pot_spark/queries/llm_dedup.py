@@ -1191,7 +1191,7 @@ def _concentration_sample_pred() -> Column:
     return F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 1) == "0"
 
 
-def _sampled_combine_x1000(idx: DataFrame) -> int:
+def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]:
     """Measured candidate CONCENTRATION (q_dedup_candidate_profile's
     combine_x1000) on the deterministic 1/16 shingle sample of ``idx``:
     priced pairs Σ df·(df−1)/2 over the sampled df rollup, divided by
@@ -1200,6 +1200,19 @@ def _sampled_combine_x1000(idx: DataFrame) -> int:
     candidate volume is all real work); >= _CLUSTERED_COMBINE_X1000
     means clustered (combine absorbs it). -1 when the sample has no
     pairs (treated as clustered: nothing to combine either way).
+
+    Returns BOTH the full verdict and the r13 HEAD-EXCLUDED tail
+    verdict (the mixed-regime disambiguator) from ONE flagged
+    self-join — the r13 finding-11 fusion: a pair's tail membership is
+    an OR over its generating shingles' (full df <= _HEAD_PROBE_DF_CAP)
+    flag, so carrying the per-shingle flag through the join and
+    max()-ing it per distinct (lang, a, b) group counts tail pairs
+    exactly, and the tail priced volume derives from the sampled df
+    rollup semi-joined to the tail set. Integer-identical to running
+    the probe twice (full idx, then idx semi-joined to the tail), at
+    roughly half the cost in the dense regime where stage 3 fires.
+    BOTH sides of the self-join must be the SAME flagged relation — a
+    flag on one side only breaks exchange reuse (measured 6x slower).
 
     Cost: the sampled self-join is ~1/256 of the full pair volume —
     affordable precisely because this probe only runs once the priced
@@ -1212,19 +1225,53 @@ def _sampled_combine_x1000(idx: DataFrame) -> int:
         .cast("bigint")
         .alias("priced")
     )
-    sa = samp.select("lang", "shingle", F.col("doc_id").alias("a"))
-    sb = samp.select("lang", "shingle", F.col("doc_id").alias("b"))
-    actual = (
-        sa.join(sb, ["lang", "shingle"])
-        .filter(F.col("a") < F.col("b"))
-        .select("lang", "a", "b")
-        .distinct()
-        .agg(F.count("*").cast("bigint").alias("actual"))
+    tailflag = df_tbl.select(
+        "lang",
+        "shingle",
+        (F.col("df") <= _HEAD_PROBE_DF_CAP).cast("int").alias("is_tail"),
     )
-    row = priced.crossJoin(actual).collect()[0]
-    if not row["actual"]:
-        return -1
-    return (row["priced"] * 1000) // row["actual"]
+    priced_t = (
+        df_s.join(
+            tailflag.filter(F.col("is_tail") == 1).select("lang", "shingle"),
+            ["lang", "shingle"],
+            "left_semi",
+        ).agg(
+            F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("priced_t")
+        )
+    )
+    sampf = samp.join(tailflag, ["lang", "shingle"], "left")
+    sa = sampf.alias("pa")
+    sb = sampf.alias("pb")
+    both = (
+        sa.join(
+            sb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.lang").alias("lang"),
+            F.col("pa.doc_id").alias("a"),
+            F.col("pb.doc_id").alias("b"),
+            F.col("pa.is_tail").alias("is_tail"),
+        )
+        .groupBy("lang", "a", "b")
+        .agg(F.max("is_tail").alias("t"))
+        .agg(
+            F.count("*").cast("bigint").alias("actual"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("actual_t"),
+        )
+    )
+    row = priced.crossJoin(priced_t).crossJoin(both).collect()[0]
+    combine = (
+        (row["priced"] * 1000) // row["actual"] if row["actual"] else -1
+    )
+    tail_combine = (
+        (row["priced_t"] * 1000) // row["actual_t"] if row["actual_t"] else -1
+    )
+    return combine, tail_combine
 
 
 # Per-session memoization of the stage-2 probe (r12 verdict item 8):
@@ -1236,16 +1283,22 @@ def _sampled_combine_x1000(idx: DataFrame) -> int:
 # files change under an identical plan within one session, a cached
 # verdict may lag one query; the chosen plan is still correct (exact
 # plans everywhere; banded keeps its recall contract either way).
-_PROBE_CACHE: dict[int, int] = {}
+_PROBE_CACHE: dict[tuple[int, int, int], tuple[int, int]] = {}
 
 
-def _sampled_combine_x1000_cached(idx: DataFrame) -> int:
+def _sampled_combine_x1000_cached(
+    idx: DataFrame, df_tbl: DataFrame
+) -> tuple[int, int]:
+    # the key must cover everything the fused verdicts depend on: the
+    # probe index, the FULL df rollup the tail flag reads, and the head
+    # cap itself (the old two-probe form keyed the cap implicitly via
+    # the tail_idx plan; the fused form must carry it explicitly)
     try:
-        key = idx.semanticHash()
+        key = (idx.semanticHash(), df_tbl.semanticHash(), _HEAD_PROBE_DF_CAP)
     except Exception:  # noqa: BLE001 — hash unavailable: probe uncached
-        return _sampled_combine_x1000(idx)
+        return _sampled_combine_x1000(idx, df_tbl)
     if key not in _PROBE_CACHE:
-        _PROBE_CACHE[key] = _sampled_combine_x1000(idx)
+        _PROBE_CACHE[key] = _sampled_combine_x1000(idx, df_tbl)
     return _PROBE_CACHE[key]
 
 
@@ -1405,14 +1458,14 @@ def _auto_strategy(
     pairs_priced = max(sum_df2 - n_rows, 0.0) / 2.0
     if idx is not None and pairs_priced > _DENSE_DIRECT_PAIR_BUDGET:
         # callers pass the index ALREADY restricted to their df_cap, so
-        # the probe measures exactly the index the chosen plan will join
-        combine = _sampled_combine_x1000_cached(idx)
+        # the probe measures exactly the index the chosen plan will
+        # join. One fused pass returns the stage-2 AND stage-3 verdicts
+        # (finding 11): in the dense regime — exactly where the probe is
+        # the expensive pre-flight — this halves its cost vs the former
+        # full-then-tail probe pair; in the clustered regime the fused
+        # tail stats ride the same self-join for one extra flag column.
+        combine, tail_combine = _sampled_combine_x1000_cached(idx, df_tbl)
         if 0 <= combine < _CLUSTERED_COMBINE_X1000:
-            tail = df_tbl.filter(F.col("df") <= _HEAD_PROBE_DF_CAP).select(
-                "lang", "shingle"
-            )
-            tail_idx = idx.join(tail, ["lang", "shingle"], "left_semi")
-            tail_combine = _sampled_combine_x1000_cached(tail_idx)
             if 0 <= tail_combine < _CLUSTERED_COMBINE_X1000:
                 return "banded"
             _LOG.warning(

@@ -1191,7 +1191,7 @@ def _concentration_sample_pred() -> Column:
     return F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 1) == "0"
 
 
-def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]:
+def _sampled_combine_x1000(idx: DataFrame) -> tuple[int, int]:
     """Measured candidate CONCENTRATION (q_dedup_candidate_profile's
     combine_x1000) on the deterministic 1/16 shingle sample of ``idx``:
     priced pairs Σ df·(df−1)/2 over the sampled df rollup, divided by
@@ -1207,12 +1207,22 @@ def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]
     an OR over its generating shingles' (full df <= _HEAD_PROBE_DF_CAP)
     flag, so carrying the per-shingle flag through the join and
     max()-ing it per distinct (lang, a, b) group counts tail pairs
-    exactly, and the tail priced volume derives from the sampled df
-    rollup semi-joined to the tail set. Integer-identical to running
-    the probe twice (full idx, then idx semi-joined to the tail), at
-    roughly half the cost in the dense regime where stage 3 fires.
-    BOTH sides of the self-join must be the SAME flagged relation — a
-    flag on one side only breaks exchange reuse (measured 6x slower).
+    exactly. Integer-identical to running the probe twice (full idx,
+    then idx semi-joined to the tail), at roughly half the cost in the
+    dense regime where stage 3 fires. BOTH sides of the self-join must
+    be the SAME flagged relation — a flag on one side only breaks
+    exchange reuse (measured 6x slower).
+
+    r14: the tail flag derives from the SAMPLED rollup itself, not a
+    join against the full df table — the 1/16 sample selects whole
+    SHINGLES (content-keyed md5 predicate), so every occurrence of a
+    sampled shingle is in the sample and df_s(s) == full df(s) exactly;
+    likewise under df_cap, which semi-joins whole shingle groups, so a
+    shingle surviving the cap keeps all its rows. The old form rebuilt
+    the full-corpus (lang, shingle) string-keyed rollup 2-3x inside the
+    probe (r14 sf1 stage profile: ~40% of the whole query's executor
+    time went to this probe); the fused form touches only sampled rows
+    past the sample filter, and prices full+tail in ONE aggregate.
 
     Cost: the sampled self-join is ~1/256 of the full pair volume —
     affordable precisely because this probe only runs once the priced
@@ -1220,28 +1230,21 @@ def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]
     the wrong plan costs orders of magnitude more than measuring."""
     samp = idx.filter(_concentration_sample_pred())
     df_s = samp.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
-    priced = df_s.agg(
-        F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
-        .cast("bigint")
-        .alias("priced")
-    )
-    tailflag = df_tbl.select(
+    flagged = df_s.select(
         "lang",
         "shingle",
         (F.col("df") <= _HEAD_PROBE_DF_CAP).cast("int").alias("is_tail"),
+        F.expr("df*(df-1) DIV 2").alias("p"),
     )
-    priced_t = (
-        df_s.join(
-            tailflag.filter(F.col("is_tail") == 1).select("lang", "shingle"),
-            ["lang", "shingle"],
-            "left_semi",
-        ).agg(
-            F.coalesce(F.sum(F.expr("df*(df-1) DIV 2")), F.lit(0))
-            .cast("bigint")
-            .alias("priced_t")
-        )
+    priced_both = flagged.agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("bigint").alias("priced"),
+        F.coalesce(F.sum(F.expr("CASE WHEN is_tail = 1 THEN p ELSE 0 END")), F.lit(0))
+        .cast("bigint")
+        .alias("priced_t"),
     )
-    sampf = samp.join(tailflag, ["lang", "shingle"], "left")
+    sampf = samp.join(
+        flagged.select("lang", "shingle", "is_tail"), ["lang", "shingle"]
+    )
     sa = sampf.alias("pa")
     sb = sampf.alias("pb")
     both = (
@@ -1264,7 +1267,7 @@ def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]
             F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("actual_t"),
         )
     )
-    row = priced.crossJoin(priced_t).crossJoin(both).collect()[0]
+    row = priced_both.crossJoin(both).collect()[0]
     combine = (
         (row["priced"] * 1000) // row["actual"] if row["actual"] else -1
     )
@@ -1283,22 +1286,22 @@ def _sampled_combine_x1000(idx: DataFrame, df_tbl: DataFrame) -> tuple[int, int]
 # files change under an identical plan within one session, a cached
 # verdict may lag one query; the chosen plan is still correct (exact
 # plans everywhere; banded keeps its recall contract either way).
-_PROBE_CACHE: dict[tuple[int, int, int], tuple[int, int]] = {}
+_PROBE_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
 
 
-def _sampled_combine_x1000_cached(
-    idx: DataFrame, df_tbl: DataFrame
-) -> tuple[int, int]:
+def _sampled_combine_x1000_cached(idx: DataFrame) -> tuple[int, int]:
     # the key must cover everything the fused verdicts depend on: the
-    # probe index, the FULL df rollup the tail flag reads, and the head
-    # cap itself (the old two-probe form keyed the cap implicitly via
-    # the tail_idx plan; the fused form must carry it explicitly)
+    # probe index and the head cap itself (the old two-probe form keyed
+    # the cap implicitly via the tail_idx plan; the fused form must
+    # carry it explicitly). The full df rollup left the key when the
+    # tail flag moved onto the sampled rollup (r14: df_s == full df for
+    # sampled shingles — see _sampled_combine_x1000).
     try:
-        key = (idx.semanticHash(), df_tbl.semanticHash(), _HEAD_PROBE_DF_CAP)
+        key = (idx.semanticHash(), _HEAD_PROBE_DF_CAP)
     except Exception:  # noqa: BLE001 — hash unavailable: probe uncached
-        return _sampled_combine_x1000(idx, df_tbl)
+        return _sampled_combine_x1000(idx)
     if key not in _PROBE_CACHE:
-        _PROBE_CACHE[key] = _sampled_combine_x1000(idx, df_tbl)
+        _PROBE_CACHE[key] = _sampled_combine_x1000(idx)
     return _PROBE_CACHE[key]
 
 
@@ -1464,7 +1467,7 @@ def _auto_strategy(
         # the expensive pre-flight — this halves its cost vs the former
         # full-then-tail probe pair; in the clustered regime the fused
         # tail stats ride the same self-join for one extra flag column.
-        combine, tail_combine = _sampled_combine_x1000_cached(idx, df_tbl)
+        combine, tail_combine = _sampled_combine_x1000_cached(idx)
         if 0 <= combine < _CLUSTERED_COMBINE_X1000:
             if 0 <= tail_combine < _CLUSTERED_COMBINE_X1000:
                 return "banded"
